@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column algebra for LLM-data pipelines (SURVEY.md §7.5).
+  * Everything is native `Column` expressions — codegen'd, no UDFs —
+  * so the operators stay inside whole-stage codegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Token count via pure arithmetic on single-space text — exact and
+    * portable across engines (used by oracle-checked queries).
+    */
+  def tokenCountArithmetic(text: Column): Column =
+    when(length(text) === 0, 0)
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
+      .cast("int")
+
+  /** Token count via regex split (general whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("int")
+
+  /** A BPE-ish subword proxy: count of alternating letter/digit/punct
+    * runs — approximates tokenizer token counts without a vocab.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z\\s])|(?<=[^a-zA-Z\\s])(?=[a-zA-Z])|\\s+"),
+      t => length(t) > 0)).cast("int")
+
+  /** Punctuation character ratio (0 when empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+          .cast("double") / length(text))
+
+  /** Uppercase-letter ratio. */
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[A-Z]", "")))
+          .cast("double") / length(text))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / n)
+  }
+
+  private val stopwordsEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "es" -> Seq("el", "la", "y", "es"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Count occurrences of `word` as a whole token. */
+  def wordCount(text: Column, word: String): Column =
+    size(filter(tokens(lower(text)), t => t === word)).cast("int")
+
+  /** Stopword-token ratio — a classic quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    val stops = stopwordsEn.map(w => wordCount(text, w)).reduce(_ + _)
+    when(n === 0, 0.0).otherwise(stops.cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length, high
+    * punctuation, shouting, and stopword-free (keyword-stuffed) text.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lengthTerm = when(len < 20, len / 20.0)
+      .when(len > 5000, greatest(lit(0.0), lit(1.0) - (len - 5000) / 20000.0))
+      .otherwise(1.0)
+    val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val upperTerm = greatest(lit(0.0), lit(1.0) - upperRatio(text) * 3.0)
+    val stopTerm = least(lit(1.0), stopwordRatio(text) * 5.0 + lit(0.4))
+    round(lengthTerm * 0.3 + punctTerm * 0.25 + upperTerm * 0.2 + stopTerm * 0.25, 6)
+  }
+
+  /** Per-language marker-stopword hit count (n-gram-free heuristic
+    * language ID): returns the language whose marker tokens appear most
+    * often, "und" (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(words.map(w => wordCount(text, w)).reduce(_ + _).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint of the token sequence
+    * (order-sensitive document fingerprint). fp = Σ tokHash·31^i via a
+    * left fold — stable across runs and partitionings.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1469598103934665603L),
+      (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+
+  /** Character n-gram (shingle) set, lowercased, as distinct array. */
+  def charShingles(text: Column, n: Int): Column = {
+    val cleaned = lower(regexp_replace(text, "\\s+", " "))
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(length(cleaned) - n, lit(0))),
+          i => substring(cleaned, lit(1) + i, lit(n))),
+        s => length(s) === n))
+  }
+
+  /** Word n-gram shingles (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")),
+        s => size(split(s, " ")) === n))
+  }
+
+  /** Exact Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+}

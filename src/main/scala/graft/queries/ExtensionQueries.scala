@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeoFunctions, TextFunctions, VectorFunctions}
+import graft.model.Schemas
+import graft.operators.{Dedup, NearestJoin, Similarity}
+import RelationalQueries.tbl
+
+/** Beyond-reference queries: text analysis, dedup, similarity search,
+  * sessionization, spatial nearest (SURVEY.md §7.5) — over the
+  * driver-provided `documents` / `embeddings` / `events` / `customer`
+  * tables.
+  */
+object ExtensionQueries {
+
+  // ── Text analysis ───────────────────────────────────────────────────
+
+  /** Token counting per document (oracle-exact arithmetic form). */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCountArithmetic(col("text")).as("n_tokens"))
+
+  /** Per-language corpus profile (A1-style grouped aggregate with
+    * exact integer sums).
+    */
+  def qLangProfile(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(TextFunctions.tokenCountArithmetic(col("text")))
+          .cast("long").as("sum_tokens"))
+
+  /** Quality scoring + language ID + fingerprint — full text-analysis
+    * stack; heuristic outputs, rows-only check (ScalaTest covers the
+    * semantics on fixtures).
+    */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+
+  // ── Dedup ───────────────────────────────────────────────────────────
+
+  /** Exact dedup groups by content hash (sha-256). */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactHashGroups(tbl(s, dir, "documents"), "doc_id", "text")
+
+  /** MinHash-LSH near-dup pairs (rows-only: LSH banding is not
+    * SQL-expressible portably).
+    */
+  def qDedupMinHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5)
+
+  /** SimHash near-dup pairs (rows-only). */
+  def qDedupSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      bands = 4, maxHamming = 6)
+
+  /** Exhaustive token-set Jaccard pairs — oracle-checkable in DuckDB
+    * via list_intersect/list_distinct. Quadratic by construction; the
+    * LSH variants above are the scale path.
+    */
+  def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = docs.select(col("doc_id").as("id_a"), col("toks").as("t_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("toks").as("t_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("t_a"), col("t_b"))).cast("double"))
+      .withColumn("jaccard_sim", col("inter") / col("uni"))
+      .filter(col("jaccard_sim") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via sign-LSH (rows-only). */
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
+      "embedding", dim = 64, threshold = 0.95)
+
+  // ── Similarity search ───────────────────────────────────────────────
+
+  /** L2 norms of all embeddings — oracle-checkable vector arithmetic. */
+  def qVectorNorms(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        round(VectorFunctions.l2Norm(col("embedding")), 6).as("l2_norm"))
+
+  /** Brute-force cosine top-10 for the first 5 vectors as queries. */
+  def qKnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      "query_id", "qvec", k = 10)
+  }
+
+  /** IVF ANN top-10 for the same queries (rows-only: ANN recall is
+    * probabilistic; ScalaTest asserts recall ≥ threshold vs brute force).
+    */
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "query_id", "qvec", k = 10, nlist = 8, nprobe = 3)
+  }
+
+  // ── Sessionization / event-time (batch analog of streaming ops) ─────
+
+  /** Gap-based sessionization (30-min gap) — the batch analog of the
+    * streaming session-window operator; exact via epoch-microseconds.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    RelationalQueries.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Tumbling daily window aggregate (streaming-window batch analog). */
+  def qDailyWindow(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  // ── Spatial nearest (J1/J2 with the production NearestJoin) ─────────
+
+  private def customerPoints(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(
+      col("c_custkey"),
+      (col("c_acctbal") / 200.0).as("lat"),
+      ((col("c_custkey") % 360).cast("double") - 180.0).as("lon"))
+
+  private def stationDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Schemas.stations.map(st => (st.name, st.latitude, st.longitude))
+      .toDF("station", "s_lat", "s_lon")
+  }
+
+  /** Nearest station per customer point — window implementation,
+    * planar distance (exact across engines).
+    */
+  def qNearestStationWindow(s: SparkSession, dir: String): DataFrame =
+    NearestJoin.nearestByWindow(
+      customerPoints(s, dir), stationDim(s), "c_custkey",
+      GeoFunctions.planarDist2(col("lat"), col("lon"), col("s_lat"), col("s_lon")),
+      tieBreak = Seq(col("station")))
+      .select(col("c_custkey"), col("station"), col("dist_km").as("dist2"))
+
+  /** Same result via the min_by aggregation path (cheaper plan: the
+    * exchange carries one row per key). Same oracle as the window form —
+    * both must agree with DuckDB and therefore with each other.
+    */
+  def qNearestStationMinBy(s: SparkSession, dir: String): DataFrame =
+    NearestJoin.nearestByMinBy(
+      customerPoints(s, dir), stationDim(s), Seq("c_custkey"),
+      GeoFunctions.planarDist2(col("lat"), col("lon"), col("s_lat"), col("s_lon")),
+      tieBreak = col("station"))
+      .select(col("c_custkey"), col("station"), col("dist_km").as("dist2"))
+
+  /** Haversine nearest (true reference semantics, trig → rows-only;
+    * ScalaTest pins the km values on fixture coordinates).
+    */
+  def qNearestStationHaversine(s: SparkSession, dir: String): DataFrame = {
+    val pts = customerPoints(s, dir)
+      .withColumn("lat", greatest(least(col("lat"), lit(51.0)), lit(41.5)))
+      .withColumn("lon", greatest(least(col("lon"), lit(9.5)), lit(-5.0)))
+    NearestJoin.nearestByWindow(
+      pts, stationDim(s), "c_custkey",
+      GeoFunctions.haversineKm(col("lat"), col("lon"), col("s_lat"), col("s_lon")),
+      tieBreak = Seq(col("station")))
+      .select(col("c_custkey"), col("station"), round(col("dist_km"), 3).as("dist_km"))
+  }
+}

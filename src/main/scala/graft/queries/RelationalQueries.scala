@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.RiskFunctions
+
+/** Declared relational query suite over the driver-provided TPC-H-ish
+  * tables (SURVEY.md §7.6). Every query here has an equivalent DuckDB
+  * oracle in [[graft.SparkEntry.oracleSql]].
+  *
+  * Cross-engine exactness rules used throughout:
+  *  - double SUM/AVG is order-dependent → aggregate in DECIMAL (exact,
+  *    commutative) and cast the final value back to double;
+  *  - every window/top-k has a total order (unique tie-break column);
+  *  - `length`/`year` return int in Spark vs bigint in DuckDB → cast
+  *    both sides to one type explicitly.
+  */
+object RelationalQueries {
+
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read `ts` as nanos-long (legacy conf) and convert
+    * with exact integer division to a micros timestamp. DuckDB reading
+    * the same file truncates ns→µs identically.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact (decimal-carried) sum of a double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ── Aggregations ────────────────────────────────────────────────────
+
+  /** TPC-H Q1 pattern (A1): wide grouped aggregate with map-side
+    * partial aggregation; the scan should prune to 7 columns.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,6)")).cast("double").as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** A2 pattern: global avg (exact decimal path) + count. stddev is
+    * deliberately NOT oracle-checked (float-order dependent) — it is
+    * covered by ScalaTest instead.
+    */
+  def q2GlobalStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .agg(
+        (dsum(col("o_totalprice")) / count(col("o_totalprice"))).as("avg_price"),
+        count(lit(1)).as("n_orders"))
+
+  /** A6 pattern (dashboard terms agg): count per event type. */
+  def q3GroupCount(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A7 pattern (dashboard range buckets): histogram of event value. */
+  def q4RangeBucket(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Exact count-distinct per group (shuffle-expanding aggregate). */
+  def q5CountDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Min/max per group — exact on doubles. */
+  def q6MinMax(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        count(lit(1)).as("n_customers"))
+
+  // ── Projections / filters ───────────────────────────────────────────
+
+  /** P1/P4: selective filter + narrow projection; `.explain` must show
+    * PushedFilters + 4-column ReadSchema.
+    */
+  def q7FilterProject(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+
+  /** F8/F14-style scalar expressions: regexp extract from a JSON-ish
+    * props string + coalesce + numeric bucketing.
+    */
+  def q8ScalarExpr(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_id"),
+        coalesce(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+          .cast("int"), lit(-1)).as("k_value"),
+        floor(col("value")).cast("long").as("value_floor"))
+
+  /** F12/string functions; both engines cast length to int explicitly. */
+  def q9StringFuncs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).cast("int").as("name_len"),
+        nullif(trim(col("c_mktsegment")), lit("")).as("segment"))
+
+  /** F10/F11 pattern: timestamp parts + truncation on order dates. */
+  def q10DateParts(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+
+  // ── Joins ───────────────────────────────────────────────────────────
+
+  /** 4-way equi-join star probe: lineitem ⋈ orders ⋈ customer ⋈ nation,
+    * aggregated per nation. The three dimension sides are
+    * broadcast-able; only lineitem⋈orders shuffles (and AQE may
+    * broadcast orders at small SF).
+    */
+  def q11JoinStar(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val o = tbl(s, dir, "orders")
+    val c = tbl(s, dir, "customer")
+    val n = tbl(s, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one order. */
+  def q12SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def q13AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val o = tbl(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  /** J2 pattern (nearest-neighbor join, keyed variant): for every
+    * customer the closest supplier *of the same nation* by account
+    * balance; deterministic tie-break on s_suppkey. Same shape as the
+    * flights×stations spatial join but with an equi-key prefilter so
+    * the candidate set stays bounded at scale.
+    */
+  def q14NearestJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val sup = broadcast(tbl(s, dir, "supplier"))
+    val joined = c.join(sup, col("c_nationkey") === col("s_nationkey"))
+      .withColumn("bal_dist", abs(col("c_acctbal") - col("s_acctbal")))
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("bal_dist").asc, col("s_suppkey").asc)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("c_custkey"), col("s_suppkey").as("nearest_suppkey"),
+        col("bal_dist"))
+  }
+
+  // ── Windows / top-k ─────────────────────────────────────────────────
+
+  /** W1/A8 pattern: top-1 row per key (largest order per customer). */
+  def q15WindowTop1(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    tbl(s, dir, "orders")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Running (prefix) sum per order. RANGE frame, not ROWS:
+    * (l_orderkey, l_linenumber) is not unique in the generated data, so
+    * a ROWS frame would depend on tie order — RANGE includes all peers,
+    * making the cumulative value deterministic; decimal keeps it exact.
+    */
+  def q16RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_qty"))
+  }
+
+  /** Global top-k with total order (sort + limit). */
+  def q17TopK(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // ── Set operations ──────────────────────────────────────────────────
+
+  def q18Union(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  def q19Intersect(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  def q20Except(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
+      .except(tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
+
+  /** Exercises the PRODUCTION risk-score expression (B1/B2) against an
+    * oracle CASE chain, with lineitem columns standing in for the
+    * weather inputs. Unlike the reference's tests — which re-declare the
+    * scoring expression (`tests/test_risk_score.py:26-46`) — this runs
+    * the real [[RiskFunctions.riskScore]] column.
+    */
+  def q21RiskCase(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val score = RiskFunctions.riskScore(
+      weatherCode = col("l_quantity") * 2.0,
+      gusts = col("l_extendedprice") / lit(1000.0),
+      precip = col("l_discount") * 100.0,
+      visibility = col("l_partkey") % 5000,
+      cloudCover = col("l_tax") * 1000.0,
+      onGround = col("l_returnflag") === "R",
+      baroAltitude = col("l_suppkey"))
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      score.as("risk_score"),
+      RiskFunctions.riskCategory(score).as("risk_category"))
+  }
+}

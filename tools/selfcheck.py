@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local pre-flight mimic of the driver's correctness gate.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name> parquet written by graft.Verify, runs the
+matching oracle_sql.json entry in DuckDB over <sfDir>'s tables, sorts
+columns by name + rows by all columns, and diffs values.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            failures += 1
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {str(e)[:200]}")
+            failures += 1
+            continue
+        got, exp = canon(got), canon(exp)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            failures += 1
+            continue
+        mismatch = None
+        ga, ea = got.to_numpy(), exp.to_numpy()
+        for i in range(len(got)):
+            for j in range(len(got.columns)):
+                if not cells_equal(ga[i][j], ea[i][j]):
+                    mismatch = (i, got.columns[j], ga[i][j], ea[i][j])
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            i, c, g, e = mismatch
+            print(f"FAIL {name}: row {i} col {c}: spark={g!r} oracle={e!r}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(got)} rows")
+    rows_only = set()
+    import glob, os
+    for p in glob.glob(f"{out_dir}/*"):
+        n = os.path.basename(p)
+        if os.path.isdir(p) and n not in oracle:
+            try:
+                cnt = len(pd.read_parquet(p))
+                print(f"ROWS {n}: {cnt} rows (no oracle)")
+            except Exception as e:
+                print(f"FAIL {n}: unreadable rows-only output ({e})")
+                failures += 1
+    print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
