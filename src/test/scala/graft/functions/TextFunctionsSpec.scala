@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](text: String, c: org.apache.spark.sql.Column): T =
+    Seq(text).toDF("text").select(c.as("r")).first().getAs[T]("r")
+
+  test("token counts: regex and arithmetic agree on single-spaced text") {
+    val texts = Seq("a b c", "one", "", "x y z w v")
+    texts.filter(_.nonEmpty).foreach { t =>
+      assert(one[Int](t, TextFunctions.tokenCount(col("text"))) ==
+        one[Int](t, TextFunctions.tokenCountArithmetic(col("text"))), t)
+    }
+    assert(one[Int]("", TextFunctions.tokenCount(col("text"))) == 0)
+    assert(one[Int]("a  b", TextFunctions.tokenCount(col("text"))) == 2)
+  }
+
+  test("language id picks the marked language") {
+    assert(one[String]("the cat and the dog is here",
+      TextFunctions.langId(col("text"))) == "en")
+    assert(one[String]("le chat et la maison est grande",
+      TextFunctions.langId(col("text"))) == "fr")
+    assert(one[String]("der hund und die katze ist hier",
+      TextFunctions.langId(col("text"))) == "de")
+    assert(one[String]("xyzzy plugh qwerty",
+      TextFunctions.langId(col("text"))) == "und")
+  }
+
+  test("quality score penalizes junk") {
+    val clean = "the quick brown fox jumps over the lazy dog and it is fine"
+    val shouty = "BUY NOW!!! CLICK HERE!!! FREE $$$ WIN BIG!!!"
+    val qClean = one[Double](clean, TextFunctions.qualityScore(col("text")))
+    val qShout = one[Double](shouty, TextFunctions.qualityScore(col("text")))
+    assert(qClean > qShout)
+    assert(qClean >= 0.0 && qClean <= 1.0 && qShout >= 0.0)
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val f1 = one[Long]("alpha beta gamma", TextFunctions.fingerprint(col("text")))
+    val f1b = one[Long]("alpha beta gamma", TextFunctions.fingerprint(col("text")))
+    val f2 = one[Long]("gamma beta alpha", TextFunctions.fingerprint(col("text")))
+    assert(f1 == f1b)
+    assert(f1 != f2)
+  }
+
+  test("shingles: char 3-grams and word 2-grams") {
+    val ch = one[collection.Seq[String]]("abcd", TextFunctions.charShingles(col("text"), 3))
+    assert(ch.toSet == Set("abc", "bcd"))
+    val wd = one[collection.Seq[String]]("a b c", TextFunctions.wordShingles(col("text"), 2))
+    assert(wd.toSet == Set("a b", "b c"))
+  }
+
+  test("jaccard of shingle arrays") {
+    val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
+    val j = df.select(TextFunctions.jaccard(
+      TextFunctions.wordShingles(col("t1"), 1),
+      TextFunctions.wordShingles(col("t2"), 1)).as("j"))
+      .first().getDouble(0)
+    assert(math.abs(j - 3.0 / 5.0) < 1e-9)
+  }
+
+  test("punct and upper ratios") {
+    assert(one[Double]("abc!", TextFunctions.punctRatio(col("text"))) == 0.25)
+    assert(one[Double]("Abcd", TextFunctions.upperRatio(col("text"))) == 0.25)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Dedup operators on planted duplicates/near-duplicates. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat watches from the warm windowsill in the evening sun"
+  private val nearDup = base.replace("evening", "morning") // 1-word edit
+  private val unrelated = "completely different content about spark " +
+    "query engines and distributed columnar execution at petabyte scale"
+
+  private def docs = Seq(
+    (1L, base), (2L, base), // exact dup pair
+    (3L, nearDup), // near dup of 1/2
+    (4L, unrelated),
+    (5L, "short text"),
+    (6L, unrelated.replace("petabyte", "exabyte")) // near dup of 4
+  ).toDF("doc_id", "text")
+
+  test("exact hash groups collapse identical texts deterministically") {
+    val groups = Dedup.exactHashGroups(docs, "doc_id", "text")
+    assert(groups.count() == 5) // 6 docs, one exact pair
+    val dup = groups.filter($"n_copies" === 2).first()
+    assert(dup.getAs[Long]("keep_id") == 1L) // min id survives
+  }
+
+  test("minhash LSH finds planted near-dups, skips unrelated") {
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      shingleWords = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup always survives
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(pairs.contains((4L, 6L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(4L, 1L) })
+  }
+
+  test("simhash: identical→0 hamming; near-dup within band distance") {
+    val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
+      bands = 4, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 0))
+    assert(pairs.exists(p => p._1 == 4L && p._2 == 6L && p._3 <= 16))
+  }
+
+  test("char n-gram jaccard pairs with length blocking") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 4, threshold = 0.7, lengthBandWidth = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup via sign-LSH with multi-probe") {
+    val rnd = new scala.util.Random(7)
+    val v1 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val v1close = v1.map(x => x + 0.01f)
+    val v2 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val emb = Seq((1L, v1.toSeq), (2L, v1close.toSeq), (3L, v2.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      dim = 16, threshold = 0.99, numPlanes = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash signatures are deterministic across evaluations") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val sig1 = docs.select(Dedup.minHashSignature(
+      TextFunctions.wordShingles(col("text"), 2), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val sig2 = docs.select(Dedup.minHashSignature(
+      TextFunctions.wordShingles(col("text"), 2), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig1.zip(sig2).forall { case (a, b) => a == b })
+  }
+}

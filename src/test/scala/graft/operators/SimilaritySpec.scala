@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** ANN operators: brute-force exactness vs a driver-side oracle, and
+  * IVF recall against brute force.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private val dim = 16
+  private val corpusLocal: Seq[(Long, Seq[Float])] =
+    (0L until 200L).map(i => i -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
+
+  private def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("brute-force top-k matches a local oracle") {
+    val corpus = corpusLocal.toDF("vec_id", "embedding")
+    val queries = corpusLocal.take(3)
+      .map { case (i, v) => (i, v) }.toDF("query_id", "qvec")
+    val got = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "query_id", "qvec", k = 5)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect().groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+
+    corpusLocal.take(3).foreach { case (qid, qv) =>
+      val expected = corpusLocal
+        .map { case (i, v) => (i, cosineLocal(qv, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(5).map(_._1)
+      assert(got(qid) == expected, s"query $qid")
+    }
+  }
+
+  test("self-similarity ranks first with cosine 1") {
+    val corpus = corpusLocal.toDF("vec_id", "embedding")
+    val queries = corpusLocal.take(1).toDF("query_id", "qvec")
+    val top = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "query_id", "qvec", k = 1).first()
+    assert(top.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top.getAs[Double]("cosine_sim") - 1.0) < 1e-6)
+  }
+
+  test("IVF achieves >=60% recall of brute-force top-10") {
+    val corpus = corpusLocal.toDF("vec_id", "embedding")
+    val queries = corpusLocal.take(5).toDF("query_id", "qvec")
+    val bf = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "query_id", "qvec", k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries,
+      "vec_id", "embedding", "query_id", "qvec", k = 10,
+      nlist = 8, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+}
