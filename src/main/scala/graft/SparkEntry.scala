@@ -68,7 +68,11 @@ object SparkEntry {
     // spatial nearest join (J1/J2/W1)
     "q35_nearest_station_window" -> (X.qNearestStationWindow _),
     "q36_nearest_station_minby" -> (X.qNearestStationMinBy _),
-    "q37_nearest_haversine" -> (X.qNearestStationHaversine _)
+    "q37_nearest_haversine" -> (X.qNearestStationHaversine _),
+    // keyed latest-state (A8 / upsert-sink semantics)
+    "q38_latest_state" -> (X.qLatestState _),
+    // multimodal plumbing (§7.5, stub decode, real Spark contract)
+    "q39_media_features" -> (X.qMediaFeatures _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -226,7 +230,14 @@ object SparkEntry {
          |  ${dsum("\"value\"")} AS sum_value
          |FROM events GROUP BY 1""".stripMargin,
     "q35_nearest_station_window" -> nearestStationSql,
-    "q36_nearest_station_minby" -> nearestStationSql
+    "q36_nearest_station_minby" -> nearestStationSql,
+    "q38_latest_state" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin
   )
 
   private def nearestStationSql: String =

@@ -140,6 +140,33 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Keyed latest-state (A8/upsert-sink semantics) over events —
+    * tie-pinned with event_id so the result is oracle-checkable.
+    */
+  def qLatestState(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.latestStateByKey(
+      RelationalQueries.events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+      "user_id", ord = struct(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("event_type"))
+
+  /** Multimodal plumbing driven from testdata: document text bytes act
+    * as opaque media payloads → media struct → batched decode stub →
+    * per-source feature aggregate (rows-only: stub features are not
+    * SQL-expressible; MultimodalSpec pins the semantics).
+    */
+  def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Multimodal.asMedia(encode(col("text"), "UTF-8"), lit("text/plain"))
+          .as("media"))
+    Multimodal.decodeFeatures(media, "media", embeddingDim = 8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("features.mean_intensity")).as("avg_intensity"),
+        avg(VectorFunctions.l2Norm(col("features.embedding"))).as("avg_emb_norm"))
+  }
+
   // ── Spatial nearest (J1/J2 with the production NearestJoin) ─────────
 
   private def customerPoints(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mediaDf = {
+    val payloads = Seq(
+      (1L, "image/png", Array[Byte](10, 20, 30, 40, 50)),
+      (2L, "image/png", Array[Byte](10, 20, 30, 40, 50)), // same payload as 1
+      (3L, "audio/wav", Array.tabulate[Byte](2048)(i => (i % 127).toByte)),
+      (4L, "video/mp4", Array.tabulate[Byte](8192)(i => ((i * 7) % 127).toByte)))
+    payloads.toDF("media_id", "mt", "raw")
+      .select(col("media_id"), Multimodal.asMedia(col("raw"), col("mt")).as("media"))
+  }
+
+  test("media struct: schema, byte count, content-addressed checksum") {
+    val df = mediaDf
+    assert(df.schema("media").dataType == Multimodal.mediaSchema)
+    val rows = df.select("media_id", "media.n_bytes", "media.checksum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.find(_._1 == 3L).get._2 == 2048L)
+    // identical payloads → identical checksum (dedup-ready)
+    assert(rows.find(_._1 == 1L).get._3 == rows.find(_._1 == 2L).get._3)
+    assert(rows.find(_._1 == 1L).get._3 != rows.find(_._1 == 3L).get._3)
+  }
+
+  test("decodeFeatures: adds typed features, deterministic, keeps all rows") {
+    val out = Multimodal.decodeFeatures(mediaDf, "media", embeddingDim = 8)
+    assert(out.count() == 4)
+    val f = out.filter(col("media_id") === 3L).select("features").first()
+      .getStruct(0)
+    assert(f.getAs[Int]("width") >= 1 && f.getAs[Int]("height") >= 1)
+    assert(f.getAs[collection.Seq[Float]]("embedding").length == 8)
+    // determinism: same payload → same features
+    val e1 = out.filter(col("media_id") === 1L)
+      .select("features.embedding").first().getAs[collection.Seq[Float]](0)
+    val e2 = out.filter(col("media_id") === 2L)
+      .select("features.embedding").first().getAs[collection.Seq[Float]](0)
+    assert(e1 == e2)
+    // embeddings usable by the similarity operators downstream
+    val sim = out.select(col("media_id"),
+      graft.functions.VectorFunctions.l2Norm(col("features.embedding")).as("n"))
+      .collect()
+    assert(sim.forall(_.getDouble(1) > 0))
+  }
+
+  test("sampleFrames explodes ~1 row per KiB step") {
+    val frames = Multimodal.sampleFrames(mediaDf.filter(col("media_id") === 4L),
+      "media", everyNth = 2)
+    // 8192 bytes → 8 KiB → frame indices 0,2,4,6
+    assert(frames.select("frame_index").as[Int].collect().sorted.toSeq ==
+      Seq(0, 2, 4, 6))
+  }
+
+  test("repartitionBySize yields the requested partitioning") {
+    val rep = Multimodal.repartitionBySize(mediaDf, "media", 3)
+    assert(rep.rdd.getNumPartitions == 3)
+    assert(rep.count() == 4)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.Schemas
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(m: Int, s: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(t(0), 1, "click", 1.0), Ev(t(1), 2, "click", 2.0),
+      Ev(t(6), 1, "view", 3.0), Ev(t(7), 1, "click", 4.0))
+    val q = EventStreams.windowedCounts(mem.toDF, "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_out")
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L),
+      ("2024-01-01 10:05:00.0", "view", 1L),
+      ("2024-01-01 10:05:00.0", "click", 1L)))
+  }
+
+  test("session windows close after the gap") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // user 1: two sessions (10:00-10:01, then 10:20); user 2: one
+    mem.addData(
+      Ev(t(0), 1, "a", 1.0), Ev(t(1), 1, "a", 1.0),
+      Ev(t(20), 1, "a", 1.0), Ev(t(0), 2, "b", 1.0))
+    val q = EventStreams.sessionWindows(mem.toDF, gap = "5 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sess_out")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sessions.count(_._1 == 1L) == 2)
+    assert(sessions.count(_._1 == 2L) == 1)
+    assert(sessions.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming dedup keeps first occurrence per key") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(t(0), 1, "click", 1.0), Ev(t(1), 1, "click", 99.0),
+      Ev(t(2), 2, "click", 2.0))
+    val q = EventStreams.dedupWithinWatermark(mem.toDF, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val vals = spark.table("dedup_out").select("user_id", "value")
+      .as[(Long, Double)].collect().toSet
+    assert(vals == Set((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("latest-state-by-key mirrors the upsert sink") {
+    val batch = Seq(
+      Ev(t(0), 1, "a", 1.0), Ev(t(5), 1, "b", 2.0), Ev(t(3), 2, "c", 3.0)).toDF
+    val latest = EventStreams.latestStateByKey(batch, "user_id")
+      .select("user_id", "event_type").as[(Long, String)].collect().toMap
+    assert(latest == Map(1L -> "b", 2L -> "c"))
+  }
+
+  test("flight stream end-to-end: raw json files -> usage parquet") {
+    val rawDir = Files.createTempDirectory("graft_raw").toString
+    val outDir = Files.createTempDirectory("graft_usage").toString
+    val payload =
+      """{"time": 1772121600, "_extracted_at": "2026-02-26T16:00:05",
+        | "states": [["3c6444", "DLH9CK  ", "Germany", 1772121599, 1772121600,
+        | 2.3522, 48.8566, 11277.6, false, 231.5, 85.2, -0.33,
+        | null, 11582.4, "1000", false, 0],
+        | ["ab1234", "AFR01", "France", 1772121599, 1772121600,
+        | 5.1, 45.7, 150.0, false, 50.0, 10.0, 0.0,
+        | null, 160.0, "7000", false, 0],
+        | ["cd5678", "BAW9", "UK", 1772121599, 1772121600,
+        | 3.0, 50.5, 2500.0, false, 150.0, 20.0, 12.0,
+        | null, 2600.0, "7001", false, 1]]}""".stripMargin.replaceAll("\n", " ")
+    Files.writeString(java.nio.file.Paths.get(rawDir, "batch1.json"), payload)
+
+    val weather = Schemas.stations
+      .map(st => (st.latitude, st.longitude, 20.0, 180.0, 10.0, 0.0, 0.0, 0.0,
+        0.0, 10000.0, 7.0))
+      .toDF("latitude", "longitude", "elevation", "wind_direction_10m",
+        "wind_speed_10m", "wind_gusts_10m", "precipitation", "rain",
+        "weather_code", "visibility", "temperature_2m")
+      .withColumn("cloud_cover", lit(0.0))
+
+    val q = FlightStream.start(spark, rawDir, weather, outDir,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(s"$outDir/batch=0")
+    assert(out.count() == 3)
+    assert(out.columns.length == 28)
+    // low-and-slow flight gets the airborne-below-300m risk term
+    val lowRisk = out.filter(col("icao24") === "ab1234")
+      .select("risk_score").first().getInt(0)
+    assert(lowRisk >= 15)
+  }
+}
