@@ -72,7 +72,13 @@ object SparkEntry {
     // keyed latest-state (A8 / upsert-sink semantics)
     "q38_latest_state" -> (X.qLatestState _),
     // multimodal plumbing (§7.5, stub decode, real Spark contract)
-    "q39_media_features" -> (X.qMediaFeatures _)
+    "q39_media_features" -> (X.qMediaFeatures _),
+    // multi-dimensional aggregates / pivot / subquery / sketches
+    "q40_rollup" -> (R.q22Rollup _),
+    "q41_cube" -> (R.q23Cube _),
+    "q42_pivot" -> (R.q24Pivot _),
+    "q43_above_avg" -> (R.q25AboveAvg _),
+    "q44_approx" -> (R.q26Approx _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -206,8 +212,10 @@ object SparkEntry {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) AS jaccard_sim
-        |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
-        |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+        |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |        FROM documents WHERE doc_id < 500) a
+        |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |        FROM documents WHERE doc_id < 500) b
         |    ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
     "q30_vector_norms" ->
@@ -237,7 +245,28 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
-        |) WHERE rn = 1""".stripMargin
+        |) WHERE rn = 1""".stripMargin,
+    "q40_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q41_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q42_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q43_above_avg" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(c_acctbal) FROM customer)""".stripMargin
   )
 
   private def nearestStationSql: String =

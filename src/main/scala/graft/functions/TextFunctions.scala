@@ -60,71 +60,98 @@ object TextFunctions {
     "es" -> Seq("el", "la", "y", "es"),
     "zh" -> Seq("的", "是", "了", "在"))
 
+  /** Count occurrences of `word` in a token array.
+    *
+    * PERFORMANCE CONTRACT for all `...From(toks)` functions: pass a
+    * MATERIALIZED column (`withColumn("_toks", tokens(...))`), not the
+    * tokenizing expression itself — higher-order-function lambdas
+    * re-evaluate captured sub-expressions per array element, so an
+    * inline `tokens(text)` argument turns O(n) scans into O(n²).
+    */
+  def wordCountIn(toks: Column, word: String): Column =
+    size(filter(toks, t => t === word)).cast("int")
+
+  /** Count tokens that belong to `words` — ONE pass over the array for
+    * a whole word set (vs one filter per word).
+    */
+  def wordSetCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("int")
+
   /** Count occurrences of `word` as a whole token. */
   def wordCount(text: Column, word: String): Column =
-    size(filter(tokens(lower(text)), t => t === word)).cast("int")
+    wordCountIn(tokens(lower(text)), word)
 
   /** Stopword-token ratio — a classic quality signal. */
-  def stopwordRatio(text: Column): Column = {
-    val n = tokenCount(text)
-    val stops = stopwordsEn.map(w => wordCount(text, w)).reduce(_ + _)
+  def stopwordRatioFrom(toks: Column): Column = {
+    val n = size(toks)
+    val stops = wordSetCount(toks, stopwordsEn)
     when(n === 0, 0.0).otherwise(stops.cast("double") / n)
   }
 
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFrom(tokens(lower(text)))
+
   /** Composite quality score in [0,1]: penalizes extreme length, high
     * punctuation, shouting, and stopword-free (keyword-stuffed) text.
+    * `toks` must be a materialized lowercased-token column.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreFrom(text: Column, toks: Column): Column = {
     val len = length(text).cast("double")
     val lengthTerm = when(len < 20, len / 20.0)
       .when(len > 5000, greatest(lit(0.0), lit(1.0) - (len - 5000) / 20000.0))
       .otherwise(1.0)
     val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
     val upperTerm = greatest(lit(0.0), lit(1.0) - upperRatio(text) * 3.0)
-    val stopTerm = least(lit(1.0), stopwordRatio(text) * 5.0 + lit(0.4))
+    val stopTerm = least(lit(1.0), stopwordRatioFrom(toks) * 5.0 + lit(0.4))
     round(lengthTerm * 0.3 + punctTerm * 0.25 + upperTerm * 0.2 + stopTerm * 0.25, 6)
   }
+
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(text, tokens(lower(text)))
 
   /** Per-language marker-stopword hit count (n-gram-free heuristic
     * language ID): returns the language whose marker tokens appear most
     * often, "und" (undetermined) when nothing matches.
     */
-  def langId(text: Column): Column = {
+  def langIdFrom(toks: Column): Column = {
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(words.map(w => wordCount(text, w)).reduce(_ + _).as("score"),
-        lit(lang).as("lang"))
+      struct(wordSetCount(toks, words).as("score"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  def langId(text: Column): Column = langIdFrom(tokens(lower(text)))
+
   /** 64-bit polynomial rolling-hash fingerprint of the token sequence
     * (order-sensitive document fingerprint). fp = Σ tokHash·31^i via a
     * left fold — stable across runs and partitionings.
     */
-  def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(1469598103934665603L),
+  def fingerprintFrom(toks: Column): Column =
+    aggregate(toks, lit(1469598103934665603L),
       (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
 
-  /** Character n-gram (shingle) set, lowercased, as distinct array. */
-  def charShingles(text: Column, n: Int): Column = {
-    val cleaned = lower(regexp_replace(text, "\\s+", " "))
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(length(cleaned) - n, lit(0))),
-          i => substring(cleaned, lit(1) + i, lit(n))),
-        s => length(s) === n))
-  }
+  def fingerprint(text: Column): Column = fingerprintFrom(tokens(text))
 
-  /** Word n-gram shingles (distinct). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " ")),
-        s => size(split(s, " ")) === n))
-  }
+  /** Character n-gram (shingle) set from a materialized single-spaced
+    * lowercase column — compiled kernel (TextExpressions).
+    */
+  def charShinglesFromCleaned(cleaned: Column, n: Int): Column =
+    graft.functions.expressions.TextExpressions.char_shingles(cleaned, n)
+
+  /** Normalization for [[charShinglesFromCleaned]]. */
+  def cleanedText(text: Column): Column = lower(regexp_replace(text, "\\s+", " "))
+
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesFromCleaned(cleanedText(text), n)
+
+  /** Word n-gram shingles (distinct) — compiled kernel. */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
+    if (n == 1) array_distinct(toks)
+    else graft.functions.expressions.TextExpressions.word_shingles(toks, n)
+
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(lower(text)), n)
 
   /** Exact Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -15,10 +15,12 @@ object VectorFunctions {
   /** Elementwise cast to double. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product (left-fold sum in double). */
+  /** Dot product in double precision — compiled kernel
+    * (graft.functions.expressions.TextExpressions.DotProductExpr);
+    * same left-to-right summation order as the zip_with fold.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.TextExpressions.dot_product(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -28,11 +30,9 @@ object VectorFunctions {
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Cosine similarity; 0 for a zero vector. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
-  }
+  /** Cosine similarity; 0 for a zero vector — compiled kernel. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.TextExpressions.cosine_sim(a, b)
 
   /** Sign bit of the projection onto a constant hyperplane — building
     * block for random-hyperplane LSH (deterministic: planes are fixed

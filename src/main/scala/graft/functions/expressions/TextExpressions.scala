@@ -1,0 +1,223 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot text/vector kernels.
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) are
+  * interpreted — every lambda application walks an expression tree and
+  * allocates row objects, and sub-expressions captured by a lambda are
+  * re-evaluated per element. For per-row kernels that loop over arrays
+  * (shingling, MinHash, SimHash, dot products) a native `Expression`
+  * with a compiled `eval` loop is 10-50× faster while staying fully
+  * inside the Catalyst plan (prunable, pushdown-transparent, no UDF
+  * serialization). These use `CodegenFallback` — the eval itself is
+  * compiled Scala; only the call into it is interpreted.
+  *
+  * (Preference order per the build plan: compose built-ins → custom
+  * Expression → custom operator → mapPartitions. These kernels are the
+  * second rung.)
+  */
+object TextExpressions {
+
+  private val SeedXxhash = 42L
+
+  /** Distinct word n-gram shingles of a token array, space-joined.
+    * Matches the `slidingJoin` column-algebra semantics (first-
+    * occurrence order, windows shorter than n dropped).
+    */
+  case class WordShinglesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val numToks = arr.numElements()
+      if (numToks < n) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= numToks - n) {
+        var s = arr.getUTF8String(i)
+        var j = 1
+        while (j < n) {
+          s = UTF8String.concat(s, UTF8String.fromString(" "), arr.getUTF8String(i + j))
+          j += 1
+        }
+        seen.add(s)
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Distinct character n-gram shingles straight off the string (no
+    * per-char array materialization). Input is expected pre-cleaned
+    * (lowercased, whitespace-collapsed); shingles are over Unicode
+    * code points.
+    */
+  case class CharShinglesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val cps = s.codePoints().toArray
+      if (cps.length < n) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= cps.length - n) {
+        seen.add(UTF8String.fromString(new String(cps, i, n)))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature over a shingle array: same hash family as the
+    * column-algebra form (xxhash64 seed 42 → mod P → affine per
+    * permutation), all in one compiled pass. Empty input → all-P
+    * sentinel signature.
+    */
+  case class MinHashSigExpr(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    private val P = 4294967311L
+    private lazy val params: Array[(Long, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1,
+        math.abs(rnd.nextLong()) % P))
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(P)
+      var i = 0
+      val m = arr.numElements()
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUTF8String(s, SeedXxhash)
+        val base = ((h % P) + P) % P
+        var k = 0
+        while (k < numHashes) {
+          val (a, b) = params(k)
+          val v = ((base * a + b) % P + P) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 64-bit SimHash of a token array (xxhash64 bit votes). */
+  case class SimHash64Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      val m = arr.numElements()
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUTF8String(s, SeedXxhash)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Dot product of two numeric arrays in double precision (float
+    * elements widened before multiply — same as the zip_with form).
+    */
+  case class DotProductExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      val af = elemIsFloat(left); val bf = elemIsFloat(right)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Cosine similarity of two numeric arrays; 0.0 for zero vectors. */
+  case class CosineSimExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      val af = elemIsFloat(left); val bf = elemIsFloat(right)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // ── Column wrappers ─────────────────────────────────────────────────
+
+  private def expr(c: Column) = ColumnBridge.expression(c)
+  private def toCol(e: Expression) = ColumnBridge.column(e)
+
+  def word_shingles(toks: Column, n: Int): Column =
+    toCol(WordShinglesExpr(expr(toks), n))
+  def char_shingles(cleaned: Column, n: Int): Column =
+    toCol(CharShinglesExpr(expr(cleaned), n))
+  def minhash_sig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    toCol(MinHashSigExpr(expr(shingles), numHashes, seed))
+  def simhash64(toks: Column): Column = toCol(SimHash64Expr(expr(toks)))
+  def dot_product(a: Column, b: Column): Column =
+    toCol(DotProductExpr(expr(a), expr(b)))
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(CosineSimExpr(expr(a), expr(b)))
+}

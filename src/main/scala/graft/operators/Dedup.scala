@@ -41,28 +41,14 @@ object Dedup {
 
   // ── MinHash + LSH ───────────────────────────────────────────────────
 
-  /** Large Mersenne-ish prime for the universal-hash family. */
-  private val P = 4294967311L // smallest prime > 2^32
-  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1,
-      math.abs(rnd.nextLong()) % P))
-  }
-
   /** MinHash signature (array<long> of length `numHashes`) over a
     * shingle array: min over shingles of (a·x + b) mod P per hash,
-    * x = xxhash64(shingle) folded to 32 bits. Empty shingle set → all
-    * `P` (sentinel, never collides with a real signature).
+    * x = xxhash64(shingle) mod P — one compiled pass
+    * (TextExpressions.MinHashSigExpr). Empty shingle set → all-`P`
+    * sentinel (never collides with a real signature).
     */
-  def minHashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val sigs = hashParams(numHashes, seed).map { case (a, b) =>
-      coalesce(
-        array_min(transform(shingles,
-          s => pmod(pmod(xxhash64(s), lit(P)) * lit(a) + lit(b), lit(P)))),
-        lit(P))
-    }
-    array(sigs: _*)
-  }
+  def minHashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    graft.functions.expressions.TextExpressions.minhash_sig(shingles, numHashes, seed)
 
   /** Banded LSH candidate pairs + exact-Jaccard verification.
     *
@@ -79,31 +65,45 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val prepared = df.select(
-      col(idCol).as("doc_id"),
-      wordShingles(col(textCol), shingleWords).as("shingles"))
+    // tokens materialized before shingling (lambda-capture contract in
+    // TextFunctions: an inline tokenizer would re-run per shingle)
+    val prepared = df.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("_toks"))
+      .withColumn("shingles", wordShinglesFromTokens(col("_toks"), shingleWords))
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      .drop("_toks")
+      // consumed 4x (band self-join both sides + two shingle lookups):
+      // persist or the shingling kernel runs four times
+      .persist()
 
-    // one row per (doc, band): band key = hash of the signature slice
+    // one row per (doc, band): band key = hash of the signature slice.
+    // Only (ids, band key) travel through the candidate shuffle — the
+    // shingle arrays are re-attached AFTER pair dedup, so the band
+    // join and the distinct operate on narrow rows.
     val banded = prepared.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))).as("band_hash")))
       ).as("band"))
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
 
-    val left = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val right = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-
-    left.join(right, Seq("band_idx", "band_hash"))
+    val candidates = banded.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("id_b")), Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
+      .select("id_a", "id_b")
+      .distinct() // same pair can collide in many bands
+
+    val shingleLookup = prepared.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(shingleLookup.select(col("doc_id").as("id_a"),
+        col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingleLookup.select(col("doc_id").as("id_b"),
+        col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard_sim", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
@@ -126,7 +126,8 @@ object Dedup {
       maxHamming: Int = 6): DataFrame = {
     val bitsPerBand = 64 / bands
     val prepared = df.select(col(idCol).as("doc_id"),
-      simHash64(tokens(lower(col(textCol)))).as("sig"))
+      tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc_id"), simHash64(col("_toks")).as("sig"))
 
     val banded = prepared.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { j =>
@@ -150,19 +151,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** 64-bit SimHash built by statically unrolling the 64 bit positions
-    * (shift amounts must be literals in Spark's shift functions).
+  /** 64-bit SimHash of a token array (xxhash64 bit votes) — compiled
+    * kernel (TextExpressions.SimHash64Expr).
     */
-  def simHash64(tokensCol: Column): Column = {
-    val hashes = transform(tokensCol, t => xxhash64(t))
-    // vote(b) > 0 → bit b set; fold bits most-significant-first:
-    // acc*2 + bit
-    (63 to 0 by -1).foldLeft(lit(0L)) { (acc, b) =>
-      val vote = aggregate(hashes, lit(0L), (a, h) =>
-        a + when(shiftright(h, b).bitwiseAND(lit(1L)) =!= 0, 1L).otherwise(-1L))
-      acc * 2 + when(vote > 0, 1L).otherwise(0L)
-    }
-  }
+  def simHash64(tokensCol: Column): Column =
+    graft.functions.expressions.TextExpressions.simhash64(tokensCol)
 
   // ── n-gram Jaccard (bucketed, no LSH) ───────────────────────────────
 
@@ -179,8 +172,10 @@ object Dedup {
       threshold: Double = 0.7,
       lengthBandWidth: Int = 16): DataFrame = {
     val prepared = df.select(col(idCol).as("doc_id"),
-      charShingles(col(textCol), n).as("shingles"),
+      cleanedText(col(textCol)).as("_cleaned"),
       floor(length(col(textCol)) / lengthBandWidth).as("len_band"))
+      .withColumn("shingles", charShinglesFromCleaned(col("_cleaned"), n))
+      .drop("_cleaned")
 
     // docs within Jaccard t of each other have length ratio ≥ t → only
     // adjacent length bands can match; explode each doc into its own
@@ -224,20 +219,25 @@ object Dedup {
     val planes = randomPlanes(numPlanes, dim, seed)
     val prepared = df.select(col(idCol).as("vec_id_"), col(vecCol).as("vec"))
       .withColumn("bucket0", VectorFunctions.lshBucket(col("vec"), planes))
-    // probe buckets: own + 1-bit flips
+    // probe buckets: own + 1-bit flips. Only (id, bucket) rows are
+    // replicated — vectors are re-attached after pair dedup.
     val probes = explode(array(
       (col("bucket0") +: (0 until numPlanes).map(i =>
         col("bucket0").bitwiseXOR(lit(1L << i)))): _*)).as("bucket")
-    val blocked = prepared.select(col("vec_id_"), col("vec"), probes)
+    val blocked = prepared.select(col("vec_id_"), probes)
 
-    val left = blocked.select(col("bucket"), col("vec_id_").as("id_a"),
-      col("vec").as("vec_a"))
-    val right = blocked.select(col("bucket"), col("vec_id_").as("id_b"),
-      col("vec").as("vec_b"))
-
-    left.join(right, Seq("bucket"))
+    val candidates = blocked.select(col("bucket"), col("vec_id_").as("id_a"))
+      .join(blocked.select(col("bucket"), col("vec_id_").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+
+    val vecLookup = prepared.select(col("vec_id_"), col("vec"))
+    candidates
+      .join(vecLookup.select(col("vec_id_").as("id_a"), col("vec").as("vec_a")),
+        Seq("id_a"))
+      .join(vecLookup.select(col("vec_id_").as("id_b"), col("vec").as("vec_b")),
+        Seq("id_b"))
       .withColumn("cosine_sim", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"))

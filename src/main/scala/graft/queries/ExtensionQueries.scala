@@ -41,10 +41,11 @@ object ExtensionQueries {
     */
   def qTextQuality(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
       .select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"),
-        TextFunctions.langId(col("text")).as("lang_pred"),
-        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks")).as("quality"),
+        TextFunctions.langIdFrom(col("_toks")).as("lang_pred"),
+        TextFunctions.fingerprintFrom(col("_toks")).as("fingerprint"),
         TextFunctions.subwordCount(col("text")).as("n_subwords"))
 
   // ── Dedup ───────────────────────────────────────────────────────────
@@ -57,8 +58,12 @@ object ExtensionQueries {
     * SQL-expressible portably).
     */
   def qDedupMinHash(s: SparkSession, dir: String): DataFrame =
+    // 8 bands × 8 rows targets J≥0.8 (the standard near-dup cutoff):
+    // the band-collision curve must be steep enough that the corpus's
+    // high background similarity (~0.5) does not flood the candidate
+    // join — 16×4 banding fires at ~64% for J=0.5 pairs, 8×8 at ~3%.
     Dedup.minHashNearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
-      shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      shingleWords = 3, numHashes = 64, bands = 8, threshold = 0.8)
 
   /** SimHash near-dup pairs (rows-only). */
   def qDedupSimHash(s: SparkSession, dir: String): DataFrame =
@@ -70,7 +75,12 @@ object ExtensionQueries {
     * LSH variants above are the scale path.
     */
   def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // bounded scope (doc_id < 500 each side): the exhaustive pairwise
+    // form exists as an oracle-exact baseline; it is O(n²) by
+    // construction, so the declared query pins n. The LSH variants
+    // above are the unbounded-scale path.
     val docs = tbl(s, dir, "documents")
+      .filter(col("doc_id") < 500)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
     val a = docs.select(col("doc_id").as("id_a"), col("toks").as("t_a"))
     val b = docs.select(col("doc_id").as("id_b"), col("toks").as("t_b"))

@@ -236,6 +236,55 @@ object RelationalQueries {
     tbl(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
       .except(tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
 
+  // ── Multi-dimensional aggregates / pivot / subquery patterns ────────
+
+  /** ROLLUP over (returnflag, linestatus) — hierarchical totals. */
+  def q22Rollup(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** CUBE over (orderstatus, orderpriority). */
+  def q23Cube(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  /** Pivot: per-user event-type counts as columns (fixed pivot values
+    * so the plan is a single pass, no distinct-values pre-query).
+    */
+  def q24Pivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+
+  /** Scalar-subquery pattern: customers above the global average
+    * balance. The scalar is computed once and broadcast (cross join
+    * with a 1-row aggregate), never per-row.
+    */
+  def q25AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val avgBal = c.agg(
+      (dsum(col("c_acctbal")) / count(col("c_acctbal"))).as("_avg"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("_avg"))
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  /** Approximate sketches (HLL distinct + quantiles) — rows-only
+    * (sketch internals are engine-specific by design; SketchSpec
+    * bounds the error against exact answers).
+    */
+  def q26Approx(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("approx_p99"))
+
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 
   /** Exercises the PRODUCTION risk-score expression (B1/B2) against an
