@@ -218,6 +218,22 @@ object SparkEntry {
         |        FROM documents WHERE doc_id < 500) b
         |    ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
+    "q31_knn_bruteforce" ->
+      """SELECT query_id, vec_id, ROUND(sim, 6) AS cosine_sim,
+        |  CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    list_sum(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(c.embedding, q.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC,
+        |      c.vec_id ASC) AS rn
+        |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |) WHERE rn <= 10""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,
@@ -239,6 +255,26 @@ object SparkEntry {
          |FROM events GROUP BY 1""".stripMargin,
     "q35_nearest_station_window" -> nearestStationSql,
     "q36_nearest_station_minby" -> nearestStationSql,
+    "q37_nearest_haversine" ->
+      """SELECT c_custkey, station, ROUND(d, 3) AS dist_km FROM (
+        |  SELECT c_custkey, station,
+        |    2.0 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY
+        |      2.0 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) ASC, station ASC) AS rn
+        |  FROM (
+        |    SELECT c_custkey, station,
+        |      pow(sin(radians(s_lat - lat) / 2), 2)
+        |      + cos(radians(lat)) * cos(radians(s_lat)) * pow(sin(radians(s_lon - lon) / 2), 2) AS a
+        |    FROM (SELECT c_custkey,
+        |            greatest(least(c_acctbal/200.0, 51.0), 41.5) AS lat,
+        |            greatest(least(CAST(c_custkey % 360 AS DOUBLE) - 180.0, 9.5), -5.0) AS lon
+        |          FROM customer)
+        |    CROSS JOIN (VALUES
+        |      ('Paris CDG', 48.709632, 2.208563), ('Toulouse', 43.629421, 1.367789),
+        |      ('Lyon', 45.726009, 5.090928), ('Marseille', 43.434242, 5.212784),
+        |      ('Nantes', 47.460152, -0.529704), ('Lille', 50.561237, 3.086957)
+        |    ) st(station, s_lat, s_lon))
+        |) WHERE rn = 1""".stripMargin,
     "q38_latest_state" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
