@@ -21,9 +21,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM + parquet-footer warmup so q1 doesn't pay one-time costs
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    // Engine warmup so the first measured query doesn't pay one-time
+    // costs: parquet reader + footer parse, whole-stage codegen and
+    // janino compile, shuffle-exchange infra, and the noop sink. Warms
+    // the smallest table (region, 5 rows) — no query results are
+    // precomputed.
+    try {
+      import org.apache.spark.sql.functions.{avg, count, row_number}
+      import org.apache.spark.sql.expressions.Window
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.groupBy("r_regionkey").agg(count("*"), avg("r_regionkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("r_regionkey").orderBy("r_regionkey")))
+        .join(r, Seq("r_regionkey"))
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }

@@ -204,6 +204,48 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** Index of the nearest centroid (squared-L2) for a numeric-array
+    * vector against a fixed centroid table — the IVF cell-assignment
+    * kernel. Centroids are plan constants (broadcast with the closure),
+    * so assignment is a single compiled pass with no join or ML
+    * pipeline. `Seq` (not `Array`) fields keep case-class equality
+    * structural for Catalyst canonicalization.
+    */
+  case class NearestCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    @transient private lazy val cents: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+    private def elemIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val af = elemIsFloat
+      val k = cents.length
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        val c = cents(j)
+        val n = math.min(a.numElements(), c.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+          val diff = x - c(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ── Column wrappers ─────────────────────────────────────────────────
 
   private def expr(c: Column) = ColumnBridge.expression(c)
@@ -220,4 +262,6 @@ object TextExpressions {
     toCol(DotProductExpr(expr(a), expr(b)))
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimExpr(expr(a), expr(b)))
+  def nearest_centroid(v: Column, centroids: Seq[Seq[Double]]): Column =
+    toCol(NearestCentroidExpr(expr(v), centroids))
 }

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,9 +42,17 @@ object Similarity {
         col("_rn").as("rank"))
   }
 
-  /** IVF (inverted-file) ANN: coarse KMeans cells + nprobe search.
+  /** IVF (inverted-file) ANN: coarse quantizer cells + nprobe search.
     * Returns the same schema as [[bruteForceTopK]]; recall < 1 by
     * construction (ANN), deterministic given the fixed seed.
+    *
+    * Scale design: the quantizer is fit on a bounded driver-side
+    * sample (the standard IVF recipe — FAISS trains its coarse
+    * quantizer on a sample too), then cell assignment is a single
+    * compiled-kernel pass over the corpus with the centroid table as a
+    * plan constant — no iterative Spark jobs, no per-row ML pipeline,
+    * no join blow-up. At 100 TB the corpus is touched exactly once for
+    * assignment and candidates shuffle only by cell.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -56,22 +62,25 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxSample: Int = 16384): DataFrame = {
     val spark = corpus.sparkSession
 
-    // 1. coarse quantizer fit (sampled if huge; full here)
-    val withVec = corpus.withColumn("_v", array_to_vector(toDouble(col(corpusVec))))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("_v").setPredictionCol("_cell")
-    val model = km.fit(withVec)
-    val centroids = model.clusterCenters.map(_.toArray)
+    // 1. coarse quantizer fit on a deterministic bounded sample
+    val sample: Array[Array[Double]] = corpus
+      .select(toDouble(col(corpusVec)).as("_v"), col(corpusId).as("_id"))
+      .orderBy(col("_id")).limit(maxSample)
+      .select("_v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = fitCentroidsLocal(sample, nlist, maxIter = 20, seed = seed)
 
-    // 2. corpus → cell assignment (one pass, stays partitioned by cell)
-    val assigned = model.transform(withVec).drop("_v")
+    // 2. corpus → cell assignment: one compiled pass, no shuffle
+    val assigned = corpus.withColumn("_cell",
+      graft.functions.expressions.TextExpressions.nearest_centroid(
+        col(corpusVec), centroids.map(_.toSeq).toSeq))
 
-    // 3. queries probe their nprobe nearest centroids (tiny driver math
-    //    re-expressed as a broadcast list join: cell distance via column
-    //    algebra against centroid literals)
+    // 3. queries probe their nprobe nearest centroids (tiny broadcast
+    //    join: cell distance via column algebra against centroid rows)
     val centroidRows = centroids.zipWithIndex.map { case (cArr, i) =>
       (i, cArr.toSeq)
     }
@@ -93,5 +102,84 @@ object Similarity {
       .filter(col("_rn") <= k)
       .select(col(queryId), col(corpusId), round(col("cosine_sim"), 6).as("cosine_sim"),
         col("_rn").as("rank"))
+  }
+
+  /** Deterministic driver-side Lloyd's k-means with k-means++ seeding,
+    * for quantizer training on a bounded sample (never the full
+    * corpus). Empty clusters keep their previous center.
+    */
+  private[operators] def fitCentroidsLocal(
+      vecs: Array[Array[Double]],
+      k: Int,
+      maxIter: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(vecs.nonEmpty, "quantizer sample is empty")
+    val n = vecs.length
+    val dim = vecs(0).length
+    val kEff = math.min(k, n)
+    val rnd = new scala.util.Random(seed)
+
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+
+    // k-means++ seeding
+    val centers = Array.ofDim[Array[Double]](kEff)
+    centers(0) = vecs(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kEff) {
+      var i = 0
+      while (i < n) { d2(i) = math.min(d2(i), sqDist(vecs(i), centers(c - 1))); i += 1 }
+      val total = d2.sum
+      var target = rnd.nextDouble() * total
+      var idx = 0
+      while (idx < n - 1 && target > d2(idx)) { target -= d2(idx); idx += 1 }
+      centers(c) = vecs(idx).clone()
+      c += 1
+    }
+
+    // Lloyd iterations until convergence or maxIter
+    val assign = Array.fill(n)(-1)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < kEff) {
+          val d = sqDist(vecs(i), centers(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.fill(kEff)(new Array[Double](dim))
+        val counts = new Array[Int](kEff)
+        i = 0
+        while (i < n) {
+          val a = assign(i); counts(a) += 1
+          var d0 = 0
+          while (d0 < dim) { sums(a)(d0) += vecs(i)(d0); d0 += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < kEff) {
+          if (counts(j) > 0) {
+            var d0 = 0
+            while (d0 < dim) { sums(j)(d0) /= counts(j); d0 += 1 }
+            centers(j) = sums(j)
+          }
+          j += 1
+        }
+      }
+      iter += 1
+    }
+    centers
   }
 }
