@@ -78,7 +78,11 @@ object SparkEntry {
     "q41_cube" -> (R.q23Cube _),
     "q42_pivot" -> (R.q24Pivot _),
     "q43_above_avg" -> (R.q25AboveAvg _),
-    "q44_approx" -> (R.q26Approx _)
+    "q44_approx" -> (R.q26Approx _),
+    // as-of join (custom time-series operator; union + single window)
+    "q45_asof_join" -> (X.qAsOfJoin _),
+    // exact interpolated percentiles
+    "q46_percentile" -> (R.q27Percentile _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -302,7 +306,23 @@ object SparkEntry {
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal > (
         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-        |    / COUNT(c_acctbal) FROM customer)""".stripMargin
+        |    / COUNT(c_acctbal) FROM customer)""".stripMargin,
+    "q45_asof_join" ->
+      """SELECT p.user_id, p.event_id, p.ts,
+        |  (SELECT last(c.event_id ORDER BY c.ts, c.event_id) FROM events c
+        |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |       AND c.ts <= p.ts) AS click_event_id,
+        |  (SELECT last(c.ts ORDER BY c.ts, c.event_id) FROM events c
+        |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |       AND c.ts <= p.ts) AS click_ts
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q46_percentile" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont("value", 0.25), 6) AS p25,
+        |  ROUND(quantile_cont("value", 0.5), 6) AS p50,
+        |  ROUND(quantile_cont("value", 0.9), 6) AS p90,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin
   )
 
   private def nearestStationSql: String =

@@ -164,6 +164,25 @@ object ExtensionQueries {
       "user_id", ord = struct(col("ts"), col("event_id")))
       .select(col("user_id"), col("event_id"), col("event_type"))
 
+  /** Backward as-of join (union + single-window implementation, one
+    * shuffle): each purchase is enriched with the user's most recent
+    * prior-or-same-instant click. Equal-ts click ties are pinned by
+    * max event_id — same total order as the oracle's
+    * `last(... ORDER BY ts, event_id)`.
+    */
+  def qAsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"))
+    graft.operators.AsOfJoin.backward(
+      purchases, clicks, Seq("user_id"), "ts", "ts",
+      rightPayload = Seq("click_event_id"), tieBreakCol = "click_event_id",
+      matchedTsCol = "click_ts")
+  }
+
   /** Multimodal plumbing driven from testdata: document text bytes act
     * as opaque media payloads → media struct → batched decode stub →
     * per-source feature aggregate (rows-only: stub features are not

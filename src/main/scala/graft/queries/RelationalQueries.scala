@@ -285,6 +285,19 @@ object RelationalQueries {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
         percentile_approx(col("value"), lit(0.99), lit(1000)).as("approx_p99"))
 
+  /** Exact interpolated percentiles per group (sort-based `percentile`,
+    * not the approximate sketch) — rounded for cross-engine float
+    * parity with DuckDB's `quantile_cont`.
+    */
+  def q27Percentile(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n"))
+
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 
   /** Exercises the PRODUCTION risk-score expression (B1/B2) against an
