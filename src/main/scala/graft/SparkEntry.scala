@@ -82,7 +82,13 @@ object SparkEntry {
     // as-of join (custom time-series operator; union + single window)
     "q45_asof_join" -> (X.qAsOfJoin _),
     // exact interpolated percentiles
-    "q46_percentile" -> (R.q27Percentile _)
+    "q46_percentile" -> (R.q27Percentile _),
+    // salted two-phase aggregation (oracle = plain group-by)
+    "q47_salted_agg" -> (X.qSaltedAgg _),
+    // ranking/navigation window suite
+    "q48_window_suite" -> (R.q28WindowSuite _),
+    // bucketed time-interval join (equi-join plan for a range predicate)
+    "q49_range_join" -> (X.qRangeJoin _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -322,7 +328,26 @@ object SparkEntry {
         |  ROUND(quantile_cont("value", 0.5), 6) AS p50,
         |  ROUND(quantile_cont("value", 0.9), 6) AS p90,
         |  COUNT(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q47_salted_agg" ->
+      s"""SELECT user_id, ${dsum("\"value\"")} AS sum_value, COUNT(*) AS n
+         |FROM events GROUP BY user_id""".stripMargin,
+    "q48_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(RANK() OVER w AS INTEGER) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q49_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND ABS(epoch_us(p.ts) - epoch_us(e.ts)) <= 600000000""".stripMargin
   )
 
   private def nearestStationSql: String =

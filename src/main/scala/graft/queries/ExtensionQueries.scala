@@ -183,6 +183,37 @@ object ExtensionQueries {
       matchedTsCol = "click_ts")
   }
 
+  /** Two-phase salted aggregation (hot-key mitigation): the salt must
+    * be result-invisible, so the oracle is the PLAIN group-by — the
+    * check proves salting changes the shuffle shape, not the answer.
+    * Decimal-carried sums keep the re-aggregation order-independent.
+    */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewTools.saltedAgg(
+      RelationalQueries.events(s, dir),
+      keys = Seq("user_id"), saltBuckets = 32,
+      partial = Seq(
+        sum(col("value").cast("decimal(18,2)")).as("_psum"),
+        count(lit(1)).as("_pn")),
+      fin = Seq(
+        sum(col("_psum")).cast("double").as("sum_value"),
+        sum(col("_pn")).as("n")))
+
+  /** Bucketed time-interval join: (purchase, error) pairs by the same
+    * user within 10 minutes — an equi join on (user, time-bucket)
+    * instead of the planner's nested-loop for range predicates.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+    graft.operators.RangeJoin.withinTolerance(
+      purchases, errors, Seq("user_id"), "p_ts", "e_ts", tolSeconds = 600L)
+      .select(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+
   /** Multimodal plumbing driven from testdata: document text bytes act
     * as opaque media payloads → media struct → batched decode stub →
     * per-source feature aggregate (rows-only: stub features are not

@@ -298,6 +298,22 @@ object RelationalQueries {
         round(expr("percentile(value, 0.9)"), 6).as("p90"),
         count(lit(1)).as("n"))
 
+  /** Ranking/navigation window suite: rank, dense_rank, lag, lead,
+    * ntile over a deterministic total order per customer.
+    */
+  def q28WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    tbl(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 
   /** Exercises the PRODUCTION risk-score expression (B1/B2) against an
