@@ -40,4 +40,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("dot") == 11.0)
     assert(row.getAs[Double]("cos") == 1.0)
   }
+
+  test("band-join SQL plans as an equi join and matches the naive answer") {
+    import spark.implicits._
+    Seq((1L, 10L, 0L), (1L, 11L, 1000L), (2L, 20L, 5000L))
+      .toDF("k", "a_id", "a_us").createOrReplaceTempView("ta")
+    Seq((1L, 100L, 300L), (1L, 101L, 1400L), (2L, 200L, 9000L))
+      .toDF("k", "b_id", "b_us").createOrReplaceTempView("tb")
+
+    val sqlText =
+      """SELECT a_id, b_id FROM ta JOIN tb
+        |  ON ta.k = tb.k AND abs(a_us - b_us) <= 500""".stripMargin
+    val df = spark.sql(sqlText)
+
+    // the rewrite fired: bucketed generate + no nested-loop join
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("_graft_range_rb"), optimized)
+    val physical = df.queryExecution.executedPlan.toString()
+    assert(!physical.contains("NestedLoopJoin"), physical)
+    assert(!physical.contains("CartesianProduct"), physical)
+
+    val got = df.as[(Long, Long)].collect().sorted.toSeq
+    // naive answer: (10,100) diff 300; (11,101) diff 400; (20,200) diff 4000 ✗
+    assert(got == Seq((10L, 100L), (11L, 101L)))
+
+    // pure band join (no equi key) must also avoid the cartesian path
+    val noKey = spark.sql(
+      "SELECT a_id, b_id FROM ta JOIN tb ON abs(a_us - b_us) < 500")
+    val noKeyPlan = noKey.queryExecution.executedPlan.toString()
+    assert(!noKeyPlan.contains("NestedLoopJoin"), noKeyPlan)
+    assert(noKey.as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((10L, 100L), (11L, 101L)))
+  }
 }
