@@ -88,7 +88,9 @@ object SparkEntry {
     // ranking/navigation window suite
     "q48_window_suite" -> (R.q28WindowSuite _),
     // bucketed time-interval join (equi-join plan for a range predicate)
-    "q49_range_join" -> (X.qRangeJoin _)
+    "q49_range_join" -> (X.qRangeJoin _),
+    // bounded-heap top-k custom aggregate (TypedImperativeAggregate)
+    "q50_topk_agg" -> (R.q29TopKAgg _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -347,7 +349,13 @@ object SparkEntry {
         |FROM events p JOIN events e
         |  ON p.user_id = e.user_id
         | AND p.event_type = 'purchase' AND e.event_type = 'error'
-        | AND ABS(epoch_us(p.ts) - epoch_us(e.ts)) <= 600000000""".stripMargin
+        | AND ABS(epoch_us(p.ts) - epoch_us(e.ts)) <= 600000000""".stripMargin,
+    "q50_topk_agg" ->
+      """SELECT event_type, CAST(rn AS INTEGER) AS rank, event_id, "value" FROM (
+        |  SELECT event_type, event_id, "value",
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY "value" DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 5""".stripMargin
   )
 
   private def nearestStationSql: String =

@@ -314,6 +314,19 @@ object RelationalQueries {
       ntile(4).over(w).as("quartile"))
   }
 
+  /** Top-k per group through the bounded-heap custom aggregate (k
+    * entries per group survive partial aggregation — no per-group
+    * window sort). Oracle is the equivalent window row_number query.
+    */
+  def q29TopKAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.expressions.TopKByAgg
+        .topKBy(col("value"), col("event_id"), 5).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"), col("col.score").as("value"))
+
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 
   /** Exercises the PRODUCTION risk-score expression (B1/B2) against an
