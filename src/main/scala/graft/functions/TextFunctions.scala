@@ -154,9 +154,6 @@ object TextFunctions {
     wordShinglesFromTokens(tokens(lower(text)), n)
 
   /** Exact Jaccard similarity of two shingle arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
-    when(uni === 0, 0.0).otherwise(inter / uni)
-  }
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.expressions.TextExpressions.jaccard_sim(a, b)
 }

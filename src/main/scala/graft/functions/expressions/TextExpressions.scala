@@ -204,6 +204,38 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** Jaccard similarity of two string arrays treated as sets —
+    * |A ∩ B| / |A ∪ B|, 0.0 when the union is empty. One hash-set
+    * build + one probe pass per row instead of the three interpreted
+    * passes of `array_intersect` + `array_union` + `size`.
+    */
+  case class JaccardSimExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val setA = new java.util.HashSet[UTF8String]()
+      var i = 0
+      val na = a.numElements()
+      while (i < na) { setA.add(a.getUTF8String(i)); i += 1 }
+      val setB = new java.util.HashSet[UTF8String]()
+      var inter = 0
+      var j = 0
+      val nb = b.numElements()
+      while (j < nb) {
+        val s = b.getUTF8String(j)
+        if (setB.add(s) && setA.contains(s)) inter += 1
+        j += 1
+      }
+      val union = setA.size + setB.size - inter
+      java.lang.Double.valueOf(
+        if (union == 0) 0.0 else inter.toDouble / union)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Index of the nearest centroid (squared-L2) for a numeric-array
     * vector against a fixed centroid table — the IVF cell-assignment
     * kernel. Centroids are plan constants (broadcast with the closure),
@@ -264,4 +296,6 @@ object TextExpressions {
     toCol(CosineSimExpr(expr(a), expr(b)))
   def nearest_centroid(v: Column, centroids: Seq[Seq[Double]]): Column =
     toCol(NearestCentroidExpr(expr(v), centroids))
+  def jaccard_sim(a: Column, b: Column): Column =
+    toCol(JaccardSimExpr(expr(a), expr(b)))
 }

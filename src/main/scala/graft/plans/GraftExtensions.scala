@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine_sim"),
       info("graft_cosine_sim", "cosine similarity of two numeric arrays"),
       (args: Seq[Expression]) => CosineSimExpr(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard", "Jaccard similarity of two string arrays as sets"),
+      (args: Seq[Expression]) => JaccardSimExpr(args.head, args(1))))
     // Band-join planning: abs(l - r) <= tol join predicates become
     // bucketed equi joins instead of nested-loop joins.
     ext.injectOptimizerRule(_ => RangeJoinRewriteRule)

@@ -86,9 +86,7 @@ object ExtensionQueries {
     val b = docs.select(col("doc_id").as("id_b"), col("toks").as("t_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("t_a"), col("t_b"))).cast("double"))
-      .withColumn("jaccard_sim", col("inter") / col("uni"))
+      .withColumn("jaccard_sim", TextFunctions.jaccard(col("t_a"), col("t_b")))
       .filter(col("jaccard_sim") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
   }
