@@ -90,7 +90,9 @@ object SparkEntry {
     // bucketed time-interval join (equi-join plan for a range predicate)
     "q49_range_join" -> (X.qRangeJoin _),
     // bounded-heap top-k custom aggregate (TypedImperativeAggregate)
-    "q50_topk_agg" -> (R.q29TopKAgg _)
+    "q50_topk_agg" -> (R.q29TopKAgg _),
+    // mergeable HLL sketches: sketch per day, union-merge per type
+    "q51_hll_merge" -> (X.qHllMerge _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */

@@ -212,6 +212,24 @@ object ExtensionQueries {
       .select(col("user_id"), col("purchase_id"), col("error_id"))
   }
 
+  /** Mergeable-sketch distinct counting: per-day DataSketches HLL
+    * sketches union-merged into a per-type estimate — the 100 TB
+    * pattern where raw rows are sketched once near the data and only
+    * fixed-size sketch blobs move between aggregation levels. Rows-only
+    * (DuckDB's HLL is a different implementation); SkewAndSketchSpec
+    * bounds the estimate against the exact distinct count.
+    */
+  def qHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+    val daily = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"),
+        count(lit(1)).as("n_days"))
+  }
+
   /** Multimodal plumbing driven from testdata: document text bytes act
     * as opaque media payloads → media struct → batched decode stub →
     * per-source feature aggregate (rows-only: stub features are not

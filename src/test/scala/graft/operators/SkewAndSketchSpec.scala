@@ -23,6 +23,21 @@ class SkewAndSketchSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("daily HLL sketches union-merge to within 5% of exact distinct") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 20000).map { _ =>
+      (rnd.nextInt(14), rnd.nextInt(3000).toLong) // (day, user)
+    }
+    val df = rows.toDF("day", "user_id")
+    val exact = rows.map(_._2).distinct.size.toDouble
+    val merged = df.groupBy($"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .as[Long].first().toDouble
+    assert(math.abs(merged - exact) / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
+
   test("salted broadcast join equals plain join") {
     val left = ((1 to 5000).map(_ => "hot") ++ Seq("a", "b")).toDF("k")
     val right = Seq(("hot", 1), ("a", 2), ("b", 3), ("unused", 4)).toDF("k", "dim")

@@ -90,7 +90,13 @@ def main():
         if os.path.isdir(p) and n not in oracle:
             try:
                 cnt = len(pd.read_parquet(p))
-                print(f"ROWS {n}: {cnt} rows (no oracle)")
+                if cnt == 0:
+                    # a rows-only query that returns nothing is
+                    # indistinguishable from a broken one — fail it
+                    print(f"FAIL {n}: rows-only query returned 0 rows")
+                    failures += 1
+                else:
+                    print(f"ROWS {n}: {cnt} rows (no oracle)")
             except Exception as e:
                 print(f"FAIL {n}: unreadable rows-only output ({e})")
                 failures += 1
