@@ -1,7 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input row for [[EventStreams.statefulSessions]]. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** One closed session emitted by [[EventStreams.statefulSessions]]. */
+case class SessionSummary(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long)
+
+/** Open-session state carried between micro-batches. */
+private[streaming] case class OpenSession(startMs: Long, endMs: Long, n: Long)
 
 /** Structured-Streaming operators over an event stream
   * (ts: timestamp, user_id, event_type, value).
@@ -82,4 +96,65 @@ object EventStreams {
         ord).as("_latest"))
       .select(col(key) +: events.columns.filterNot(_ == key)
         .map(c => col(s"_latest.$c").as(c)).toSeq: _*)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: one
+    * [[OpenSession]] per user carried across micro-batches, closed
+    * sessions emitted in APPEND mode either when a same-batch event
+    * arrives past the gap or when the event-time timeout fires (the
+    * watermark passes sessionEnd + gap). Unlike the declarative
+    * [[sessionWindows]], this is the arbitrary-state-machine template:
+    * the state type, transition function, and emission policy are
+    * plain Scala — swap [[OpenSession]] for a flight-phase or
+    * risk-escalation state without touching the plumbing.
+    *
+    * State is one fixed-size record per ACTIVE key (bounded by the
+    * timeout, which clears idle keys) — not per event. Streaming-only:
+    * in batch execution timeouts never fire, so open sessions are not
+    * emitted (use the q33 window form for batch).
+    */
+  def statefulSessions(
+      events: DataFrame,
+      gapSeconds: Long,
+      lateness: String = "0 seconds"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def summary(uid: Long, s: OpenSession): SessionSummary =
+      SessionSummary(uid, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.n)
+
+    events.selectExpr("user_id", "ts")
+      .withWatermark("ts", lateness)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val closed = summary(uid, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionSummary]
+            var cur = state.getOption
+            rows.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endMs > gapMs =>
+                  closed += summary(uid, s)
+                  cur = Some(OpenSession(t, t, 1))
+                case Some(s) =>
+                  cur = Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -39,6 +39,41 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:05:00.0", "click", 1L)))
   }
 
+  test("flatMapGroupsWithState sessionizer emits on in-batch gap and on timeout") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // batch 1 — user 1: events at 10:00 and 10:01 (one open session),
+    // then 10:20 (gap > 5 min closes the first IN-batch); user 2: 10:30
+    mem.addData(
+      Ev(t(0), 1, "a", 1.0), Ev(t(1), 1, "a", 1.0),
+      Ev(t(20), 1, "a", 1.0), Ev(t(30), 2, "b", 1.0))
+    val q = EventStreams.statefulSessions(mem.toDF, gapSeconds = 300)
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // the in-batch gap closed user 1's first session; the no-data
+    // micro-batch after the watermark advanced to 10:30 may ALSO have
+    // timed out the 10:20 session already
+    val afterB1 = spark.table("fmgws_out")
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(afterB1.contains((1L, t(0), t(1), 2L)))
+
+    // batch 2 — the 10:40 event pushes the watermark to 10:40, past
+    // both pending timeouts: user 1's 10:20 session (timeout 10:25)
+    // and user 2's 10:30 session (timeout 10:35) emit via hasTimedOut;
+    // user 3's own session stays open
+    mem.addData(Ev(t(40), 3, "c", 1.0))
+    q.processAllAvailable(); q.stop()
+    val afterB2 = spark.table("fmgws_out")
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(afterB2.toSet == Set(
+      (1L, t(0), t(1), 2L),
+      (1L, t(20), t(20), 1L),
+      (2L, t(30), t(30), 1L)))
+  }
+
   test("session windows close after the gap") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
