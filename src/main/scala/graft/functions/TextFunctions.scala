@@ -71,11 +71,11 @@ object TextFunctions {
   def wordCountIn(toks: Column, word: String): Column =
     size(filter(toks, t => t === word)).cast("int")
 
-  /** Count tokens that belong to `words` — ONE pass over the array for
-    * a whole word set (vs one filter per word).
+  /** Count tokens that belong to `words` — one compiled hash-set pass
+    * (TextExpressions kernel) instead of an interpreted filter lambda.
     */
   def wordSetCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*))).cast("int")
+    graft.functions.expressions.TextExpressions.word_set_count(toks, words)
 
   /** Count occurrences of `word` as a whole token. */
   def wordCount(text: Column, word: String): Column =
@@ -128,8 +128,7 @@ object TextFunctions {
     * left fold — stable across runs and partitionings.
     */
   def fingerprintFrom(toks: Column): Column =
-    aggregate(toks, lit(1469598103934665603L),
-      (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+    graft.functions.expressions.TextExpressions.rolling_fingerprint(toks)
 
   def fingerprint(text: Column): Column = fingerprintFrom(tokens(text))
 

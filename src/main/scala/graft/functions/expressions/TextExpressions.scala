@@ -204,6 +204,55 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** Count of tokens belonging to a fixed word set — one compiled
+    * pass; replaces the interpreted `filter(toks, isin(...))` lambda.
+    */
+  case class WordSetCountExpr(child: Expression, words: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    @transient private lazy val set: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String]()
+      words.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      var cnt = 0
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (set.contains(arr.getUTF8String(i))) cnt += 1
+        i += 1
+      }
+      java.lang.Integer.valueOf(cnt)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Order-sensitive rolling-hash fingerprint of a token array:
+    * fold(acc * P + xxhash64(tok)) with FNV offset/prime constants —
+    * bit-identical to the `aggregate` higher-order-function form it
+    * replaces (xxhash64 seed 42, Long overflow wrap).
+    */
+  case class RollingFingerprintExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    private val Offset = 1469598103934665603L
+    private val Prime = 1099511628211L
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      var acc = Offset
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        acc = acc * Prime + XXH64.hashUTF8String(arr.getUTF8String(i), SeedXxhash)
+        i += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Jaccard similarity of two string arrays treated as sets —
     * |A ∩ B| / |A ∪ B|, 0.0 when the union is empty. One hash-set
     * build + one probe pass per row instead of the three interpreted
@@ -298,4 +347,8 @@ object TextExpressions {
     toCol(NearestCentroidExpr(expr(v), centroids))
   def jaccard_sim(a: Column, b: Column): Column =
     toCol(JaccardSimExpr(expr(a), expr(b)))
+  def word_set_count(toks: Column, words: Seq[String]): Column =
+    toCol(WordSetCountExpr(expr(toks), words))
+  def rolling_fingerprint(toks: Column): Column =
+    toCol(RollingFingerprintExpr(expr(toks)))
 }
