@@ -92,7 +92,9 @@ object SparkEntry {
     // bounded-heap top-k custom aggregate (TypedImperativeAggregate)
     "q50_topk_agg" -> (R.q29TopKAgg _),
     // mergeable HLL sketches: sketch per day, union-merge per type
-    "q51_hll_merge" -> (X.qHllMerge _)
+    "q51_hll_merge" -> (X.qHllMerge _),
+    // edit-distance fuzzy join, length-band pruned
+    "q52_fuzzy_join" -> (X.qFuzzyJoin _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -357,7 +359,13 @@ object SparkEntry {
         |  SELECT event_type, event_id, "value",
         |    ROW_NUMBER() OVER (PARTITION BY event_type
         |      ORDER BY "value" DESC, event_id ASC) AS rn
-        |  FROM events) WHERE rn <= 5""".stripMargin
+        |  FROM events) WHERE rn <= 5""".stripMargin,
+    "q52_fuzzy_join" ->
+      """SELECT x.p_partkey AS id_a, y.p_partkey AS id_b,
+        |  CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS edit_dist
+        |FROM part x JOIN part y ON x.p_partkey < y.p_partkey
+        |WHERE x.p_partkey < 1000 AND y.p_partkey < 1000
+        |  AND levenshtein(x.p_name, y.p_name) <= 2""".stripMargin
   )
 
   private def nearestStationSql: String =

@@ -212,6 +212,20 @@ object ExtensionQueries {
       .select(col("user_id"), col("purchase_id"), col("error_id"))
   }
 
+  /** Edit-distance fuzzy join over part names (length-band pruned):
+    * string-similarity join per the retrieved literature, verified
+    * cell-exact against DuckDB's levenshtein.
+    */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val parts = tbl(s, dir, "part").filter(col("p_partkey") < 1000)
+    val a = parts.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = parts.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    graft.operators.FuzzyJoin.editDistanceJoin(a, b, "name_a", "name_b", maxDist = 2)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+  }
+
   /** Mergeable-sketch distinct counting: per-day DataSketches HLL
     * sketches union-merged into a per-type estimate — the 100 TB
     * pattern where raw rows are sketched once near the data and only
