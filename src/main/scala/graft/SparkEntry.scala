@@ -94,7 +94,9 @@ object SparkEntry {
     // mergeable HLL sketches: sketch per day, union-merge per type
     "q51_hll_merge" -> (X.qHllMerge _),
     // edit-distance fuzzy join, length-band pruned
-    "q52_fuzzy_join" -> (X.qFuzzyJoin _)
+    "q52_fuzzy_join" -> (X.qFuzzyJoin _),
+    // TPC-H Q3 shape: filtered star join -> grouped revenue -> top-10
+    "q53_ship_priority" -> (R.q30ShipPriority _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -365,7 +367,18 @@ object SparkEntry {
         |  CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS edit_dist
         |FROM part x JOIN part y ON x.p_partkey < y.p_partkey
         |WHERE x.p_partkey < 1000 AND y.p_partkey < 1000
-        |  AND levenshtein(x.p_name, y.p_name) <= 2""".stripMargin
+        |  AND levenshtein(x.p_name, y.p_name) <= 2""".stripMargin,
+    "q53_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
   )
 
   private def nearestStationSql: String =

@@ -327,6 +327,31 @@ object RelationalQueries {
       .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("event_id"), col("col.score").as("value"))
 
+  /** TPC-H Q3 shape: segment-filtered star join → grouped revenue →
+    * global top-10. Filters push to all three scans; the final sort is
+    * a TakeOrdered (top-k), not a full global sort.
+    */
+  def q30ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-15").cast("timestamp")
+    val cust = tbl(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ords = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val items = tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    items
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 
   /** Exercises the PRODUCTION risk-score expression (B1/B2) against an
