@@ -96,7 +96,15 @@ object SparkEntry {
     // edit-distance fuzzy join, length-band pruned
     "q52_fuzzy_join" -> (X.qFuzzyJoin _),
     // TPC-H Q3 shape: filtered star join -> grouped revenue -> top-10
-    "q53_ship_priority" -> (R.q30ShipPriority _)
+    "q53_ship_priority" -> (R.q30ShipPriority _),
+    // correlated-subquery pattern (per-nation avg, decorrelated)
+    "q54_above_nation_avg" -> (R.q31AboveNationAvg _),
+    // explicit grouping sets + grouping bitmask
+    "q55_grouping_sets" -> (R.q32GroupingSets _),
+    // array-valued aggregation with pinned ordering
+    "q56_array_agg" -> (R.q33ArrayAgg _),
+    // date arithmetic suite
+    "q57_date_arith" -> (R.q34DateArith _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -378,7 +386,36 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q54_above_nation_avg" ->
+      """SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+        |  ROUND(n.nation_avg, 6) AS nation_avg
+        |FROM customer c
+        |JOIN (SELECT c_nationkey,
+        |        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |          / COUNT(c_acctbal) AS nation_avg
+        |      FROM customer GROUP BY c_nationkey) n
+        |  ON c.c_nationkey = n.c_nationkey
+        |WHERE c.c_acctbal > n.nation_avg""".stripMargin,
+    "q55_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q56_array_agg" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q57_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        |  strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus_3m,
+        |  strftime(CAST(date_trunc('quarter', o_orderdate) AS DATE), '%Y-%m-%d') AS quarter_start,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+        |FROM orders""".stripMargin
   )
 
   private def nearestStationSql: String =

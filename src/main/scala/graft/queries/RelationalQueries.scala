@@ -352,6 +352,65 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** Correlated-subquery pattern (decorrelated by hand the way
+    * Catalyst would: per-group aggregate + equi join): customers above
+    * their own nation's average balance.
+    */
+  def q31AboveNationAvg(s: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(s, dir, "customer")
+    val natAvg = cust.groupBy(col("c_nationkey"))
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+        / count(col("c_acctbal"))).as("nation_avg"))
+    cust.join(natAvg, Seq("c_nationkey"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        round(col("nation_avg"), 6).as("nation_avg"))
+  }
+
+  /** Explicit GROUPING SETS with grouping_id — the generalized form of
+    * rollup/cube (A6/A7 family).
+    */
+  def q32GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS INTEGER) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |""".stripMargin)
+  }
+
+  /** Array-valued aggregation: per-user sorted distinct event types.
+    * The sorted array is surfaced as a joined string — array cells are
+    * not hashable through the oracle compare, a string is; ordering is
+    * pinned by sort_array so the cell is deterministic.
+    */
+  def q33ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+        count(lit(1)).as("n"))
+
+  /** Date/time arithmetic suite (F10/F11 family beyond parts):
+    * datediff, month add, truncation, day-of-week extraction.
+    */
+  def q34DateArith(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("int").as("days_to_2002"),
+        // dates surfaced as ISO strings: date cells deserialize to
+        // different host types across engines (date vs timestamp)
+        date_format(add_months(col("o_orderdate").cast("date"), 3), "yyyy-MM-dd")
+          .as("plus_3m"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+          .as("quarter_start"),
+        dayofweek(col("o_orderdate")).cast("int").as("dow"))
+
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 
   /** Exercises the PRODUCTION risk-score expression (B1/B2) against an
