@@ -52,7 +52,7 @@ object AsOfJoin {
     val payloadStruct = struct(
       (rightPayload.map(col) :+ col(rightTs).as(matchedTsCol)): _*)
     val payloadType = right.select(payloadStruct.as("_p")).schema("_p").dataType
-    val lrowStruct = struct(left.columns.map(col): _*)
+    val lrowStruct = struct(left.columns.toSeq.map(col): _*)
     val lrowType = left.select(lrowStruct.as("_l")).schema("_l").dataType
 
     // Right rows must sort BEFORE left rows at equal ts for <= (side 0
@@ -118,7 +118,7 @@ object AsOfJoin {
     val payloadStruct = struct(
       (rightPayload.map(col) :+ col(rightTs).as(matchedTsCol)): _*)
     val payloadType = right.select(payloadStruct.as("_p")).schema("_p").dataType
-    val lrowStruct = struct(left.columns.map(col): _*)
+    val lrowStruct = struct(left.columns.toSeq.map(col): _*)
     val lrowType = left.select(lrowStruct.as("_l")).schema("_l").dataType
 
     // Right rows must sort AFTER left rows at equal ts for >= (side 2),

@@ -97,6 +97,32 @@ object EventStreams {
       .select(col(key) +: events.columns.filterNot(_ == key)
         .map(c => col(s"_latest.$c").as(c)).toSeq: _*)
 
+  /** Stream–stream inner join within a time bound: each left event
+    * joins right events of the same key with
+    * `rightTs ∈ [leftTs - before, leftTs + after]`. Both sides carry
+    * watermarks so the join state store evicts rows once they can no
+    * longer match — the time-bound condition is what makes unbounded
+    * stream–stream joins feasible (state is O(window), not O(stream)).
+    * Columns other than the key must be disjoint across sides.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      beforeSeconds: Long,
+      afterSeconds: Long,
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $beforeSeconds SECONDS") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $afterSeconds SECONDS"))
+      .drop(r(key))
+  }
+
   /** Custom-state sessionization via `flatMapGroupsWithState`: one
     * [[OpenSession]] per user carried across micro-batches, closed
     * sessions emitted in APPEND mode either when a same-batch event

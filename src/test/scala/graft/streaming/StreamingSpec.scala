@@ -74,6 +74,29 @@ class StreamingSpec extends AnyFunSuite {
       (2L, t(30), t(30), 1L)))
   }
 
+  test("stream-stream join within time bounds, watermarked state") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    clicks.addData(
+      Ev(t(0), 1, "click", 1.0),  // 10:00 — within 5 min of buy at 10:03
+      Ev(t(10), 1, "click", 2.0), // 10:10 — 7 min after buy, out of bound
+      Ev(t(2), 2, "click", 3.0))  // other user
+    buys.addData(Ev(t(3), 1, "buy", 9.0))
+    val joined = EventStreams.streamStreamJoin(
+      clicks.toDF.select($"user_id", $"ts".as("c_ts"), $"value".as("c_val")),
+      buys.toDF.select($"user_id", $"ts".as("b_ts"), $"value".as("b_val")),
+      key = "user_id", leftTs = "c_ts", rightTs = "b_ts",
+      beforeSeconds = 300, afterSeconds = 300)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out")
+      .select("user_id", "c_val", "b_val").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 1.0, 9.0)))
+  }
+
   test("session windows close after the gap") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
