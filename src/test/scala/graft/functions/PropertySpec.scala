@@ -100,4 +100,39 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
     }
   }
+
+  private val tokGen = Gen.listOf(Gen.oneOf(
+    "a", "b", "the", "and", "of", "le", "la", "und", "x1", "zz", ""))
+
+  test("jaccard kernel == interpreted array_intersect/union form") {
+    import graft.functions.expressions.TextExpressions
+    val cases = Gen.listOfN(96, Gen.zip(tokGen, tokGen)).sample.get
+    val df = cases.toDF("a", "b").select(
+      TextExpressions.jaccard_sim($"a", $"b").as("kernel"),
+      when(size(array_union($"a", $"b")) === 0, 0.0)
+        .otherwise(size(array_intersect($"a", $"b")).cast("double")
+          / size(array_union($"a", $"b"))).as("reference"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"kernel ${r.getDouble(0)} vs reference ${r.getDouble(1)}")
+    }
+  }
+
+  test("word-set-count kernel == interpreted filter/isin form") {
+    val words = Seq("the", "and", "le", "und")
+    val cases = Gen.listOfN(96, tokGen).sample.get
+    val df = cases.toDF("toks").select(
+      TextFunctions.wordSetCount($"toks", words).as("kernel"),
+      size(filter($"toks", t => t.isin(words: _*))).cast("int").as("reference"))
+    df.collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("rolling-fingerprint kernel == interpreted aggregate fold") {
+    val cases = Gen.listOfN(96, tokGen).sample.get
+    val df = cases.toDF("toks").select(
+      TextFunctions.fingerprintFrom($"toks").as("kernel"),
+      aggregate($"toks", lit(1469598103934665603L),
+        (acc, t) => acc * lit(1099511628211L) + xxhash64(t)).as("reference"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
