@@ -104,7 +104,9 @@ object SparkEntry {
     // array-valued aggregation with pinned ordering
     "q56_array_agg" -> (R.q33ArrayAgg _),
     // date arithmetic suite
-    "q57_date_arith" -> (R.q34DateArith _)
+    "q57_date_arith" -> (R.q34DateArith _),
+    // B7 anomaly analog: mu+2sigma outlier flags, decimal-exact stats
+    "q58_zscore_outliers" -> (R.q35ZScoreOutliers _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -415,7 +417,22 @@ object SparkEntry {
         |  strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus_3m,
         |  strftime(CAST(date_trunc('quarter', o_orderdate) AS DATE), '%Y-%m-%d') AS quarter_start,
         |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "q58_zscore_outliers" ->
+      """SELECT e.event_type, e.event_id,
+        |  ABS(e."value" - s.mu) > 2.0 * s.sigma AS is_outlier,
+        |  ROUND((e."value" - s.mu) / s.sigma, 4) AS zscore
+        |FROM events e
+        |JOIN (
+        |  SELECT event_type, sx / n AS mu,
+        |    sqrt((sx2 - sx * sx / n) / (n - 1.0)) AS sigma
+        |  FROM (
+        |    SELECT event_type,
+        |      CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |      CAST(SUM(CAST("value" * "value" AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
+        |      CAST(COUNT("value") AS DOUBLE) AS n
+        |    FROM events GROUP BY event_type)
+        |) s ON e.event_type = s.event_type""".stripMargin
   )
 
   private def nearestStationSql: String =

@@ -411,6 +411,28 @@ object RelationalQueries {
           .as("quarter_start"),
         dayofweek(col("o_orderdate")).cast("int").as("dow"))
 
+  /** μ+2σ outlier flags (batch analog of the reference's anomaly
+    * operator B7, `src/combine_spark.py:367-382`), made oracle-exact:
+    * Σx and Σx² are carried as DECIMAL (order-independent), μ and σ
+    * are then derived with the same float expressions in both engines,
+    * so the boolean flag and rounded z-score match bit-for-bit.
+    */
+  def q35ZScoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val stats = ev.groupBy(col("event_type")).agg(
+      sum(col("value").cast("decimal(18,6)")).cast("double").as("sx"),
+      sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("sx2"),
+      count(col("value")).cast("double").as("n"))
+      .withColumn("mu", col("sx") / col("n"))
+      .withColumn("sigma",
+        sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+      .select("event_type", "mu", "sigma")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("event_id"),
+        (abs(col("value") - col("mu")) > lit(2.0) * col("sigma")).as("is_outlier"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("zscore"))
+  }
+
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 
   /** Exercises the PRODUCTION risk-score expression (B1/B2) against an
