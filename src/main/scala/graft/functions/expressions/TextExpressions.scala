@@ -253,6 +253,31 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Morton (Z-order) code: interleaves the low `bits` bits of two
+    * non-negative longs — a-bits on even positions, b-bits on odd.
+    * Sorting by this value clusters BOTH dimensions simultaneously,
+    * which is what makes multi-column min/max data skipping work.
+    */
+  case class InterleaveBitsExpr(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression with CodegenFallback {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[Long]
+      val b = r.asInstanceOf[Long]
+      var z = 0L
+      var i = 0
+      while (i < bits) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      java.lang.Long.valueOf(z)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Jaccard similarity of two string arrays treated as sets —
     * |A ∩ B| / |A ∪ B|, 0.0 when the union is empty. One hash-set
     * build + one probe pass per row instead of the three interpreted
@@ -351,4 +376,6 @@ object TextExpressions {
     toCol(WordSetCountExpr(expr(toks), words))
   def rolling_fingerprint(toks: Column): Column =
     toCol(RollingFingerprintExpr(expr(toks)))
+  def interleave_bits(a: Column, b: Column, bits: Int = 21): Column =
+    toCol(InterleaveBitsExpr(expr(a), expr(b), bits))
 }
