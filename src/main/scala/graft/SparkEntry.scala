@@ -106,7 +106,9 @@ object SparkEntry {
     // date arithmetic suite
     "q57_date_arith" -> (R.q34DateArith _),
     // B7 anomaly analog: mu+2sigma outlier flags, decimal-exact stats
-    "q58_zscore_outliers" -> (R.q35ZScoreOutliers _)
+    "q58_zscore_outliers" -> (R.q35ZScoreOutliers _),
+    // TPC-H Q5 shape: snowflake revenue through nation -> region
+    "q59_region_revenue" -> (R.q36RegionRevenue _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -432,7 +434,17 @@ object SparkEntry {
         |      CAST(SUM(CAST("value" * "value" AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
         |      CAST(COUNT("value") AS DOUBLE) AS n
         |    FROM events GROUP BY event_type)
-        |) s ON e.event_type = s.event_type""".stripMargin
+        |) s ON e.event_type = s.event_type""".stripMargin,
+    "q59_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin
   )
 
   private def nearestStationSql: String =

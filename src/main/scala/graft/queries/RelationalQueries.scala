@@ -433,6 +433,22 @@ object RelationalQueries {
         round((col("value") - col("mu")) / col("sigma"), 4).as("zscore"))
   }
 
+  /** TPC-H Q5 shape: revenue through the full dimension hierarchy
+    * (lineitem → orders → customer → nation → region) — exercises all
+    * snowflake levels, every dim broadcast.
+    */
+  def q36RegionRevenue(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(tbl(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(tbl(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 
   /** Exercises the PRODUCTION risk-score expression (B1/B2) against an
