@@ -114,6 +114,22 @@ object Multimodal {
         greatest((col(s"$mediaCol.n_bytes") / lit(1024)).cast("int") - 1, lit(0)),
         lit(everyNth))))
 
+  /** Resize (stub): produce a new media struct whose payload is the
+    * deterministic stub "re-encode" at the target dimensions —
+    * payload truncated/cycled to w·h bytes, metadata and checksum
+    * recomputed by the same column algebra as [[asMedia]]. A real
+    * implementation swaps ONLY the payload expression for a codec
+    * call; the struct contract, sizes, and checksums stay identical.
+    */
+  def resizeStub(df: DataFrame, mediaCol: String, width: Int, height: Int): DataFrame = {
+    val target = width * height
+    // rpad on binary both truncates and zero-pads to the exact target
+    // length — one pure column expression, no UDF
+    val resized = expr(s"rpad($mediaCol.payload, $target, x'00')")
+    df.withColumn(mediaCol,
+      asMedia(resized, col(s"$mediaCol.media_type")))
+  }
+
   /** Size-bucketed repartitioning: large payloads skew partitions;
     * bucket by payload size so each task carries comparable bytes —
     * the knob that matters at 100 TB (task-size balance), exposed as an

@@ -59,6 +59,19 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(0, 2, 4, 6))
   }
 
+  test("resizeStub: payload at target size, metadata and checksum recomputed") {
+    val out = Multimodal.resizeStub(mediaDf, "media", width = 8, height = 8)
+    assert(out.schema("media").dataType == Multimodal.mediaSchema)
+    val rows = out.select("media.n_bytes", "media.checksum").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.forall(_._1 == 64L)) // every payload resized to 8×8 bytes
+    // checksum is recomputed over the RESIZED payload, so equal resized
+    // payloads collapse to equal checksums
+    assert(rows.map(_._2).distinct.length <= rows.length)
+    val orig = mediaDf.select("media.checksum").collect().map(_.getString(0))
+    assert(!rows.map(_._2).sameElements(orig))
+  }
+
   test("repartitionBySize yields the requested partitioning") {
     val rep = Multimodal.repartitionBySize(mediaDf, "media", 3)
     assert(rep.rdd.getNumPartitions == 3)
