@@ -108,7 +108,9 @@ object SparkEntry {
     // B7 anomaly analog: mu+2sigma outlier flags, decimal-exact stats
     "q58_zscore_outliers" -> (R.q35ZScoreOutliers _),
     // TPC-H Q5 shape: snowflake revenue through nation -> region
-    "q59_region_revenue" -> (R.q36RegionRevenue _)
+    "q59_region_revenue" -> (R.q36RegionRevenue _),
+    // duplicate clustering: pairs -> connected components -> cluster id
+    "q60_dedup_clusters" -> (X.qDedupClusters _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -444,7 +446,30 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q60_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |        FROM documents WHERE doc_id < 200) a
+        |  JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |        FROM documents WHERE doc_id < 200) b
+        |    ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+        |)
+        |SELECT d.doc_id,
+        |  LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS cluster_id
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        |LEFT JOIN reach r ON r.s = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin
   )
 
   private def nearestStationSql: String =

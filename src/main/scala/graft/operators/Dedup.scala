@@ -242,4 +242,60 @@ object Dedup {
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
   }
+
+  // ── Duplicate clustering (connected components) ─────────────────────
+
+  /** Connected components over a near-duplicate pair list — the step
+    * that turns pairwise matches into KEEP/DROP decisions: every
+    * document gets the minimum id of its duplicate cluster as
+    * `cluster_id`; the representative is the row with
+    * `doc_id == cluster_id`.
+    *
+    * Distributed min-label propagation: each node starts labeled with
+    * its own id; every iteration each node takes the min of its label
+    * and its neighbors' labels; stop when no label changes. Each
+    * iteration is one equi-join shuffle + one aggregate — no driver
+    * materialization, no per-node loops — and converges in
+    * O(component diameter) rounds (near-dup clusters are dense, so
+    * typically 2–3). The frames are persisted per round and the
+    * previous round unpersisted, keeping lineage and memory bounded —
+    * the standard large-graph CC recipe on DataFrames.
+    *
+    * @param nodes  one row per document id (isolated docs form their
+    *               own singleton cluster)
+    * @param edges  undirected pair list (each pair listed once)
+    */
+  def duplicateClusters(
+      nodes: DataFrame,
+      edges: DataFrame,
+      nodeCol: String,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .unionByName(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d")))
+
+    var labels = nodes.select(col(nodeCol).as("_n"), col(nodeCol).as("_lbl"))
+      .persist()
+    // monotone labels: the label sum strictly decreases until fixpoint,
+    // so one aggregate per round (carried over) detects convergence
+    var curSum = labels.agg(sum("_lbl")).first().getLong(0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // labels flowing across edges: each node also keeps its own
+      val viaEdges = sym.join(labels, sym("_s") === labels("_n"))
+        .select(col("_d").as("_n"), col("_lbl"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("_n").agg(min("_lbl").as("_lbl"))
+        .persist()
+      val after = next.agg(sum("_lbl")).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = after == curSum
+      curSum = after
+      iter += 1
+    }
+    labels.select(col("_n").as(nodeCol), col("_lbl").as("cluster_id"))
+  }
 }

@@ -91,6 +91,28 @@ object ExtensionQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
   }
 
+  /** Duplicate clustering: exhaustive jaccard pairs (bounded scope,
+    * same edges as q28) → distributed connected components → one
+    * cluster id (min member) per document. Oracle: transitive closure
+    * via a recursive CTE over the same pair list.
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // scope bounded at 200 docs: the oracle's recursive-CTE closure is
+    // quadratic in component size (the operator itself is not)
+    val docs = tbl(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = docs.select(col("doc_id").as("id_a"), col("toks").as("t_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("toks").as("t_b"))
+    val edges = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("j", TextFunctions.jaccard(col("t_a"), col("t_b")))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b")
+    Dedup.duplicateClusters(docs.select("doc_id"), edges,
+      "doc_id", "id_a", "id_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs via sign-LSH (rows-only:
     * LSH recall < 1 by construction). Threshold 0.4 sits at the top
     * ~0.05% of the synthetic corpus's pairwise-cosine distribution

@@ -71,6 +71,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("duplicate clusters: components found, chains collapse, singletons kept") {
+    // graph: 1-2, 2-3 (chain → one cluster {1,2,3}); 4-5; 6 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(nodes, edges, "doc_id", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("duplicate clusters: long path needs multiple propagation rounds") {
+    // path 10-11-...-17: min label must travel 7 hops
+    val ids = (10L to 17L).toSeq
+    val nodes = ids.toDF("doc_id")
+    val edges = ids.zip(ids.tail).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(nodes, edges, "doc_id", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(10L))
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions
