@@ -9,9 +9,12 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * sink's) accretes thousands of tiny parquet files per partition;
   * at 100 TB the NameNode/listing pressure and per-file open cost
   * dominate scan time long before the bytes do. Compaction rewrites a
-  * partition directory into ⌈bytes / targetFileBytes⌉ files and
-  * atomically swaps it in (write to sibling temp dir → rename), so
-  * readers see either the old or the new layout, never a mix.
+  * partition directory into ⌈bytes / targetFileBytes⌉ files and swaps
+  * it in (write to sibling temp dir → rename). Readers never see a
+  * MIX of layouts; the swap is two renames, so there is a brief
+  * window where the directory is absent — a compaction that crashes
+  * inside it is repaired on the next call, which restores the backup
+  * before doing anything else.
   *
   * Coalesce (not repartition) keeps the rewrite shuffle-free: each
   * output task concatenates whole input splits.
@@ -25,6 +28,17 @@ object Compaction {
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backupPath = new Path(path.getParent, s".${path.getName}_precompact")
+
+    // crash recovery: an interrupted swap left the table at the backup
+    // location — restore it before compacting
+    if (!fs.exists(path) && fs.exists(backupPath)) {
+      if (!fs.rename(backupPath, path)) {
+        throw new java.io.IOException(
+          s"compaction: interrupted swap left $backupPath; restore failed")
+      }
+    }
+
     val dataFiles = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
@@ -37,7 +51,7 @@ object Compaction {
       .coalesce(numFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
 
-    val backup = new Path(path.getParent, s".${path.getName}_precompact")
+    val backup = backupPath
     fs.delete(backup, true)
     if (!fs.rename(path, backup)) {
       throw new java.io.IOException(s"compaction: cannot move $path aside")

@@ -25,12 +25,29 @@ trait DocumentSink {
   * Writes are distributed (`df.write.json` — one file per partition).
   */
 final class JsonDirSink(root: String) extends DocumentSink {
-  private var generation = 0
+  // resumes past existing generations on restart — a fresh process
+  // must not overwrite gen=000000 while later generations still look
+  // "newest" to latest-wins readers
+  private var generation = -1
 
   override def upsert(docs: DataFrame, keyCol: String): Unit = {
+    if (generation < 0) generation = nextGeneration(docs)
     val target = f"$root/gen=$generation%06d"
     docs.write.mode("overwrite").json(target)
     generation += 1
+  }
+
+  private def nextGeneration(docs: DataFrame): Int = {
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) 0
+    else {
+      val gens = fs.listStatus(path).map(_.getPath.getName)
+        .filter(_.startsWith("gen="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("gen=").toInt).toOption)
+      if (gens.isEmpty) 0 else gens.max + 1
+    }
   }
 }
 

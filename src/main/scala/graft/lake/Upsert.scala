@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * exactly one row per key, the newest by the ordering column.
   *
   * Implementation: union current table + updates, keep the top-1 row
-  * per key by (ord desc, tie-break), rewrite, atomically swap the
-  * directory (same temp-write → rename protocol as [[Compaction]]).
-  * One shuffle on the key; no driver materialization.
+  * per key by (ord desc, tie-break), rewrite, swap the directory in
+  * (same temp-write → rename protocol as [[Compaction]]). One shuffle
+  * on the key; no driver materialization. The swap is two renames, so
+  * there is a brief window where the directory is absent — a merge
+  * that crashes inside it is repaired on the next call, which
+  * restores the backup before doing anything else.
   *
   * Scale note: rewriting the whole table per merge is the
   * copy-on-write strategy (Delta/Iceberg CoW) — correct and simple,
@@ -37,6 +40,19 @@ object Upsert {
       ord: Column): Unit = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new Path(path.getParent, s".${path.getName}_premerge")
+
+    // crash recovery: a previous merge may have died between the two
+    // renames (table moved aside, replacement not yet in place). The
+    // backup IS the table then — restore it instead of treating the
+    // missing directory as a first write (which would silently lose
+    // every pre-crash row once the backup was cleaned up).
+    if (!fs.exists(path) && fs.exists(backup)) {
+      if (!fs.rename(backup, path)) {
+        throw new java.io.IOException(
+          s"upsert: interrupted merge left $backup; restore failed")
+      }
+    }
 
     if (!fs.exists(path)) {
       // first write: still dedup the batch itself
@@ -54,7 +70,6 @@ object Upsert {
     fs.delete(tmp, true)
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
 
-    val backup = new Path(path.getParent, s".${path.getName}_premerge")
     fs.delete(backup, true)
     if (!fs.rename(path, backup)) {
       throw new java.io.IOException(s"upsert: cannot move $path aside")

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** Backward as-of join: attach to every left row the single most
   * recent right row with the same key and `rightTs <= leftTs`
@@ -63,14 +63,14 @@ object AsOfJoin {
       keys.map(col) ++ Seq(
         col(rightTs).as("_ts"),
         lit(rightSide).as("_side"),
-        col(tieBreakCol).cast(LongType).as("_tb"),
+        col(tieBreakCol).as("_tb"),
         payloadStruct.as("_p"),
         lit(null).cast(lrowType).as("_l")): _*)
     val taggedLeft = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("_ts"),
         lit(1).as("_side"),
-        lit(null).cast(LongType).as("_tb"),
+        lit(null).cast(right.schema(tieBreakCol).dataType).as("_tb"),
         lit(null).cast(payloadType).as("_p"),
         lrowStruct.as("_l")): _*)
 
@@ -85,7 +85,7 @@ object AsOfJoin {
     val withinTol = tolerance match {
       case Some(secs) =>
         when(col("_m").isNotNull &&
-          unix_timestamp(col("_ts")) - unix_timestamp(col("_m")(matchedTsCol)) <= secs,
+          unix_micros(col("_ts")) - unix_micros(col("_m")(matchedTsCol)) <= secs * 1000000L,
           col("_m"))
       case None => col("_m")
     }
@@ -131,14 +131,14 @@ object AsOfJoin {
       keys.map(col) ++ Seq(
         col(rightTs).as("_ts"),
         lit(rightSide).as("_side"),
-        col(tieBreakCol).cast(LongType).as("_tb"),
+        col(tieBreakCol).as("_tb"),
         payloadStruct.as("_p"),
         lit(null).cast(lrowType).as("_l")): _*)
     val taggedLeft = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).as("_ts"),
         lit(1).as("_side"),
-        lit(null).cast(LongType).as("_tb"),
+        lit(null).cast(right.schema(tieBreakCol).dataType).as("_tb"),
         lit(null).cast(payloadType).as("_p"),
         lrowStruct.as("_l")): _*)
 
@@ -153,7 +153,7 @@ object AsOfJoin {
     val withinTol = tolerance match {
       case Some(secs) =>
         when(col("_m").isNotNull &&
-          unix_timestamp(col("_m")(matchedTsCol)) - unix_timestamp(col("_ts")) <= secs,
+          unix_micros(col("_m")(matchedTsCol)) - unix_micros(col("_ts")) <= secs * 1000000L,
           col("_m"))
       case None => col("_m")
     }

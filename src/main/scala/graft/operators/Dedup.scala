@@ -19,15 +19,19 @@ object Dedup {
 
   // ── Exact ───────────────────────────────────────────────────────────
 
-  /** Exact dedup on a column set: keeps the row with the smallest
+  /** Exact dedup on a column set: keeps the FULL row with the smallest
     * `idCol` per duplicate group (deterministic, unlike
-    * `dropDuplicates` whose survivor is partition-order dependent).
+    * `dropDuplicates` whose survivor is partition-order dependent),
+    * plus the group size as `n_copies`. Map-side `min_by` combine —
+    * only one candidate row per group per mapper reaches the shuffle.
     */
   def exactKeepMinId(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val others = df.columns.filterNot(_ == idCol)
+    val payload = struct(df.columns.toSeq.map(col): _*)
     df.groupBy(keyCols.map(col).toSeq: _*)
-      .agg(min(col(idCol)).as(idCol),
+      .agg(min_by(payload, col(idCol)).as("_row"),
         count(lit(1)).as("n_copies"))
+      .select(df.columns.toSeq.map(c => col(s"_row.`$c`").as(c))
+        :+ col("n_copies"): _*)
   }
 
   /** Content hash groups: sha-256 of the text with group sizes —
@@ -117,13 +121,21 @@ object Dedup {
 
   /** SimHash near-dup pairs: signature → `bands` chunks of 64/bands
     * bits as join keys → verify by Hamming distance ≤ maxHamming.
+    *
+    * Exact-band blocking is LOSSLESS only under the pigeonhole bound
+    * `maxHamming < bands`: a pair differing in ≤ maxHamming bits then
+    * has at least one untouched band. The guard enforces it — with it,
+    * every pair passing the Hamming verify is guaranteed to surface.
     */
   def simHashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      bands: Int = 4,
-      maxHamming: Int = 6): DataFrame = {
+      bands: Int = 8,
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole: need maxHamming < bands for lossless blocking " +
+        s"(got bands=$bands, maxHamming=$maxHamming)")
     val bitsPerBand = 64 / bands
     val prepared = df.select(col(idCol).as("doc_id"),
       tokens(lower(col(textCol))).as("_toks"))
@@ -169,17 +181,20 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 4,
-      threshold: Double = 0.7,
-      lengthBandWidth: Int = 16): DataFrame = {
+      threshold: Double = 0.7): DataFrame = {
+    // docs within Jaccard t have length ratio ≥ t, so band lengths on a
+    // LOG scale with base 1/t: any qualifying pair then differs by at
+    // most one band regardless of absolute length (a fixed-width band
+    // loses pairs once (1-t)·len exceeds the width), and exploding
+    // each doc into its own + next band makes the equi-join lossless.
+    val logBase = math.log(1.0 / threshold)
     val prepared = df.select(col(idCol).as("doc_id"),
       cleanedText(col(textCol)).as("_cleaned"),
-      floor(length(col(textCol)) / lengthBandWidth).as("len_band"))
+      floor(log(length(col(textCol)).cast("double") + 1.0) / logBase)
+        .as("len_band"))
       .withColumn("shingles", charShinglesFromCleaned(col("_cleaned"), n))
       .drop("_cleaned")
 
-    // docs within Jaccard t of each other have length ratio ≥ t → only
-    // adjacent length bands can match; explode each doc into its own
-    // and next band so the equi-join covers both.
     val blocked = prepared.select(col("doc_id"), col("shingles"),
       explode(array(col("len_band"), col("len_band") + 1)).as("block"))
 
@@ -217,8 +232,13 @@ object Dedup {
       numPlanes: Int = 12,
       seed: Long = 42L): DataFrame = {
     val planes = randomPlanes(numPlanes, dim, seed)
+    // consumed three times (bucket explode + two vector re-attach
+    // joins) — persist or the projection kernel runs three times.
+    // Cache lifecycle: blocks live until the session evicts them or
+    // the caller clears the cache, same contract as minHashNearDupPairs.
     val prepared = df.select(col(idCol).as("vec_id_"), col(vecCol).as("vec"))
       .withColumn("bucket0", VectorFunctions.lshBucket(col("vec"), planes))
+      .persist()
     // probe buckets: own + 1-bit flips. Only (id, bucket) rows are
     // replicated — vectors are re-attached after pair dedup.
     val probes = explode(array(
@@ -277,9 +297,6 @@ object Dedup {
 
     var labels = nodes.select(col(nodeCol).as("_n"), col(nodeCol).as("_lbl"))
       .persist()
-    // monotone labels: the label sum strictly decreases until fixpoint,
-    // so one aggregate per round (carried over) detects convergence
-    var curSum = labels.agg(sum("_lbl")).first().getLong(0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -289,11 +306,16 @@ object Dedup {
       val next = labels.unionByName(viaEdges)
         .groupBy("_n").agg(min("_lbl").as("_lbl"))
         .persist()
-      val after = next.agg(sum("_lbl")).first().getLong(0)
+      // fixpoint = no label changed this round. An anti-join on the
+      // (node, label) pair works for ANY orderable id type (long,
+      // string, …) and cannot false-positive the way an overflowing
+      // label-sum comparison could.
+      converged = next
+        .join(labels.withColumnRenamed("_lbl", "_prev"), "_n")
+        .filter(col("_lbl") =!= col("_prev"))
+        .isEmpty
       labels.unpersist()
       labels = next
-      converged = after == curSum
-      curSum = after
       iter += 1
     }
     labels.select(col("_n").as(nodeCol), col("_lbl").as("cluster_id"))

@@ -67,8 +67,11 @@ object ExtensionQueries {
 
   /** SimHash near-dup pairs (rows-only). */
   def qDedupSimHash(s: SparkSession, dir: String): DataFrame =
+    // bands > maxHamming: the pigeonhole bound that makes exact-band
+    // blocking lossless (every pair within the Hamming radius shares
+    // at least one untouched band)
     Dedup.simHashNearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
-      bands = 4, maxHamming = 6)
+      bands = 8, maxHamming = 7)
 
   /** Exhaustive token-set Jaccard pairs — oracle-checkable in DuckDB
     * via list_intersect/list_distinct. Quadratic by construction; the

@@ -42,7 +42,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhash: identical→0 hamming; near-dup within band distance") {
     val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
-      bands = 4, maxHamming = 16)
+      bands = 32, maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
     assert(exact.exists(_._3 == 0))
@@ -51,11 +51,23 @@ class DedupSpec extends AnyFunSuite {
 
   test("char n-gram jaccard pairs with length blocking") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 4, threshold = 0.7, lengthBandWidth = 16)
+      n = 4, threshold = 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)))
     assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("log-band blocking keeps long docs whose length gap spans fixed bands") {
+    // ~360-char doc of UNIQUE words + a 36-char suffix: 4-gram Jaccard
+    // ≈ 0.9 ≥ 0.7, but the length gap (36) spans 2+ fixed-16 bands —
+    // the log-scale bands must still co-locate the pair
+    val longBase = (0 until 60).map(i => f"tok$i%02d").mkString(" ")
+    val longer = longBase + " " + (0 until 6).map(i => f"zax$i%02d").mkString(" ")
+    val df = Seq((1L, longBase), (2L, longer)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 4, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
   }
 
   test("embedding near-dup via sign-LSH with multi-probe") {
