@@ -126,13 +126,16 @@ object Dedup {
     * `maxHamming < bands`: a pair differing in ≤ maxHamming bits then
     * has at least one untouched band. The guard enforces it — with it,
     * every pair passing the Hamming verify is guaranteed to surface.
+    * Defaults are the canonical 64-bit SimHash setting (hamming ≤ 3,
+    * 4 × 16-bit bands): lossless AND selective — narrower bands (more
+    * of them) admit quadratic candidate volume as band keys shrink.
     */
   def simHashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      bands: Int = 8,
-      maxHamming: Int = 7): DataFrame = {
+      bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole: need maxHamming < bands for lossless blocking " +
         s"(got bands=$bands, maxHamming=$maxHamming)")

@@ -67,11 +67,11 @@ object ExtensionQueries {
 
   /** SimHash near-dup pairs (rows-only). */
   def qDedupSimHash(s: SparkSession, dir: String): DataFrame =
-    // bands > maxHamming: the pigeonhole bound that makes exact-band
-    // blocking lossless (every pair within the Hamming radius shares
-    // at least one untouched band)
+    // canonical SimHash setting: hamming <= 3 with 4 x 16-bit bands —
+    // bands > maxHamming (pigeonhole) makes the blocking lossless while
+    // 16-bit band keys keep candidate volume near-linear
     Dedup.simHashNearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
-      bands = 8, maxHamming = 7)
+      bands = 4, maxHamming = 3)
 
   /** Exhaustive token-set Jaccard pairs — oracle-checkable in DuckDB
     * via list_intersect/list_distinct. Quadratic by construction; the
