@@ -89,4 +89,72 @@ object NearestJoin {
         col("w_latitude"), col("w_longitude")),
       tieBreak = Seq(col("w_latitude"), col("w_longitude")))
   }
+
+  /** Grid-bucketed nearest join — the LARGE-site-set path (SURVEY.md
+    * §2.3 J2's "geohash-bucketed" alternative). Broadcast cross join
+    * stops scaling once the site table does; here both sides bucket
+    * into `cellDeg`-degree grid cells, each site replicates into its
+    * 3×3 cell neighborhood, and candidates come from an EQUI join on
+    * the cell — per point, only nearby sites are scored.
+    *
+    * Exactness: any site OUTSIDE a point's 3×3 ring is at least
+    * `cellDeg` degrees away in some axis, i.e. at least
+    * `cellDeg · 110 km · cos(|lat|+cellDeg)` away. A ring winner at or
+    * under that radius is therefore provably the global nearest; ring
+    * winners beyond it — and points with an empty ring — fall back to
+    * the exhaustive broadcast path, so the result equals brute-force
+    * nearest for EVERY point, with the fallback sized by `cellDeg`
+    * against site density (tiny when cells are chosen sensibly).
+    *
+    * Longitude cells are not wrapped at ±180°; near the poles the safe
+    * radius collapses and everything falls back (conservative).
+    */
+  def nearestByGrid(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      latL: String, lonL: String,
+      latR: String, lonR: String,
+      tieBreak: Column,
+      cellDeg: Double): DataFrame = {
+    require(cellDeg > 0, "cellDeg must be positive")
+    val dist = GeoFunctions.haversineKm(col(latL), col(lonL), col(latR), col(lonR))
+
+    def cellOf(lat: Column, lon: Column): (Column, Column) =
+      (floor(lat / cellDeg).cast("long"), floor(lon / cellDeg).cast("long"))
+
+    val (pLat, pLon) = cellOf(col(latL), col(lonL))
+    val points = left.withColumn("_cla", pLat).withColumn("_clo", pLon)
+
+    val (sLat, sLon) = cellOf(col(latR), col(lonR))
+    val sites = right
+      .withColumn("_cla0", sLat).withColumn("_clo0", sLon)
+      .withColumn("_cla", explode(array(col("_cla0") - 1, col("_cla0"), col("_cla0") + 1)))
+      .withColumn("_clo", explode(array(col("_clo0") - 1, col("_clo0"), col("_clo0") + 1)))
+      .drop("_cla0", "_clo0")
+
+    val candidates = points.join(sites, Seq("_cla", "_clo"))
+      .drop("_cla", "_clo")
+      .withColumn("dist_km", dist)
+    val others = candidates.columns.filterNot(c => leftKeys.contains(c))
+    val ordKey = struct(col("dist_km"), tieBreak)
+    val gridWinners = candidates
+      .groupBy(leftKeys.map(col).toSeq: _*)
+      .agg(min_by(struct(others.map(col).toSeq: _*), ordKey).as("_best"))
+      .select((leftKeys.map(col) ++ others.map(c => col(s"_best.$c").as(c))).toSeq: _*)
+
+    // provably-exact winners: closer than any possible out-of-ring site
+    // (110 km/deg is a lower bound on the meridian degree; longitude
+    // degrees shrink by cos(lat), taken at the band's worst latitude)
+    val safeKm = lit(cellDeg * 110.0) *
+      greatest(cos(radians(abs(col(latL)) + lit(cellDeg))), lit(0.0))
+    val confirmed = gridWinners.filter(col("dist_km") <= safeKm)
+
+    // remainder: empty ring, or winner not provably global → exhaustive
+    val unmatched = points.drop("_cla", "_clo")
+      .join(confirmed.select(leftKeys.map(col).toSeq: _*), leftKeys, "left_anti")
+    val fallback = nearestByMinBy(unmatched, right, leftKeys, dist, tieBreak)
+
+    confirmed.unionByName(fallback)
+  }
 }
