@@ -110,7 +110,9 @@ object SparkEntry {
     // TPC-H Q5 shape: snowflake revenue through nation -> region
     "q59_region_revenue" -> (R.q36RegionRevenue _),
     // duplicate clustering: pairs -> connected components -> cluster id
-    "q60_dedup_clusters" -> (X.qDedupClusters _)
+    "q60_dedup_clusters" -> (X.qDedupClusters _),
+    // grid-bucketed nearest join (large-dim path; same oracle as q37)
+    "q61_nearest_grid" -> (X.qNearestStationGrid _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -287,26 +289,8 @@ object SparkEntry {
          |FROM events GROUP BY 1""".stripMargin,
     "q35_nearest_station_window" -> nearestStationSql,
     "q36_nearest_station_minby" -> nearestStationSql,
-    "q37_nearest_haversine" ->
-      """SELECT c_custkey, station, ROUND(d, 3) AS dist_km FROM (
-        |  SELECT c_custkey, station,
-        |    2.0 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) AS d,
-        |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY
-        |      2.0 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) ASC, station ASC) AS rn
-        |  FROM (
-        |    SELECT c_custkey, station,
-        |      pow(sin(radians(s_lat - lat) / 2), 2)
-        |      + cos(radians(lat)) * cos(radians(s_lat)) * pow(sin(radians(s_lon - lon) / 2), 2) AS a
-        |    FROM (SELECT c_custkey,
-        |            greatest(least(c_acctbal/200.0, 51.0), 41.5) AS lat,
-        |            greatest(least(CAST(c_custkey % 360 AS DOUBLE) - 180.0, 9.5), -5.0) AS lon
-        |          FROM customer)
-        |    CROSS JOIN (VALUES
-        |      ('Paris CDG', 48.709632, 2.208563), ('Toulouse', 43.629421, 1.367789),
-        |      ('Lyon', 45.726009, 5.090928), ('Marseille', 43.434242, 5.212784),
-        |      ('Nantes', 47.460152, -0.529704), ('Lille', 50.561237, 3.086957)
-        |    ) st(station, s_lat, s_lon))
-        |) WHERE rn = 1""".stripMargin,
+    "q37_nearest_haversine" -> nearestHaversineSql,
+    "q61_nearest_grid" -> nearestHaversineSql,
     "q38_latest_state" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
@@ -486,5 +470,29 @@ object SparkEntry {
       |    ('Lyon', 45.726009, 5.090928), ('Marseille', 43.434242, 5.212784),
       |    ('Nantes', 47.460152, -0.529704), ('Lille', 50.561237, 3.086957)
       |  ) st(station, s_lat, s_lon)
+      |) WHERE rn = 1""".stripMargin
+
+  /** Shared by q37 (broadcast window path) and q61 (grid-bucketed
+    * path): both strategies must produce identical nearest winners.
+    */
+  private def nearestHaversineSql: String =
+    """SELECT c_custkey, station, ROUND(d, 3) AS dist_km FROM (
+      |  SELECT c_custkey, station,
+      |    2.0 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) AS d,
+      |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY
+      |      2.0 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) ASC, station ASC) AS rn
+      |  FROM (
+      |    SELECT c_custkey, station,
+      |      pow(sin(radians(s_lat - lat) / 2), 2)
+      |      + cos(radians(lat)) * cos(radians(s_lat)) * pow(sin(radians(s_lon - lon) / 2), 2) AS a
+      |    FROM (SELECT c_custkey,
+      |            greatest(least(c_acctbal/200.0, 51.0), 41.5) AS lat,
+      |            greatest(least(CAST(c_custkey % 360 AS DOUBLE) - 180.0, 9.5), -5.0) AS lon
+      |          FROM customer)
+      |    CROSS JOIN (VALUES
+      |      ('Paris CDG', 48.709632, 2.208563), ('Toulouse', 43.629421, 1.367789),
+      |      ('Lyon', 45.726009, 5.090928), ('Marseille', 43.434242, 5.212784),
+      |      ('Nantes', 47.460152, -0.529704), ('Lille', 50.561237, 3.086957)
+      |    ) st(station, s_lat, s_lon))
       |) WHERE rn = 1""".stripMargin
 }

@@ -325,6 +325,21 @@ object ExtensionQueries {
   /** Haversine nearest (true reference semantics, trig → rows-only;
     * ScalaTest pins the km values on fixture coordinates).
     */
+  /** Same nearest-station semantics through the grid-bucketed path —
+    * the large-dimension strategy must return byte-identical winners
+    * to the broadcast window form, so it shares q37's oracle.
+    */
+  def qNearestStationGrid(s: SparkSession, dir: String): DataFrame = {
+    val pts = customerPoints(s, dir)
+      .withColumn("lat", greatest(least(col("lat"), lit(51.0)), lit(41.5)))
+      .withColumn("lon", greatest(least(col("lon"), lit(9.5)), lit(-5.0)))
+    NearestJoin.nearestByGrid(
+      pts, stationDim(s), Seq("c_custkey"),
+      "lat", "lon", "s_lat", "s_lon",
+      tieBreak = col("station"), cellDeg = 2.0)
+      .select(col("c_custkey"), col("station"), round(col("dist_km"), 3).as("dist_km"))
+  }
+
   def qNearestStationHaversine(s: SparkSession, dir: String): DataFrame = {
     val pts = customerPoints(s, dir)
       .withColumn("lat", greatest(least(col("lat"), lit(51.0)), lit(41.5)))
