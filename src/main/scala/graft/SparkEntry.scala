@@ -112,7 +112,9 @@ object SparkEntry {
     // duplicate clustering: pairs -> connected components -> cluster id
     "q60_dedup_clusters" -> (X.qDedupClusters _),
     // grid-bucketed nearest join (large-dim path; same oracle as q37)
-    "q61_nearest_grid" -> (X.qNearestStationGrid _)
+    "q61_nearest_grid" -> (X.qNearestStationGrid _),
+    // unicode NFC canonicalization + content hash (pre-dedup pass)
+    "q62_normalize_hash" -> (X.qNormalizeHash _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -291,6 +293,11 @@ object SparkEntry {
     "q36_nearest_station_minby" -> nearestStationSql,
     "q37_nearest_haversine" -> nearestHaversineSql,
     "q61_nearest_grid" -> nearestHaversineSql,
+    "q62_normalize_hash" ->
+      """SELECT doc_id,
+        |  CAST(length(nfc_normalize(text)) AS INTEGER) AS nfc_len,
+        |  sha256(nfc_normalize(text)) AS nfc_sha
+        |FROM documents""".stripMargin,
     "q38_latest_state" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,

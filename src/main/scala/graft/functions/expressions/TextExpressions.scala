@@ -253,6 +253,24 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization
+    * pass an LLM-data text pipeline runs before hashing/dedup so that
+    * visually-identical strings ("é" precomposed vs "e"+combining
+    * accent) collapse to one byte sequence. Spark has no built-in;
+    * this wraps `java.text.Normalizer` as a compiled kernel.
+    */
+  case class UnicodeNormalizeExpr(child: Expression, form: String)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val nf =
+      java.text.Normalizer.Form.valueOf(form.toUpperCase)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      UTF8String.fromString(java.text.Normalizer.normalize(s, nf))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Morton (Z-order) code: interleaves the low `bits` bits of two
     * non-negative longs — a-bits on even positions, b-bits on odd.
     * Sorting by this value clusters BOTH dimensions simultaneously,
@@ -378,4 +396,6 @@ object TextExpressions {
     toCol(RollingFingerprintExpr(expr(toks)))
   def interleave_bits(a: Column, b: Column, bits: Int = 21): Column =
     toCol(InterleaveBitsExpr(expr(a), expr(b), bits))
+  def unicode_normalize(s: Column, form: String = "NFC"): Column =
+    toCol(UnicodeNormalizeExpr(expr(s), form))
 }

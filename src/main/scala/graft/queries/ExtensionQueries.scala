@@ -48,6 +48,19 @@ object ExtensionQueries {
         TextFunctions.fingerprintFrom(col("_toks")).as("fingerprint"),
         TextFunctions.subwordCount(col("text")).as("n_subwords"))
 
+  /** Unicode NFC canonicalization + content hash — the pass that runs
+    * before any hash-based dedup so visually-identical byte variants
+    * collapse. Oracle-exact: DuckDB's nfc_normalize implements the
+    * same Unicode standard.
+    */
+  def qNormalizeHash(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        length(graft.functions.expressions.TextExpressions
+          .unicode_normalize(col("text"), "NFC")).cast("int").as("nfc_len"),
+        sha2(encode(graft.functions.expressions.TextExpressions
+          .unicode_normalize(col("text"), "NFC"), "UTF-8"), 256).as("nfc_sha"))
+
   // ── Dedup ───────────────────────────────────────────────────────────
 
   /** Exact dedup groups by content hash (sha-256). */

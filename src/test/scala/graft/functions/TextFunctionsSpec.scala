@@ -6,6 +6,23 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 class TextFunctionsSpec extends AnyFunSuite {
+
+  test("unicode NFC collapses composed and decomposed forms to one hash") {
+    import graft.functions.expressions.TextExpressions.unicode_normalize
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{encode, sha2}
+    val composed = "caf\u00e9"      // é precomposed
+    val decomposed = "cafe\u0301"  // e + combining acute
+    val hashes = Seq(composed, decomposed).toDF("t")
+      .select(sha2(encode(unicode_normalize($"t", "NFC"), "UTF-8"), 256))
+      .as[String].collect()
+    assert(hashes(0) == hashes(1))
+    // without normalization the byte sequences differ
+    val raw = Seq(composed, decomposed).toDF("t")
+      .select(sha2(encode($"t", "UTF-8"), 256)).as[String].collect()
+    assert(raw(0) != raw(1))
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
