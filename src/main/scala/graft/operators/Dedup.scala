@@ -295,8 +295,12 @@ object Dedup {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 20): DataFrame = {
+    // every propagation round joins against the edge list — persist it
+    // once or the (potentially expensive) edge derivation re-executes
+    // per iteration
     val sym = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
       .unionByName(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d")))
+      .persist()
 
     var labels = nodes.select(col(nodeCol).as("_n"), col(nodeCol).as("_lbl"))
       .persist()
@@ -321,6 +325,7 @@ object Dedup {
       labels = next
       iter += 1
     }
+    sym.unpersist() // converged: edges are no longer needed
     labels.select(col("_n").as(nodeCol), col("_lbl").as("cluster_id"))
   }
 }
