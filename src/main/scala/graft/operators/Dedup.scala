@@ -103,7 +103,7 @@ object Dedup {
       .distinct() // same pair can collide in many bands
 
     val shingleLookup = prepared.select(col("doc_id"), col("shingles"))
-    candidates
+    val pairs = candidates
       .join(shingleLookup.select(col("doc_id").as("id_a"),
         col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingleLookup.select(col("doc_id").as("id_b"),
@@ -111,6 +111,19 @@ object Dedup {
       .withColumn("jaccard_sim", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
+    materializeAndRelease(pairs, prepared)
+  }
+
+  /** Eagerly materializes `result` (localCheckpoint severs the lineage
+    * back to the cached intermediates), then unpersists the
+    * intermediates — the operator leaves NO storage pinned behind it.
+    * The pair list a near-dup operator returns is orders of magnitude
+    * smaller than its inputs, so the checkpoint is cheap even at scale.
+    */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    out
   }
 
   // ── SimHash ─────────────────────────────────────────────────────────
@@ -185,17 +198,19 @@ object Dedup {
       textCol: String,
       n: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    // docs within Jaccard t have length ratio ≥ t, so band lengths on a
-    // LOG scale with base 1/t: any qualifying pair then differs by at
-    // most one band regardless of absolute length (a fixed-width band
-    // loses pairs once (1-t)·len exceeds the width), and exploding
+    // Jaccard(A,B) ≥ t implies |A| ≥ |A∩B| ≥ t·|A∪B| ≥ t·|B| — the
+    // DISTINCT-shingle counts of a qualifying pair have ratio ≥ t (raw
+    // text lengths do NOT obey this bound: heavily repeated content can
+    // give near-identical shingle sets at very different lengths). So
+    // band the distinct-shingle count on a LOG scale with base 1/t: any
+    // qualifying pair then differs by at most one band, and exploding
     // each doc into its own + next band makes the equi-join lossless.
     val logBase = math.log(1.0 / threshold)
     val prepared = df.select(col(idCol).as("doc_id"),
-      cleanedText(col(textCol)).as("_cleaned"),
-      floor(log(length(col(textCol)).cast("double") + 1.0) / logBase)
-        .as("len_band"))
+      cleanedText(col(textCol)).as("_cleaned"))
       .withColumn("shingles", charShinglesFromCleaned(col("_cleaned"), n))
+      .withColumn("len_band",
+        floor(log(size(array_distinct(col("shingles"))).cast("double") + 1.0) / logBase))
       .drop("_cleaned")
 
     val blocked = prepared.select(col("doc_id"), col("shingles"),
@@ -236,9 +251,8 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val planes = randomPlanes(numPlanes, dim, seed)
     // consumed three times (bucket explode + two vector re-attach
-    // joins) — persist or the projection kernel runs three times.
-    // Cache lifecycle: blocks live until the session evicts them or
-    // the caller clears the cache, same contract as minHashNearDupPairs.
+    // joins) — persist or the projection kernel runs three times; the
+    // cache is released before returning (materializeAndRelease).
     val prepared = df.select(col(idCol).as("vec_id_"), col(vecCol).as("vec"))
       .withColumn("bucket0", VectorFunctions.lshBucket(col("vec"), planes))
       .persist()
@@ -256,7 +270,7 @@ object Dedup {
       .distinct()
 
     val vecLookup = prepared.select(col("vec_id_"), col("vec"))
-    candidates
+    val pairs = candidates
       .join(vecLookup.select(col("vec_id_").as("id_a"), col("vec").as("vec_a")),
         Seq("id_a"))
       .join(vecLookup.select(col("vec_id_").as("id_b"), col("vec").as("vec_b")),
@@ -264,6 +278,7 @@ object Dedup {
       .withColumn("cosine_sim", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
+    materializeAndRelease(pairs, prepared)
   }
 
   // ── Duplicate clustering (connected components) ─────────────────────
@@ -325,7 +340,22 @@ object Dedup {
       labels = next
       iter += 1
     }
-    sym.unpersist() // converged: edges are no longer needed
-    labels.select(col("_n").as(nodeCol), col("_lbl").as("cluster_id"))
+    sym.unpersist() // edges are no longer needed
+    // Min-label propagation needs O(component diameter) rounds; a
+    // duplicate chain longer than maxIter hops would otherwise return
+    // silently WRONG cluster ids — refuse instead of lying.
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter rounds — a component's " +
+          s"diameter exceeds maxIter; raise maxIter (labels would be incorrect)")
+    }
+    // Materialize the result and release the internal cache — callers
+    // can't reach the handle, so returning a frame derived from it
+    // would pin one cached RDD per invocation for the session lifetime.
+    val out = labels.select(col("_n").as(nodeCol), col("_lbl").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 }

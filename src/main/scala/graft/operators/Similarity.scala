@@ -66,10 +66,14 @@ object Similarity {
       maxSample: Int = 16384): DataFrame = {
     val spark = corpus.sparkSession
 
-    // 1. coarse quantizer fit on a deterministic bounded sample
+    // 1. coarse quantizer fit on a deterministic bounded sample.
+    //    Ordering by a seeded hash of the id (not the id itself)
+    //    decorrelates the sample from ingest order — ids commonly track
+    //    time/source, and a prefix sample would train the quantizer on
+    //    a biased slice. xxhash64 is stable, so runs stay reproducible.
     val sample: Array[Array[Double]] = corpus
       .select(toDouble(col(corpusVec)).as("_v"), col(corpusId).as("_id"))
-      .orderBy(col("_id")).limit(maxSample)
+      .orderBy(xxhash64(col("_id"), lit(seed)), col("_id")).limit(maxSample)
       .select("_v").collect()
       .map(_.getSeq[Double](0).toArray)
     val centroids = fitCentroidsLocal(sample, nlist, maxIter = 20, seed = seed)

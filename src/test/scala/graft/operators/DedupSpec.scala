@@ -70,6 +70,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("distinct-shingle banding pairs repeated-content docs of very different lengths") {
+    // "abab"×50 vs "abab"×4: distinct 4-gram sets are near-identical
+    // (Jaccard 1.0) but raw lengths 200 vs 16 sit many log-bands apart —
+    // banding on the DISTINCT-shingle count must still co-locate them.
+    val df = Seq((1L, "abab" * 50), (2L, "abab" * 4)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 4, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("near-dup operators release their internal caches (≤1 materialized result each)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      shingleWords = 2, numHashes = 64, bands = 32, threshold = 0.5).count()
+    // only the localCheckpoint'd result may remain; the persisted
+    // intermediates (prepared/shingles) must be gone
+    assert(sc.getPersistentRDDs.size <= before + 1)
+    val rnd = new scala.util.Random(3)
+    val emb = Seq.tabulate(4)(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val mid = sc.getPersistentRDDs.size
+    Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 8, numPlanes = 6).count()
+    assert(sc.getPersistentRDDs.size <= mid + 1)
+  }
+
   test("embedding near-dup via sign-LSH with multi-probe") {
     val rnd = new scala.util.Random(7)
     val v1 = Array.fill(16)(rnd.nextGaussian().toFloat)
@@ -100,6 +126,18 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.duplicateClusters(nodes, edges, "doc_id", "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(10L))
+  }
+
+  test("duplicate clusters: refuses to return partial labels when maxIter is too low") {
+    // 8-node path needs ~7 propagation rounds; maxIter=3 must throw,
+    // not return silently wrong labels
+    val ids = (10L to 17L).toSeq
+    val nodes = ids.toDF("doc_id")
+    val edges = ids.zip(ids.tail).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(nodes, edges, "doc_id", "id_a", "id_b", maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("minhash signatures are deterministic across evaluations") {
