@@ -114,7 +114,11 @@ object SparkEntry {
     // grid-bucketed nearest join (large-dim path; same oracle as q37)
     "q61_nearest_grid" -> (X.qNearestStationGrid _),
     // unicode NFC canonicalization + content hash (pre-dedup pass)
-    "q62_normalize_hash" -> (X.qNormalizeHash _)
+    "q62_normalize_hash" -> (X.qNormalizeHash _),
+    // IVF with nprobe=nlist is exact: shares q31's brute-force oracle
+    "q63_knn_ivf_exact" -> (X.qKnnIvfExact _),
+    // MinHash verify stage, blocking disabled: exhaustive oracle check
+    "q64_minhash_verify" -> (X.qMinHashVerify _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -254,22 +258,26 @@ object SparkEntry {
         |        FROM documents WHERE doc_id < 500) b
         |    ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
-    "q31_knn_bruteforce" ->
-      """SELECT query_id, vec_id, ROUND(sim, 6) AS cosine_sim,
-        |  CAST(rn AS INTEGER) AS rank FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |    list_sum(list_transform(list_zip(c.embedding, q.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim,
-        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        |      list_sum(list_transform(list_zip(c.embedding, q.embedding),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC,
-        |      c.vec_id ASC) AS rn
-        |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
-        |) WHERE rn <= 10""".stripMargin,
+    // q63 (IVF, nprobe=nlist) is exact by construction → must reproduce
+    // the brute-force result bit-for-bit, so it shares q31's oracle.
+    "q31_knn_bruteforce" -> knnBruteForceSql,
+    "q63_knn_ivf_exact" -> knnBruteForceSql,
+    // MinHash verify stage with blocking disabled: same tokenization as
+    // the operator (lowercase, whitespace split, empties dropped,
+    // distinct 1-shingles), exhaustive pairs, exact Jaccard.
+    "q64_minhash_verify" ->
+      """SELECT id_a, id_b, ROUND(jaccard_sim, 6) AS jaccard_sim FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) AS jaccard_sim
+        |  FROM (SELECT doc_id, list_distinct(list_filter(
+        |          regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS toks
+        |        FROM documents WHERE doc_id < 500) a
+        |  JOIN (SELECT doc_id, list_distinct(list_filter(
+        |          regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS toks
+        |        FROM documents WHERE doc_id < 500) b
+        |    ON a.doc_id < b.doc_id
+        |) WHERE jaccard_sim >= 0.5""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,
@@ -462,6 +470,26 @@ object SparkEntry {
         |LEFT JOIN reach r ON r.s = d.doc_id
         |GROUP BY d.doc_id""".stripMargin
   )
+
+  /** Exact cosine top-10 for query vectors vec_id<5 — the oracle for
+    * both q31 (brute force) and q63 (IVF with every cell probed).
+    */
+  private def knnBruteForceSql: String =
+    """SELECT query_id, vec_id, ROUND(sim, 6) AS cosine_sim,
+      |  CAST(rn AS INTEGER) AS rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |    list_sum(list_transform(list_zip(c.embedding, q.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(c.embedding, q.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC,
+      |      c.vec_id ASC) AS rn
+      |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      |) WHERE rn <= 10""".stripMargin
 
   private def nearestStationSql: String =
     """SELECT c_custkey, station, dist2 FROM (

@@ -69,13 +69,8 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // tokens materialized before shingling (lambda-capture contract in
-    // TextFunctions: an inline tokenizer would re-run per shingle)
-    val prepared = df.select(col(idCol).as("doc_id"),
-      tokens(lower(col(textCol))).as("_toks"))
-      .withColumn("shingles", wordShinglesFromTokens(col("_toks"), shingleWords))
+    val prepared = prepareShingles(df, idCol, textCol, shingleWords)
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
-      .drop("_toks")
       // consumed 4x (band self-join both sides + two shingle lookups):
       // persist or the shingling kernel runs four times
       .persist()
@@ -102,8 +97,29 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct() // same pair can collide in many bands
 
-    val shingleLookup = prepared.select(col("doc_id"), col("shingles"))
-    val pairs = candidates
+    materializeAndRelease(verifyJaccard(candidates, prepared, threshold), prepared)
+  }
+
+  /** The MinHash pipeline's shingle preparation, shared verbatim by the
+    * LSH path and the exhaustive verify path: tokens are materialized
+    * before shingling (lambda-capture contract in TextFunctions: an
+    * inline tokenizer would re-run per shingle).
+    */
+  private def prepareShingles(
+      df: DataFrame, idCol: String, textCol: String, shingleWords: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("_toks"))
+      .withColumn("shingles", wordShinglesFromTokens(col("_toks"), shingleWords))
+      .drop("_toks")
+
+  /** The MinHash pipeline's verify stage, shared verbatim by the LSH
+    * path and the exhaustive path: attach shingle sets to candidate id
+    * pairs, exact-Jaccard filter.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+    val shingleLookup = shingled.select(col("doc_id"), col("shingles"))
+    candidates
       .join(shingleLookup.select(col("doc_id").as("id_a"),
         col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingleLookup.select(col("doc_id").as("id_b"),
@@ -111,7 +127,26 @@ object Dedup {
       .withColumn("jaccard_sim", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
-    materializeAndRelease(pairs, prepared)
+  }
+
+  /** [[minHashNearDupPairs]] with LSH blocking DISABLED: every id pair
+    * is a candidate, then the SAME shingle-prep and exact-Jaccard
+    * verify stages run. Quadratic by construction — exists so the
+    * verify machinery can be proven exact against an exhaustive SQL
+    * oracle on a bounded corpus; the banded path is the scale path.
+    */
+  def minHashVerifyExhaustive(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val prepared = prepareShingles(df, idCol, textCol, shingleWords).persist()
+    val ids = prepared.select(col("doc_id"))
+    val candidates = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    materializeAndRelease(verifyJaccard(candidates, prepared, threshold), prepared)
   }
 
   /** Eagerly materializes `result` (localCheckpoint severs the lineage

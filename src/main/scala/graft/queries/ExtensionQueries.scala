@@ -167,6 +167,31 @@ object ExtensionQueries {
       "query_id", "qvec", k = 10, nlist = 8, nprobe = 3)
   }
 
+  /** IVF with `nprobe = nlist`: probing every cell makes IVF exact, so
+    * the whole machinery (sample fit, compiled cell assignment, probe
+    * ranking, candidate join, top-k window) must reproduce the
+    * brute-force result bit-for-bit — shares q31's oracle. The only
+    * unverified surface left in the ANN path is cell pruning itself,
+    * which ScalaTest recall floors pin.
+    */
+  def qKnnIvfExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "query_id", "qvec", k = 10, nlist = 8, nprobe = 8)
+  }
+
+  /** MinHash verify stage with LSH blocking disabled on a bounded doc
+    * set: exhaustive candidates + the pipeline's own shingle-prep and
+    * exact-Jaccard verify — oracle-checkable, proving the verify
+    * machinery exact (the banded path shares it verbatim).
+    */
+  def qMinHashVerify(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashVerifyExhaustive(
+      tbl(s, dir, "documents").filter(col("doc_id") < 500),
+      "doc_id", "text", shingleWords = 1, threshold = 0.5)
+
   // ── Sessionization / event-time (batch analog of streaming ops) ─────
 
   /** Gap-based sessionization (30-min gap) — the batch analog of the
