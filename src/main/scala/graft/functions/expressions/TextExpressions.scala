@@ -296,6 +296,41 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** Bin index of a numeric value against a sorted edge table (plan
+    * constant): binary search over `edges`, returning the count of
+    * edges ≤ value — a value below every edge gets 0, above every edge
+    * gets `edges.length`. With edges = per-column approxQuantile cuts,
+    * this is the distributed substitute for a rank-normalizing global
+    * window: O(log bins) per row, no sort, no shuffle.
+    */
+  case class QuantileBinExpr(child: Expression, edges: Seq[Double])
+      extends UnaryExpression with CodegenFallback {
+    require(edges.nonEmpty, "edges must be non-empty")
+    private val edgeArr: Array[Double] = edges.toArray
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val v = input match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case l: java.lang.Long => l.doubleValue()
+        case i: java.lang.Integer => i.doubleValue()
+        case s: java.lang.Short => s.doubleValue()
+        case b: java.lang.Byte => b.doubleValue()
+        case d: Decimal => d.toDouble
+        case other => other.toString.toDouble
+      }
+      var idx = java.util.Arrays.binarySearch(edgeArr, v)
+      if (idx < 0) idx = -idx - 1
+      else {
+        // exact hit: step past duplicate edges so the mapping is
+        // deterministic (count of edges <= v)
+        while (idx < edgeArr.length && edgeArr(idx) <= v) idx += 1
+      }
+      java.lang.Long.valueOf(idx.toLong)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Jaccard similarity of two string arrays treated as sets —
     * |A ∩ B| / |A ∪ B|, 0.0 when the union is empty. One hash-set
     * build + one probe pass per row instead of the three interpreted
@@ -396,6 +431,8 @@ object TextExpressions {
     toCol(RollingFingerprintExpr(expr(toks)))
   def interleave_bits(a: Column, b: Column, bits: Int = 21): Column =
     toCol(InterleaveBitsExpr(expr(a), expr(b), bits))
+  def quantile_bin(v: Column, edges: Seq[Double]): Column =
+    toCol(QuantileBinExpr(expr(v), edges))
   def unicode_normalize(s: Column, form: String = "NFC"): Column =
     toCol(UnicodeNormalizeExpr(expr(s), form))
 }

@@ -16,39 +16,60 @@ import graft.functions.expressions.TextExpressions
   * column — the standard lakehouse layout technique for
   * two-predicate tables (e.g. (user, time) or (lat, lon)).
   *
-  * Values are rank-normalized per column with `percent_rank` before
-  * interleaving, so skewed or negative distributions spread evenly
-  * across the curve.
+  * Values are quantile-normalized per column before interleaving, so
+  * skewed or negative distributions spread evenly across the curve.
+  * The normalization is SAMPLED (one `approxQuantile` sketch pass per
+  * column on the driver, then a compiled binary-search bin lookup per
+  * row) — there is no global sort or single-partition window anywhere:
+  * the whole layout job is sketch pass → map pass → range shuffle,
+  * which holds at whole-table 100 TB scale.
   */
 object ZOrder {
 
-  /** Morton code of two numeric columns after rank normalization into
-    * `bits`-bit grid cells.
+  /** Per-column quantile cut points: `bins - 1` sorted edges splitting
+    * the column into `bins` roughly equal-population cells. One
+    * Greenwald-Khanna sketch pass — no sort.
     */
-  def zValue(a: Column, b: Column, bits: Int = 15): Column = {
-    import org.apache.spark.sql.expressions.Window
-    val scale = (1L << bits) - 1
-    val ra = (percent_rank().over(Window.orderBy(a)) * scale).cast("long")
-    val rb = (percent_rank().over(Window.orderBy(b)) * scale).cast("long")
-    TextExpressions.interleave_bits(ra, rb, bits)
+  def quantileEdges(df: DataFrame, column: String, bins: Int): Array[Double] = {
+    require(bins >= 2 && bins <= (1 << 16), s"bins must be in [2, 65536], got $bins")
+    val probs = (1 until bins).map(_.toDouble / bins).toArray
+    df.select(col(column).cast("double").as(column))
+      .stat.approxQuantile(column, probs, 0.25 / bins)
+  }
+
+  /** Morton code of two numeric columns, each quantile-normalized into
+    * `bits`-bit grid cells via the given edge tables (plan constants —
+    * compiled binary search per row, no window, no shuffle).
+    */
+  def zValue(a: Column, b: Column, edgesA: Seq[Double], edgesB: Seq[Double],
+      bits: Int): Column = {
+    require(edgesA.length < (1 << bits) && edgesB.length < (1 << bits),
+      "edge table must fit the bit width")
+    TextExpressions.interleave_bits(
+      TextExpressions.quantile_bin(a, edgesA),
+      TextExpressions.quantile_bin(b, edgesB), bits)
   }
 
   /** Rewrite `df` into `numFiles` files clustered on the Z-curve of
     * (colA, colB). Range partitioning on the z-value gives each file a
     * contiguous curve segment = a compact rectangle in (a, b).
     *
-    * NOTE: `percent_rank` over a global window is a single-partition
-    * sort — fine for the per-partition file-layout step this is meant
-    * for (one lake partition at a time), not for whole-table use; at
-    * whole-table scale substitute a sampled quantile map per column.
+    * `bits` controls grid resolution (2^bits cells per dimension);
+    * pruning only needs cells ≳ numFiles per dimension, and the edge
+    * tables stay bounded driver-side constants (2^10 doubles each by
+    * default).
     */
   def clusterByZ(
       df: DataFrame,
       colA: String,
       colB: String,
       numFiles: Int,
-      bits: Int = 15): DataFrame = {
-    val withZ = df.withColumn("_z", zValue(col(colA), col(colB), bits))
+      bits: Int = 10): DataFrame = {
+    val bins = 1 << bits
+    val edgesA = quantileEdges(df, colA, bins)
+    val edgesB = quantileEdges(df, colB, bins)
+    val withZ = df.withColumn("_z",
+      zValue(col(colA), col(colB), edgesA.toSeq, edgesB.toSeq, bits))
     withZ
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")

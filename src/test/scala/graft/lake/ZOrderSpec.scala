@@ -25,6 +25,24 @@ class ZOrderSpec extends AnyFunSuite {
     assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 2L, 3L, 39L))
   }
 
+  test("quantile_bin kernel: binary-search bin = count of edges <= value") {
+    import graft.functions.expressions.TextExpressions
+    val edges = Seq(10.0, 20.0, 20.0, 30.0)
+    val df = Seq(5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 99.0).toDF("v")
+      .select(TextExpressions.quantile_bin($"v", edges).as("bin"))
+    assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 1L, 3L, 3L, 4L, 4L))
+  }
+
+  test("z-layout plan has no global window or single-partition exchange") {
+    val df = (0 until 1000).map(i => (i % 97, i % 89)).toDF("x", "y")
+    val plan = ZOrder.clusterByZ(df, "x", "y", numFiles = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window leaked into plan:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
+    assert(plan.contains("rangepartitioning".toLowerCase) ||
+      plan.toLowerCase.contains("range"), s"expected range shuffle:\n$plan")
+  }
+
   test("z-clustered files bound both dimensions; linear sort only one") {
     val rnd = new scala.util.Random(5)
     val rows = (0 until 20000).map(_ => (rnd.nextInt(10000), rnd.nextInt(10000)))
