@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Head-to-head for the dense-site nearest join (q65's inputs): the
+  * adaptive grid path vs the broadcast window form on the SAME data.
+  * Prints one JSON line with best-of-3 seconds for each. Run with
+  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS like [[Bench]].
+  */
+object BenchGridRace {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(fn: => DataFrame, runs: Int): Double = {
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn.write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => fn.count() }
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+
+    val grid = time(queries.ExtensionQueries.qNearestSiteDense(spark, sfDir), 3)
+    // single run: the window form shuffles |customers|·|sites| rows —
+    // the regime mismatch being demonstrated; repeating it teaches nothing
+    val window = time(queries.ExtensionQueries.qNearestSiteDenseWindow(spark, sfDir), 1)
+    println(f"""{"grid_sec":$grid%.3f,"window_sec":$window%.3f,"speedup":${window / grid}%.2f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

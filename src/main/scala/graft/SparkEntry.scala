@@ -118,7 +118,15 @@ object SparkEntry {
     // IVF with nprobe=nlist is exact: shares q31's brute-force oracle
     "q63_knn_ivf_exact" -> (X.qKnnIvfExact _),
     // MinHash verify stage, blocking disabled: exhaustive oracle check
-    "q64_minhash_verify" -> (X.qMinHashVerify _)
+    "q64_minhash_verify" -> (X.qMinHashVerify _),
+    // adaptive grid nearest join in its dense-site regime (~1 site/cell)
+    "q65_nearest_dense_grid" -> (X.qNearestSiteDense _),
+    // TPC-H planner-stressing shapes (schema-adapted Q2/Q4/Q7/Q8/Q21)
+    "q66_min_cost_supplier" -> (R.q37MinCostSupplier _),
+    "q67_priority_exists" -> (R.q38PriorityExists _),
+    "q68_nation_volume" -> (R.q39NationVolume _),
+    "q69_market_share" -> (R.q40MarketShare _),
+    "q70_waiting_supplier" -> (R.q41WaitingSupplier _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -301,6 +309,27 @@ object SparkEntry {
     "q36_nearest_station_minby" -> nearestStationSql,
     "q37_nearest_haversine" -> nearestHaversineSql,
     "q61_nearest_grid" -> nearestHaversineSql,
+    // grid path on a dense site set: exact by construction (safe-radius
+    // proof + exhaustive fallback) → window-over-cross-join oracle
+    "q65_nearest_dense_grid" ->
+      """SELECT c_custkey, site_id, ROUND(d, 3) AS dist_km FROM (
+        |  SELECT c_custkey, site_id,
+        |    2.0 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY
+        |      2.0 * 6371.0 * atan2(sqrt(a), sqrt(1.0 - a)) ASC, site_id ASC) AS rn
+        |  FROM (
+        |    SELECT c_custkey, site_id,
+        |      pow(sin(radians(s_lat - lat) / 2), 2)
+        |      + cos(radians(lat)) * cos(radians(s_lat)) * pow(sin(radians(s_lon - lon) / 2), 2) AS a
+        |    FROM (SELECT c_custkey,
+        |            greatest(least(c_acctbal/200.0, 51.0), 41.5) AS lat,
+        |            greatest(least(CAST(c_custkey % 360 AS DOUBLE) - 180.0, 9.5), -5.0) AS lon
+        |          FROM customer)
+        |    CROSS JOIN (SELECT o_orderkey AS site_id,
+        |            41.5 + CAST(o_orderkey % 950 AS DOUBLE) / 100.0 AS s_lat,
+        |            -5.0 + CAST(o_orderkey % 1450 AS DOUBLE) / 100.0 AS s_lon
+        |          FROM orders) st)
+        |) WHERE rn = 1""".stripMargin,
     "q62_normalize_hash" ->
       """SELECT doc_id,
         |  CAST(length(nfc_normalize(text)) AS INTEGER) AS nfc_len,
@@ -469,6 +498,93 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
         |LEFT JOIN reach r ON r.s = d.doc_id
         |GROUP BY d.doc_id""".stripMargin
+  ) ++ tpchShapeSql
+
+  /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —
+    * written in the CORRELATED form (scalar subquery / EXISTS / NOT
+    * EXISTS) so the oracle exercises the semantics our decorrelated
+    * Spark plans must reproduce.
+    */
+  private def tpchShapeSql: Map[String, String] = Map(
+    "q66_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |offers AS (
+        |  SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name, c.supply_cost
+        |  FROM cost c
+        |  JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |  JOIN part p ON c.l_partkey = p.p_partkey AND p.p_size <= 10)
+        |SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, supply_cost
+        |FROM offers o1
+        |WHERE supply_cost = (SELECT MIN(supply_cost) FROM offers o2
+        |                     WHERE o2.p_partkey = o1.p_partkey)""".stripMargin,
+    "q67_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q68_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(vol) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)) AS vol
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q69_market_share" ->
+      """SELECT o_year,
+        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |    ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(SUM(vol) AS DOUBLE) AS total_revenue
+        |FROM (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |    ns.n_name AS supp_nation,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)) AS vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |GROUP BY o_year""".stripMargin,
+    "q70_waiting_supplier" ->
+      """SELECT s_name, numwait FROM (
+        |  SELECT s_name, COUNT(*) AS numwait
+        |  FROM lineitem l1
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  JOIN supplier ON s_suppkey = l1.l_suppkey
+        |  WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |  GROUP BY s_name)
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
 
   /** Exact cosine top-10 for query vectors vec_id<5 — the oracle for

@@ -109,6 +109,49 @@ object NearestJoin {
     * Longitude cells are not wrapped at ±180°; near the poles the safe
     * radius collapses and everything falls back (conservative).
     */
+  /** [[nearestByGrid]] with the cell size DERIVED from site density —
+    * the regime guard the fixed-cell form lacks. One bounded agg over
+    * the site table (count + bounding box, O(1) to the driver) picks:
+    *
+    *  - fewer than `minGridSites` sites (or a degenerate bounding box):
+    *    the broadcast exhaustive pass wins outright — grid bucketing
+    *    would pay its candidate join AND send most points to the
+    *    fallback, so skip it entirely;
+    *  - dense sites: `cellDeg = pad · sqrt(area / n)` targets ~1 site
+    *    per cell, so each 3×3 ring holds ~9 candidates and its safe
+    *    radius (≈ cellDeg · 110 km) covers the typical nearest-site
+    *    distance (≈ 0.5 · sqrt(area/n) · 111 km) with margin — the
+    *    grid pass confirms nearly every point and the exhaustive
+    *    fallback stays a sliver.
+    */
+  def nearestByGridAuto(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      latL: String, lonL: String,
+      latR: String, lonR: String,
+      tieBreak: Column,
+      minGridSites: Int = 64,
+      pad: Double = 1.5): DataFrame = {
+    val s = right.agg(
+      count(lit(1)).as("n"),
+      min(col(latR).cast("double")).as("la0"),
+      max(col(latR).cast("double")).as("la1"),
+      min(col(lonR).cast("double")).as("lo0"),
+      max(col(lonR).cast("double")).as("lo1")).first()
+    val n = s.getAs[Long]("n")
+    val dist = GeoFunctions.haversineKm(col(latL), col(lonL), col(latR), col(lonR))
+    val area =
+      if (n == 0) 0.0
+      else (s.getAs[Double]("la1") - s.getAs[Double]("la0")) *
+        (s.getAs[Double]("lo1") - s.getAs[Double]("lo0"))
+    if (n < minGridSites || area <= 0.0)
+      nearestByMinBy(left, right, leftKeys, dist, tieBreak)
+    else
+      nearestByGrid(left, right, leftKeys, latL, lonL, latR, lonR, tieBreak,
+        cellDeg = pad * math.sqrt(area / n))
+  }
+
   def nearestByGrid(
       left: DataFrame,
       right: DataFrame,

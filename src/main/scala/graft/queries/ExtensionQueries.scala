@@ -363,19 +363,64 @@ object ExtensionQueries {
   /** Haversine nearest (true reference semantics, trig → rows-only;
     * ScalaTest pins the km values on fixture coordinates).
     */
-  /** Same nearest-station semantics through the grid-bucketed path —
-    * the large-dimension strategy must return byte-identical winners
-    * to the broadcast window form, so it shares q37's oracle.
+  /** Same nearest-station semantics through the density-adaptive grid
+    * path — must return byte-identical winners to the broadcast window
+    * form, so it shares q37's oracle. With only 6 stations the regime
+    * guard correctly picks the broadcast exhaustive pass (grid
+    * bucketing can't win under ~dozens of sites); q65 exercises the
+    * grid pass proper on a dense site set.
     */
   def qNearestStationGrid(s: SparkSession, dir: String): DataFrame = {
     val pts = customerPoints(s, dir)
       .withColumn("lat", greatest(least(col("lat"), lit(51.0)), lit(41.5)))
       .withColumn("lon", greatest(least(col("lon"), lit(9.5)), lit(-5.0)))
-    NearestJoin.nearestByGrid(
+    NearestJoin.nearestByGridAuto(
       pts, stationDim(s), Seq("c_custkey"),
       "lat", "lon", "s_lat", "s_lon",
-      tieBreak = col("station"), cellDeg = 2.0)
+      tieBreak = col("station"))
       .select(col("c_custkey"), col("station"), round(col("dist_km"), 3).as("dist_km"))
+  }
+
+  /** Dense synthetic site grid derived from `orders` (one site per
+    * order, deterministic coordinates in the France box) — the site
+    * count scales with SF, so this is the regime the grid join exists
+    * for: a broadcast cross join scores |customers|·|orders| pairs
+    * where the grid pass scores ~9 sites per customer.
+    */
+  private def denseSites(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").select(
+      col("o_orderkey").as("site_id"),
+      (lit(41.5) + (col("o_orderkey") % 950).cast("double") / 100.0).as("s_lat"),
+      (lit(-5.0) + (col("o_orderkey") % 1450).cast("double") / 100.0).as("s_lon"))
+
+  /** The broadcast window form on q65's dense inputs — NOT a declared
+    * query (it scores |customers|·|sites| pairs, the regime the grid
+    * path exists to avoid); kept for the BenchGridRace head-to-head.
+    */
+  def qNearestSiteDenseWindow(s: SparkSession, dir: String): DataFrame = {
+    val pts = customerPoints(s, dir)
+      .withColumn("lat", greatest(least(col("lat"), lit(51.0)), lit(41.5)))
+      .withColumn("lon", greatest(least(col("lon"), lit(9.5)), lit(-5.0)))
+    NearestJoin.nearestByWindow(
+      pts, denseSites(s, dir), "c_custkey",
+      GeoFunctions.haversineKm(col("lat"), col("lon"), col("s_lat"), col("s_lon")),
+      tieBreak = Seq(col("site_id")))
+      .select(col("c_custkey"), col("site_id"), round(col("dist_km"), 3).as("dist_km"))
+  }
+
+  /** Nearest dense site per customer through the adaptive grid path —
+    * exact (grid + provably-safe radius + exhaustive fallback), so it
+    * hash-matches a DuckDB window-over-cross-join oracle.
+    */
+  def qNearestSiteDense(s: SparkSession, dir: String): DataFrame = {
+    val pts = customerPoints(s, dir)
+      .withColumn("lat", greatest(least(col("lat"), lit(51.0)), lit(41.5)))
+      .withColumn("lon", greatest(least(col("lon"), lit(9.5)), lit(-5.0)))
+    NearestJoin.nearestByGridAuto(
+      pts, denseSites(s, dir), Seq("c_custkey"),
+      "lat", "lon", "s_lat", "s_lon",
+      tieBreak = col("site_id"))
+      .select(col("c_custkey"), col("site_id"), round(col("dist_km"), 3).as("dist_km"))
   }
 
   def qNearestStationHaversine(s: SparkSession, dir: String): DataFrame = {

@@ -435,19 +435,191 @@ object RelationalQueries {
 
   /** TPC-H Q5 shape: revenue through the full dimension hierarchy
     * (lineitem → orders → customer → nation → region) — exercises all
-    * snowflake levels, every dim broadcast.
+    * snowflake levels. Every non-fact side carries an explicit
+    * `broadcast` hint so the plan is 4 BroadcastHashJoins regardless of
+    * stats freshness (asserted in PlanAssertionsSpec); the hints pin
+    * the bench-scale plan — at cluster scale the orders/customer joins
+    * would instead be bucket-co-located (see lake.Bucketing) and only
+    * nation/region stay broadcast.
     */
   def q36RegionRevenue(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem")
-      .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(tbl(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .join(tbl(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(tbl(s, dir, "orders")), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(24,6)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
+
+  // ── TPC-H planner-stressing shapes (Q2/Q4/Q7/Q8/Q21), adapted to the
+  //    available schema: there is no partsupp and no commit/receipt
+  //    date, so lineitem stands in as the part↔supplier offer relation
+  //    and "late" means shipped >N days after the order date. ─────────
+
+  /** TPC-H Q2 shape — min-correlated subquery: for each small part, the
+    * cheapest regional (part, supplier) offer; offers = min lineitem
+    * price per (part, supplier). Decorrelated the way Catalyst would:
+    * per-part min aggregate + join back on the min. The offer aggregate
+    * is the only big shuffle; every dimension is broadcast.
+    */
+  def q37MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val cost = tbl(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("supply_cost"))
+    val regionalSupp = tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val smallParts = tbl(s, dir, "part")
+      .filter(col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_brand"))
+    // regionalSupp/smallParts scale with SF (unlike nation/region) —
+    // no explicit hint; AQE broadcasts them while they fit and falls
+    // back to shuffle joins at cluster scale
+    val offers = cost
+      .join(regionalSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"))
+    val minCost = offers.groupBy(col("p_partkey").as("_pk"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    offers
+      .join(minCost, col("p_partkey") === col("_pk") &&
+        col("supply_cost") === col("min_cost"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        col("s_acctbal"), col("n_name"), col("supply_cost"))
+  }
+
+  /** TPC-H Q4 shape — EXISTS + date range: orders of one quarter that
+    * have at least one lineitem shipped more than 60 days after the
+    * order date, counted per priority. The EXISTS compiles to a LEFT
+    * SEMI join on the order key with the date predicate as a join
+    * residual — one shuffle, no row duplication before the aggregate.
+    */
+  def q38PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val ords = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val items = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ords
+      .join(items,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q7 shape — two-nation shipping volume: revenue between a
+    * supplier nation and a customer nation (both directions) by year.
+    * Two independent dimension chains hang off lineitem; nation filters
+    * are pushed below the joins, so only qualifying suppliers/customers
+    * reach the fact join.
+    */
+  def q39NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val nations = tbl(s, dir, "nation")
+      .filter(col("n_name").isin(na, nb))
+    val supp = tbl(s, dir, "supplier")
+      .join(broadcast(nations.select(col("n_nationkey").as("_snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("_snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = tbl(s, dir, "customer")
+      .join(broadcast(nations.select(col("n_nationkey").as("_cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("_cnk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    // orders is fact-scaled: the l_orderkey join stays a shuffle join
+    // at scale (AQE broadcasts it at bench SF); supp/cust are nation-
+    // filtered slivers but still SF-scaled — AQE's call too
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(tbl(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q8 shape — market share via CASE aggregation: of all PROMO
+    * revenue sold into region ASIA per year, the share supplied by
+    * NATION_3. Both nation dimensions join the same fact pass; the
+    * share is a conditional decimal sum over the total decimal sum, so
+    * the double division is bit-identical across engines.
+    */
+  def q40MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val asiaCust = tbl(s, dir, "customer")
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation").select(col("n_nationkey").as("_snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("_snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(24,6)")
+    // part/orders/customer/supplier all scale with SF — no explicit
+    // broadcast pins; only the fixed-cardinality nation/region hints
+    // above are unconditional
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(24,6)")))
+            .cast("double") /
+            sum(vol).cast("double"), 6).as("mkt_share"),
+        sum(vol).cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q21 shape — double EXISTS/NOT EXISTS: suppliers whose late
+    * lineitems (shipped >90 days after the order date) sit on
+    * multi-supplier orders where NO other supplier was late. The two
+    * correlated subqueries become one LEFT SEMI and one LEFT ANTI
+    * self-join on the order key with a supplier-inequality residual —
+    * the canonical decorrelation. Top-100 via orderBy+limit compiles
+    * to TakeOrderedAndProject (no global sort).
+    */
+  def q41WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    val ords = tbl(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    // orders is fact-scaled: shuffle join on the order key (AQE
+    // broadcasts at bench SF)
+    val late = li
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val others = li.select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("_sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("_ok3"), col("l_suppkey").as("_sk3"))
+    late
+      .join(others, col("_ok2") === col("l_orderkey") &&
+        col("_sk2") =!= col("l_suppkey"), "left_semi")
+      .join(lateOthers, col("_ok3") === col("l_orderkey") &&
+        col("_sk3") =!= col("l_suppkey"), "left_anti")
+      .join(tbl(s, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
 
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 

@@ -51,6 +51,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sim.forall(_.getDouble(1) > 0))
   }
 
+  test("real PNG payload decodes to true dimensions and exact mean intensity") {
+    // 3×2 image with known pixel values: two pure-gray rows
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3) {
+      img.setRGB(x, 0, 0x646464) // gray 100
+      img.setRGB(x, 1, 0xc8c8c8) // gray 200
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val df = Seq((1L, "image/png", png)).toDF("media_id", "mt", "raw")
+      .select(col("media_id"), Multimodal.asMedia(col("raw"), col("mt")).as("media"))
+    val f = Multimodal.decodeFeatures(df, "media").select("features").first().getStruct(0)
+    assert(f.getAs[Int]("width") == 3)
+    assert(f.getAs[Int]("height") == 2)
+    assert(f.getAs[Int]("n_frames") == 1)
+    assert(math.abs(f.getAs[Double]("mean_intensity") - 150.0) < 1e-9)
+
+    // the header-only parser agrees without decoding
+    assert(Multimodal.parseImageDims(png).contains((3, 2)))
+  }
+
+  test("header parser: JPEG SOF scan and GIF descriptor, garbage rejected") {
+    val jpegBytes = {
+      val img = new java.awt.image.BufferedImage(5, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.parseImageDims(jpegBytes).contains((5, 4)))
+    val gifBytes = {
+      val img = new java.awt.image.BufferedImage(7, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "gif", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.parseImageDims(gifBytes).contains((7, 3)))
+    assert(Multimodal.parseImageDims(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+  }
+
+  test("decodeFeatures stays a Dataset plan node (no opaque RDD scan)") {
+    val plan = Multimodal.decodeFeatures(mediaDf, "media")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("Scan ExistingRDD"), s"df.rdd round-trip severs lineage:\n$plan")
+  }
+
   test("sampleFrames explodes ~1 row per KiB step") {
     val frames = Multimodal.sampleFrames(mediaDf.filter(col("media_id") === 4L),
       "media", everyNth = 2)

@@ -39,6 +39,38 @@ class GridNearestSpec extends AnyFunSuite {
     assert(grid == brute)
   }
 
+  test("auto regime guard: dense sites take the grid path, sparse the broadcast pass") {
+    val rnd = new scala.util.Random(29)
+    val points = (0L until 500L).map { i =>
+      (i, 41.5 + rnd.nextDouble() * 9.5, -4.5 + rnd.nextDouble() * 13.5)
+    }.toDF("pid", "lat", "lon")
+    val dense = (0L until 2000L).map { j =>
+      (j, 41.5 + rnd.nextDouble() * 9.5, -4.5 + rnd.nextDouble() * 13.5)
+    }.toDF("sid", "s_lat", "s_lon")
+    val sparse = dense.filter($"sid" < 10)
+
+    // grid path plans a union (confirmed ∪ fallback); broadcast pass doesn't
+    val densePlan = NearestJoin.nearestByGridAuto(points, dense, Seq("pid"),
+      "lat", "lon", "s_lat", "s_lon", tieBreak = $"sid")
+      .queryExecution.optimizedPlan.toString
+    assert(densePlan.contains("Union"), s"dense sites should take the grid path:\n$densePlan")
+    val sparsePlan = NearestJoin.nearestByGridAuto(points, sparse, Seq("pid"),
+      "lat", "lon", "s_lat", "s_lon", tieBreak = $"sid")
+      .queryExecution.optimizedPlan.toString
+    assert(!sparsePlan.contains("Union"), s"sparse sites should skip the grid:\n$sparsePlan")
+
+    // and the adaptive grid result is still exact vs brute force
+    val dist = GeoFunctions.haversineKm($"lat", $"lon", $"s_lat", $"s_lon")
+    val auto = NearestJoin.nearestByGridAuto(points, dense, Seq("pid"),
+      "lat", "lon", "s_lat", "s_lon", tieBreak = $"sid")
+      .select($"pid", $"sid", round($"dist_km", 6).as("d"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val brute = NearestJoin.nearestByMinBy(points, dense, Seq("pid"), dist, $"sid")
+      .select($"pid", $"sid", round($"dist_km", 6).as("d"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(auto == brute)
+  }
+
   test("every point appears exactly once even with all-empty rings") {
     // sites far outside every point's ring at this tiny cell size
     val points = Seq((1L, 45.0, 2.0), (2L, 46.0, 3.0)).toDF("pid", "lat", "lon")

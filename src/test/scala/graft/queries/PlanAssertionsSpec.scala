@@ -48,4 +48,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(broadcasts == 3, s"expected 3 broadcast joins:\n$plan")
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q59: snowflake hierarchy broadcasts all 4 levels (hints, not stats)") {
+    val plan = planOf("q59_region_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts == 4, s"expected 4 broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q70: top-100 compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q70_waiting_supplier")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
