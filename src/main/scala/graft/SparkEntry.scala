@@ -126,7 +126,9 @@ object SparkEntry {
     "q67_priority_exists" -> (R.q38PriorityExists _),
     "q68_nation_volume" -> (R.q39NationVolume _),
     "q69_market_share" -> (R.q40MarketShare _),
-    "q70_waiting_supplier" -> (R.q41WaitingSupplier _)
+    "q70_waiting_supplier" -> (R.q41WaitingSupplier _),
+    // streaming sessionizer replayed to completion, batch-oracle-checked
+    "q71_sessionize_stream" -> (X.qSessionizeStream _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -291,16 +293,10 @@ object SparkEntry {
         |  ROUND(SQRT(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
         |FROM embeddings""".stripMargin,
-    "q33_sessionize" ->
-      """SELECT user_id,
-        |  CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-        |  COUNT(*) AS n_events
-        |FROM (
-        |  SELECT user_id, ts,
-        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        |  FROM events)
-        |GROUP BY user_id""".stripMargin,
+    // q71 runs the STREAMING sessionizer over the same events — same
+    // oracle: stream output must equal the batch window form exactly.
+    "q33_sessionize" -> sessionizeSql,
+    "q71_sessionize_stream" -> sessionizeSql,
     "q34_daily_window" ->
       s"""SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,
          |  ${dsum("\"value\"")} AS sum_value
@@ -586,6 +582,20 @@ object SparkEntry {
         |  GROUP BY s_name)
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
+
+  /** Gap-based sessionization (30-min gap) — the oracle for both the
+    * batch window form (q33) and the streaming replay (q71).
+    */
+  private def sessionizeSql: String =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin
 
   /** Exact cosine top-10 for query vectors vec_id<5 — the oracle for
     * both q31 (brute force) and q63 (IVF with every cell probed).

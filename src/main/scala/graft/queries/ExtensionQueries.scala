@@ -209,6 +209,20 @@ object ExtensionQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** The STREAMING sessionizer run to completion over the same events
+    * and aggregated to q33's schema — stream/batch parity as a
+    * driver-checked oracle row: flatMapGroupsWithState through a real
+    * MemoryStream (micro-batched, watermark-timed-out) must produce
+    * exactly the batch window form's sessions.
+    */
+  def qSessionizeStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.replaySessionSummaries(
+      RelationalQueries.events(s, dir).select(col("user_id"), col("ts")),
+      gapSeconds = 1800)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"))
+
   /** Tumbling daily window aggregate (streaming-window batch analog). */
   def qDailyWindow(s: SparkSession, dir: String): DataFrame =
     RelationalQueries.events(s, dir)

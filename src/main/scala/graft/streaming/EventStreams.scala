@@ -4,8 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Input row for [[EventStreams.statefulSessions]]. */
-case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+/** Input row for [[EventStreams.statefulSessions]]. `us` carries the
+  * exact epoch-microsecond event time — java.sql.Timestamp.getTime is
+  * millisecond-truncated, and a session-gap comparison within 1 ms of
+  * the boundary must not flip against the batch (µs-exact) form.
+  */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, us: Long)
 
 /** One closed session emitted by [[EventStreams.statefulSessions]]. */
 case class SessionSummary(
@@ -14,8 +18,8 @@ case class SessionSummary(
     session_end: java.sql.Timestamp,
     n_events: Long)
 
-/** Open-session state carried between micro-batches. */
-private[streaming] case class OpenSession(startMs: Long, endMs: Long, n: Long)
+/** Open-session state carried between micro-batches (epoch µs). */
+private[streaming] case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
 /** Structured-Streaming operators over an event stream
   * (ts: timestamp, user_id, event_type, value).
@@ -144,13 +148,17 @@ object EventStreams {
       lateness: String = "0 seconds"): Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
 
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def summary(uid: Long, s: OpenSession): SessionSummary =
-      SessionSummary(uid, new java.sql.Timestamp(s.startMs),
-        new java.sql.Timestamp(s.endMs), s.n)
+      SessionSummary(uid, tsOf(s.startUs), tsOf(s.endUs), s.n)
 
-    events.selectExpr("user_id", "ts")
+    events.selectExpr("user_id", "ts", "unix_micros(ts) AS us")
       .withWatermark("ts", lateness)
       .as[SessionEvent]
       .groupByKey(_.user_id)
@@ -164,23 +172,70 @@ object EventStreams {
           } else {
             val closed = scala.collection.mutable.ListBuffer.empty[SessionSummary]
             var cur = state.getOption
-            rows.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+            rows.map(_.us).toSeq.sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.endMs > gapMs =>
+                case Some(s) if t - s.endUs > gapUs =>
                   closed += summary(uid, s)
                   cur = Some(OpenSession(t, t, 1))
                 case Some(s) =>
-                  cur = Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1))
+                  cur = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
                 case None =>
                   cur = Some(OpenSession(t, t, 1))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+              // timeout API is ms-grained: round UP so the timeout never
+              // fires before the µs-exact gap horizon
+              state.setTimeoutTimestamp(Math.floorDiv(s.endUs + gapUs, 1000L) + 1L)
             }
             closed.iterator
           }
       }
+  }
+
+  /** Replays a BOUNDED event frame through a real `MemoryStream` in
+    * `numBatches` arrival-order micro-batches, runs
+    * [[statefulSessions]] over it, and returns the closed sessions —
+    * the stream/batch-parity harness: the streaming operator's output
+    * is comparable against the batch sessionize oracle on the same
+    * rows. A sentinel event (user_id = -1) past every session's
+    * timeout horizon advances the watermark so the final open sessions
+    * close; the sentinel's own row is filtered from the result.
+    *
+    * Driver-bounded by design (the frame is collected to feed the
+    * source) — this is a correctness harness over test-scale data, not
+    * a production path; production streams read from a real source.
+    */
+  def replaySessionSummaries(
+      events: DataFrame,
+      gapSeconds: Long,
+      numBatches: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = events.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
+    require(rows.nonEmpty, "replaySessionSummaries needs at least one event")
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = statefulSessions(
+      source.toDF().toDF("user_id", "ts"), gapSeconds)
+    val qname = "graft_sessions_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream.format("memory")
+      .queryName(qname).outputMode("append").start()
+    try {
+      val chunkSize = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
+      rows.grouped(chunkSize).foreach { c =>
+        source.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      val sentinelMs = rows.last._2.getTime + gapSeconds * 2000L + 60000L
+      source.addData(Seq((-1L, new java.sql.Timestamp(sentinelMs))))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname).filter(col("user_id") =!= -1L)
   }
 }
