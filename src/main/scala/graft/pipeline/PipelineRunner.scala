@@ -71,7 +71,12 @@ final class PipelineRunner(
     usage.write.mode(SaveMode.Overwrite).parquet(usageDir)
     val docs = UsageProjection.latestPerAircraft(
       UsageProjection.documents(spark.read.parquet(usageDir)))
-    sink.upsert(docs, "icao24")
+    // typed serving contract enforced at the sink boundary — the
+    // engine-side analog of the reference's pinned ES index mapping
+    // (src/index_elastic.py:22-62): mis-typed documents fail here, not
+    // in the serving store
+    new graft.lake.ContractSink(sink, graft.lake.ServingContract.flightDocuments)
+      .upsert(docs, "icao24")
 
     // one aggregation pass for the run metrics (the reference re-runs
     // the whole lineage per count — SURVEY.md §4 anti-pattern)

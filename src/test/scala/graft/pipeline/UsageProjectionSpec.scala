@@ -49,6 +49,34 @@ class UsageProjectionSpec extends AnyFunSuite {
       .withColumn("anomaly_score", lit(0.1234))
   }
 
+  test("serving documents conform to the pinned contract; violations fail the sink") {
+    import graft.lake.{ContractSink, DocumentSink, ServingContract}
+    val docs = UsageProjection.documents(UsageProjection.usage(enrichedFixture))
+    assert(ServingContract.violations(docs.schema, ServingContract.flightDocuments).isEmpty,
+      ServingContract.violations(docs.schema, ServingContract.flightDocuments).mkString("\n"))
+
+    var delivered = 0
+    val recording = new DocumentSink {
+      override def upsert(d: org.apache.spark.sql.DataFrame, k: String): Unit =
+        delivered += 1
+    }
+    val checked = new ContractSink(recording, ServingContract.flightDocuments)
+    checked.upsert(docs, "icao24")
+    assert(delivered == 1)
+
+    // mis-typed column: risk_score as string must be rejected by name
+    val mistyped = docs.withColumn("risk_score", col("risk_score").cast("string"))
+    val e1 = intercept[IllegalArgumentException] { checked.upsert(mistyped, "icao24") }
+    assert(e1.getMessage.contains("risk_score"))
+    assert(delivered == 1) // nothing reached the inner sink
+
+    // dropped column must be rejected as missing
+    val e2 = intercept[IllegalArgumentException] {
+      checked.upsert(docs.drop("location"), "icao24")
+    }
+    assert(e2.getMessage.contains("missing field: location"))
+  }
+
   test("usage projection keeps exactly the 28 serving columns") {
     val u = UsageProjection.usage(enrichedFixture)
     assert(u.columns.length == 28)
