@@ -128,7 +128,14 @@ object SparkEntry {
     "q69_market_share" -> (R.q40MarketShare _),
     "q70_waiting_supplier" -> (R.q41WaitingSupplier _),
     // streaming sessionizer replayed to completion, batch-oracle-checked
-    "q71_sessionize_stream" -> (X.qSessionizeStream _)
+    "q71_sessionize_stream" -> (X.qSessionizeStream _),
+    // TPC-H breadth second wave (schema-adapted Q10/Q12/Q13/Q14/Q19/Q22)
+    "q72_returned_customers" -> (R.q42ReturnedCustomers _),
+    "q73_late_ship_priority" -> (R.q43LateShipPriority _),
+    "q74_order_count_dist" -> (R.q44OrderCountDistribution _),
+    "q75_promo_share" -> (R.q45PromoShare _),
+    "q76_disjunctive_join" -> (R.q46DisjunctiveJoin _),
+    "q77_rich_inactive" -> (R.q47RichInactiveCustomers _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -565,6 +572,75 @@ object SparkEntry {
         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         |    AND o_orderdate < TIMESTAMP '1997-01-01')
         |GROUP BY o_year""".stripMargin,
+    "q72_returned_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q73_late_ship_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q74_order_count_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q75_promo_share" ->
+      """SELECT
+        |  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))
+        |      ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE),
+        |    6) AS promo_revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q76_disjunctive_join" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size <= 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#2' AND p_size <= 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size <= 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    "q77_rich_inactive" ->
+      """SELECT cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM (
+        |  SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+        |  FROM customer
+        |  WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                       / COUNT(*)
+        |                     FROM customer WHERE c_acctbal > 0)
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01'))
+        |GROUP BY cntrycode""".stripMargin,
     "q70_waiting_supplier" ->
       """SELECT s_name, numwait FROM (
         |  SELECT s_name, COUNT(*) AS numwait

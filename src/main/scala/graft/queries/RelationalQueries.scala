@@ -621,6 +621,129 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** TPC-H Q10 shape — returned-item customers: revenue lost to
+    * returns per customer over a quarter, top 20. The returnflag and
+    * date filters push below the joins; top-20 is
+    * TakeOrderedAndProject with the customer key as tie-break.
+    */
+  def q42ReturnedCustomers(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  /** TPC-H Q12 shape — conditional priority counting over late-shipped
+    * lineitems (no shipmode column in this schema, so returnflag is
+    * the grouping dimension): one join, CASE sums, no row explosion.
+    */
+  def q43LateShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val highPrio = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(tbl(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(highPrio, 1).otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(highPrio, 0).otherwise(1)).cast("long").as("low_line_count"))
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution INCLUDING
+    * zero-order customers: the order filter lives in the LEFT join
+    * condition (a WHERE would drop the nulls Q13 exists to count),
+    * then a two-level aggregate.
+    */
+  def q44OrderCountDistribution(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select("c_custkey")
+      .join(tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q14 shape — promo revenue share of one month: conditional
+    * decimal sum over total decimal sum; the double division is
+    * bit-identical across engines because both operands are.
+    */
+  def q45PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(24,6)")
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(tbl(s, dir, "part").select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", vol)
+            .otherwise(lit(0).cast("decimal(24,6)"))).cast("double") /
+          sum(vol).cast("double"), 6).as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive predicate join: an equi join on the
+    * part key with a three-branch OR residual over brand/size/quantity
+    * (each branch a different selectivity), summed to one row.
+    */
+  def q46DisjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
+    val branch = (col("p_brand") === "Brand#1" && col("p_size") <= 5 &&
+      col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+      (col("p_brand") === "Brand#2" && col("p_size") <= 10 &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+      (col("p_brand") === "Brand#3" && col("p_size") <= 15 &&
+        col("l_quantity") >= 20 && col("l_quantity") <= 30)
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "part").select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey") && branch)
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(24,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape — scalar-average subquery + anti join: customers
+    * above the positive-balance average with no RECENT orders (every
+    * synthetic customer has some order, so Q22's "no orders at all"
+    * would be vacuously empty — the date-scoped NOT EXISTS keeps the
+    * anti join selective), rolled up by a derived country code. The
+    * scalar lands as an O(1) driver literal (the F13 pattern); the
+    * NOT EXISTS is a LEFT ANTI join.
+    */
+  def q47RichInactiveCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(s, dir, "customer")
+    val threshold = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("t"))
+      .first().getDouble(0)
+    cust
+      .filter(col("c_acctbal") > lit(threshold))
+      .join(tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 10).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+  }
+
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 
   /** Exercises the PRODUCTION risk-score expression (B1/B2) against an
