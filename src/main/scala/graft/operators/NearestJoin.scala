@@ -132,7 +132,7 @@ object NearestJoin {
       latR: String, lonR: String,
       tieBreak: Column,
       minGridSites: Int = 64,
-      pad: Double = 1.5): DataFrame = {
+      pad: Double = 2.0): DataFrame = {
     val s = right.agg(
       count(lit(1)).as("n"),
       min(col(latR).cast("double")).as("la0"),
@@ -193,9 +193,15 @@ object NearestJoin {
       greatest(cos(radians(abs(col(latL)) + lit(cellDeg))), lit(0.0))
     val confirmed = gridWinners.filter(col("dist_km") <= safeKm)
 
-    // remainder: empty ring, or winner not provably global → exhaustive
+    // remainder: empty ring, or winner not provably global → exhaustive.
+    // The anti-join output is tiny, so AQE coalesces it to ~1 partition
+    // — but the broadcast cross join EXPANDS each row |right|-fold, and
+    // an expansion processed in one task serializes the whole fallback.
+    // Re-spread the small side first: partition count must be sized to
+    // the post-join row count, not the input byte count.
     val unmatched = points.drop("_cla", "_clo")
       .join(confirmed.select(leftKeys.map(col).toSeq: _*), leftKeys, "left_anti")
+      .repartition(left.sparkSession.sessionState.conf.numShufflePartitions)
     val fallback = nearestByMinBy(unmatched, right, leftKeys, dist, tieBreak)
 
     confirmed.unionByName(fallback)
