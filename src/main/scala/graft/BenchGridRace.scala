@@ -33,8 +33,12 @@ object BenchGridRace {
 
     val grid = time(queries.ExtensionQueries.qNearestSiteDense(spark, sfDir), 3)
     // single run: the window form shuffles |customers|·|sites| rows —
-    // the regime mismatch being demonstrated; repeating it teaches nothing
-    val window = time(queries.ExtensionQueries.qNearestSiteDenseWindow(spark, sfDir), 1)
+    // the regime mismatch being demonstrated; repeating it teaches
+    // nothing, and SPARK_GRAFT_RACE_WINDOW=0 skips it entirely (at
+    // sf0.1 it runs for tens of minutes)
+    val window =
+      if (sys.env.get("SPARK_GRAFT_RACE_WINDOW").contains("0")) Double.NaN
+      else time(queries.ExtensionQueries.qNearestSiteDenseWindow(spark, sfDir), 1)
     println(f"""{"grid_sec":$grid%.3f,"window_sec":$window%.3f,"speedup":${window / grid}%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }

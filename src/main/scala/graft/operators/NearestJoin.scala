@@ -109,20 +109,29 @@ object NearestJoin {
     * Longitude cells are not wrapped at ±180°; near the poles the safe
     * radius collapses and everything falls back (conservative).
     */
-  /** [[nearestByGrid]] with the cell size DERIVED from site density —
-    * the regime guard the fixed-cell form lacks. One bounded agg over
-    * the site table (count + bounding box, O(1) to the driver) picks:
+  /** [[nearestByGrid]] with the cell size derived from a SAMPLED
+    * nearest-distance bound — the regime guard the fixed-cell form
+    * lacks, robust to ANY site distribution (uniform, clustered,
+    * lattice-with-holes):
     *
-    *  - fewer than `minGridSites` sites (or a degenerate bounding box):
-    *    the broadcast exhaustive pass wins outright — grid bucketing
-    *    would pay its candidate join AND send most points to the
-    *    fallback, so skip it entirely;
-    *  - dense sites: `cellDeg = pad · sqrt(area / n)` targets ~1 site
-    *    per cell, so each 3×3 ring holds ~9 candidates and its safe
-    *    radius (≈ cellDeg · 110 km) covers the typical nearest-site
-    *    distance (≈ 0.5 · sqrt(area/n) · 111 km) with margin — the
-    *    grid pass confirms nearly every point and the exhaustive
-    *    fallback stays a sliver.
+    *  1. fewer than `minGridSites` distinct site positions (or a
+    *     degenerate bounding box): the broadcast exhaustive pass wins
+    *     outright — skip the grid entirely;
+    *  2. otherwise, measure the true nearest-site distance of
+    *     `sampleSize` hash-picked points (one bounded broadcast pass,
+    *     the same sample-fit trick IVF uses for its quantizer) and
+    *     size the cell so the 3×3 ring's PROVABLE radius covers the
+    *     sampled maximum with `margin` — the grid pass then confirms
+    *     essentially every point, and sample-missed stragglers stay
+    *     exact through the fallback;
+    *  3. if the resulting ring would cover a large fraction of the
+    *     site area anyway, grid bucketing cannot beat one broadcast
+    *     pass — take the exhaustive pass directly.
+    *
+    * A density-derived cell (`pad·sqrt(area/n)`) is NOT safe here:
+    * co-located duplicates and structured lattices make typical
+    * nearest distances far exceed the density scale, silently routing
+    * a large fraction of points through the quadratic fallback.
     */
   def nearestByGridAuto(
       left: DataFrame,
@@ -132,24 +141,68 @@ object NearestJoin {
       latR: String, lonR: String,
       tieBreak: Column,
       minGridSites: Int = 64,
-      pad: Double = 2.0): DataFrame = {
+      sampleSize: Int = 512,
+      margin: Double = 1.25): DataFrame = {
+    val spark = left.sparkSession
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    val dist = GeoFunctions.haversineKm(col(latL), col(lonL), col(latR), col(lonR))
+
     val s = right.agg(
       count(lit(1)).as("n"),
+      approx_count_distinct(struct(col(latR), col(lonR))).as("npos"),
       min(col(latR).cast("double")).as("la0"),
       max(col(latR).cast("double")).as("la1"),
       min(col(lonR).cast("double")).as("lo0"),
       max(col(lonR).cast("double")).as("lo1")).first()
     val n = s.getAs[Long]("n")
-    val dist = GeoFunctions.haversineKm(col(latL), col(lonL), col(latR), col(lonR))
+    val nPos = if (n == 0) 0L else math.max(1L, math.min(n, s.getAs[Long]("npos")))
     val area =
       if (n == 0) 0.0
       else (s.getAs[Double]("la1") - s.getAs[Double]("la0")) *
         (s.getAs[Double]("lo1") - s.getAs[Double]("lo0"))
-    if (n < minGridSites || area <= 0.0)
+    if (nPos < minGridSites || area <= 0.0)
+      return nearestByMinBy(left, right, leftKeys, dist, tieBreak)
+
+    // sampled max nearest distance (km): deterministic hash-picked
+    // points, re-spread before the broadcast expansion (see the
+    // fallback note in nearestByGrid)
+    val sampled = left
+      .select(col(latL).cast("double").as("_plat"), col(lonL).cast("double").as("_plon"))
+      .orderBy(xxhash64(col(latL), col(lonL)), col(latL), col(lonL))
+      .limit(sampleSize)
+      .repartition(shufflePartitions)
+    val nnRows = sampled
+      .crossJoin(broadcast(right.select(
+        col(latR).cast("double").as("_slat"), col(lonR).cast("double").as("_slon"))))
+      .groupBy(col("_plat"), col("_plon"))
+      .agg(min(GeoFunctions.haversineKm(col("_plat"), col("_plon"),
+        col("_slat"), col("_slon"))).as("_nn"))
+      .agg(max(col("_nn")).as("_dmax"))
+      .first()
+    if (nnRows.isNullAt(0)) // empty left
+      return nearestByMinBy(left, right, leftKeys, dist, tieBreak)
+    val dMaxKm = nnRows.getDouble(0)
+
+    // invert safeKm(lat) = cell · 110 · cos(|lat|+cell) at the worst
+    // latitude so the provable radius covers the sampled bound; one
+    // fixed-point refinement accounts for cell widening the angle.
+    // A mis-estimate only costs fallback time, never correctness.
+    val worstAbsLat = math.max(math.abs(s.getAs[Double]("la0")),
+      math.abs(s.getAs[Double]("la1"))) + 1.0
+    def cellFor(extraDeg: Double): Double = {
+      val c = math.cos(math.toRadians(math.min(worstAbsLat + extraDeg, 89.0)))
+      if (c <= 0.05) Double.MaxValue
+      else dMaxKm * margin / (110.0 * c)
+    }
+    val cell0 = cellFor(0.0)
+    val cellDeg = math.max(cellFor(if (cell0.isInfinite) 0.0 else cell0), 1e-4)
+
+    // a 3×3 ring covering ≥20% of the site area means the grid can't
+    // meaningfully prune — one broadcast pass is strictly cheaper
+    if (cellDeg == Double.MaxValue || 9.0 * cellDeg * cellDeg >= 0.2 * area)
       nearestByMinBy(left, right, leftKeys, dist, tieBreak)
     else
-      nearestByGrid(left, right, leftKeys, latL, lonL, latR, lonR, tieBreak,
-        cellDeg = pad * math.sqrt(area / n))
+      nearestByGrid(left, right, leftKeys, latL, lonL, latR, lonR, tieBreak, cellDeg)
   }
 
   def nearestByGrid(
