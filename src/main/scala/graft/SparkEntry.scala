@@ -135,7 +135,10 @@ object SparkEntry {
     "q74_order_count_dist" -> (R.q44OrderCountDistribution _),
     "q75_promo_share" -> (R.q45PromoShare _),
     "q76_disjunctive_join" -> (R.q46DisjunctiveJoin _),
-    "q77_rich_inactive" -> (R.q47RichInactiveCustomers _)
+    "q77_rich_inactive" -> (R.q47RichInactiveCustomers _),
+    // streaming window agg + streaming dedup, replayed and batch-checked
+    "q78_windowed_stream" -> (X.qWindowedStream _),
+    "q79_dedup_stream" -> (X.qDedupStream _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -572,6 +575,18 @@ object SparkEntry {
         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         |    AND o_orderdate < TIMESTAMP '1997-01-01')
         |GROUP BY o_year""".stripMargin,
+    // 5-minute tumbling buckets via epoch arithmetic (Spark's window()
+    // aligns to the 1970 epoch; 300s divides it) — naive timestamps on
+    // both sides so no timezone enters the compare
+    "q78_windowed_stream" ->
+      """SELECT strftime(make_timestamp((epoch_us(ts) // 300000000) * 300000000),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "q79_dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
     "q72_returned_customers" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,

@@ -223,6 +223,43 @@ object ExtensionQueries {
       .agg(count(lit(1)).cast("long").as("n_sessions"),
         sum(col("n_events")).cast("long").as("n_events"))
 
+  /** Watermarked tumbling-window counts run as a REAL stream (append
+    * mode, windows closed by watermark advancement) and replayed to
+    * completion — the declarative streaming-window machinery under the
+    * same epoch-bucket oracle as its batch form. Decimal-carried sums
+    * keep the float aggregation order-independent across micro-batches.
+    */
+  def qWindowedStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.replayToTable(
+      RelationalQueries.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value")),
+      df => df.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(
+          date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value")),
+      horizonSeconds = 600)
+      .filter(col("event_type") =!= "_sentinel")
+
+  /** Streaming first-occurrence dedup (`dropDuplicatesWithinWatermark`)
+    * replayed to completion: a key seen in an early micro-batch must
+    * suppress re-occurrences in later ones (the lateness horizon spans
+    * the whole event range, so state never evicts mid-replay). The
+    * surviving key SET equals batch DISTINCT — the oracle; key columns
+    * only, so the check is insensitive to which duplicate row won.
+    */
+  def qDedupStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.replayToTable(
+      RelationalQueries.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value")),
+      df => df.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      horizonSeconds = 60)
+      .filter(col("event_type") =!= "_sentinel")
+
   /** Tumbling daily window aggregate (streaming-window batch analog). */
   def qDailyWindow(s: SparkSession, dir: String): DataFrame =
     RelationalQueries.events(s, dir)

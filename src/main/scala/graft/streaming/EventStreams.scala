@@ -210,32 +210,77 @@ object EventStreams {
   def replaySessionSummaries(
       events: DataFrame,
       gapSeconds: Long,
-      numBatches: Int = 4): DataFrame = {
+      numBatches: Int = 4): DataFrame =
+    replayToTable(
+      events,
+      df => statefulSessions(df, gapSeconds).toDF(),
+      horizonSeconds = gapSeconds * 2 + 60,
+      numBatches = numBatches)
+      .filter(col("user_id") =!= -1L)
+
+  /** Generic stream/batch-parity replay harness: feeds a BOUNDED event
+    * frame (any subset of the columns `user_id, event_id, ts,
+    * event_type, value`; missing ones are null/zero-filled) through a
+    * real `MemoryStream` in `numBatches` arrival-order micro-batches,
+    * runs `buildStream` over it (append mode), and returns the emitted
+    * rows. A sentinel event (`user_id = -1`, `event_type =
+    * "_sentinel"`) `horizonSeconds` past the last real event advances
+    * the watermark so every window/session/timeout closes — callers
+    * filter sentinel-derived rows where the operator passes keys
+    * through.
+    *
+    * The replay runs on few shuffle partitions (saved and restored):
+    * each micro-batch commits one state store per partition, and at
+    * replay scale per-task commit overhead dominates — 8 wide-open
+    * state tasks beat 32 mostly-idle ones. Driver-bounded by design (a
+    * correctness harness over test-scale data, not a production path;
+    * production streams read from a real source).
+    */
+  def replayToTable(
+      events: DataFrame,
+      buildStream: DataFrame => DataFrame,
+      horizonSeconds: Long,
+      numBatches: Int = 4,
+      replayShufflePartitions: Int = 8): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    val rows = events.select(col("user_id"), col("ts"))
-      .as[(Long, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
-    require(rows.nonEmpty, "replaySessionSummaries needs at least one event")
-    val source =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
-    val sessions = statefulSessions(
-      source.toDF().toDF("user_id", "ts"), gapSeconds)
-    val qname = "graft_sessions_" +
+    val present = events.columns.toSet
+    def pick(name: String, default: Column): Column =
+      (if (present(name)) col(name) else default).as(name)
+    val rows = events.select(
+      pick("user_id", lit(0L)).cast("long").as("user_id"),
+      pick("event_id", lit(0L)).cast("long").as("event_id"),
+      col("ts"),
+      pick("event_type", lit("")).cast("string").as("event_type"),
+      pick("value", lit(0.0)).cast("double").as("value"))
+      .as[(Long, Long, java.sql.Timestamp, String, Double)]
+      .collect().sortBy(_._3.getTime)
+    require(rows.nonEmpty, "replayToTable needs at least one event")
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val out = buildStream(source.toDF()
+      .toDF("user_id", "event_id", "ts", "event_type", "value"))
+    val qname = "graft_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessions.writeStream.format("memory")
-      .queryName(qname).outputMode("append").start()
+    val partitionsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
     try {
-      val chunkSize = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
-      rows.grouped(chunkSize).foreach { c =>
-        source.addData(c.toSeq)
+      val q = out.writeStream.format("memory")
+        .queryName(qname).outputMode("append").start()
+      try {
+        val chunkSize = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
+        rows.grouped(chunkSize).foreach { c =>
+          source.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+        val sentinelMs = rows.last._3.getTime + horizonSeconds * 1000L
+        source.addData(Seq((-1L, -1L, new java.sql.Timestamp(sentinelMs),
+          "_sentinel", 0.0)))
         q.processAllAvailable()
-      }
-      val sentinelMs = rows.last._2.getTime + gapSeconds * 2000L + 60000L
-      source.addData(Seq((-1L, new java.sql.Timestamp(sentinelMs))))
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(qname).filter(col("user_id") =!= -1L)
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", partitionsBefore)
+    spark.table(qname)
   }
 }
