@@ -163,6 +163,19 @@ object NearestJoin {
     if (nPos < minGridSites || area <= 0.0)
       return nearestByMinBy(left, right, leftKeys, dist, tieBreak)
 
+    // EXACT pre-reduction: distance depends only on (lat, lon) and the
+    // ordering is (dist, tieBreak), so among co-located sites only the
+    // min-tieBreak row can ever win — one narrow shuffle of the site
+    // table collapses duplicates before every downstream pass (the
+    // q65-style lattice has 5-6 co-located sites per position).
+    // tieBreak must therefore be a RIGHT-side expression (it already
+    // must be for nearestByMinBy's struct ordering to make sense).
+    val rightCols = right.columns.toSeq
+    val sites = right
+      .groupBy(col(latR), col(lonR))
+      .agg(min_by(struct(rightCols.map(col): _*), tieBreak).as("_site"))
+      .select(rightCols.map(c => col(s"_site.`$c`").as(c)): _*)
+
     // sampled max nearest distance (km): deterministic hash-picked
     // points, re-spread before the broadcast expansion (see the
     // fallback note in nearestByGrid)
@@ -172,7 +185,7 @@ object NearestJoin {
       .limit(sampleSize)
       .repartition(shufflePartitions)
     val nnRows = sampled
-      .crossJoin(broadcast(right.select(
+      .crossJoin(broadcast(sites.select(
         col(latR).cast("double").as("_slat"), col(lonR).cast("double").as("_slon"))))
       .groupBy(col("_plat"), col("_plon"))
       .agg(min(GeoFunctions.haversineKm(col("_plat"), col("_plon"),
@@ -180,7 +193,7 @@ object NearestJoin {
       .agg(max(col("_nn")).as("_dmax"))
       .first()
     if (nnRows.isNullAt(0)) // empty left
-      return nearestByMinBy(left, right, leftKeys, dist, tieBreak)
+      return nearestByMinBy(left, sites, leftKeys, dist, tieBreak)
     val dMaxKm = nnRows.getDouble(0)
 
     // invert safeKm(lat) = cell · 110 · cos(|lat|+cell) at the worst
@@ -200,9 +213,9 @@ object NearestJoin {
     // a 3×3 ring covering ≥20% of the site area means the grid can't
     // meaningfully prune — one broadcast pass is strictly cheaper
     if (cellDeg == Double.MaxValue || 9.0 * cellDeg * cellDeg >= 0.2 * area)
-      nearestByMinBy(left, right, leftKeys, dist, tieBreak)
+      nearestByMinBy(left, sites, leftKeys, dist, tieBreak)
     else
-      nearestByGrid(left, right, leftKeys, latL, lonL, latR, lonR, tieBreak, cellDeg)
+      nearestByGrid(left, sites, leftKeys, latL, lonL, latR, lonR, tieBreak, cellDeg)
   }
 
   def nearestByGrid(
