@@ -138,7 +138,10 @@ object SparkEntry {
     "q77_rich_inactive" -> (R.q47RichInactiveCustomers _),
     // streaming window agg + streaming dedup, replayed and batch-checked
     "q78_windowed_stream" -> (X.qWindowedStream _),
-    "q79_dedup_stream" -> (X.qDedupStream _)
+    "q79_dedup_stream" -> (X.qDedupStream _),
+    // multimodal metadata contract + quality-score float algebra
+    "q80_media_metadata" -> (X.qMediaMetadata _),
+    "q81_quality_score" -> (X.qQualityScore _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -587,6 +590,39 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "q79_dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+    "q80_media_metadata" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS checksum
+        |FROM documents""".stripMargin,
+    // operation-for-operation mirror of TextFunctions.qualityScoreFrom:
+    // java \p{Punct} == RE2 [[:punct:]] (same ASCII set), identical
+    // float evaluation order, ROUND half-up in both engines
+    "q81_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops
+        |  FROM t)
+        |SELECT doc_id, ROUND(
+        |    (CASE WHEN len < 20 THEN len/20.0
+        |          WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+        |          ELSE 1.0 END) * 0.3
+        |  + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+        |  + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+        |  + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+        |  6) AS quality
+        |FROM r""".stripMargin,
     "q72_returned_customers" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,

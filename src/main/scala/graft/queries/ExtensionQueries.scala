@@ -376,6 +376,35 @@ object ExtensionQueries {
         avg(VectorFunctions.l2Norm(col("features.embedding"))).as("avg_emb_norm"))
   }
 
+  /** Media-struct metadata contract over real document bytes: the
+    * content-addressed checksum and byte count are engine-independent,
+    * so the multimodal column convention gets an oracle row (the
+    * decode FEATURES stay stub-pinned in q39/MultimodalSpec).
+    */
+  def qMediaMetadata(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.asMedia(encode(col("text"), "UTF-8"), lit("text/plain"))
+          .as("media"))
+      .select(col("doc_id"),
+        col("media.media_type").as("media_type"),
+        col("media.n_bytes").as("n_bytes"),
+        col("media.checksum").as("checksum"))
+  }
+
+  /** The oracle-exact slice of the text-quality operator: the
+    * composite score is plain float algebra over character classes and
+    * a stopword set, reproducible in SQL operation-for-operation (the
+    * rest of q24 — rolling-hash fingerprint, lookaround subword proxy —
+    * has no cross-engine SQL form and stays ScalaTest-pinned).
+    */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks")).as("quality"))
+
   // ── Spatial nearest (J1/J2 with the production NearestJoin) ─────────
 
   private def customerPoints(s: SparkSession, dir: String): DataFrame =

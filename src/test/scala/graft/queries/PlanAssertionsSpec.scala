@@ -60,4 +60,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val plan = planOf("q70_waiting_supplier")
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("q67: order-date range pushed to the scan; EXISTS compiles to a semi join") {
+    val plan = planOf("q67_priority_exists")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q72: returnflag and date filters pushed; top-20 is TakeOrderedAndProject") {
+    val plan = planOf("q72_returned_customers")
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
