@@ -352,27 +352,33 @@ object Dedup {
       .unionByName(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d")))
       .persist()
 
-    var labels = nodes.select(col(nodeCol).as("_n"), col(nodeCol).as("_lbl"))
+    val labels0 = nodes.select(col(nodeCol).as("_n"), col(nodeCol).as("_lbl"))
       .persist()
+    val idType = labels0.schema("_lbl").dataType
+    var pinned = labels0 // the round's persisted frame (for unpersist)
+    var labels = labels0 // its (_n, _lbl) view
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // labels flowing across edges: each node also keeps its own
+      // labels flowing across edges: each node also keeps its own.
+      // The previous label rides along as `_own` (non-null exactly on
+      // the node's own row), so ONE aggregate yields both the new
+      // label (min) and the previous one (max over the single
+      // non-null) — the fixpoint check costs no extra join, and the
+      // single `isEmpty` action both materializes the round's cache
+      // and answers convergence. Works for ANY orderable id type and
+      // cannot false-positive the way an overflowing label-sum
+      // comparison could.
       val viaEdges = sym.join(labels, sym("_s") === labels("_n"))
         .select(col("_d").as("_n"), col("_lbl"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("_n").agg(min("_lbl").as("_lbl"))
+      val next = labels.withColumn("_own", col("_lbl"))
+        .unionByName(viaEdges.withColumn("_own", lit(null).cast(idType)))
+        .groupBy("_n").agg(min("_lbl").as("_lbl"), max("_own").as("_prev"))
         .persist()
-      // fixpoint = no label changed this round. An anti-join on the
-      // (node, label) pair works for ANY orderable id type (long,
-      // string, …) and cannot false-positive the way an overflowing
-      // label-sum comparison could.
-      converged = next
-        .join(labels.withColumnRenamed("_lbl", "_prev"), "_n")
-        .filter(col("_lbl") =!= col("_prev"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("_lbl") =!= col("_prev")).isEmpty
+      pinned.unpersist()
+      pinned = next
+      labels = next.select("_n", "_lbl")
       iter += 1
     }
     sym.unpersist() // edges are no longer needed
@@ -380,7 +386,7 @@ object Dedup {
     // duplicate chain longer than maxIter hops would otherwise return
     // silently WRONG cluster ids — refuse instead of lying.
     if (!converged) {
-      labels.unpersist()
+      pinned.unpersist()
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter rounds — a component's " +
           s"diameter exceeds maxIter; raise maxIter (labels would be incorrect)")
@@ -390,7 +396,7 @@ object Dedup {
     // would pin one cached RDD per invocation for the session lifetime.
     val out = labels.select(col("_n").as(nodeCol), col("_lbl").as("cluster_id"))
       .localCheckpoint(true)
-    labels.unpersist()
+    pinned.unpersist()
     out
   }
 }
