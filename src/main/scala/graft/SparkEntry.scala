@@ -141,7 +141,10 @@ object SparkEntry {
     "q79_dedup_stream" -> (X.qDedupStream _),
     // multimodal metadata contract + quality-score float algebra
     "q80_media_metadata" -> (X.qMediaMetadata _),
-    "q81_quality_score" -> (X.qQualityScore _)
+    "q81_quality_score" -> (X.qQualityScore _),
+    // native session_window + stream-stream interval join, replayed
+    "q82_session_window_stream" -> (X.qSessionWindowStream _),
+    "q83_stream_stream_join" -> (X.qStreamStreamJoin _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -306,10 +309,18 @@ object SparkEntry {
         |  ROUND(SQRT(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
         |FROM embeddings""".stripMargin,
-    // q71 runs the STREAMING sessionizer over the same events — same
-    // oracle: stream output must equal the batch window form exactly.
+    // q71 (custom flatMapGroupsWithState) and q82 (native
+    // session_window) run the STREAMING sessionizers over the same
+    // events — same oracle: stream output must equal the batch form.
     "q33_sessionize" -> sessionizeSql,
     "q71_sessionize_stream" -> sessionizeSql,
+    "q82_session_window_stream" -> sessionizeSql,
+    "q83_stream_stream_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND epoch_us(b.ts) >= epoch_us(a.ts) - 1800000000
+        |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000""".stripMargin,
     "q34_daily_window" ->
       s"""SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,
          |  ${dsum("\"value\"")} AS sum_value

@@ -260,6 +260,55 @@ object ExtensionQueries {
       horizonSeconds = 60)
       .filter(col("event_type") =!= "_sentinel")
 
+  /** Spark's NATIVE `session_window` run as a real stream and replayed
+    * to completion, aggregated to q33's schema — checks the built-in
+    * session machinery (merge-on-arrival, close-on-watermark) against
+    * the same batch gap-sessionization oracle the custom
+    * flatMapGroupsWithState form (q71) passes.
+    */
+  def qSessionWindowStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.replayToTable(
+      RelationalQueries.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value")),
+      df => df.withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events")),
+      horizonSeconds = 3900)
+      .filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"))
+
+  /** Watermarked stream–stream interval self-join replayed to
+    * completion: clicks joined to same-user purchases within ±30
+    * minutes — both sides are subscriptions of the same replayed
+    * source, state evicted by the time bound. The emitted pair set
+    * must equal the batch interval join (µs-exact bounds in the
+    * oracle: events.parquet is nanosecond-typed but the engine reads
+    * microseconds).
+    */
+  def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.replayToTable(
+      RelationalQueries.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value")),
+      df => {
+        val clicks = df.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = df.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("_pu"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "2 hours")
+        clicks.join(purchases,
+          col("user_id") === col("_pu") &&
+            col("purchase_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+      },
+      horizonSeconds = 7260)
+
   /** Tumbling daily window aggregate (streaming-window batch analog). */
   def qDailyWindow(s: SparkSession, dir: String): DataFrame =
     RelationalQueries.events(s, dir)
