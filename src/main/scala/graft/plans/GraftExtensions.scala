@@ -59,6 +59,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", "Jaccard similarity of two string arrays as sets"),
       (args: Seq[Expression]) => JaccardSimExpr(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "order-sensitive rolling-hash fingerprint of a token array"),
+      (args: Seq[Expression]) => RollingFingerprintExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unicode_normalize"),
+      info("graft_unicode_normalize", "Unicode normalization (NFC/NFD/NFKC/NFKD) of a string"),
+      (args: Seq[Expression]) =>
+        UnicodeNormalizeExpr(args.head, args(1).eval().toString)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_interleave_bits"),
+      info("graft_interleave_bits", "Morton (Z-order) interleave of two non-negative longs"),
+      (args: Seq[Expression]) =>
+        InterleaveBitsExpr(args.head, args(1), args(2).eval().asInstanceOf[Int])))
     // Band-join planning: abs(l - r) <= tol join predicates become
     // bucketed equi joins instead of nested-loop joins.
     ext.injectOptimizerRule(_ => RangeJoinRewriteRule)

@@ -31,7 +31,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(graft_minhash_sig(array('x','y'), 16)) AS sig_len,
         |  graft_simhash64(array('tok')) AS sh,
         |  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
-        |  round(graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cos
+        |  round(graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cos,
+        |  graft_fingerprint(array('a','b')) AS fp,
+        |  graft_unicode_normalize('é', 'NFC') AS nfc,
+        |  graft_interleave_bits(3L, 5L, 8) AS z
         |""".stripMargin).first()
     assert(row.getAs[collection.Seq[String]]("ws").toSet == Set("a b", "b c"))
     assert(row.getAs[collection.Seq[String]]("cs").toSet == Set("abc", "bcd"))
@@ -39,6 +42,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") != 0L)
     assert(row.getAs[Double]("dot") == 11.0)
     assert(row.getAs[Double]("cos") == 1.0)
+    assert(row.getAs[Long]("fp") != 0L)
+    assert(row.getAs[String]("nfc") == "é") // e + combining acute → é
+    assert(row.getAs[Long]("z") == 39L) // (3,5) interleaved, a on even bits
   }
 
   test("band-join SQL plans as an equi join and matches the naive answer") {
