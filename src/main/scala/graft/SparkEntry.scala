@@ -144,7 +144,9 @@ object SparkEntry {
     "q81_quality_score" -> (X.qQualityScore _),
     // native session_window + stream-stream interval join, replayed
     "q82_session_window_stream" -> (X.qSessionWindowStream _),
-    "q83_stream_stream_join" -> (X.qStreamStreamJoin _)
+    "q83_stream_stream_join" -> (X.qStreamStreamJoin _),
+    // end-to-end corpus cleaning: normalize → dedup → CC → quality gate
+    "q84_corpus_clean" -> (X.qCorpusClean _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -518,6 +520,67 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
         |LEFT JOIN reach r ON r.s = d.doc_id
         |GROUP BY d.doc_id""".stripMargin
+    ,
+    // end-to-end corpus cleaning: every stage individually proven
+    // (q62/q25/q28/q60/q81); this pins the composition
+    "q84_corpus_clean" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, nfc_normalize(text) AS nfc
+        |  FROM documents WHERE doc_id < 200
+        |), surv AS (
+        |  SELECT doc_id, text, nfc FROM (
+        |    SELECT doc_id, text, nfc,
+        |      MIN(doc_id) OVER (PARTITION BY sha256(nfc)) AS keep_id
+        |    FROM base)
+        |  WHERE doc_id = keep_id
+        |), toksrc AS (
+        |  SELECT doc_id, list_distinct(string_split(nfc, ' ')) AS toks FROM surv
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM toksrc a JOIN toksrc b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+        |), labels AS (
+        |  SELECT d.doc_id,
+        |    LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS cluster_id
+        |  FROM (SELECT doc_id FROM surv) d
+        |  LEFT JOIN reach r ON r.s = d.doc_id
+        |  GROUP BY d.doc_id
+        |), reps AS (
+        |  SELECT s.doc_id, s.text FROM labels l JOIN surv s ON l.doc_id = s.doc_id
+        |  WHERE l.doc_id = l.cluster_id
+        |), qf AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM reps
+        |), rf AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops
+        |  FROM qf)
+        |SELECT doc_id, quality, quality >= 0.5 AS kept FROM (
+        |  SELECT doc_id, ROUND(
+        |      (CASE WHEN len < 20 THEN len/20.0
+        |            WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+        |            ELSE 1.0 END) * 0.3
+        |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+        |    + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+        |    + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+        |    6) AS quality
+        |  FROM rf)""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

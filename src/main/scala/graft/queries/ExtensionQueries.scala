@@ -129,6 +129,52 @@ object ExtensionQueries {
       "doc_id", "id_a", "id_b")
   }
 
+  /** END-TO-END corpus cleaning — the composition the LLM-data
+    * operators exist for, as ONE oracle-checked query: NFC normalize →
+    * exact dedup on content hash (min-id survivor) → exhaustive
+    * token-Jaccard near-dup edges among survivors → distributed
+    * connected components → cluster representatives → quality score +
+    * keep flag. Every stage is individually oracle-proven (q62, q25,
+    * q28, q60, q81); this pins the COMPOSITION, including the
+    * cross-stage contracts (dedup feeds normalized text to the edge
+    * stage, reps re-attach original text for scoring). Scope bounded
+    * at 200 docs for the recursive-CTE closure oracle, as in q60; the
+    * unbounded-scale path swaps the exhaustive edge stage for
+    * MinHash-LSH (q26) with everything else unchanged.
+    */
+  def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
+    val nfc = graft.functions.expressions.TextExpressions
+      .unicode_normalize(col("text"), "NFC")
+    val base = tbl(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"), nfc.as("nfc"))
+    // 1. exact dedup on normalized content: min doc_id survives
+    val survivors = base
+      .groupBy(sha2(col("nfc"), 256).as("_sha"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("nfc")), col("doc_id")).as("_r"))
+      .select(col("_r.doc_id").as("doc_id"), col("_r.text").as("text"),
+        col("_r.nfc").as("nfc"))
+    // 2. near-dup edges among survivors (exhaustive — bounded scope)
+    val toks = survivors.select(col("doc_id"),
+      array_distinct(split(col("nfc"), " ")).as("tok"))
+    val edges = toks.select(col("doc_id").as("id_a"), col("tok").as("t_a"))
+      .crossJoin(toks.select(col("doc_id").as("id_b"), col("tok").as("t_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(TextFunctions.jaccard(col("t_a"), col("t_b")) >= 0.5)
+      .select("id_a", "id_b")
+    // 3. duplicate clusters → representatives (doc_id == cluster_id)
+    val reps = Dedup.duplicateClusters(survivors.select("doc_id"), edges,
+      "doc_id", "id_a", "id_b")
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id")
+    // 4. quality gate over the representatives' ORIGINAL text
+    reps.join(survivors, Seq("doc_id"))
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks")).as("quality"))
+      .withColumn("kept", col("quality") >= 0.5)
+  }
+
   /** Embedding-cosine near-duplicate pairs via sign-LSH (rows-only:
     * LSH recall < 1 by construction). Threshold 0.4 sits at the top
     * ~0.05% of the synthetic corpus's pairwise-cosine distribution
