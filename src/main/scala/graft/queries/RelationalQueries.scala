@@ -483,11 +483,13 @@ object RelationalQueries {
     val offers = cost
       .join(regionalSupp, col("l_suppkey") === col("s_suppkey"))
       .join(smallParts, col("l_partkey") === col("p_partkey"))
-    val minCost = offers.groupBy(col("p_partkey").as("_pk"))
-      .agg(min(col("supply_cost")).as("min_cost"))
+    // the correlated min as a per-part window over ONE offers pass — an
+    // aggregate + join-back would compute the whole offers subtree
+    // twice and re-join it with a sort-merge join
+    val w = Window.partitionBy(col("p_partkey"))
     offers
-      .join(minCost, col("p_partkey") === col("_pk") &&
-        col("supply_cost") === col("min_cost"))
+      .withColumn("_min_cost", min(col("supply_cost")).over(w))
+      .filter(col("supply_cost") === col("_min_cost"))
       .select(col("p_partkey"), col("p_brand"), col("s_name"),
         col("s_acctbal"), col("n_name"), col("supply_cost"))
   }
@@ -591,32 +593,38 @@ object RelationalQueries {
 
   /** TPC-H Q21 shape — double EXISTS/NOT EXISTS: suppliers whose late
     * lineitems (shipped >90 days after the order date) sit on
-    * multi-supplier orders where NO other supplier was late. The two
-    * correlated subqueries become one LEFT SEMI and one LEFT ANTI
-    * self-join on the order key with a supplier-inequality residual —
-    * the canonical decorrelation. Top-100 via orderBy+limit compiles
-    * to TakeOrderedAndProject (no global sort).
+    * multi-supplier orders where NO other supplier was late.
+    *
+    * Decorrelated into ONE pass over lineitem: group to per-(order,
+    * supplier) late-row counts, then per-order window stats — "some
+    * other supplier exists" = suppliers-per-order ≥ 2; "no other
+    * supplier late" = late-suppliers-per-order = 1. The naive form
+    * (semi + anti self-joins against the late subtree) scans lineitem
+    * three times and shuffles it twice more. Top-100 via orderBy+limit
+    * compiles to TakeOrderedAndProject (no global sort).
     */
   def q41WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     val ords = tbl(s, dir, "orders").select("o_orderkey", "o_orderdate")
     // orders is fact-scaled: shuffle join on the order key (AQE
     // broadcasts at bench SF)
-    val late = li
+    val perSupp = li
       .join(ords, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      .select("l_orderkey", "l_suppkey")
-    val others = li.select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("_sk2"))
-    val lateOthers = late.select(col("l_orderkey").as("_ok3"), col("l_suppkey").as("_sk3"))
-    late
-      .join(others, col("_ok2") === col("l_orderkey") &&
-        col("_sk2") =!= col("l_suppkey"), "left_semi")
-      .join(lateOthers, col("_ok3") === col("l_orderkey") &&
-        col("_sk3") =!= col("l_suppkey"), "left_anti")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(count(when(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        lit(1))).as("_n_late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("_n_supp", count(lit(1)).over(w))
+      .withColumn("_n_late_supp",
+        sum(when(col("_n_late") > 0, 1).otherwise(0)).over(w))
+      .filter(col("_n_late") > 0 && col("_n_supp") >= 2 &&
+        col("_n_late_supp") === 1)
       .join(tbl(s, dir, "supplier").select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("_n_late")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(100)
   }
