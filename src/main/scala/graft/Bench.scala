@@ -52,9 +52,24 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The driver captures only the LAST ~2000 chars of output, so the
+    // printed JSON line must stay short: per-query keys are the qNN
+    // prefix (the full-name mapping lives in BENCH_DETAIL.json and
+    // BASELINE.md). Round 2's full-name line outgrew the window and the
+    // driver recorded parsed:null.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
+    val detail = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val detailJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (detailJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

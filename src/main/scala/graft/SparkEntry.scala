@@ -146,7 +146,16 @@ object SparkEntry {
     "q82_session_window_stream" -> (X.qSessionWindowStream _),
     "q83_stream_stream_join" -> (X.qStreamStreamJoin _),
     // end-to-end corpus cleaning: normalize → dedup → CC → quality gate
-    "q84_corpus_clean" -> (X.qCorpusClean _)
+    "q84_corpus_clean" -> (X.qCorpusClean _),
+    // TPC-H remaining shapes (schema-adapted Q6/Q9/Q11/Q15/Q16/Q17/Q18/Q20)
+    "q85_revenue_delta" -> (R.q48RevenueDelta _),
+    "q86_product_profit" -> (R.q49ProductProfit _),
+    "q87_important_stock" -> (R.q50ImportantStock _),
+    "q88_top_supplier" -> (R.q51TopSupplier _),
+    "q89_part_supplier_count" -> (R.q52PartSupplierCount _),
+    "q90_small_qty_revenue" -> (R.q53SmallQtyRevenue _),
+    "q91_large_orders" -> (R.q54LargeOrders _),
+    "q92_promo_suppliers" -> (R.q55PromoSuppliers _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -589,6 +598,93 @@ object SparkEntry {
     * Spark plans must reproduce.
     */
   private def tpchShapeSql: Map[String, String] = Map(
+    "q85_revenue_delta" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q86_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - p_retailprice * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q87_important_stock" ->
+      """WITH supply AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS part_value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, part_value
+        |FROM supply
+        |WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(30,6))) AS DOUBLE)
+        |                    FROM supply) * 0.002""".stripMargin,
+    "q88_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, s_acctbal, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+    "q89_part_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "q90_small_qty_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN part ON l.l_partkey = p_partkey AND p_type = 'SMALL'
+        |WHERE l.l_quantity < 0.5 * (
+        |  SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM lineitem l2
+        |  JOIN part p2 ON l2.l_partkey = p2.p_partkey AND p2.p_type = 'SMALL'
+        |  WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q91_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q92_promo_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_partkey, l_suppkey,
+        |      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |    FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+        |    GROUP BY l_partkey, l_suppkey)
+        |  QUALIFY CAST(qty AS DOUBLE) >
+        |    CAST(SUM(qty) OVER (PARTITION BY l_partkey) AS DOUBLE) * 0.3)""".stripMargin,
     "q66_min_cost_supplier" ->
       """WITH cost AS (
         |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost

@@ -752,6 +752,184 @@ object RelationalQueries {
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
   }
 
+  // ── TPC-H remaining shapes (Q6/Q9/Q11/Q15/Q16/Q17/Q18/Q20), adapted:
+  //    no partsupp table, so lineitem is the supply relation and
+  //    p_retailprice stands in for supply cost. ───────────────────────
+
+  /** TPC-H Q6 shape — scan-only conditional revenue: three pushed
+    * predicates, no join, one decimal sum. The plan must be a single
+    * pruned parquet scan (3-column ReadSchema) + partial/final agg.
+    */
+  def q48RevenueDelta(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast("decimal(24,6)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q9 shape — profit per nation per year: lineitem joined to a
+    * name-filtered part, supplier→nation, and orders; profit =
+    * revenue − retail cost (p_retailprice stands in for ps_supplycost).
+    * One fact pass; nation is broadcast, the SF-scaled dims are AQE's
+    * call.
+    */
+  def q49ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity")).cast("decimal(24,6)")
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "part").filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(tbl(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+
+  }
+
+  /** TPC-H Q11 shape — group-HAVING against a global scalar: per-part
+    * supply value restricted to one nation's suppliers, keeping parts
+    * whose value exceeds a fraction of the nation total. The total is a
+    * 1-row aggregate cross-joined back (computed once, broadcast) — the
+    * scalar-subquery decorrelation Catalyst itself performs.
+    */
+  def q50ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation").filter(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val supply = tbl(s, dir, "lineitem")
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * col("l_quantity")).cast("decimal(24,6)"))
+        .cast("double").as("part_value"))
+    val total = supply.agg(sum(col("part_value").cast("decimal(30,6)"))
+      .cast("double").as("_total"))
+    supply.crossJoin(broadcast(total))
+      .filter(col("part_value") > col("_total") * 0.002)
+      .select(col("l_partkey").as("p_partkey"), col("part_value"))
+  }
+
+  /** TPC-H Q15 shape — top supplier by quarterly revenue (all ties
+    * kept): per-supplier revenue aggregate, max as a broadcast 1-row
+    * scalar, equality join back. Decimal-exact sums make the double
+    * equality deterministic across engines.
+    */
+  def q51TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")).cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("_max"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("_max"))
+      .join(tbl(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("total_revenue"))
+  }
+
+  /** TPC-H Q16 shape — distinct-supplier counts per part descriptor
+    * with a NOT-IN exclusion: suppliers with negative balance are
+    * anti-joined out BEFORE the count-distinct (the NOT IN compiles to
+    * a left-anti join, not a per-row subquery).
+    */
+  def q52PartSupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val badSupp = tbl(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    tbl(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(tbl(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17 shape — correlated per-part average: lineitems of one
+    * brand/type whose quantity is below half their part's average
+    * quantity. Decorrelated into a per-part aggregate joined back to
+    * the fact — the aggregate runs over the FILTERED part set only
+    * (pushing the semi-join into the avg input), not all of lineitem.
+    */
+  def q53SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val parts = tbl(s, dir, "part")
+      .filter(col("p_type") === "SMALL").select("p_partkey")
+    val li = tbl(s, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("_pk"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("_pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: per-order quantity
+    * aggregate HAVING above a threshold, joined to orders + customer,
+    * top-100 by price. The big-order set is tiny after the HAVING, so
+    * both enrichment joins broadcast it; TakeOrderedAndProject caps the
+    * sort.
+    */
+  def q54LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = tbl(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    big
+      .join(tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, dir, "customer").select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q20 shape — nested correlated IN: suppliers in one nation
+    * holding a dominant share of some SMALL part's supply (per-(part,
+    * supplier) quantity above 30% of the part total). One pass over the
+    * supply relation: group to (part, supplier), window-sum to part
+    * totals — no self-join against a second aggregate subtree.
+    */
+  def q55PromoSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val parts = tbl(s, dir, "part")
+      .filter(col("p_type") === "SMALL").select("p_partkey")
+    val perSupp = tbl(s, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("_qty"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val dominant = perSupp
+      .withColumn("_part_total", sum(col("_qty")).over(w))
+      .filter(col("_qty").cast("double") > col("_part_total").cast("double") * 0.3)
+      .select(col("l_suppkey")).distinct()
+    tbl(s, dir, "supplier")
+      .join(broadcast(tbl(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
   // ── Business-logic patterns (B1/B2 over oracle-checkable columns) ───
 
   /** Exercises the PRODUCTION risk-score expression (B1/B2) against an

@@ -210,7 +210,7 @@ object EventStreams {
   def replaySessionSummaries(
       events: DataFrame,
       gapSeconds: Long,
-      numBatches: Int = 4): DataFrame =
+      numBatches: Int = 2): DataFrame =
     replayToTable(
       events,
       df => statefulSessions(df, gapSeconds).toDF(),
@@ -231,7 +231,7 @@ object EventStreams {
     *
     * The replay runs on few shuffle partitions (saved and restored):
     * each micro-batch commits one state store per partition, and at
-    * replay scale per-task commit overhead dominates — 8 wide-open
+    * replay scale per-task commit overhead dominates — a few wide-open
     * state tasks beat 32 mostly-idle ones. Driver-bounded by design (a
     * correctness harness over test-scale data, not a production path;
     * production streams read from a real source).
@@ -240,8 +240,8 @@ object EventStreams {
       events: DataFrame,
       buildStream: DataFrame => DataFrame,
       horizonSeconds: Long,
-      numBatches: Int = 4,
-      replayShufflePartitions: Int = 8): DataFrame = {
+      numBatches: Int = 2,
+      replayShufflePartitions: Int = 4): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -264,11 +264,23 @@ object EventStreams {
       .toDF("user_id", "event_id", "ts", "event_type", "value"))
     val qname = "graft_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    // State-store commits write one delta file per partition per
+    // micro-batch; on a disk-backed java.io.tmpdir that fsync churn
+    // dominates replay time. Prefer a tmpfs checkpoint root (the
+    // checkpoint is transient by construction — the replay finishes
+    // within the session).
+    val ckptRoot = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm)) s"/dev/shm/graft-replay/$qname"
+      else java.nio.file.Files.createTempDirectory("graft-replay").toString
+    }
     val partitionsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
     try {
       val q = out.writeStream.format("memory")
-        .queryName(qname).outputMode("append").start()
+        .queryName(qname).outputMode("append")
+        .option("checkpointLocation", ckptRoot)
+        .start()
       try {
         val chunkSize = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
         rows.grouped(chunkSize).foreach { c =>
@@ -280,7 +292,17 @@ object EventStreams {
           "_sentinel", 0.0)))
         q.processAllAvailable()
       } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", partitionsBefore)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", partitionsBefore)
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(ckptRoot)
+        if (java.nio.file.Files.exists(root)) {
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      } catch { case _: Throwable => () }
+    }
     spark.table(qname)
   }
 }
