@@ -155,7 +155,16 @@ object SparkEntry {
     "q89_part_supplier_count" -> (R.q52PartSupplierCount _),
     "q90_small_qty_revenue" -> (R.q53SmallQtyRevenue _),
     "q91_large_orders" -> (R.q54LargeOrders _),
-    "q92_promo_suppliers" -> (R.q55PromoSuppliers _)
+    "q92_promo_suppliers" -> (R.q55PromoSuppliers _),
+    // embedding verify stage, blocking disabled: exhaustive oracle check
+    "q93_embedding_verify" -> (X.qEmbeddingVerify _),
+    // training-data pipeline: deterministic splits/sampling, sequence
+    // packing, repetition signals, PII scrubbing
+    "q94_hash_split" -> (X.qHashSplit _),
+    "q95_sequence_packing" -> (X.qSequencePacking _),
+    "q96_repetition_stats" -> (X.qRepetitionStats _),
+    "q97_pii_scrub" -> (X.qPiiScrub _),
+    "q98_stratified_sample" -> (X.qStratifiedSample _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -299,6 +308,61 @@ object SparkEntry {
     // the brute-force result bit-for-bit, so it shares q31's oracle.
     "q31_knn_bruteforce" -> knnBruteForceSql,
     "q63_knn_ivf_exact" -> knnBruteForceSql,
+    "q93_embedding_verify" -> embeddingVerifySql,
+    // deterministic md5-hex split/sampling: thresholds are
+    // floor(frac*65536) as 4 hex digits, compared lexicographically
+    // (0.8→cccc, 0.9→e666, 0.5→8000, 0.25→4000)
+    "q94_hash_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split_v1'), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split_v1'), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q95_sequence_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+        |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |offs AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS pack_id
+        |FROM offs""".stripMargin,
+    "q96_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 6) AS distinct_ratio,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(toks),
+        |      w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / len(toks) END, 6) AS top_token_frac,
+        |  ROUND(CASE WHEN len(toks) <= 1 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE) / (len(toks) - 1) END, 6) AS dup_bigram_ratio
+        |FROM t""".stripMargin,
+    "q97_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |          || '@mail.example.com or https://site' || CAST(doc_id AS VARCHAR)
+        |          || '.example/p?x=1 ref 9021077' || CAST(doc_id AS VARCHAR),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+    "q98_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':strat_v1'), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000' ELSE 'g' END""".stripMargin,
     // MinHash verify stage with blocking disabled: same tokenization as
     // the operator (lowercase, whitespace split, empties dropped,
     // distinct 1-shingles), exhaustive pairs, exact Jaccard.
@@ -893,6 +957,21 @@ object SparkEntry {
       |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       |  FROM events)
       |GROUP BY user_id""".stripMargin
+
+  /** Exhaustive cosine pairs over the full 500-vector table — the
+    * oracle for q93 (embedding verify stage, blocking disabled). The
+    * double-cast list arithmetic mirrors the compiled cosine kernel
+    * bit-for-bit (same shape as q31's oracle).
+    */
+  private def embeddingVerifySql: String =
+    """SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |) WHERE sim >= 0.4""".stripMargin
 
   /** Exact cosine top-10 for query vectors vec_id<5 — the oracle for
     * both q31 (brute force) and q63 (IVF with every cell probed).

@@ -155,4 +155,57 @@ object TextFunctions {
   /** Exact Jaccard similarity of two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     graft.functions.expressions.TextExpressions.jaccard_sim(a, b)
+
+  // ── Repetition signals (Gopher-style quality filters) ───────────────
+  // All partition-local array algebra — no shuffle, no explode; the
+  // per-doc O(distinct·total) count pass is bounded by doc length.
+
+  /** Fraction of distinct tokens (1.0 = no repetition, →0 = loops). */
+  def distinctTokenRatio(toks: Column): Column = {
+    val n = size(toks)
+    when(n === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / n)
+  }
+
+  /** Fraction of the document taken by its single most frequent token
+    * — high values flag keyword stuffing / degenerate repetition.
+    */
+  def topTokenFraction(toks: Column): Column = {
+    val n = size(toks)
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))
+    when(n === 0, 0.0)
+      .otherwise(array_max(counts).cast("double") / n)
+  }
+
+  /** Fraction of word bigrams that are repeats of an earlier bigram in
+    * the same document (`1 − distinct/total`) — the Rae et al.
+    * duplicate-n-gram signal at n=2.
+    */
+  def dupBigramRatio(toks: Column): Column = {
+    val nBigrams = size(toks) - 1
+    when(nBigrams <= 0, 0.0)
+      .otherwise(lit(1.0) -
+        size(wordShinglesFromTokens(toks, 2)).cast("double") / nBigrams)
+  }
+
+  // ── PII scrubbing ───────────────────────────────────────────────────
+
+  // Patterns restricted to syntax with identical semantics in Java
+  // regex and RE2 (no lookaround, no backrefs) so oracle engines agree.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^\\s]+"
+  private val longDigitsRe = "[0-9]{6,}"
+
+  /** Replace emails, URLs, and long digit runs (phone/account numbers)
+    * with typed placeholder tags — the standard pre-training PII scrub.
+    * Order matters: emails first (their local parts contain digits),
+    * then URLs, then bare digit runs.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      longDigitsRe, "<NUM>")
 }

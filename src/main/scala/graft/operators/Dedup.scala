@@ -304,8 +304,17 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
+    materializeAndRelease(verifyCosine(candidates, prepared, threshold), prepared)
+  }
+
+  /** The embedding pipeline's verify stage, shared verbatim by the
+    * sign-LSH path and the exhaustive path: re-attach vectors to
+    * candidate id pairs, exact-cosine filter.
+    */
+  private def verifyCosine(
+      candidates: DataFrame, prepared: DataFrame, threshold: Double): DataFrame = {
     val vecLookup = prepared.select(col("vec_id_"), col("vec"))
-    val pairs = candidates
+    candidates
       .join(vecLookup.select(col("vec_id_").as("id_a"), col("vec").as("vec_a")),
         Seq("id_a"))
       .join(vecLookup.select(col("vec_id_").as("id_b"), col("vec").as("vec_b")),
@@ -313,7 +322,27 @@ object Dedup {
       .withColumn("cosine_sim", VectorFunctions.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine_sim"), 6).as("cosine_sim"))
-    materializeAndRelease(pairs, prepared)
+  }
+
+  /** [[embeddingNearDupPairs]] with LSH blocking DISABLED: every id
+    * pair is a candidate, then the SAME exact-cosine verify runs —
+    * quadratic by construction, exists so the verify machinery can be
+    * proven exact against an exhaustive SQL oracle on a bounded vector
+    * set (the q64-for-embeddings pattern); the bucketed path is the
+    * scale path.
+    */
+  def embeddingVerifyExhaustive(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val prepared = df.select(col(idCol).as("vec_id_"), col(vecCol).as("vec"))
+      .persist()
+    val ids = prepared.select(col("vec_id_"))
+    val candidates = ids.select(col("vec_id_").as("id_a"))
+      .crossJoin(ids.select(col("vec_id_").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    materializeAndRelease(verifyCosine(candidates, prepared, threshold), prepared)
   }
 
   // ── Duplicate clustering (connected components) ─────────────────────

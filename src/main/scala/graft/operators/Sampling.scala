@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split-assignment operators for
+  * training-data pipelines (SURVEY.md §7.5 extension family).
+  *
+  * Assignment is a pure function of the row id — an md5-derived
+  * uniform, not an RNG draw — so results are reproducible across
+  * engines, partitionings, executors, and re-runs, and a row's split
+  * never changes when the corpus around it grows (the property that
+  * keeps train/test splits stable across dataset versions).
+  *
+  * Portability contract: md5 hex strings are identical in every
+  * engine, and the uniform is consumed by LEXICOGRAPHIC comparison on
+  * the lowercase hex prefix (no numeric hex conversion, which engines
+  * expose differently). A fraction f maps to the 4-hex-digit threshold
+  * `floor(f·65536)` — quantization error ≤ 1/65536, documented rather
+  * than hidden.
+  */
+object Sampling {
+
+  /** Lowercase-hex md5 of `id:salt` — the per-row uniform. The salt
+    * decorrelates independent sampling decisions on the same corpus
+    * (split vs subsample vs packing must not reuse one draw).
+    */
+  def hashUniform(id: Column, salt: String): Column =
+    md5(concat(id.cast("string"), lit(":" + salt)))
+
+  /** 4-hex-digit threshold for fraction `f`: rows with
+    * `substr(md5,1,4) < hexThreshold(f)` form a deterministic f-sample.
+    */
+  def hexThreshold(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction out of range: $f")
+    val t = math.min(65536L, math.floor(f * 65536.0).toLong)
+    if (t >= 65536L) "g" // lexicographically above every hex digit
+    else f"$t%04x"
+  }
+
+  /** Train/val/test split assignment column. */
+  def splitColumn(id: Column, salt: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): Column = {
+    val h4 = substring(hashUniform(id, salt), 1, 4)
+    when(h4 < hexThreshold(trainFrac), "train")
+      .when(h4 < hexThreshold(trainFrac + valFrac), "val")
+      .otherwise("test")
+  }
+
+  /** Deterministic uniform subsample: keeps ~`fraction` of rows. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "sample_v1"): DataFrame =
+    df.filter(
+      substring(hashUniform(col(idCol), salt), 1, 4) < hexThreshold(fraction))
+
+  /** Deterministic stratified subsample: per-stratum fractions (e.g.
+    * language rebalancing — downsample dominant languages, keep the
+    * rest). Strata missing from `fractions` keep `defaultFraction`.
+    * One scan, no shuffle: the filter is a pure per-row predicate,
+    * unlike `DataFrame.stat.sampleBy` whose RNG draw depends on row
+    * order within partitions.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      salt: String = "strat_v1"): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexThreshold(defaultFraction))) { case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
+      }
+    df.filter(substring(hashUniform(col(idCol), salt), 1, 4) < threshold)
+  }
+}

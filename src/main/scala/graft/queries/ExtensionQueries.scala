@@ -238,6 +238,77 @@ object ExtensionQueries {
       tbl(s, dir, "documents").filter(col("doc_id") < 500),
       "doc_id", "text", shingleWords = 1, threshold = 0.5)
 
+  /** Embedding verify stage with LSH blocking disabled (q64's pattern
+    * for the vector path): exhaustive id pairs + the pipeline's own
+    * exact-cosine verify — oracle-checkable against DuckDB's double-
+    * cast list arithmetic, proving the cosine verify exact. The 500-
+    * vector table keeps the quadratic candidate set bounded; with q29
+    * on the same threshold this also measures the sign-LSH recall.
+    */
+  def qEmbeddingVerify(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingVerifyExhaustive(tbl(s, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.4)
+
+  // ── Training-data pipeline: splits, packing, repetition, PII ────────
+
+  /** Deterministic train/val/test assignment (80/10/10) — a pure
+    * per-row function of the doc id, reproducible across engines and
+    * partitionings (no RNG state, no sampleBy).
+    */
+  def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.operators.Sampling.splitColumn(col("doc_id"), "split_v1").as("split"))
+
+  /** Concat-and-chunk sequence packing (512-token budget): each doc's
+    * global token start offset and pack id via the two-level
+    * distributed prefix sum — no global-ordering window over the data.
+    */
+  def qSequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val withTok = tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCountArithmetic(col("text")).as("n_tokens"))
+    graft.operators.Packing.packByTokenBudget(withTok, "doc_id", "n_tokens", 512L)
+  }
+
+  /** Gopher-style repetition signals per document: distinct-token
+    * ratio, top-token fraction, duplicate-bigram ratio — all
+    * partition-local array algebra, no shuffle.
+    */
+  def qRepetitionStats(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        round(TextFunctions.distinctTokenRatio(col("_toks")), 6).as("distinct_ratio"),
+        round(TextFunctions.topTokenFraction(col("_toks")), 6).as("top_token_frac"),
+        round(TextFunctions.dupBigramRatio(col("_toks")), 6).as("dup_bigram_ratio"))
+
+  /** PII scrub over documents enriched with synthetic contact strings
+    * (the corpus itself is clean word soup, so the PII is injected
+    * deterministically from the doc id — both engines construct the
+    * identical input): emails → <EMAIL>, URLs → <URL>, long digit
+    * runs → <NUM>.
+    */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val enriched = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or https://site"), col("doc_id").cast("string"),
+      lit(".example/p?x=1 ref 9021077"), col("doc_id").cast("string"))
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.scrubPii(enriched).as("scrubbed"))
+  }
+
+  /** Deterministic stratified subsample — language rebalancing
+    * (downsample dominant en to 50%, zh to 25%, keep the rest): one
+    * scan, a pure per-row predicate, no shuffle.
+    */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      tbl(s, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.25))
+      .select(col("doc_id"), col("lang"), col("source"))
+
   // ── Sessionization / event-time (batch analog of streaming ops) ─────
 
   /** Gap-based sessionization (30-min gap) — the batch analog of the

@@ -87,4 +87,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[Double]("abc!", TextFunctions.punctRatio(col("text"))) == 0.25)
     assert(one[Double]("Abcd", TextFunctions.upperRatio(col("text"))) == 0.25)
   }
+
+  private def toksOf(c: org.apache.spark.sql.Column) =
+    TextFunctions.tokens(lower(c))
+
+  test("repetition signals: distinct ratio, top-token fraction, dup bigrams") {
+    // "a a a b": 4 tokens, 2 distinct; top token a = 3/4;
+    // bigrams (a a),(a a),(a b): 3 total, 2 distinct → dup ratio 1/3
+    val t = "a a a b"
+    assert(one[Double](t, TextFunctions.distinctTokenRatio(toksOf(col("text")))) == 0.5)
+    assert(one[Double](t, TextFunctions.topTokenFraction(toksOf(col("text")))) == 0.75)
+    assert(math.abs(one[Double](t,
+      TextFunctions.dupBigramRatio(toksOf(col("text")))) - 1.0 / 3.0) < 1e-9)
+    // no repetition → ratios at their clean extremes
+    val clean = "one two three four"
+    assert(one[Double](clean, TextFunctions.distinctTokenRatio(toksOf(col("text")))) == 1.0)
+    assert(one[Double](clean, TextFunctions.topTokenFraction(toksOf(col("text")))) == 0.25)
+    assert(one[Double](clean, TextFunctions.dupBigramRatio(toksOf(col("text")))) == 0.0)
+    // degenerate single-token / empty inputs
+    assert(one[Double]("word", TextFunctions.dupBigramRatio(toksOf(col("text")))) == 0.0)
+  }
+
+  test("PII scrub replaces emails, urls, and long digit runs") {
+    val dirty = "mail a.user+tag@sub.example.co.uk or visit " +
+      "https://example.com/p?q=1&r=2 call 0123456789 ext 123 done"
+    val clean = one[String](dirty, TextFunctions.scrubPii(col("text")))
+    assert(clean == "mail <EMAIL> or visit <URL> call <NUM> ext 123 done")
+    // short digit runs and plain text survive
+    assert(one[String]("room 42 at 10:30", TextFunctions.scrubPii(col("text")))
+      == "room 42 at 10:30")
+  }
 }

@@ -140,6 +140,31 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("exhaustive embedding verify equals brute force; bucketed path is a subset") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(40) { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      if cos(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    val exhaustive = Dedup.embeddingVerifyExhaustive(emb, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exhaustive == expected)
+    val bucketed = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      dim = 16, threshold = 0.3, numPlanes = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exhaustive)) // blocking can only lose pairs
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions

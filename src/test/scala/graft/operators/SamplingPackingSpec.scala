@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Deterministic sampling/split + sequence packing operators. */
+class SamplingPackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hash split: deterministic, near-nominal fractions, id-stable") {
+    val ids = (0L until 5000L).toDF("id")
+    val split = ids.select($"id",
+      Sampling.splitColumn($"id", "split_v1").as("split"))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 4000L) < 200)
+    assert(math.abs(counts("val") - 500L) < 120)
+    assert(math.abs(counts("test") - 500L) < 120)
+    // re-evaluation is bit-identical (pure function, no RNG)
+    assert(split.except(ids.select($"id",
+      Sampling.splitColumn($"id", "split_v1").as("split"))).isEmpty)
+    // a row's assignment is independent of the surrounding corpus
+    val sub = ids.filter($"id" < 100).select($"id",
+      Sampling.splitColumn($"id", "split_v1").as("split"))
+    assert(sub.except(split.filter($"id" < 100)).isEmpty)
+  }
+
+  test("different salts decorrelate draws") {
+    val ids = (0L until 2000L).toDF("id")
+    val a = Sampling.deterministicSample(ids, "id", 0.5, "salt_a")
+      .as[Long].collect().toSet
+    val b = Sampling.deterministicSample(ids, "id", 0.5, "salt_b")
+      .as[Long].collect().toSet
+    val overlap = a.intersect(b).size.toDouble / math.max(a.size, 1)
+    assert(overlap > 0.35 && overlap < 0.65, s"overlap=$overlap")
+  }
+
+  test("stratified sample downsamples only the targeted strata") {
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 0.25))
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("fr") == 2000L) // default fraction 1.0 keeps everything
+    assert(math.abs(counts.getOrElse("en", 0L) - 250L) < 80)
+  }
+
+  test("packing matches a sequential scan and conserves the stream") {
+    val docs = (0L until 1000L).map(i => (i, 1L + (i * 37 % 120)))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packByTokenBudget(docs, "doc_id", "n_tokens", 256L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // driver-side reference: running offset in doc_id order
+    var offset = 0L
+    (0L until 1000L).zip(out).foreach { case (i, (id, n, start, pack)) =>
+      assert(id == i)
+      assert(n == 1L + (i * 37 % 120))
+      assert(start == offset, s"doc $i offset")
+      assert(pack == offset / 256L, s"doc $i pack")
+      offset += n
+    }
+    assert(out.map(r => r._3 + r._2).max == offset) // stream conserved
+  }
+
+  test("packing plan: no global-ordering exchange over the data side") {
+    val docs = (0L until 1000L).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+    val plan = Packing.packByTokenBudget(docs, "doc_id", "n_tokens", 256L)
+      .queryExecution.executedPlan.toString
+    // the data side must be range-partitioned (parallel prefix sums),
+    // never funneled through one partition before the window
+    assert(plan.contains("rangepartitioning"))
+    // the only SinglePartition exchange allowed is on the per-partition
+    // totals frame (its input is an aggregate over _pid)
+    val single = "SinglePartition".r.findAllIn(plan).size
+    assert(single <= 1, s"unexpected single-partition exchanges:\n$plan")
+  }
+}
