@@ -353,15 +353,19 @@ object Dedup {
     * `cluster_id`; the representative is the row with
     * `doc_id == cluster_id`.
     *
-    * Distributed min-label propagation: each node starts labeled with
-    * its own id; every iteration each node takes the min of its label
-    * and its neighbors' labels; stop when no label changes. Each
-    * iteration is one equi-join shuffle + one aggregate — no driver
-    * materialization, no per-node loops — and converges in
-    * O(component diameter) rounds (near-dup clusters are dense, so
-    * typically 2–3). The frames are persisted per round and the
-    * previous round unpersisted, keeping lineage and memory bounded —
-    * the standard large-graph CC recipe on DataFrames.
+    * Distributed min-label propagation with POINTER JUMPING: each node
+    * starts labeled with its own id; every round each node takes the
+    * min of its label and its neighbors' labels (one equi-join shuffle
+    * + one aggregate), then shortcuts through the label forest
+    * (`l(n) := l(l(n))`, one self-join — valid because `l(x) ≤ x`
+    * holds from round one, so the mapping only descends). The shortcut
+    * doubles how far a min label travels per round, so convergence is
+    * O(log diameter) rounds instead of O(diameter) — a 1M-hop
+    * duplicate chain needs ~20 rounds, not 1M (the large-star/
+    * small-star bound, at two joins per round). No driver
+    * materialization, no per-node loops; the frames are persisted per
+    * round and the previous round unpersisted, keeping lineage and
+    * memory bounded.
     *
     * @param nodes  one row per document id (isolated docs form their
     *               own singleton cluster)
@@ -384,8 +388,13 @@ object Dedup {
     val labels0 = nodes.select(col(nodeCol).as("_n"), col(nodeCol).as("_lbl"))
       .persist()
     val idType = labels0.schema("_lbl").dataType
-    var pinned = labels0 // the round's persisted frame (for unpersist)
-    var labels = labels0 // its (_n, _lbl) view
+    // Near-dup clusters are dense (diameter ≤ 2, converged by round 3's
+    // no-change check) — those rounds run the cheap plain form. Only if
+    // convergence hasn't arrived by then does the shortcut join start
+    // paying for itself (pathological chains).
+    val jumpAfter = 2
+    var pinned: Option[DataFrame] = Some(labels0) // round's persisted frame
+    var labels: DataFrame = labels0
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -400,32 +409,60 @@ object Dedup {
       // comparison could.
       val viaEdges = sym.join(labels, sym("_s") === labels("_n"))
         .select(col("_d").as("_n"), col("_lbl"))
-      val next = labels.withColumn("_own", col("_lbl"))
+      val neighborMin = labels.withColumn("_own", col("_lbl"))
         .unionByName(viaEdges.withColumn("_own", lit(null).cast(idType)))
         .groupBy("_n").agg(min("_lbl").as("_lbl"), max("_own").as("_prev"))
-        .persist()
-      converged = next.filter(col("_lbl") =!= col("_prev")).isEmpty
-      pinned.unpersist()
-      pinned = next
-      labels = next.select("_n", "_lbl")
+      if (iter < jumpAfter) {
+        val next = neighborMin.persist()
+        converged = next.filter(col("_lbl") =!= col("_prev")).isEmpty
+        pinned.foreach(_.unpersist())
+        pinned = Some(next)
+        labels = next.select("_n", "_lbl")
+      } else {
+        // pointer jumping: follow the label one step (l(l(n)) — valid
+        // because l(x) ≤ x from round one, so the mapping only
+        // descends), doubling how far a min label travels per round:
+        // convergence in O(log diameter) rounds, not O(diameter). The
+        // convergence check stays on the NEIGHBOR step (_lbl vs
+        // _prev): at its fixpoint every component is uniformly
+        // labeled, so the shortcut is the identity there.
+        val nm = neighborMin.persist() // the self-join consumes it twice
+        val lbl = nm.select(col("_n").as("_jn"), col("_lbl").as("_jlbl"))
+        // eager localCheckpoint, not persist: the self-join references
+        // the round's frame twice, so carrying lineage across rounds
+        // would double the logical plan per round (exponential plan
+        // strings → driver OOM within ~10 rounds). Checkpointing
+        // materializes the round AND severs the lineage; superseded
+        // checkpoint blocks are freed by the context cleaner.
+        val next = nm.join(lbl, nm("_lbl") === lbl("_jn"), "left")
+          .select(nm("_n"),
+            coalesce(col("_jlbl"), nm("_lbl")).as("_lbl"),
+            nm("_lbl").as("_nm"), col("_prev"))
+          .localCheckpoint(true)
+        converged = next.filter(col("_nm") =!= col("_prev")).isEmpty
+        nm.unpersist()
+        pinned.foreach(_.unpersist())
+        pinned = None
+        labels = next.select("_n", "_lbl")
+      }
       iter += 1
     }
     sym.unpersist() // edges are no longer needed
-    // Min-label propagation needs O(component diameter) rounds; a
-    // duplicate chain longer than maxIter hops would otherwise return
-    // silently WRONG cluster ids — refuse instead of lying.
+    // Pointer-jumped propagation covers ~2^rounds hops; a component
+    // still unconverged at maxIter would otherwise get silently WRONG
+    // cluster ids — refuse instead of lying.
     if (!converged) {
-      pinned.unpersist()
+      pinned.foreach(_.unpersist())
       throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxIter rounds — a component's " +
-          s"diameter exceeds maxIter; raise maxIter (labels would be incorrect)")
+        s"duplicateClusters did not converge in $maxIter rounds — raise maxIter " +
+          s"(labels would be incorrect)")
     }
-    // Materialize the result and release the internal cache — callers
-    // can't reach the handle, so returning a frame derived from it
-    // would pin one cached RDD per invocation for the session lifetime.
+    // Materialize the result and release anything still pinned —
+    // callers can't reach internal handles, so a frame derived from a
+    // cached intermediate would pin storage for the session lifetime.
     val out = labels.select(col("_n").as(nodeCol), col("_lbl").as("cluster_id"))
       .localCheckpoint(true)
-    pinned.unpersist()
+    pinned.foreach(_.unpersist())
     out
   }
 }

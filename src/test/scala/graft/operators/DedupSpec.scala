@@ -128,6 +128,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(10L))
   }
 
+  test("duplicate clusters: pointer jumping collapses a 64-hop chain within default rounds") {
+    // plain min-label propagation needs 63 rounds for this path — far
+    // past maxIter=20; the l(l(n)) shortcut makes it O(log n)
+    val ids = (100L to 163L).toSeq
+    val nodes = ids.toDF("doc_id")
+    val edges = ids.zip(ids.tail).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(nodes, edges, "doc_id", "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 64 && got.values.toSet == Set(100L))
+  }
+
   test("duplicate clusters: refuses to return partial labels when maxIter is too low") {
     // 8-node path needs ~7 propagation rounds; maxIter=3 must throw,
     // not return silently wrong labels

@@ -73,4 +73,32 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("q85 (TPC-H Q6): scan-only plan — all three predicates pushed, 4-column read") {
+    val plan = planOf("q85_revenue_delta")
+    // the rendered PushedFilters list truncates after a few entries —
+    // assert the pushdown prefix plus the full residual Filter condition
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    assert(plan.contains(">= 1996-01-01") && plan.contains("0.02"), plan)
+    assert(plan.contains("l_quantity") && plan.contains("24.0"), plan)
+    assert(!plan.contains("Join"), "Q6 must not join:\n" + plan)
+    assert(!plan.contains("l_orderkey"), "scan reads unneeded column:\n" + plan)
+  }
+
+  test("q91 (TPC-H Q18): single lineitem pass; top-100 is TakeOrderedAndProject") {
+    val plan = planOf("q91_large_orders")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the per-order aggregate and the enrichment joins reuse ONE scan
+    // of lineitem (no second subtree scanning it for the HAVING)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 3, s"expected exactly 3 scans (lineitem+orders+customer):\n$plan")
+  }
+
+  test("q90 (TPC-H Q17): the per-part average aggregates the FILTERED part set only") {
+    val plan = planOf("q90_small_qty_revenue")
+    // both lineitem subtrees must carry the part semi-join before the
+    // aggregate — a full-lineitem average would show a scan without the
+    // p_partkey join under the HashAggregate
+    assert(plan.contains("EqualTo(p_type,SMALL)"), plan)
+  }
 }
