@@ -164,7 +164,10 @@ object SparkEntry {
     "q95_sequence_packing" -> (X.qSequencePacking _),
     "q96_repetition_stats" -> (X.qRepetitionStats _),
     "q97_pii_scrub" -> (X.qPiiScrub _),
-    "q98_stratified_sample" -> (X.qStratifiedSample _)
+    "q98_stratified_sample" -> (X.qStratifiedSample _),
+    // quality-weighted survivor selection + mixture re-weighting
+    "q99_best_per_group" -> (X.qBestPerGroup _),
+    "q100_mixture_weights" -> (X.qMixtureWeights _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -363,6 +366,50 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':strat_v1'), 1, 4) <
         |  CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000' ELSE 'g' END""".stripMargin,
+    // q81's quality formula + (score DESC, id ASC) survivor per group
+    "q99_best_per_group" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_band,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, len_band, len,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, lang, len_band, ROUND(
+        |      (CASE WHEN len < 20 THEN len/20.0
+        |            WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+        |            ELSE 1.0 END) * 0.3
+        |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+        |    + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+        |    + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+        |    6) AS quality
+        |  FROM r)
+        |SELECT doc_id, lang, len_band, quality, n_candidates FROM (
+        |  SELECT doc_id, lang, len_band, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, len_band
+        |      ORDER BY quality DESC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang, len_band) AS n_candidates
+        |  FROM q) WHERE rn = 1""".stripMargin,
+    "q100_mixture_weights" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+        |    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':mix_v1'), 1, 4) <
+        |        CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '8000' ELSE '0000' END
+        |      THEN 1 ELSE 0 END AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, unnest(generate_series(1, n)) AS copy
+        |FROM w WHERE n > 0""".stripMargin,
     // MinHash verify stage with blocking disabled: same tokenization as
     // the operator (lowercase, whitespace split, empties dropped,
     // distinct 1-shingles), exhaustive pairs, exact Jaccard.

@@ -43,6 +43,26 @@ object Dedup {
       .groupBy(col("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Quality-weighted survivor selection: keeps the FULL row with the
+    * HIGHEST `scoreCol` per group (ties broken by smallest `idCol`),
+    * plus the group size as `n_candidates` — [[exactKeepMinId]] with a
+    * ranking function instead of first-seen, the form corpus curation
+    * actually wants ("of these duplicates, keep the best one"). Same
+    * scale shape: map-side `min_by` combine, one candidate row per
+    * group per mapper through the shuffle, no window sort.
+    */
+  def exactKeepBest(df: DataFrame, idCol: String, keyCols: Seq[String],
+      scoreCol: String): DataFrame = {
+    val payload = struct(df.columns.toSeq.map(col): _*)
+    // min_by over (-score, id): struct ordering is lexicographic, so
+    // this is (score DESC, id ASC) — deterministic for any score ties
+    df.groupBy(keyCols.map(col).toSeq: _*)
+      .agg(min_by(payload, struct(negate(col(scoreCol)), col(idCol))).as("_row"),
+        count(lit(1)).as("n_candidates"))
+      .select(df.columns.toSeq.map(c => col(s"_row.`$c`").as(c))
+        :+ col("n_candidates"): _*)
+  }
+
   // ── MinHash + LSH ───────────────────────────────────────────────────
 
   /** MinHash signature (array<long> of length `numHashes`) over a

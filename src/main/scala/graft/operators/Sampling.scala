@@ -69,4 +69,35 @@ object Sampling {
       }
     df.filter(substring(hashUniform(col(idCol), salt), 1, 4) < threshold)
   }
+
+  /** Deterministic mixture re-weighting (epoch-style source mixing):
+    * each row is emitted `floor(w)` times plus one more when its hash
+    * draw falls under `frac(w)` — so a stratum with weight 2.5 appears
+    * ~2.5× and one with weight 0.5 is half-sampled, with E[copies] =
+    * w exactly (up to the 1/65536 threshold quantization). Output adds
+    * a `copy` index (1..n). Explode-based: stays a narrow per-row op,
+    * no shuffle; the output size is Σ wᵢ·nᵢ by construction.
+    */
+  def mixtureWeight(df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "mix_v1"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "weights must be non-negative")
+    def whole(w: Double): Long = math.floor(w).toLong
+    def fracThresh(w: Double): String = hexThreshold(w - math.floor(w))
+    val base = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(whole(defaultWeight))) { case (acc, (stratum, w)) =>
+        when(col(stratumCol) === stratum, lit(whole(w))).otherwise(acc)
+      }
+    val thresh = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(fracThresh(defaultWeight))) { case (acc, (stratum, w)) =>
+        when(col(stratumCol) === stratum, lit(fracThresh(w))).otherwise(acc)
+      }
+    val extra = when(
+      substring(hashUniform(col(idCol), salt), 1, 4) < thresh, 1L).otherwise(0L)
+    df.withColumn("_copies", base + extra)
+      .filter(col("_copies") > 0L)
+      .withColumn("copy", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
 }

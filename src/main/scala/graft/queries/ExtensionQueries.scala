@@ -309,6 +309,30 @@ object ExtensionQueries {
       Map("en" -> 0.5, "zh" -> 0.25))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Quality-weighted representative selection: per (lang, length
+    * band) keep the single highest-quality document — survivor choice
+    * by ranking, not first-seen; map-side min_by combine, no window.
+    */
+  def qBestPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val scored = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 100).cast("long").as("len_band"),
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks")).as("quality"))
+    graft.operators.Dedup.exactKeepBest(scored, "doc_id",
+      Seq("lang", "len_band"), "quality")
+  }
+
+  /** Deterministic mixture re-weighting: src0 upsampled 2.5×, src1
+    * halved, everything else kept — epoch-style source mixing with an
+    * exact expected copy count and a reproducible fractional draw.
+    */
+  def qMixtureWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureWeight(
+      tbl(s, dir, "documents"), "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.5))
+      .select(col("doc_id"), col("source"), col("copy"))
+
   // ── Sessionization / event-time (batch analog of streaming ops) ─────
 
   /** Gap-based sessionization (30-min gap) — the batch analog of the
