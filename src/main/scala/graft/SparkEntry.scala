@@ -167,7 +167,10 @@ object SparkEntry {
     "q98_stratified_sample" -> (X.qStratifiedSample _),
     // quality-weighted survivor selection + mixture re-weighting
     "q99_best_per_group" -> (X.qBestPerGroup _),
-    "q100_mixture_weights" -> (X.qMixtureWeights _)
+    "q100_mixture_weights" -> (X.qMixtureWeights _),
+    // native whole-operator as-of join (custom plan+strategy+exec);
+    // shares q45's oracle
+    "q101_asof_native" -> (X.qAsOfJoinNative _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -505,15 +508,10 @@ object SparkEntry {
         |WHERE c_acctbal > (
         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
         |    / COUNT(c_acctbal) FROM customer)""".stripMargin,
-    "q45_asof_join" ->
-      """SELECT p.user_id, p.event_id, p.ts,
-        |  (SELECT last(c.event_id ORDER BY c.ts, c.event_id) FROM events c
-        |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
-        |       AND c.ts <= p.ts) AS click_event_id,
-        |  (SELECT last(c.ts ORDER BY c.ts, c.event_id) FROM events c
-        |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
-        |       AND c.ts <= p.ts) AS click_ts
-        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "q45_asof_join" -> asOfJoinSql,
+    // the native whole-operator plan must reproduce the composed
+    // form's rows exactly — same oracle
+    "q101_asof_native" -> asOfJoinSql,
     "q46_percentile" ->
       """SELECT event_type,
         |  ROUND(quantile_cont("value", 0.25), 6) AS p25,
@@ -1004,6 +1002,20 @@ object SparkEntry {
       |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       |  FROM events)
       |GROUP BY user_id""".stripMargin
+
+  /** Backward as-of semantics as correlated scalar subqueries — the
+    * oracle for both q45 (tagged union + window) and q101 (native
+    * streaming-merge exec).
+    */
+  private def asOfJoinSql: String =
+    """SELECT p.user_id, p.event_id, p.ts,
+      |  (SELECT last(c.event_id ORDER BY c.ts, c.event_id) FROM events c
+      |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |       AND c.ts <= p.ts) AS click_event_id,
+      |  (SELECT last(c.ts ORDER BY c.ts, c.event_id) FROM events c
+      |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |       AND c.ts <= p.ts) AS click_ts
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
 
   /** Exhaustive cosine pairs over the full 500-vector table — the
     * oracle for q93 (embedding verify stage, blocking disabled). The

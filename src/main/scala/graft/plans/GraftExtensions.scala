@@ -76,6 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Band-join planning: abs(l - r) <= tol join predicates become
     // bucketed equi joins instead of nested-loop joins.
     ext.injectOptimizerRule(_ => RangeJoinRewriteRule)
+    // Whole-operator plan: native backward as-of join (AsOfJoinPlan →
+    // streaming-merge AsOfJoinExec).
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

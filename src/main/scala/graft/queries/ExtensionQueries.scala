@@ -333,6 +333,24 @@ object ExtensionQueries {
       Map("src0" -> 2.5, "src1" -> 0.5))
       .select(col("doc_id"), col("source"), col("copy"))
 
+  /** q45's as-of join through the NATIVE whole-operator plan (custom
+    * LogicalPlan → strategy → streaming-merge SparkPlan) — must
+    * produce exactly the composed form's rows, so it shares q45's
+    * oracle: the ultimate custom-operator parity check.
+    */
+  def qAsOfJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"))
+    graft.operators.NativeAsOfJoin.backward(
+      purchases, clicks, Seq("user_id"), "ts", "ts",
+      rightPayload = Seq("click_event_id"), tieBreakCol = "click_event_id",
+      matchedTsCol = "click_ts")
+  }
+
   // ── Sessionization / event-time (batch analog of streaming ops) ─────
 
   /** Gap-based sessionization (30-min gap) — the batch analog of the
