@@ -170,7 +170,10 @@ object SparkEntry {
     "q100_mixture_weights" -> (X.qMixtureWeights _),
     // native whole-operator as-of join (custom plan+strategy+exec);
     // shares q45's oracle
-    "q101_asof_native" -> (X.qAsOfJoinNative _)
+    "q101_asof_native" -> (X.qAsOfJoinNative _),
+    // transformWithState sessionizer (Spark 4 arbitrary-state API on
+    // RocksDB state); shares the q33/q71/q82 sessionize oracle
+    "q102_sessionize_tws" -> (X.qSessionizeTws _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -440,6 +443,7 @@ object SparkEntry {
     "q33_sessionize" -> sessionizeSql,
     "q71_sessionize_stream" -> sessionizeSql,
     "q82_session_window_stream" -> sessionizeSql,
+    "q102_sessionize_tws" -> sessionizeSql,
     "q83_stream_stream_join" ->
       """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
         |FROM events a JOIN events b ON a.user_id = b.user_id

@@ -333,6 +333,21 @@ object ExtensionQueries {
       Map("src0" -> 2.5, "src1" -> 0.5))
       .select(col("doc_id"), col("source"), col("copy"))
 
+  /** The `transformWithState` sessionizer (Spark 4 arbitrary-state
+    * API: StatefulProcessor + typed ValueState + explicit event-time
+    * timers on RocksDB state) replayed to completion and aggregated to
+    * q33's schema — the third independent implementation of the same
+    * session semantics under the same batch oracle (q33 window form ≡
+    * q71 flatMapGroupsWithState ≡ q82 native session_window ≡ this).
+    */
+  def qSessionizeTws(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.replaySessionSummariesTws(
+      RelationalQueries.events(s, dir).select(col("user_id"), col("ts")),
+      gapSeconds = 1800)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"))
+
   /** q45's as-of join through the NATIVE whole-operator plan (custom
     * LogicalPlan → strategy → streaming-merge SparkPlan) — must
     * produce exactly the composed form's rows, so it shares q45's

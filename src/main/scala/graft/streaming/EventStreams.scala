@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Input row for [[EventStreams.statefulSessions]]. `us` carries the
   * exact epoch-microsecond event time — java.sql.Timestamp.getTime is
@@ -194,6 +196,85 @@ object EventStreams {
       }
   }
 
+  private[streaming] def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** The same gap-sessionizer as [[statefulSessions]] on Spark 4's
+    * `transformWithState` arbitrary-state API (StatefulProcessor +
+    * typed ValueState + explicit event-time timers). Unlike
+    * `flatMapGroupsWithState`'s single state value + implicit timeout,
+    * the processor owns named state variables and a timer registry —
+    * the template for multi-variable state machines (per-key counters +
+    * open session + dedup set in one processor). Requires the RocksDB
+    * state store provider.
+    */
+  class SessionProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, SessionEvent, SessionSummary] {
+    private val gapUs = gapSeconds * 1000000L
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def summary(uid: Long, s: OpenSession): SessionSummary =
+      SessionSummary(uid, microsToTs(s.startUs), microsToTs(s.endUs), s.n)
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessionEvent],
+        timers: TimerValues): Iterator[SessionSummary] = {
+      val closed = scala.collection.mutable.ListBuffer.empty[SessionSummary]
+      var cur = if (open.exists()) Some(open.get()) else None
+      rows.map(_.us).toSeq.sorted.foreach { t =>
+        cur match {
+          case Some(s) if t - s.endUs > gapUs =>
+            closed += summary(uid, s)
+            cur = Some(OpenSession(t, t, 1))
+          case Some(s) =>
+            cur = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
+          case None =>
+            cur = Some(OpenSession(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // one live timer per key: replace the stale horizon (timer API
+        // is ms-grained: round UP so it never fires early)
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(Math.floorDiv(s.endUs + gapUs, 1000L) + 1L)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionSummary] =
+      if (open.exists()) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(summary(uid, s))
+      } else Iterator.empty
+  }
+
+  /** [[statefulSessions]] semantics via [[SessionProcessor]] /
+    * `transformWithState`.
+    */
+  def statefulSessionsTws(
+      events: DataFrame,
+      gapSeconds: Long,
+      lateness: String = "0 seconds"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts", "unix_micros(ts) AS us")
+      .withWatermark("ts", lateness)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Replays a BOUNDED event frame through a real `MemoryStream` in
     * `numBatches` arrival-order micro-batches, runs
     * [[statefulSessions]] over it, and returns the closed sessions —
@@ -216,6 +297,23 @@ object EventStreams {
       df => statefulSessions(df, gapSeconds).toDF(),
       horizonSeconds = gapSeconds * 2 + 60,
       numBatches = numBatches)
+      .filter(col("user_id") =!= -1L)
+
+  /** [[replaySessionSummaries]] through the `transformWithState`
+    * sessionizer — the replay pins the RocksDB state store provider
+    * (the only provider the transformWithState operator supports).
+    */
+  def replaySessionSummariesTws(
+      events: DataFrame,
+      gapSeconds: Long,
+      numBatches: Int = 2): DataFrame =
+    replayToTable(
+      events,
+      df => statefulSessionsTws(df, gapSeconds).toDF(),
+      horizonSeconds = gapSeconds * 2 + 60,
+      numBatches = numBatches,
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
       .filter(col("user_id") =!= -1L)
 
   /** Generic stream/batch-parity replay harness: feeds a BOUNDED event
@@ -241,7 +339,8 @@ object EventStreams {
       buildStream: DataFrame => DataFrame,
       horizonSeconds: Long,
       numBatches: Int = 2,
-      replayShufflePartitions: Int = 4): DataFrame = {
+      replayShufflePartitions: Int = 4,
+      extraConfs: Map[String, String] = Map.empty): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -276,6 +375,9 @@ object EventStreams {
     }
     val partitionsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
+    val confsBefore = extraConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = out.writeStream.format("memory")
         .queryName(qname).outputMode("append")
@@ -294,6 +396,10 @@ object EventStreams {
       } finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", partitionsBefore)
+      confsBefore.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
       try {
         import scala.jdk.CollectionConverters._
         val root = java.nio.file.Paths.get(ckptRoot)

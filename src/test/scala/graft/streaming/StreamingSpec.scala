@@ -74,6 +74,36 @@ class StreamingSpec extends AnyFunSuite {
       (2L, t(30), t(30), 1L)))
   }
 
+  test("transformWithState sessionizer matches the fMGWS form across batches and timers") {
+    implicit val sql = spark.sqlContext
+    val before = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      mem.addData(
+        Ev(t(0), 1, "a", 1.0), Ev(t(1), 1, "a", 1.0),
+        Ev(t(20), 1, "a", 1.0), Ev(t(30), 2, "b", 1.0))
+      val q = EventStreams.statefulSessionsTws(mem.toDF, gapSeconds = 300)
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // second batch pushes the watermark past both pending timers
+      mem.addData(Ev(t(40), 3, "c", 1.0))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("tws_out")
+        .select("user_id", "session_start", "session_end", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(got.toSet == Set(
+        (1L, t(0), t(1), 2L), // closed by the in-batch gap
+        (1L, t(20), t(20), 1L), // closed by its event-time timer
+        (2L, t(30), t(30), 1L)))
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream join within time bounds, watermarked state") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[Ev]
