@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Full-text relevance scoring (TF-IDF / Okapi BM25) over a document
+  * corpus — the retrieval/quality-filter half of a training-data
+  * pipeline (score documents against a topic query, keep the top
+  * slice).
+  *
+  * Scale shape: the corpus is tokenized and term-frequency-aggregated
+  * in one shuffle keyed on (doc, term); everything derived from the
+  * QUERY (per-term document frequencies, the corpus-level N/avgdl
+  * scalars) is tiny by construction — `|terms|` and 1 rows — and is
+  * broadcast back, so the big side is touched exactly twice (tf pass,
+  * score pass) and never re-shuffled: per-doc length reuses the tf
+  * aggregate (sum of tf = token count) instead of re-reading text.
+  * No collect: the corpus stats ride along as a broadcast-cross of a
+  * 1-row aggregate, keeping the whole job a single declarative plan.
+  */
+object TextSearch {
+
+  /** Per-(doc, term) raw term frequency. Tokenization: lowercase,
+    * whitespace split, empties dropped — identical to the dedup
+    * family's (and the DuckDB oracle's) convention.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** BM25 score of every document containing at least one query term.
+    * Output: (doc_id, bm25) — unrounded doubles; callers round for
+    * cross-engine comparison.
+    *
+    * idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene's form —
+    * non-negative even for terms in more than half the corpus)
+    * score  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Determinism: each per-term weight is rounded to 6 decimals and the
+    * Σ_t carried through DECIMAL(18,6), so the score is independent of
+    * partial-aggregation order AND bit-stable across engines (ln may
+    * differ by an ulp between libm and the JDK; 6-dp quantization
+    * absorbs it). The 1e-6 per-term quantization is far below any
+    * meaningful relevance difference.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val tf = termFrequencies(docs, idCol, textCol)
+    // doc length from the tf aggregate: one narrow re-aggregation of
+    // an already-shuffled frame, no second pass over raw text
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // corpus scalars: exact long sums, divided once (bit-stable across
+    // engines, see the oracle parity notes)
+    val stats = dl.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl")).cast("long").as("sum_dl"))
+    val tfq = tf.filter(col("term").isin(queryTerms: _*))
+    val dft = tfq.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val avgdl: Column = col("sum_dl").cast("double") / col("n").cast("double")
+    val idf: Column =
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val weight: Column = idf *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    tfq
+      .join(broadcast(dft), "term")
+      .join(dl, "doc_id") // dl is the big side; tfq+dft broadcast onto it
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(weight, 6).cast("decimal(18,6)").as("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).cast("double").as("bm25"))
+  }
+
+  /** Plain TF-IDF document vectors restricted to the query vocabulary:
+    * (doc_id, term, tfidf) with tfidf = tf · ln(N / df). Deterministic
+    * and SQL-mirrorable; the building block under [[bm25]].
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+      vocabulary: Seq[String]): DataFrame = {
+    require(vocabulary.nonEmpty, "empty vocabulary")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val n = docs.agg(count(lit(1)).cast("long").as("n"))
+    val tfq = tf.filter(col("term").isin(vocabulary: _*))
+    val dft = tfq.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    tfq.join(broadcast(dft), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double"))).as("tfidf"))
+  }
+}

@@ -61,6 +61,30 @@ object ExtensionQueries {
         sha2(encode(graft.functions.expressions.TextExpressions
           .unicode_normalize(col("text"), "NFC"), "UTF-8"), 256).as("nfc_sha"))
 
+  /** Topic query used by the full-text relevance queries — four
+    * mid-frequency corpus terms (generator vocabulary, TESTDATA.md).
+    */
+  val SearchTerms: Seq[String] = Seq("spark", "vector", "stream", "window")
+
+  /** BM25 relevance of every document against a fixed topic query —
+    * the retrieval/quality-filter operator of a training-data pipeline
+    * (score the corpus against a topic, keep the top slice).
+    * Deterministic by construction (decimal-carried 6-dp weights), so
+    * fully oracle-checked.
+    */
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.bm25(
+      tbl(s, dir, "documents"), "doc_id", "text", SearchTerms)
+
+  /** TF-IDF weights restricted to the query vocabulary — the exact
+    * building block under [[qBm25]]; per-(doc, term) rows, no float
+    * summation at all.
+    */
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.tfidf(
+        tbl(s, dir, "documents"), "doc_id", "text", SearchTerms)
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+
   // ── Dedup ───────────────────────────────────────────────────────────
 
   /** Exact dedup groups by content hash (sha-256). */
