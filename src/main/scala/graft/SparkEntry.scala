@@ -173,7 +173,11 @@ object SparkEntry {
     "q101_asof_native" -> (X.qAsOfJoinNative _),
     // transformWithState sessionizer (Spark 4 arbitrary-state API on
     // RocksDB state); shares the q33/q71/q82 sessionize oracle
-    "q102_sessionize_tws" -> (X.qSessionizeTws _)
+    "q102_sessionize_tws" -> (X.qSessionizeTws _),
+    // full-text relevance scoring (BM25 / TF-IDF) over the corpus —
+    // deterministic by construction (6-dp decimal-carried weights)
+    "q103_bm25" -> (X.qBm25 _),
+    "q104_tfidf" -> (X.qTfidf _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -432,6 +436,48 @@ object SparkEntry {
         |        FROM documents WHERE doc_id < 500) b
         |    ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
+    // BM25: tokenization identical to the dedup family (lowercase,
+    // whitespace split, empties dropped, occurrences counted). Per-term
+    // weights rounded to 6 dp and summed through DECIMAL(18,6), so the
+    // score is partial-aggregation-order independent and absorbs any
+    // libm-vs-JDK ln() ulp difference. All arithmetic mirrors the
+    // operator's association order exactly (see TextSearch.bm25).
+    "q103_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl),
+        |tfq AS (SELECT * FROM tf
+        |        WHERE term IN ('spark', 'vector', 'stream', 'window')),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1)
+        |SELECT q.doc_id AS doc_id, CAST(SUM(CAST(ROUND(
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (q.tf * 2.2)
+        |      / (q.tf + 1.2 * (0.25 + 0.75 * l.dl
+        |           / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+        |  , 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        |FROM tfq q JOIN dft d USING (term) JOIN dl l USING (doc_id)
+        |CROSS JOIN stats s
+        |GROUP BY q.doc_id""".stripMargin,
+    // TF-IDF restricted to the query vocabulary; N counts ALL docs
+    // (the operator's docs.count), df counts docs containing the term.
+    "q104_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |tfq AS (SELECT * FROM tf
+        |        WHERE term IN ('spark', 'vector', 'stream', 'window')),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT q.doc_id AS doc_id, q.term AS term,
+        |  ROUND(CAST(q.tf AS DOUBLE)
+        |    * ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS tfidf
+        |FROM tfq q JOIN dft d USING (term) CROSS JOIN n""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

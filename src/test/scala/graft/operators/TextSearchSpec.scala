@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** BM25/TF-IDF pinned against hand-computed values on a 4-doc corpus,
+  * plus the ranking properties the retrieval use-case rests on.
+  */
+class TextSearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // doc 1: "spark" x2 + 2 fillers (dl=4); doc 2: "spark" x1 (dl=3);
+  // doc 3: no query terms (dl=2); doc 4: "rare" + "spark" (dl=2)
+  private lazy val docs = Seq(
+    (1L, "spark spark fast engine"),
+    (2L, "spark is here"),
+    (3L, "nothing else"),
+    (4L, "rare spark")
+  ).toDF("doc_id", "text")
+
+  test("termFrequencies counts occurrences after lowercase/whitespace split") {
+    val tf = TextSearch.termFrequencies(
+        Seq((1L, "A a  b\tA")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(tf == Set((1L, "a", 3L), (1L, "b", 1L)))
+  }
+
+  test("bm25 matches the hand-computed score and ranks tf-heavy docs first") {
+    // n=4 docs, df(spark)=3, avgdl=11/4. idf = ln(1 + 1.5/3.5)
+    val idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    def w(tf: Long, dl: Long): BigDecimal = {
+      val avgdl = 11.0 / 4.0
+      BigDecimal(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val got = TextSearch.bm25(docs, "doc_id", "text", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 4L)) // doc 3 has no query term
+    assert(got(1L) == w(2, 4).toDouble)
+    assert(got(2L) == w(1, 3).toDouble)
+    assert(got(4L) == w(1, 2).toDouble)
+    assert(got(1L) > got(2L)) // higher tf wins at comparable length
+    assert(got(4L) > got(2L)) // shorter doc wins at equal tf
+  }
+
+  test("tfidf = tf * ln(N/df) over the restricted vocabulary") {
+    val got = TextSearch.tfidf(docs, "doc_id", "text", Seq("spark", "rare"))
+      .as[(Long, String, Double)].collect().toSet
+    val sparkW = math.log(4.0 / 3.0)
+    val rareW = math.log(4.0 / 1.0)
+    assert(got == Set(
+      (1L, "spark", 2 * sparkW), (2L, "spark", 1 * sparkW),
+      (4L, "spark", 1 * sparkW), (4L, "rare", 1 * rareW)))
+  }
+
+  test("bm25 plan broadcasts the query-side stats, never the corpus") {
+    val plan = TextSearch.bm25(docs, "doc_id", "text", Seq("spark"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
