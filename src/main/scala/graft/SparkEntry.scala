@@ -177,7 +177,10 @@ object SparkEntry {
     // full-text relevance scoring (BM25 / TF-IDF) over the corpus —
     // deterministic by construction (6-dp decimal-carried weights)
     "q103_bm25" -> (X.qBm25 _),
-    "q104_tfidf" -> (X.qTfidf _)
+    "q104_tfidf" -> (X.qTfidf _),
+    // banded SimHash over a PORTABLE (md5-nibble) fingerprint — the
+    // whole near-dup operator hash-checks against an exhaustive oracle
+    "q105_simhash_portable" -> (X.qSimhashPortable _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -478,6 +481,34 @@ object SparkEntry {
         |  ROUND(CAST(q.tf AS DOUBLE)
         |    * ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)), 6) AS tfidf
         |FROM tfq q JOIN dft d USING (term) CROSS JOIN n""".stripMargin,
+    // Portable SimHash: the oracle recomputes the 60-bit md5-nibble
+    // fingerprint from scratch (distinct lowercase whitespace tokens,
+    // bit p = bit 3-p%4 of hex nibble p/4, majority vote with ties→0,
+    // fp = Σ bit·2^p) and takes exhaustive Hamming ≤ 3 pairs; the
+    // engine's banded join must equal it EXACTLY (pigeonhole).
+    "q105_simhash_portable" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents WHERE doc_id < 300),
+        |h AS (SELECT doc_id, md5(term) AS hex FROM tok),
+        |b AS (
+        |  SELECT doc_id, p.p AS p,
+        |    CASE WHEN SUM(2 * (CAST(floor(
+        |        (strpos('0123456789abcdef',
+        |           substr(hex, CAST(p.p // 4 AS INTEGER) + 1, 1)) - 1)
+        |        / power(2, 3 - p.p % 4)) AS BIGINT) % 2) - 1) > 0
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS p) p
+        |  GROUP BY doc_id, p.p),
+        |fp AS (SELECT doc_id,
+        |         CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(p AS INTEGER)))
+        |           AS BIGINT) AS fp
+        |       FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.fp, b2.fp)) <= 3""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

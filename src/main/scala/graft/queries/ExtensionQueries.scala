@@ -110,6 +110,18 @@ object ExtensionQueries {
     Dedup.simHashNearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
       bands = 4, maxHamming = 3)
 
+  /** Portable-fingerprint SimHash near-dup pairs: the md5-nibble
+    * fingerprint is engine-neutral, so the FULL banded operator
+    * (candidates + Hamming verify, lossless by pigeonhole) is
+    * hash-checked against an exhaustive SQL oracle — unlike [[qDedupSimHash]]
+    * whose xxhash kernel is JVM-only. Bounded scope keeps the oracle's
+    * quadratic side small; the operator itself is the banded scale path.
+    */
+  def qSimhashPortable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PortableSimHash.nearDupPairs(
+      tbl(s, dir, "documents").filter(col("doc_id") < 300),
+      "doc_id", "text", maxHamming = 3, nBands = 4)
+
   /** Exhaustive token-set Jaccard pairs — oracle-checkable in DuckDB
     * via list_intersect/list_distinct. Quadratic by construction; the
     * LSH variants above are the scale path.
