@@ -180,7 +180,13 @@ object SparkEntry {
     "q104_tfidf" -> (X.qTfidf _),
     // banded SimHash over a PORTABLE (md5-nibble) fingerprint — the
     // whole near-dup operator hash-checks against an exhaustive oracle
-    "q105_simhash_portable" -> (X.qSimhashPortable _)
+    "q105_simhash_portable" -> (X.qSimhashPortable _),
+    // single-pass Deequ-style constraint suite
+    "q106_data_quality" -> (X.qDataQuality _),
+    // calendar gap-fill + LOCF resample
+    "q107_resample_locf" -> (X.qResampleLocf _),
+    // SCD2 dimension-history builder
+    "q108_scd2_history" -> (X.qScd2History _)
   )
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -509,6 +515,58 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS hamming
         |FROM fp a JOIN fp b2 ON a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.fp, b2.fp)) <= 3""".stripMargin,
+    // Constraint suite: violation counts as doubles; null semantics
+    // documented on DataQuality (range/domain rules skip nulls).
+    "q106_data_quality" ->
+      """WITH s AS (SELECT
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS v0,
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS v1,
+        |  CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 600000.0
+        |    THEN 1 ELSE 0 END) AS DOUBLE) AS v2,
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+        |    THEN 1 ELSE 0 END) AS DOUBLE) AS v3
+        |  FROM orders)
+        |SELECT 'o_custkey' AS column_name, 'not_null' AS constraint_name,
+        |  v0 AS violations, v0 = 0.0 AS passed FROM s
+        |UNION ALL SELECT 'o_orderkey', 'unique', v1, v1 = 0.0 FROM s
+        |UNION ALL SELECT 'o_totalprice', 'in_range', v2, v2 = 0.0 FROM s
+        |UNION ALL SELECT 'o_orderstatus', 'is_in', v3, v3 = 0.0 FROM s""".stripMargin,
+    // Daily resample: days from CAST(ts AS DATE) in UTC on both sides;
+    // day sums decimal-carried, LOCF over the decimal, double at the end.
+    "q107_resample_locf" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    SUM(CAST("value" AS DECIMAL(18,6))) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, CAST(unnest(generate_series(
+        |    CAST(min_d AS TIMESTAMP), CAST(max_d AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, MIN(day) AS min_d, MAX(day) AS max_d
+        |        FROM d GROUP BY 1)),
+        |j AS (
+        |  SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n, d.day_value
+        |  FROM span s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
+        |  CAST(last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS locf_value
+        |FROM j""".stripMargin,
+    // SCD2: change rows via lag over (ts, event_id) total order, lead
+    // closes intervals; bounds as epoch micros (ns truncation parity).
+    "q108_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type AS state, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, state, ts_us, event_id FROM e
+        |      WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, ts_us AS valid_from_us,
+        |  LEAD(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS valid_to_us
+        |FROM c""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an event stream onto a fixed
+  * calendar grid per key, filling gaps with zero counts and
+  * last-observation-carried-forward values — the feature-engineering
+  * step that turns irregular events into model-ready daily series.
+  *
+  * Scale shape: one grouped aggregate compresses events to (key, day)
+  * rows BEFORE any densification, so the expensive input pass is a
+  * plain map-side-combine shuffle. The calendar explode then operates
+  * on the aggregated frame (rows = keys × active-span days, already
+  * orders of magnitude smaller than events), and the LOCF window
+  * partitions by key — no global window anywhere. Spans are per-key
+  * (min..max day of THAT key), so one long-lived key cannot inflate
+  * every other key's series.
+  */
+object TimeSeries {
+
+  /** Daily resample of `events(keyCol, tsCol, valueCol)`:
+    * (key, day, n, locf_value) for every day in the key's [min, max]
+    * day span. `n` = events that day (0 on gaps); `locf_value` = sum
+    * of that day's values carried forward over gaps (decimal-exact
+    * within a day, order-independent).
+    */
+  def resampleDailyLocf(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+      .groupBy(col("key"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("day_value"))
+    val spans = daily.groupBy(col("key"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("key"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans.join(daily, Seq("key", "day"), "left")
+      .select(col("key"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("day_value"), ignoreNulls = true).over(w)
+          .cast("double").as("locf_value"))
+  }
+}

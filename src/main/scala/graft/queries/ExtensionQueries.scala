@@ -402,6 +402,37 @@ object ExtensionQueries {
       matchedTsCol = "click_ts")
   }
 
+  // ── Validation / time-series / dimension history ────────────────────
+
+  /** Deequ-style constraint suite over orders, one aggregate pass:
+    * null check, key uniqueness, range and domain rules.
+    */
+  def qDataQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality._
+    check(tbl(s, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      Unique("o_orderkey"),
+      InRange("o_totalprice", 0.0, 600000.0),
+      IsIn("o_orderstatus", Seq("F", "O", "P"))))
+  }
+
+  /** Daily per-user resample with zero-filled gaps and LOCF values —
+    * events compress to (user, day) BEFORE densification.
+    */
+  def qResampleLocf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.resampleDailyLocf(
+      RelationalQueries.events(s, dir), "user_id", "ts", "value")
+      .select(col("key").as("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("locf_value"))
+
+  /** SCD2 validity intervals of each user's event_type change log. */
+  def qScd2History(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd2.buildHistory(
+      RelationalQueries.events(s, dir),
+      "user_id", "ts", "event_type", "event_id")
+      .select(col("key").as("user_id"), col("state"),
+        col("valid_from_us"), col("valid_to_us"))
+
   // ── Sessionization / event-time (batch analog of streaming ops) ─────
 
   /** Gap-based sessionization (30-min gap) — the batch analog of the
