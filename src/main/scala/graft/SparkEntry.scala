@@ -186,8 +186,39 @@ object SparkEntry {
     // calendar gap-fill + LOCF resample
     "q107_resample_locf" -> (X.qResampleLocf _),
     // SCD2 dimension-history builder
-    "q108_scd2_history" -> (X.qScd2History _)
+    "q108_scd2_history" -> (X.qScd2History _),
+    // iterative graph centrality, 6-dp quantized => oracle-exact
+    "q109_pagerank" -> (X.qPageRank _)
   )
+
+  /** PageRank oracle: the 8-round recurrence unrolled as chained CTEs
+    * (portable — no aggregation over a recursive reference needed).
+    * Mirrors PageRank.microPageRank exactly: ALL-INTEGER fixed-point
+    * arithmetic (micro-rank longs, floor division), so there is no
+    * rounding or representation to disagree on — see the operator's
+    * scaladoc for why float variants cross-engine-drift. `//` vs
+    * Spark's `div`: both truncate toward zero; all values positive.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |    CAST(150000 + (CAST(85 AS BIGINT) * COALESCE(s.sc, 0)) // 100
+         |      AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.r // o.outdeg) AS sc
+         |    FROM e JOIN r${i - 1} p ON e.src = p.node
+         |    JOIN outd o ON e.src = o.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+       |  CAST(l_partkey AS BIGINT) + 10000000 AS p FROM lineitem),
+       |e AS (SELECT s AS src, p AS dst FROM b UNION ALL SELECT p, s FROM b),
+       |outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, r AS micro_rank FROM r$iters""".stripMargin
+  }
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
   private def dsum(c: String): String =
@@ -567,6 +598,7 @@ object SparkEntry {
         |  LEAD(ts_us) OVER (PARTITION BY user_id
         |    ORDER BY ts_us, event_id) AS valid_to_us
         |FROM c""".stripMargin,
+    "q109_pagerank" -> pagerankSql(8),
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

@@ -433,6 +433,20 @@ object ExtensionQueries {
       .select(col("key").as("user_id"), col("state"),
         col("valid_from_us"), col("valid_to_us"))
 
+  /** Fixed-point PageRank (8 rounds) over the undirected supplier–part
+    * co-supply graph from lineitem — part keys offset to disjoint node
+    * ids. All-integer arithmetic makes the full iterative computation
+    * hash-match an unrolled SQL oracle bit-exactly.
+    */
+  def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val b = tbl(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("s"),
+        (col("l_partkey").cast("long") + 10000000L).as("p")).distinct()
+    val edges = b.select(col("s").as("src"), col("p").as("dst"))
+      .union(b.select(col("p").as("src"), col("s").as("dst")))
+    graft.operators.PageRank.microPageRank(edges, 8)
+  }
+
   // ── Sessionization / event-time (batch analog of streaming ops) ─────
 
   /** Gap-based sessionization (30-min gap) — the batch analog of the

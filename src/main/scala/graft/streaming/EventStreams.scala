@@ -312,6 +312,11 @@ object EventStreams {
       df => statefulSessionsTws(df, gapSeconds).toDF(),
       horizonSeconds = gapSeconds * 2 + 60,
       numBatches = numBatches,
+      // one state partition: each RocksDB instance open/commit costs
+      // ~100s of ms per micro-batch — at replay scale that fixed cost
+      // dominates, and state is per-key so partitioning never changes
+      // the output. Production tws jobs size this to the cluster.
+      replayShufflePartitions = 1,
       extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
       .filter(col("user_id") =!= -1L)
