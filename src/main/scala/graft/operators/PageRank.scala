@@ -38,19 +38,37 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** @param edges directed (src, dst) pairs; feed both directions for
-    *              an undirected graph. Deduplicated internally.
+    *              an undirected graph.
+    * @param distinctEdges set when the input is already pair-distinct —
+    *              skips a full-width dedup shuffle of the edge list
+    *              (the setup, not the rounds, dominates this operator)
+    * @param everyNodeHasOutEdge set when no node is sink-only (always
+    *              true for undirected graphs) — derives the node set
+    *              from the out-degree frame instead of a
+    *              union-distinct over both edge endpoints
     * @return (node, micro_rank) — micro_rank/10⁶ ≈ N·rank after
     *         `iterations` rounds.
     */
-  def microPageRank(edges: DataFrame, iterations: Int): DataFrame = {
+  def microPageRank(
+      edges: DataFrame,
+      iterations: Int,
+      distinctEdges: Boolean = false,
+      everyNodeHasOutEdge: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    // partition edges by src ONCE: the cached partitioning is reused by
+    // every round's source-side join AND the out-degree aggregate, so
+    // only the tiny (node, r) frame moves per round
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (distinctEdges) e0 else e0.distinct())
+      .repartition(col("src")).persist()
     val outd = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("outdeg")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nodes = (if (everyNodeHasOutEdge) outd.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()).persist()
     var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var pinned = rank
+    for (i <- 1 to iterations) {
       val contribs = e
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
         .join(outd, Seq("src"))
@@ -59,9 +77,14 @@ object PageRank {
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
-        .localCheckpoint(true)
-      rank.unpersist()
-      rank = next
+      // checkpoint every other round: a 2-round-deep lazy plan costs
+      // nothing extra to optimize, and halving the eager materialization
+      // barriers nearly halves the per-round fixed job cost
+      if (i % 2 == 0 || i == iterations) {
+        rank = next.localCheckpoint(true)
+        pinned.unpersist()
+        pinned = rank
+      } else rank = next
     }
     Seq(e, outd, nodes).foreach(_.unpersist())
     rank.select(col("node"), col("r").as("micro_rank"))

@@ -444,7 +444,11 @@ object ExtensionQueries {
         (col("l_partkey").cast("long") + 10000000L).as("p")).distinct()
     val edges = b.select(col("s").as("src"), col("p").as("dst"))
       .union(b.select(col("p").as("src"), col("s").as("dst")))
-    graft.operators.PageRank.microPageRank(edges, 8)
+    // b is pair-distinct and the two directions are key-disjoint
+    // (p >= 1e7 > s), so the edge list is distinct by construction;
+    // undirected => every node has an out-edge
+    graft.operators.PageRank.microPageRank(edges, 8,
+      distinctEdges = true, everyNodeHasOutEdge = true)
   }
 
   // ── Sessionization / event-time (batch analog of streaming ops) ─────
