@@ -572,6 +572,39 @@ object ExtensionQueries {
       },
       horizonSeconds = 7260)
 
+  /** LEFT OUTER watermarked stream-stream join: clicks with no
+    * purchase within ±30 min emit a null-purchase row once BOTH
+    * watermarks pass the click's match horizon. The sentinel must flow
+    * through both sides' watermark operators (the global watermark is
+    * the min across them), so it is kept through the type filters and
+    * its join output dropped at the end; the horizon exceeds
+    * lateness + join bound so every real click's outer row is evicted
+    * and emitted before the replay stops.
+    */
+  def qStreamStreamLeftJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.replayToTable(
+      RelationalQueries.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value")),
+      df => {
+        val clicks = df.filter(col("event_type").isin("click", "_sentinel"))
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = df.filter(col("event_type").isin("purchase", "_sentinel"))
+          .select(col("user_id").as("_pu"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "2 hours")
+        clicks.join(purchases,
+          col("user_id") === col("_pu") &&
+            col("purchase_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+      },
+      horizonSeconds = 9100) // > lateness (7200) + bound (1800) + margin
+      .filter(col("user_id") =!= -1L)
+
   /** Tumbling daily window aggregate (streaming-window batch analog). */
   def qDailyWindow(s: SparkSession, dir: String): DataFrame =
     RelationalQueries.events(s, dir)

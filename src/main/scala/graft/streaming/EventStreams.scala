@@ -119,13 +119,15 @@ object EventStreams {
       rightTs: String,
       beforeSeconds: Long,
       afterSeconds: Long,
-      lateness: String = "10 minutes"): DataFrame = {
+      lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $beforeSeconds SECONDS") &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $afterSeconds SECONDS"))
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $afterSeconds SECONDS"),
+      joinType)
       .drop(r(key))
   }
 
