@@ -28,12 +28,19 @@ import org.apache.spark.sql.functions._
   * longs are exact). The floor in `div` leaks ≤1 micro-unit per edge
   * per round — ~10⁻⁶ relative, the price of determinism.
   *
-  * Scale shape: each round is one equi-join of edges against the
-  * (node, R) frame on the edge source plus one aggregate on the edge
-  * target — both shuffle on node keys, nothing is ever collected, and
-  * `localCheckpoint` severs lineage so the plan stays O(1) deep over
-  * any iteration count (the CC recipe). Edges and degrees are
-  * computed once and persisted across rounds.
+  * Scale shape: the per-round data motion is ONE pass over the cached
+  * edge list. The (node, R) frame is first reduced to per-source
+  * contributions `C(u)` by a tiny rank⋈outdeg join, and that frame —
+  * one row per node with out-edges, never the edges — is what moves:
+  * broadcast to the edge scan when the node set fits an executor
+  * (`broadcastThreshold`), else shuffle-hash-joined against the
+  * src-partitioned cached edges (no per-round sort, no edge
+  * re-exchange). Partial aggregation map-side-combines the edge-side
+  * contributions before the one small per-round shuffle on dst.
+  * `localCheckpoint` severs lineage every other round so the plan
+  * stays O(1) deep over any iteration count (the CC recipe). Edges
+  * and degrees are computed once and persisted across rounds; all
+  * caches except the final O(nodes) result are released on return.
   */
 object PageRank {
 
@@ -46,6 +53,18 @@ object PageRank {
     *              true for undirected graphs) — derives the node set
     *              from the out-degree frame instead of a
     *              union-distinct over both edge endpoints
+    * @param everyNodeHasInEdge set when no node is source-only (always
+    *              true for undirected graphs) — every node then
+    *              receives contributions each round, so the per-round
+    *              rebase join against the node set (which exists to
+    *              hand isolated-in-degree nodes their base rank) is
+    *              skipped entirely: one join and one broadcast fewer
+    *              per round
+    * @param broadcastThreshold node-count ceiling for the broadcast
+    *              regime; above it the rank frame is shuffle-hash
+    *              joined against src-partitioned edges instead
+    *              (billion-node graphs can't broadcast their rank
+    *              vector, but they can still avoid re-sorting edges)
     * @return (node, micro_rank) — micro_rank/10⁶ ≈ N·rank after
     *         `iterations` rounds.
     */
@@ -53,34 +72,50 @@ object PageRank {
       edges: DataFrame,
       iterations: Int,
       distinctEdges: Boolean = false,
-      everyNodeHasOutEdge: Boolean = false): DataFrame = {
+      everyNodeHasOutEdge: Boolean = false,
+      everyNodeHasInEdge: Boolean = false,
+      broadcastThreshold: Long = 4000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    // partition edges by src ONCE: the cached partitioning is reused by
-    // every round's source-side join AND the out-degree aggregate, so
-    // only the tiny (node, r) frame moves per round
     val e0 = edges.select(col("src"), col("dst"))
-    val e = (if (distinctEdges) e0 else e0.distinct())
-      .repartition(col("src")).persist()
-    val outd = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("outdeg")).persist()
-    val nodes = (if (everyNodeHasOutEdge) outd.select(col("src").as("node"))
-      else e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()).persist()
+    val eRaw = (if (distinctEdges) e0 else e0.distinct()).persist()
+    val outd = eRaw.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("outdeg"))
+      .withColumnRenamed("src", "node").persist()
+    val nodes = (if (everyNodeHasOutEdge) outd.select(col("node"))
+      else eRaw.select(col("src").as("node"))
+        .union(eRaw.select(col("dst").as("node"))).distinct()).persist()
+    // regime pick: one O(nodes) count decides whether the per-round
+    // rank frame is broadcast or shuffle-hash joined
+    val bcast = nodes.count() <= broadcastThreshold
+    // in the shuffle regime, pre-partition edges by src once so every
+    // round's join reuses the cached exchange; in the broadcast regime
+    // the edge partitioning is irrelevant — skip the extra shuffle
+    val e = if (bcast) eRaw
+      else { val p = eRaw.repartition(col("src")).persist()
+             p.count(); eRaw.unpersist(); p }
     var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
     var pinned = rank
     for (i <- 1 to iterations) {
-      val contribs = e
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outd, Seq("src"))
-        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
-      val next = nodes.join(contribs, Seq("node"), "left")
+      // C(u) = R(u) div outdeg(u): one tiny node-keyed join BEFORE the
+      // edges are touched — the edge-side join sees one narrow frame
+      val contribPerSrc = rank.join(outd, Seq("node"))
+        .select(col("node").as("src"), expr("r div outdeg").as("c"))
+      val rankSide =
+        if (bcast) broadcast(contribPerSrc)
+        else contribPerSrc.hint("shuffle_hash")
+      val contribs = e.join(rankSide, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .withColumnRenamed("dst", "node")
+      val next = (if (everyNodeHasInEdge) contribs
+        else nodes.join(
+          if (bcast) broadcast(contribs) else contribs, Seq("node"), "left"))
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
-      // checkpoint every other round: a 2-round-deep lazy plan costs
-      // nothing extra to optimize, and halving the eager materialization
-      // barriers nearly halves the per-round fixed job cost
-      if (i % 2 == 0 || i == iterations) {
+      // checkpoint every 4th round: a 4-round-deep lazy plan costs
+      // little extra to optimize (each round is 3 joins + 1 agg), and
+      // quartering the eager materialization barriers cuts the fixed
+      // per-job cost that dominates small-graph runs
+      if (i % 4 == 0 || i == iterations) {
         rank = next.localCheckpoint(true)
         pinned.unpersist()
         pinned = rank

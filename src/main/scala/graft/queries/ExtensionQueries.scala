@@ -441,14 +441,14 @@ object ExtensionQueries {
   def qPageRank(s: SparkSession, dir: String): DataFrame = {
     val b = tbl(s, dir, "lineitem").select(
         col("l_suppkey").cast("long").as("s"),
-        (col("l_partkey").cast("long") + 10000000L).as("p")).distinct()
+        (col("l_partkey").cast("long") + 10000000L).as("p"))
     val edges = b.select(col("s").as("src"), col("p").as("dst"))
       .union(b.select(col("p").as("src"), col("s").as("dst")))
-    // b is pair-distinct and the two directions are key-disjoint
-    // (p >= 1e7 > s), so the edge list is distinct by construction;
-    // undirected => every node has an out-edge
+    // dedup ONCE after the union (two narrow scans + one shuffle) rather
+    // than pair-distincting b and paying the distinct on both union
+    // branches; undirected => every node has both an out- and an in-edge
     graft.operators.PageRank.microPageRank(edges, 8,
-      distinctEdges = true, everyNodeHasOutEdge = true)
+      everyNodeHasOutEdge = true, everyNodeHasInEdge = true)
   }
 
   // ── Sessionization / event-time (batch analog of streaming ops) ─────
