@@ -29,18 +29,25 @@ import org.apache.spark.sql.functions._
   * per round — ~10⁻⁶ relative, the price of determinism.
   *
   * Scale shape: the per-round data motion is ONE pass over the cached
-  * edge list. The (node, R) frame is first reduced to per-source
-  * contributions `C(u)` by a tiny rank⋈outdeg join, and that frame —
-  * one row per node with out-edges, never the edges — is what moves:
-  * broadcast to the edge scan when the node set fits an executor
-  * (`broadcastThreshold`), else shuffle-hash-joined against the
-  * src-partitioned cached edges (no per-round sort, no edge
+  * edge list. `outdeg` is round-invariant, so it is attached to the
+  * edge frame ONCE at setup — each round then joins only the narrow
+  * (node, R) rank frame against the cached (src, dst, outdeg) edges
+  * and computes `R(u) div outdeg(u)` per edge row (bit-identical to
+  * pre-dividing per source, since the divisor is constant per src).
+  * The rank frame — one row per node, never the edges — is what
+  * moves: broadcast to the edge scan when the node set fits an
+  * executor (`broadcastThreshold`), else shuffle-hash-joined against
+  * the src-partitioned cached edges (no per-round sort, no edge
   * re-exchange). Partial aggregation map-side-combines the edge-side
   * contributions before the one small per-round shuffle on dst.
-  * `localCheckpoint` severs lineage every other round so the plan
-  * stays O(1) deep over any iteration count (the CC recipe). Edges
-  * and degrees are computed once and persisted across rounds; all
-  * caches except the final O(nodes) result are released on return.
+  * `localCheckpoint` severs lineage every 8th round so the plan stays
+  * O(1) deep over any iteration count (the CC recipe) — in the common
+  * everyNodeHasInEdge broadcast regime a round is one join + one agg,
+  * so 8 lazy rounds are still a shallow plan, and batching them into
+  * one job amortizes the fixed optimize/schedule/materialize cost
+  * that dominates small-graph runs. Edges (with degrees) are computed
+  * once and persisted across rounds; all caches except the final
+  * O(nodes) result are released on return.
   */
 object PageRank {
 
@@ -59,7 +66,10 @@ object PageRank {
     *              rebase join against the node set (which exists to
     *              hand isolated-in-degree nodes their base rank) is
     *              skipped entirely: one join and one broadcast fewer
-    *              per round
+    *              per round. CONTRACT, not checked: setting it on a
+    *              graph that does have source-only nodes silently
+    *              DROPS those nodes from the result (they never appear
+    *              as a dst), rather than merely perturbing their rank
     * @param broadcastThreshold node-count ceiling for the broadcast
     *              regime; above it the rank frame is shuffle-hash
     *              joined against src-partitioned edges instead
@@ -80,48 +90,55 @@ object PageRank {
     val eRaw = (if (distinctEdges) e0 else e0.distinct()).persist()
     val outd = eRaw.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("outdeg"))
-      .withColumnRenamed("src", "node").persist()
-    val nodes = (if (everyNodeHasOutEdge) outd.select(col("node"))
+    val nodes = (if (everyNodeHasOutEdge)
+        outd.select(col("src").as("node"))
       else eRaw.select(col("src").as("node"))
         .union(eRaw.select(col("dst").as("node"))).distinct()).persist()
     // regime pick: one O(nodes) count decides whether the per-round
     // rank frame is broadcast or shuffle-hash joined
     val bcast = nodes.count() <= broadcastThreshold
-    // in the shuffle regime, pre-partition edges by src once so every
-    // round's join reuses the cached exchange; in the broadcast regime
-    // the edge partitioning is irrelevant — skip the extra shuffle
-    val e = if (bcast) eRaw
-      else { val p = eRaw.repartition(col("src")).persist()
-             p.count(); eRaw.unpersist(); p }
+    // outdeg is round-invariant: attach it to the edges ONCE (a single
+    // src-keyed join at setup) so no round re-joins degrees. In the
+    // shuffle regime the widened edge frame is additionally
+    // pre-partitioned by src so every round's shuffle-hash join reuses
+    // the cached exchange; in the broadcast regime partitioning is
+    // irrelevant. eRaw is released only after the widened frame is
+    // materialized, so round 1 never recomputes the edge dedup.
+    val e = {
+      val widened = eRaw.join(outd.withColumnRenamed("src", "_ok"),
+          col("src") === col("_ok"))
+        .select(col("src"), col("dst"), col("outdeg"))
+      val p = (if (bcast) widened else widened.repartition(col("src"))).persist()
+      p.count(); eRaw.unpersist(); p
+    }
     var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
     var pinned = rank
     for (i <- 1 to iterations) {
-      // C(u) = R(u) div outdeg(u): one tiny node-keyed join BEFORE the
-      // edges are touched — the edge-side join sees one narrow frame
-      val contribPerSrc = rank.join(outd, Seq("node"))
-        .select(col("node").as("src"), expr("r div outdeg").as("c"))
-      val rankSide =
-        if (bcast) broadcast(contribPerSrc)
-        else contribPerSrc.hint("shuffle_hash")
-      val contribs = e.join(rankSide, Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      // one pass over the cached edges: R(u) div outdeg(u) evaluates
+      // per edge row (constant per src — identical to pre-dividing),
+      // partial aggregation map-side-combines before the dst shuffle
+      val rankSide = rank.withColumnRenamed("node", "src")
+      val contribs = e.join(
+          if (bcast) broadcast(rankSide) else rankSide.hint("shuffle_hash"),
+          Seq("src"))
+        .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("sc"))
         .withColumnRenamed("dst", "node")
       val next = (if (everyNodeHasInEdge) contribs
         else nodes.join(
           if (bcast) broadcast(contribs) else contribs, Seq("node"), "left"))
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
-      // checkpoint every 4th round: a 4-round-deep lazy plan costs
-      // little extra to optimize (each round is 3 joins + 1 agg), and
-      // quartering the eager materialization barriers cuts the fixed
-      // per-job cost that dominates small-graph runs
-      if (i % 4 == 0 || i == iterations) {
+      // checkpoint every 8th round: a round is 1-2 joins + 1 agg, so
+      // an 8-round lazy plan is still cheap to optimize, and batching
+      // 8 rounds into one eager job amortizes the fixed per-job cost
+      // that dominates small-graph runs
+      if (i % 8 == 0 || i == iterations) {
         rank = next.localCheckpoint(true)
         pinned.unpersist()
         pinned = rank
       } else rank = next
     }
-    Seq(e, outd, nodes).foreach(_.unpersist())
+    Seq(e, nodes).foreach(_.unpersist())
     rank.select(col("node"), col("r").as("micro_rank"))
   }
 }

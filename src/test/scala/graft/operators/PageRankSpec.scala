@@ -39,6 +39,28 @@ class PageRankSpec extends AnyFunSuite {
     assert(got == reference(edges, 8))
   }
 
+  test("undirected fast-path flags are bit-equal to the default path") {
+    val got = PageRank.microPageRank(edges.toDF("src", "dst"), 8,
+      everyNodeHasOutEdge = true, everyNodeHasInEdge = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == reference(edges, 8))
+  }
+
+  test("shuffle-hash regime (broadcastThreshold=1) is bit-equal") {
+    val got = PageRank.microPageRank(edges.toDF("src", "dst"), 8,
+      broadcastThreshold = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == reference(edges, 8))
+  }
+
+  test("shuffle-hash regime with undirected flags is bit-equal") {
+    val got = PageRank.microPageRank(edges.toDF("src", "dst"), 8,
+      everyNodeHasOutEdge = true, everyNodeHasInEdge = true,
+      broadcastThreshold = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == reference(edges, 8))
+  }
+
   test("hub outranks leaves and micro-mass stays near N*1e6") {
     val got = PageRank.microPageRank(edges.toDF("src", "dst"), 8)
       .as[(Long, Long)].collect().toMap
