@@ -188,7 +188,11 @@ object SparkEntry {
     // SCD2 dimension-history builder
     "q108_scd2_history" -> (X.qScd2History _),
     // iterative graph centrality, 6-dp quantized => oracle-exact
-    "q109_pagerank" -> (X.qPageRank _)
+    "q109_pagerank" -> (X.qPageRank _),
+    // hot-key join via salt+replicate (oracle: the plain join)
+    "q110_salted_join" -> (X.qSaltedJoin _),
+    // mergeable-partial aggregate maintenance (oracle: single pass)
+    "q111_incremental_agg" -> (X.qIncrementalAgg _)
   )
 
   /** PageRank oracle: the 8-round recurrence unrolled as chained CTEs
@@ -599,6 +603,23 @@ object SparkEntry {
         |    ORDER BY ts_us, event_id) AS valid_to_us
         |FROM c""".stripMargin,
     "q109_pagerank" -> pagerankSql(8),
+    // the salt is result-invisible: oracle is the plain skewed join
+    "q110_salted_join" ->
+      """SELECT s_nationkey,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier
+        |  ON (CASE WHEN l_linenumber <= 4 THEN 1 ELSE l_suppkey END) = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+    // partial/merge/finalize must equal the single-pass aggregate
+    "q111_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

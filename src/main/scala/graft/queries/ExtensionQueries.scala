@@ -656,6 +656,49 @@ object ExtensionQueries {
         sum(col("_psum")).cast("double").as("sum_value"),
         sum(col("_pn")).as("n")))
 
+  /** Salted replicate-broadcast join on a deliberately hot key: ~4/7
+    * of lineitem lands on supplier 1 (a skew no hash-join reducer
+    * should ever see whole), so the left side is sharded over 32 salt
+    * buckets and the dim side replicated once per bucket. The salt is
+    * result-invisible — the oracle is the PLAIN join+aggregate, so the
+    * check proves salting changes the shuffle shape, not the answer.
+    */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val left = tbl(s, dir, "lineitem").select(
+      when(col("l_linenumber") <= 4, lit(1L))
+        .otherwise(col("l_suppkey")).as("hot_supp"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)").as("rev"))
+    val right = tbl(s, dir, "supplier")
+      .select(col("s_suppkey").as("hot_supp"), col("s_nationkey"))
+    graft.operators.SkewTools.saltedBroadcastJoin(left, right, "hot_supp", 32)
+      .groupBy(col("s_nationkey"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Incremental aggregate maintenance: orders split into a "base"
+    * slice and a "delta" slice by date, reduced to mergeable partial
+    * states INDEPENDENTLY, then merged and finalized — the oracle is
+    * the single-pass aggregate over the whole table, proving
+    * `merge(partials(a), partials(b)) ≡ partials(a ∪ b)` exactly
+    * (decimal-carried sums make the re-aggregation order-free).
+    */
+  def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val pivot = lit("1996-01-01").cast("timestamp")
+    val orders = tbl(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val base = IncrementalAgg.partials(
+      orders.filter(col("o_orderdate") < pivot), Seq("o_custkey"), "o_totalprice")
+    val delta = IncrementalAgg.partials(
+      orders.filter(col("o_orderdate") >= pivot), Seq("o_custkey"), "o_totalprice")
+    IncrementalAgg.finalize(IncrementalAgg.merge(base, delta))
+      .select(col("o_custkey"), col("n"), col("sum").as("sum_price"),
+        col("min").as("min_price"), col("max").as("max_price"),
+        col("avg").as("avg_price"))
+  }
+
   /** Bucketed time-interval join: (purchase, error) pairs by the same
     * user within 10 minutes — an equi join on (user, time-bucket)
     * instead of the planner's nested-loop for range predicates.
