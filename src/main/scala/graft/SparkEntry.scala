@@ -347,6 +347,66 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN LENGTH(text) = 0 THEN 0
         |    ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY lang""".stripMargin,
+    // full text-analysis stack, mirrored column by column:
+    // - quality: q81's op-for-op float algebra
+    // - lang_pred: marker-token counts; Spark's greatest(struct(score,
+    //   lang)) tie-breaks to the lexicographically GREATEST lang, so
+    //   the CASE tests langs in descending order
+    // - fingerprint: the portable md5 rolling hash — HUGEINT fold
+    //   (a·P + md5_number_lower(tok)) mod 2^64, re-signed at the end
+    //   (two's-complement wrap ≡ unsigned mod 2^64)
+    // - n_subwords: Java's lookaround split has no RE2 form, but two
+    //   regexp_replace passes inserting a space at each letter↔other
+    //   transition split identically (adjacent transitions alternate
+    //   direction, so each pass's matches never overlap)
+    "q24_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text, len, toks,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','y','es'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','est'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh,
+        |    list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        |      list_transform(toks, x -> CAST(md5_number_lower(x) AS HUGEINT))),
+        |      (a, b) -> (a * 1099511628211 + b) % 18446744073709551616) AS fp_u
+        |  FROM t)
+        |SELECT doc_id,
+        |  ROUND(
+        |    (CASE WHEN len < 20 THEN len/20.0
+        |          WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+        |          ELSE 1.0 END) * 0.3
+        |  + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+        |  + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+        |  + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+        |  6) AS quality,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  CAST(CASE WHEN fp_u >= CAST(9223372036854775808 AS HUGEINT)
+        |       THEN fp_u - CAST(18446744073709551616 AS HUGEINT)
+        |       ELSE fp_u END AS BIGINT) AS fingerprint,
+        |  CAST(len(list_filter(regexp_split_to_array(
+        |    regexp_replace(regexp_replace(text,
+        |      '([a-zA-Z])([^a-zA-Z\s])', '\1 \2', 'g'),
+        |      '([^a-zA-Z\s])([a-zA-Z])', '\1 \2', 'g'),
+        |    '\s+'), x -> len(x) > 0)) AS INTEGER) AS n_subwords
+        |FROM r""".stripMargin,
     "q25_dedup_exact" ->
       """SELECT sha256(text) AS text_sha, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,

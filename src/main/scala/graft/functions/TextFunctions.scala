@@ -132,6 +132,15 @@ object TextFunctions {
 
   def fingerprint(text: Column): Column = fingerprintFrom(tokens(text))
 
+  /** Oracle-checkable variant of [[fingerprintFrom]]: same rolling
+    * fold, but the per-token hash is md5-derived (DuckDB's
+    * `md5_number_lower`) so any engine with md5 reproduces it
+    * bit-exactly — use when the fingerprint must be verified
+    * cross-engine rather than merely stable.
+    */
+  def portableFingerprintFrom(toks: Column): Column =
+    graft.functions.expressions.TextExpressions.portable_fingerprint(toks)
+
   /** Character n-gram (shingle) set from a materialized single-spaced
     * lowercase column — compiled kernel (TextExpressions).
     */

@@ -253,6 +253,42 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Cross-engine rolling fingerprint: the same FNV-style fold as
+    * [[RollingFingerprintExpr]] (acc = acc·P + h(tok) in wrapping
+    * 64-bit arithmetic) but with h(tok) = the little-endian uint64 of
+    * md5(tok) bytes 8..15 — exactly DuckDB's `md5_number_lower` — so
+    * an exact SQL oracle exists as a HUGEINT mod-2⁶⁴ `list_reduce`
+    * (two's-complement wrap ≡ unsigned mod 2⁶⁴). The xxhash variant
+    * stays the fast path; this one is the oracle-checkable path.
+    */
+  case class PortableFingerprintExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    private val Offset = 1469598103934665603L
+    private val Prime = 1099511628211L
+    @transient private lazy val md5Local =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = md5Local.get()
+      var acc = Offset
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h |= (d(8 + j) & 0xffL) << (8 * j); j += 1 }
+        acc = acc * Prime + h
+        i += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization
     * pass an LLM-data text pipeline runs before hashing/dedup so that
     * visually-identical strings ("é" precomposed vs "e"+combining
@@ -429,6 +465,8 @@ object TextExpressions {
     toCol(WordSetCountExpr(expr(toks), words))
   def rolling_fingerprint(toks: Column): Column =
     toCol(RollingFingerprintExpr(expr(toks)))
+  def portable_fingerprint(toks: Column): Column =
+    toCol(PortableFingerprintExpr(expr(toks)))
   def interleave_bits(a: Column, b: Column, bits: Int = 21): Column =
     toCol(InterleaveBitsExpr(expr(a), expr(b), bits))
   def quantile_bin(v: Column, edges: Seq[Double]): Column =

@@ -35,9 +35,13 @@ object ExtensionQueries {
         sum(TextFunctions.tokenCountArithmetic(col("text")))
           .cast("long").as("sum_tokens"))
 
-  /** Quality scoring + language ID + fingerprint — full text-analysis
-    * stack; heuristic outputs, rows-only check (ScalaTest covers the
-    * semantics on fixtures).
+  /** Quality scoring + language ID + fingerprint + subword proxy —
+    * the full text-analysis stack, every column hash-checked: quality
+    * is plain float algebra (q81's mirror), lang ID mirrors as marker
+    * counts + a descending-lang CASE (the struct-greatest tie-break),
+    * the fingerprint uses the PORTABLE md5-based rolling hash (a
+    * HUGEINT mod-2⁶⁴ fold in DuckDB), and the lookaround subword
+    * split mirrors as two transition-marking regexp_replace passes.
     */
   def qTextQuality(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -45,7 +49,7 @@ object ExtensionQueries {
       .select(col("doc_id"),
         TextFunctions.qualityScoreFrom(col("text"), col("_toks")).as("quality"),
         TextFunctions.langIdFrom(col("_toks")).as("lang_pred"),
-        TextFunctions.fingerprintFrom(col("_toks")).as("fingerprint"),
+        TextFunctions.portableFingerprintFrom(col("_toks")).as("fingerprint"),
         TextFunctions.subwordCount(col("text")).as("n_subwords"))
 
   /** Unicode NFC canonicalization + content hash — the pass that runs

@@ -67,6 +67,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(f1 != f2)
   }
 
+  test("portable fingerprint matches the pinned DuckDB fold values") {
+    // expected values computed independently in DuckDB:
+    //   list_reduce(list_prepend(1469598103934665603::HUGEINT,
+    //     list_transform(toks, x -> md5_number_lower(x)::HUGEINT)),
+    //     (a,b) -> (a*1099511628211 + b) % 2^64), re-signed
+    val got = one[Long]("hello world",
+      TextFunctions.portableFingerprintFrom(
+        TextFunctions.tokens(col("text"))))
+    assert(got == -8937690213936578131L)
+    val empty = one[Long]("",
+      TextFunctions.portableFingerprintFrom(
+        TextFunctions.tokens(col("text"))))
+    assert(empty == 1469598103934665603L)
+    // still order-sensitive like the fast-path fingerprint
+    val rev = one[Long]("world hello",
+      TextFunctions.portableFingerprintFrom(
+        TextFunctions.tokens(col("text"))))
+    assert(rev != got)
+  }
+
   test("shingles: char 3-grams and word 2-grams") {
     val ch = one[collection.Seq[String]]("abcd", TextFunctions.charShingles(col("text"), 3))
     assert(ch.toSet == Set("abc", "bcd"))
