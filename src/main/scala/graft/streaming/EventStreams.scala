@@ -308,19 +308,29 @@ object EventStreams {
   def replaySessionSummariesTws(
       events: DataFrame,
       gapSeconds: Long,
-      numBatches: Int = 2): DataFrame =
+      numBatches: Int = 1): DataFrame =
     replayToTable(
       events,
       df => statefulSessionsTws(df, gapSeconds).toDF(),
       horizonSeconds = gapSeconds * 2 + 60,
+      // one real batch + the sentinel batch still exercises state
+      // carried across a batch boundary (every session closes in the
+      // sentinel commit), at one RocksDB commit cycle fewer
       numBatches = numBatches,
-      // one state partition: each RocksDB instance open/commit costs
-      // ~100s of ms per micro-batch — at replay scale that fixed cost
-      // dominates, and state is per-key so partitioning never changes
-      // the output. Production tws jobs size this to the cluster.
-      replayShufflePartitions = 1,
-      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      // 8 state partitions: with changelog checkpointing the RocksDB
+      // commit is cheap, so the single-task row processing (not the
+      // commit) is the bottleneck — parallelize it. State is per-key,
+      // so partitioning never changes the output. Production tws jobs
+      // size this to the cluster.
+      replayShufflePartitions = 8,
+      extraConfs = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        // commit a small changelog instead of a full snapshot zip per
+        // micro-batch — the production-recommended RocksDB mode, and
+        // at replay scale it removes most per-commit fsync churn
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true"))
       .filter(col("user_id") =!= -1L)
 
   /** Generic stream/batch-parity replay harness: feeds a BOUNDED event
