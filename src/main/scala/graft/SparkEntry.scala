@@ -192,7 +192,13 @@ object SparkEntry {
     // hot-key join via salt+replicate (oracle: the plain join)
     "q110_salted_join" -> (X.qSaltedJoin _),
     // mergeable-partial aggregate maintenance (oracle: single pass)
-    "q111_incremental_agg" -> (X.qIncrementalAgg _)
+    "q111_incremental_agg" -> (X.qIncrementalAgg _),
+    // eval-set n-gram decontamination (broadcast eval side)
+    "q112_decontamination" -> (X.qDecontamination _),
+    // per-node triangle counts, degree-ordered orientation
+    "q113_triangle_count" -> (X.qTriangleCount _),
+    // stride-overlapped context-window chunking
+    "q114_chunk_docs" -> (X.qChunkDocs _)
   )
 
   /** PageRank oracle: the 8-round recurrence unrolled as chained CTEs
@@ -680,6 +686,62 @@ object SparkEntry {
         |  MAX(o_totalprice) AS max_price,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    // DuckDB list slice t[i:i+4] is 1-based inclusive = Spark
+    // slice(t, i, 5); both sides per-doc DISTINCT, so COUNT(*)
+    // counts distinct shared grams
+    "q112_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 5)
+        |SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+        |  COUNT(*) AS n_shared
+        |FROM grams a JOIN grams b ON a.g = b.g
+        |WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+    // same pair generator as q28 at >= 0.9; triangles via the
+    // canonical a<b triple join; per-node = 3 corner projections
+    "q113_triangle_count" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+        |  FROM documents WHERE doc_id < 500),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) >= 0.9),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT a AS node FROM pairs
+        |    UNION ALL SELECT b AS node FROM pairs) GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT node, COUNT(*) AS n_triangles FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y AS node FROM tri
+        |    UNION ALL SELECT z AS node FROM tri) GROUP BY 1)
+        |SELECT d.node, d.degree, COALESCE(c.n_triangles, 0) AS n_triangles
+        |FROM deg d LEFT JOIN corners c USING (node)""".stripMargin,
+    // chunk i covers [1+i*384, min(1+i*384+511, L)]; last index =
+    // ceil(max(L-512,0)/384) in integer arithmetic; substring clamps
+    "q114_chunk_docs" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_ix,
+        |  CAST(i * 384 + 1 AS INTEGER) AS chunk_start,
+        |  substring(text, CAST(i * 384 + 1 AS INTEGER), 512) AS chunk_text,
+        |  CAST(length(substring(text, CAST(i * 384 + 1 AS INTEGER), 512))
+        |    AS INTEGER) AS chunk_len
+        |FROM documents,
+        |  UNNEST(range(0, (greatest(length(text) - 512, 0) + 383) // 384 + 1))
+        |  AS u(i)""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

@@ -905,4 +905,43 @@ object ExtensionQueries {
       tieBreak = Seq(col("station")))
       .select(col("c_custkey"), col("station"), round(col("dist_km"), 3).as("dist_km"))
   }
+
+  // ── Training-data hygiene: decontamination / graph / chunking ───────
+
+  /** Benchmark decontamination: training docs sharing >= 3 distinct
+    * word 5-grams with the held-out eval slice (doc_id % 10 == 0).
+    * Exact — the eval side is broadcast, the corpus is never shuffled.
+    */
+  def qDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    graft.operators.Decontamination.overlap(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 5, minShared = 3L)
+  }
+
+  /** Per-node triangle counts over the jaccard >= 0.9 near-dup graph
+    * (same bounded pair generator as q28) — the transitivity
+    * diagnostic for a candidate-pair stage. Degree-ordered orientation
+    * keeps the wedge join O(|E|^1.5) at scale.
+    */
+  def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = docs.select(col("doc_id").as("a"), col("toks").as("t_a"))
+    val b = docs.select(col("doc_id").as("b"), col("toks").as("t_b"))
+    val edges = a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .filter(TextFunctions.jaccard(col("t_a"), col("t_b")) >= 0.9)
+      .select(col("a"), col("b"))
+    graft.operators.Triangles.perNode(edges)
+  }
+
+  /** Stride-overlapped context-window chunking (size 512, stride 384)
+    * — shuffle-free generate + codegen'd substring.
+    */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunk(
+      tbl(s, dir, "documents"), "doc_id", "text", size = 512, stride = 384)
 }
