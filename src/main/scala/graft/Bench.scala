@@ -64,10 +64,14 @@ object Bench {
     // Single-run timing made per-query regressions unfalsifiable (r4→r5
     // showed 3-4x swings on untouched queries). Each query now runs
     // twice in the warm session; if the two runs disagree by >25% (and
-    // the query isn't trivially fast) a tie-break third run decides.
-    // Reported value = min of 2 agreeing runs (noise is additive, so
-    // the lower run is the better estimate of intrinsic cost) or the
-    // median of 3. All raw reps land in BENCH_DETAIL.json.
+    // the query isn't trivially fast) a tie-break third run is added.
+    // Reported value = MIN over reps: the noise (GC pause, JIT, state-
+    // store cleanup bleeding across queries) is strictly additive, so
+    // the lowest rep is the estimate of intrinsic cost — the r6 shake-
+    // down showed median-of-3 still reporting 8.2s for a query whose
+    // warm cost is 1.2s (reps [10.5, 8.2, 1.2]) because BOTH early
+    // reps caught the same GC storm. All raw reps land in
+    // BENCH_DETAIL.json for exactly this kind of audit.
     val results = selected.map { case (name, fn) =>
       val a = runOnce(fn)
       val b = runOnce(fn)
@@ -75,8 +79,7 @@ object Bench {
       val reps =
         if (lo > 0.5 && math.abs(a - b) / lo > 0.25) Seq(a, b, runOnce(fn))
         else Seq(a, b)
-      val value = if (reps.length == 3) reps.sorted.apply(1) else lo
-      (name, value, reps)
+      (name, reps.min, reps)
     }
     val total = results.map(_._2).sum
     // The driver captures only the LAST ~2000 chars of output, so the
