@@ -87,30 +87,32 @@ object PageRank {
       broadcastThreshold: Long = 4000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val e0 = edges.select(col("src"), col("dst"))
-    val eRaw = (if (distinctEdges) e0 else e0.distinct()).persist()
-    val outd = eRaw.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("outdeg"))
+    // Setup is ONE shuffle + ONE job: cluster the raw edges by src,
+    // then dedup, out-degree, and the degree-widening are all
+    // partition-local — HashPartitioning(src) satisfies the clustered
+    // distribution of the (src, dst) dedup aggregate, of the src
+    // window that counts degrees, and of every round's src join. (The
+    // previous form paid three edge-set shuffles: distinct, groupBy,
+    // join-back — at sf0.1 that setup rivaled all eight rounds.)
+    val clustered = e0.repartition(col("src"))
+    val eDist =
+      if (distinctEdges) clustered else clustered.dropDuplicates("src", "dst")
+    val e = eDist.withColumn("outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))).cast("long"))
+      .persist()
+    val edgeCount = e.count()
     val nodes = (if (everyNodeHasOutEdge)
-        outd.select(col("src").as("node"))
-      else eRaw.select(col("src").as("node"))
-        .union(eRaw.select(col("dst").as("node"))).distinct()).persist()
-    // regime pick: one O(nodes) count decides whether the per-round
-    // rank frame is broadcast or shuffle-hash joined
-    val bcast = nodes.count() <= broadcastThreshold
-    // outdeg is round-invariant: attach it to the edges ONCE (a single
-    // src-keyed join at setup) so no round re-joins degrees. In the
-    // shuffle regime the widened edge frame is additionally
-    // pre-partitioned by src so every round's shuffle-hash join reuses
-    // the cached exchange; in the broadcast regime partitioning is
-    // irrelevant. eRaw is released only after the widened frame is
-    // materialized, so round 1 never recomputes the edge dedup.
-    val e = {
-      val widened = eRaw.join(outd.withColumnRenamed("src", "_ok"),
-          col("src") === col("_ok"))
-        .select(col("src"), col("dst"), col("outdeg"))
-      val p = (if (bcast) widened else widened.repartition(col("src"))).persist()
-      p.count(); eRaw.unpersist(); p
-    }
+        e.select(col("src").as("node")).distinct() // exchange-free over cache
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()).persist()
+    // regime pick: the rank frame is broadcast when the node set fits
+    // an executor. nodes <= 2·edges always, so a small edge count
+    // proves broadcastability without a second probe job; only bigger
+    // graphs (where an extra O(nodes) pass is amortized by round cost)
+    // pay the precise count.
+    val bcast = 2 * edgeCount <= broadcastThreshold ||
+      nodes.count() <= broadcastThreshold
     var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
     var pinned = rank
     for (i <- 1 to iterations) {
