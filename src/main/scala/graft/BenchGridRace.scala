@@ -32,6 +32,15 @@ object BenchGridRace {
     }
 
     val grid = time(queries.ExtensionQueries.qNearestSiteDense(spark, sfDir), 3)
+    // min_by scores the same |customers|·|sites| volume as the window
+    // form but skips its per-key sort — the strongest exhaustive
+    // contender. ONE run: the first attempt ran best-of-3 and spent
+    // 30+ min single-threaded (the 15k-customer probe side is one
+    // parquet split, and a broadcast nested-loop join parallelizes
+    // only over probe partitions — itself a finding: the exhaustive
+    // form needs an explicit repartition that the grid form doesn't),
+    // and the verdict is an order-of-magnitude call, not a ±20% one
+    val minBy = time(queries.ExtensionQueries.qNearestSiteDenseMinBy(spark, sfDir), 1)
     // single run: the window form shuffles |customers|·|sites| rows —
     // the regime mismatch being demonstrated; repeating it teaches
     // nothing, and SPARK_GRAFT_RACE_WINDOW=0 skips it entirely (at
@@ -39,7 +48,7 @@ object BenchGridRace {
     val window =
       if (sys.env.get("SPARK_GRAFT_RACE_WINDOW").contains("0")) Double.NaN
       else time(queries.ExtensionQueries.qNearestSiteDenseWindow(spark, sfDir), 1)
-    println(f"""{"grid_sec":$grid%.3f,"window_sec":$window%.3f,"speedup":${window / grid}%.2f,"sf":"$sfDir"}""")
+    println(f"""{"grid_sec":$grid%.3f,"minby_sec":$minBy%.3f,"window_sec":$window%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

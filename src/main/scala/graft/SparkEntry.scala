@@ -198,8 +198,42 @@ object SparkEntry {
     // per-node triangle counts, degree-ordered orientation
     "q113_triangle_count" -> (X.qTriangleCount _),
     // stride-overlapped context-window chunking
-    "q114_chunk_docs" -> (X.qChunkDocs _)
+    "q114_chunk_docs" -> (X.qChunkDocs _),
+    // bloom runtime filter at the fact scan (oracle: plain join)
+    "q115_bloom_join" -> (X.qBloomJoin _),
+    // count-min prefilter + exact re-count (oracle: plain HAVING)
+    "q116_heavy_hitters" -> (X.qHeavyHitters _),
+    // verbatim cross-doc 32-char span detection, exact
+    "q117_span_overlap" -> (X.qSpanOverlap _),
+    // Morton-curve layout: cell quantize + interleave + ntile buckets
+    "q118_zorder_layout" -> (X.qZOrderLayout _)
   )
+
+  /** Z-order oracle: identical double quantization arithmetic (IEEE
+    * ops in the same order on both engines — bit-exact), Morton
+    * interleave spelled as a generated 20-term shift/mask sum
+    * mirroring TextExpressions.InterleaveBitsExpr, ntile with the same
+    * (zval, c_custkey) total order.
+    */
+  private def zorderSql: String = {
+    val interleave = (0 until 10).map(b =>
+      s"(((zx >> $b) & 1) << ${2 * b}) + (((zy >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+    s"""WITH pts AS (
+       |  SELECT c_custkey, c_acctbal / 200.0 AS lat,
+       |    CAST(c_custkey % 360 AS DOUBLE) - 180.0 AS lon
+       |  FROM customer),
+       |cells AS (
+       |  SELECT c_custkey, lat, lon,
+       |    LEAST(GREATEST(CAST(FLOOR((lon - (-180.0)) / 360.0 * 1024) AS BIGINT), 0), 1023) AS zx,
+       |    LEAST(GREATEST(CAST(FLOOR((lat - (-5.0)) / 55.0 * 1024) AS BIGINT), 0), 1023) AS zy
+       |  FROM pts),
+       |z AS (SELECT c_custkey, lat, lon, CAST($interleave AS BIGINT) AS zval
+       |  FROM cells)
+       |SELECT c_custkey, lat, lon, zval,
+       |  NTILE(64) OVER (ORDER BY zval, c_custkey) AS bucket
+       |FROM z""".stripMargin
+  }
 
   /** PageRank oracle: the 8-round recurrence unrolled as chained CTEs
     * (portable — no aggregation over a recursive reference needed).
@@ -742,6 +776,31 @@ object SparkEntry {
         |FROM documents,
         |  UNNEST(range(0, (greatest(length(text) - 512, 0) + 383) // 384 + 1))
         |  AS u(i)""".stripMargin,
+    // the bloom prunes the scan, the exact join removes its false
+    // positives => the oracle is the bloom-free join
+    "q115_bloom_join" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 7
+        |GROUP BY s_suppkey, s_name""".stripMargin,
+    // CMS never undercounts => prefilter is sound; exact re-count
+    // removes overestimates => the oracle is the plain HAVING
+    "q116_heavy_hitters" ->
+      """SELECT l_partkey, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 45""".stripMargin,
+    // windows at 1-based positions 1, 9, 17, ... of exactly 32 chars;
+    // DuckDB range() stop is exclusive = Spark sequence stop L-31
+    "q117_span_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(text, i, 32) AS g
+        |  FROM documents, UNNEST(range(1, len(text) - 30, 8)) AS t(i)
+        |  WHERE len(text) >= 32)
+        |SELECT md5(g) AS gram_hash,
+        |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        |FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    "q118_zorder_layout" -> zorderSql,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

@@ -1,0 +1,71 @@
+package graft.functions.expressions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+
+/** Sketch-probe kernels: per-row membership / frequency probes against
+  * a driver-built sketch, shipped to executors as the serialized bytes
+  * inside the expression tree (no UDF, no closure-captured live
+  * object). Each task deserializes the sketch ONCE (transient lazy)
+  * and then probes it per row in compiled Scala.
+  *
+  * These exist for the runtime-filter pattern (SURVEY §7.5): an exact
+  * operator uses the sketch only to PRUNE — bloom false positives and
+  * count-min overestimates are removed by an exact join / exact
+  * re-count downstream, so the composed result is bit-identical to
+  * the sketch-free form while the sketch eliminates the bulk of the
+  * shuffle volume.
+  */
+object SketchExpressions {
+
+  /** `bloom.mightContain(child)` for a LongType child. False positives
+    * allowed (rate = the build fpp), false negatives impossible — the
+    * contract the pruning pattern relies on.
+    */
+  case class BloomMightContainLong(child: Expression, bytes: Array[Byte])
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val bloom: BloomFilter =
+      BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any =
+      bloom.mightContainLong(input.asInstanceOf[Long])
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** `cms.estimateCount(child)` for a LongType child. Never
+    * underestimates the true count (CMS takes the MIN over d counters
+    * that each upper-bound the truth), which makes `estimate >= T` a
+    * sound prefilter for `trueCount >= T`.
+    */
+  case class CmsEstimateLong(child: Expression, bytes: Array[Byte])
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val cms: CountMinSketch =
+      CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      cms.estimateCount(input.asInstanceOf[Long])
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def bloomMightContain(c: Column, bloom: BloomFilter): Column = {
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    ColumnBridge.column(
+      BloomMightContainLong(ColumnBridge.expression(c), out.toByteArray))
+  }
+
+  def cmsEstimate(c: Column, cms: CountMinSketch): Column = {
+    val out = new java.io.ByteArrayOutputStream()
+    cms.writeTo(out)
+    ColumnBridge.column(
+      CmsEstimateLong(ColumnBridge.expression(c), out.toByteArray))
+  }
+}

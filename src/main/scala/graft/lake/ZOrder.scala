@@ -50,6 +50,41 @@ object ZOrder {
       TextExpressions.quantile_bin(b, edgesB), bits)
   }
 
+  /** Oracle-exact fixed-grid variant of the curve: cells quantized on
+    * a FIXED bounding box instead of sampled quantile bins — fully
+    * deterministic (hash-checkable against a SQL oracle), and the
+    * right normalization for naturally box-bounded domains like geo
+    * coordinates. Adds `zval` (Morton code of the clamped cell
+    * coords) and `bucket` (1-based `ntile` over (zval, tieBreak) —
+    * exact equal-population, and its single ordered pass is the same
+    * range exchange a z-ordered write needs anyway; the sampled
+    * [[clusterByZ]] is the whole-table 100 TB path).
+    */
+  def assignFixedGrid(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      xMin: Double, xMax: Double,
+      yMin: Double, yMax: Double,
+      cells: Int,
+      buckets: Int,
+      tieBreak: String): DataFrame = {
+    require(cells > 0 && (cells & (cells - 1)) == 0 && cells <= (1 << 16),
+      s"cells must be a power of two in [1, 65536], got $cells")
+    val bits = java.lang.Integer.numberOfTrailingZeros(cells)
+    def cell(c: String, lo: Double, hi: Double) =
+      least(greatest(
+          floor((col(c) - lit(lo)) / lit(hi - lo) * lit(cells)).cast("long"),
+          lit(0L)),
+        lit(cells.toLong - 1L))
+    df.withColumn("zval",
+        TextExpressions.interleave_bits(
+          cell(xCol, xMin, xMax), cell(yCol, yMin, yMax), bits))
+      .withColumn("bucket",
+        ntile(buckets).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("zval"), col(tieBreak))).cast("long"))
+  }
+
   /** Rewrite `df` into `numFiles` files clustered on the Z-curve of
     * (colA, colB). Range partitioning on the z-value gives each file a
     * contiguous curve segment = a compact rectangle in (a, b).

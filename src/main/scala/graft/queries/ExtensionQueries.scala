@@ -865,6 +865,25 @@ object ExtensionQueries {
       (lit(41.5) + (col("o_orderkey") % 950).cast("double") / 100.0).as("s_lat"),
       (lit(-5.0) + (col("o_orderkey") % 1450).cast("double") / 100.0).as("s_lon"))
 
+  /** The broadcast min_by form on q65's dense inputs — NOT a declared
+    * query (same |customers|·|sites| scoring volume as the window
+    * form, minus its sort); kept for the BenchGridRace head-to-head.
+    */
+  def qNearestSiteDenseMinBy(s: SparkSession, dir: String): DataFrame = {
+    // explicit fan-out: the probe side is one parquet split, and a
+    // broadcast nested-loop join parallelizes only over probe
+    // partitions — without this the exhaustive scorer runs on ONE core
+    val pts = customerPoints(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("lat", greatest(least(col("lat"), lit(51.0)), lit(41.5)))
+      .withColumn("lon", greatest(least(col("lon"), lit(9.5)), lit(-5.0)))
+    NearestJoin.nearestByMinBy(
+      pts, denseSites(s, dir), Seq("c_custkey"),
+      GeoFunctions.haversineKm(col("lat"), col("lon"), col("s_lat"), col("s_lon")),
+      tieBreak = col("site_id"))
+      .select(col("c_custkey"), col("site_id"), round(col("dist_km"), 3).as("dist_km"))
+  }
+
   /** The broadcast window form on q65's dense inputs — NOT a declared
     * query (it scores |customers|·|sites| pairs, the regime the grid
     * path exists to avoid); kept for the BenchGridRace head-to-head.
@@ -944,4 +963,58 @@ object ExtensionQueries {
   def qChunkDocs(s: SparkSession, dir: String): DataFrame =
     graft.operators.Chunking.chunk(
       tbl(s, dir, "documents"), "doc_id", "text", size = 512, stride = 384)
+
+  /** Bloom-runtime-filtered fact⋈dim join: only ~1/25 of suppliers
+    * survive the dim filter, so the bloom kills ~96% of lineitem AT
+    * THE SCAN, before the join exchange. The oracle is the plain
+    * join — false positives are removed by the exact join, so the
+    * bloom changes only the shuffle volume, never the answer.
+    */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem").select(col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)").as("rev"))
+    val supp = tbl(s, dir, "supplier")
+      .filter(col("s_nationkey") === 7)
+      .select(col("s_suppkey"), col("s_name"))
+    graft.operators.RuntimeFilter.bloomPrunedJoin(
+        li, supp, "l_suppkey", "s_suppkey",
+        expectedItems = 100000L, fpp = 0.01)
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Exact heavy hitters with a count-min prefilter: parts appearing
+    * ≥ 45 times in lineitem (~2.7σ above the ~30 mean). CMS never
+    * undercounts, so the prefilter drops only keys that cannot
+    * qualify; the exact re-count removes its overestimates — oracle
+    * is the plain GROUP BY ... HAVING.
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.exactOverThreshold(
+      tbl(s, dir, "lineitem").select(col("l_partkey")),
+      "l_partkey", threshold = 45L)
+
+  /** Verbatim cross-doc span detection: 32-char windows at stride 8
+    * occurring in ≥ 2 documents — substring-level dedup's candidate
+    * stage, exact (no sketch), keyed on md5(gram).
+    */
+  def qSpanOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanOverlap.duplicatedSpans(
+      tbl(s, dir, "documents"), "doc_id", "text", k = 32, stride = 8)
+
+  /** Z-order layout assignment over the customer point cloud: 1024²
+    * fixed cell grid on the (lon, lat) box, Morton interleave
+    * (compiled kernel), 64 equal-population buckets — the write-side
+    * layout that gives 2-D min/max pruning at scan time, in its
+    * deterministic hash-checkable form (the sampled quantile-bin
+    * `clusterByZ` is the whole-table path). All-double quantization
+    * arithmetic is bit-identical across engines.
+    */
+  def qZOrderLayout(s: SparkSession, dir: String): DataFrame =
+    graft.lake.ZOrder.assignFixedGrid(
+      customerPoints(s, dir), "lon", "lat",
+      xMin = -180.0, xMax = 180.0, yMin = -5.0, yMax = 50.0,
+      cells = 1024, buckets = 64, tieBreak = "c_custkey")
 }
