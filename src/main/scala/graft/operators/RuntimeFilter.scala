@@ -41,7 +41,14 @@ object RuntimeFilter {
       buildKey: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    val bloom = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    // sentinel key: Spark's stat.bloomFilter NPEs on an EMPTY build
+    // side (null aggregate buffer). One impossible key keeps the
+    // build non-empty; it can only add a false positive, which the
+    // exact join removes — correctness unaffected.
+    val keys = build.select(col(buildKey).cast("long").as("_bk"))
+      .union(build.sparkSession.range(1)
+        .select(org.apache.spark.sql.functions.lit(Long.MinValue).as("_bk")))
+    val bloom = keys.stat.bloomFilter("_bk", expectedItems + 1, fpp)
     val pruned = probe.filter(
       SketchExpressions.bloomMightContain(col(probeKey), bloom))
     pruned.join(build, pruned(probeKey) === build(buildKey))

@@ -25,6 +25,13 @@ class RuntimeFilterLayoutSpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("bloom-pruned join with an empty build side returns empty, no NPE") {
+    val probe = (1L to 100L).toDF("k")
+    val build = Seq.empty[Long].toDF("bk")
+    assert(RuntimeFilter.bloomPrunedJoin(probe, build, "k", "bk", 10L)
+      .count() == 0L)
+  }
+
   test("bloom prunes most non-matching probe rows at the scan") {
     val probe = (1L to 10000L).toDF("k")
     val build = Seq(1L, 2L, 3L).toDF("bk")

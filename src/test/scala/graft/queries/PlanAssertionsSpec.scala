@@ -101,4 +101,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // p_partkey join under the HashAggregate
     assert(plan.contains("EqualTo(p_type,SMALL)"), plan)
   }
+
+  test("q115: bloom probe filters the fact side BELOW the join; dim is broadcast") {
+    val plan = planOf("q115_bloom_join")
+    assert(plan.contains("bloommightcontainlong"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the probe must run scan-side: no exchange may appear between the
+    // lineitem scan and the bloom Filter
+    val scanIdx = plan.indexOf("Scan parquet [l_suppkey")
+    val bloomIdx = plan.toLowerCase.indexOf("bloommightcontainlong")
+    val between = plan.substring(math.min(bloomIdx, scanIdx), math.max(bloomIdx, scanIdx))
+    assert(!between.contains("Exchange"),
+      "bloom probe is above an exchange — prunes nothing:\n" + plan)
+  }
+
+  test("q116: CMS prefilter sits below the counting aggregate's exchange") {
+    val plan = planOf("q116_heavy_hitters")
+    assert(plan.contains("cmsestimatelong"), plan)
+    val cmsIdx = plan.toLowerCase.indexOf("cmsestimatelong")
+    val exIdx = plan.indexOf("Exchange")
+    assert(exIdx >= 0 && cmsIdx > exIdx,
+      "plan renders top-down: the CMS filter must appear BELOW (after) " +
+        "the first exchange in the rendering, i.e. run before it:\n" + plan)
+  }
 }
