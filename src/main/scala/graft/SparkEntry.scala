@@ -206,7 +206,9 @@ object SparkEntry {
     // verbatim cross-doc 32-char span detection, exact
     "q117_span_overlap" -> (X.qSpanOverlap _),
     // Morton-curve layout: cell quantize + interleave + ntile buckets
-    "q118_zorder_layout" -> (X.qZOrderLayout _)
+    "q118_zorder_layout" -> (X.qZOrderLayout _),
+    // BPE merge stats: pair counts over the word-frequency table
+    "q119_bpe_pairs" -> (X.qBpePairs _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -801,6 +803,20 @@ object SparkEntry {
         |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
         |FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
     "q118_zorder_layout" -> zorderSql,
+    // same whitespace regex as q112's tokenizer; words shorter than 2
+    // chars emit no pairs on either engine (range(1,1) is empty)
+    "q119_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT x AS w, COUNT(*) AS f
+        |  FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS t(x)
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym, f
+        |  FROM words, UNNEST(range(1, len(w))) AS u(i))
+        |SELECT left_sym, right_sym, SUM(f) AS n
+        |FROM pairs GROUP BY 1, 2 HAVING SUM(f) >= 10""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

@@ -1017,4 +1017,12 @@ object ExtensionQueries {
       customerPoints(s, dir), "lon", "lat",
       xMin = -180.0, xMax = 180.0, yMin = -5.0, yMax = 50.0,
       cells = 1024, buckets = 64, tieBreak = "c_custkey")
+
+  /** BPE merge statistics: adjacent character-pair counts over the
+    * word-frequency table (corpus collapses to vocabulary first —
+    * the pair expansion never sees corpus-sized data).
+    */
+  def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpePairs.pairCounts(
+      tbl(s, dir, "documents"), "text", minCount = 10L)
 }
