@@ -208,7 +208,9 @@ object SparkEntry {
     // Morton-curve layout: cell quantize + interleave + ntile buckets
     "q118_zorder_layout" -> (X.qZOrderLayout _),
     // BPE merge stats: pair counts over the word-frequency table
-    "q119_bpe_pairs" -> (X.qBpePairs _)
+    "q119_bpe_pairs" -> (X.qBpePairs _),
+    // deterministic synchronous label-propagation communities
+    "q120_label_prop" -> (X.qLabelProp _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -235,6 +237,36 @@ object SparkEntry {
        |SELECT c_custkey, lat, lon, zval,
        |  NTILE(64) OVER (ORDER BY zval, c_custkey) AS bucket
        |FROM z""".stripMargin
+  }
+
+  /** Label-propagation oracle: the synchronous recurrence unrolled as
+    * chained CTEs over the q113 near-dup pair generator (both edge
+    * directions). Tie break mirrors the operator exactly: highest
+    * neighbor-label count, then smallest label (ROW_NUMBER ordered
+    * count DESC, label ASC).
+    */
+  private def lpaSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT dst AS node, label FROM (
+         |    SELECT e.dst, l.label, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |    FROM e JOIN r${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+       |  FROM documents WHERE doc_id < 500),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+       |      / CAST(len(list_distinct(a.t || b.t)) AS DOUBLE) >= 0.9),
+       |e AS (SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b, a FROM pairs),
+       |r0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$rounds
+       |SELECT node, label FROM r$iters""".stripMargin
   }
 
   /** PageRank oracle: the 8-round recurrence unrolled as chained CTEs
@@ -817,6 +849,7 @@ object SparkEntry {
         |  FROM words, UNNEST(range(1, len(w))) AS u(i))
         |SELECT left_sym, right_sym, SUM(f) AS n
         |FROM pairs GROUP BY 1, 2 HAVING SUM(f) >= 10""".stripMargin,
+    "q120_label_prop" -> lpaSql(4),
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

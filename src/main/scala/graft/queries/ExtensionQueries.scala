@@ -1025,4 +1025,24 @@ object ExtensionQueries {
   def qBpePairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.BpePairs.pairCounts(
       tbl(s, dir, "documents"), "text", minCount = 10L)
+
+  /** Deterministic label-propagation communities over the jaccard
+    * ≥ 0.9 near-dup graph (same bounded pair generator as q28/q113,
+    * both directions), 4 synchronous rounds — topical grouping of a
+    * candidate-pair stage, exact vs the unrolled-CTE oracle.
+    */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = docs.select(col("doc_id").as("a"), col("toks").as("t_a"))
+    val b = docs.select(col("doc_id").as("b"), col("toks").as("t_b"))
+    val pairs = a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .filter(TextFunctions.jaccard(col("t_a"), col("t_b")) >= 0.9)
+      .select(col("a"), col("b"))
+    val both = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.LabelPropagation.propagate(both, rounds = 4)
+  }
 }
