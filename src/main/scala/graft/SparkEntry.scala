@@ -210,7 +210,9 @@ object SparkEntry {
     // BPE merge stats: pair counts over the word-frequency table
     "q119_bpe_pairs" -> (X.qBpePairs _),
     // deterministic synchronous label-propagation communities
-    "q120_label_prop" -> (X.qLabelProp _)
+    "q120_label_prop" -> (X.qLabelProp _),
+    // join-view delta maintenance (oracle: the from-scratch join)
+    "q121_incremental_join" -> (X.qIncrementalJoin _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -850,6 +852,13 @@ object SparkEntry {
         |SELECT left_sym, right_sym, SUM(f) AS n
         |FROM pairs GROUP BY 1, 2 HAVING SUM(f) >= 10""".stripMargin,
     "q120_label_prop" -> lpaSql(4),
+    // the view is maintained incrementally; the oracle re-joins from
+    // scratch — equality proves the delta decomposition is exact
+    "q121_incremental_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

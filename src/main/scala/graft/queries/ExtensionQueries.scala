@@ -1045,4 +1045,32 @@ object ExtensionQueries {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
     graft.operators.LabelPropagation.propagate(both, rounds = 4)
   }
+
+  /** Incremental join-view maintenance: orders and lineitem each
+    * split into disjoint base/delta slices by a date pivot; the
+    * maintained view (stored base⋈base plus the three delta terms)
+    * must equal the from-scratch join — the oracle is the plain
+    * join+aggregate over the full tables, proving the delta algebra
+    * adds and misses nothing.
+    */
+  def qIncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val pivot = lit("1996-01-01").cast("timestamp")
+    val orders = tbl(s, dir, "orders").select(
+      col("o_orderkey").as("okey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = tbl(s, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), col("l_shipdate"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)").as("rev"))
+    val view = graft.operators.IncrementalJoin.viewDelta(
+        orders.filter(col("o_orderdate") < pivot),
+        orders.filter(col("o_orderdate") >= pivot),
+        li.filter(col("l_shipdate") < pivot),
+        li.filter(col("l_shipdate") >= pivot),
+        Seq("okey"))
+      .unionByName(orders.filter(col("o_orderdate") < pivot)
+        .join(li.filter(col("l_shipdate") < pivot), Seq("okey")))
+    view.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
 }
