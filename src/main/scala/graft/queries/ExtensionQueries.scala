@@ -1041,8 +1041,14 @@ object ExtensionQueries {
       .filter(col("a") < col("b"))
       .filter(TextFunctions.jaccard(col("t_a"), col("t_b")) >= 0.9)
       .select(col("a"), col("b"))
-    val both = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // both directions in ONE structural pass over the quadratic pair
+    // generator: a union of two selects evaluates it once too, but
+    // only because ReusedExchange happens to fire — this form doesn't
+    // depend on the optimizer for that guarantee
+    val both = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     graft.operators.LabelPropagation.propagate(both, rounds = 4)
   }
 
