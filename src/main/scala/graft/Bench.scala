@@ -53,13 +53,18 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch {
-        case _: Throwable =>
-          // noop may be unavailable; fall back to count
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch {
+          case _: Throwable =>
+            // noop may be unavailable; fall back to count
+            try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+        }
+      // a FAILED rep must never become the reported minimum (a query
+      // that dies in 0.3s would otherwise "win" over its real 10s
+      // runs, silently): -1 marks failure; min-selection ignores it
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     // Single-run timing made per-query regressions unfalsifiable (r4→r5
     // showed 3-4x swings on untouched queries). Each query now runs
@@ -75,13 +80,20 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val a = runOnce(fn)
       val b = runOnce(fn)
-      val lo = math.min(a, b)
+      val good = Seq(a, b).filter(_ >= 0)
+      val lo = if (good.nonEmpty) good.min else -1.0
+      // tie-break third run on >25% disagreement between good reps, or
+      // on any failed rep (a failure is the strongest disagreement)
       val reps =
-        if (lo > 0.5 && math.abs(a - b) / lo > 0.25) Seq(a, b, runOnce(fn))
+        if (good.size < 2 || (lo > 0.5 && (good.max - lo) / lo > 0.25))
+          Seq(a, b, runOnce(fn))
         else Seq(a, b)
-      (name, reps.min, reps)
+      val goodAll = reps.filter(_ >= 0)
+      // all reps failed => -1 survives into the report as an explicit
+      // broken-query marker (never a plausible-looking fast time)
+      (name, if (goodAll.nonEmpty) goodAll.min else -1.0, reps)
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // The driver captures only the LAST ~2000 chars of output, so the
     // printed JSON line must stay short: per-query keys are the qNN
     // prefix (the full-name mapping lives in BENCH_DETAIL.json and

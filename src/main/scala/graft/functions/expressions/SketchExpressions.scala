@@ -55,17 +55,22 @@ object SketchExpressions {
       copy(child = c)
   }
 
+  // both builders widen the probe column to long at the API boundary:
+  // the kernels unbox Long, and an int32 key column must not
+  // ClassCastException at runtime (integral→long is value-preserving,
+  // and Spark's own sketch builders hash all integrals via longValue,
+  // so the probe stays consistent with the build)
   def bloomMightContain(c: Column, bloom: BloomFilter): Column = {
     val out = new java.io.ByteArrayOutputStream()
     bloom.writeTo(out)
     ColumnBridge.column(
-      BloomMightContainLong(ColumnBridge.expression(c), out.toByteArray))
+      BloomMightContainLong(ColumnBridge.expression(c.cast("long")), out.toByteArray))
   }
 
   def cmsEstimate(c: Column, cms: CountMinSketch): Column = {
     val out = new java.io.ByteArrayOutputStream()
     cms.writeTo(out)
     ColumnBridge.column(
-      CmsEstimateLong(ColumnBridge.expression(c), out.toByteArray))
+      CmsEstimateLong(ColumnBridge.expression(c.cast("long")), out.toByteArray))
   }
 }

@@ -69,8 +69,8 @@ object ZOrder {
       cells: Int,
       buckets: Int,
       tieBreak: String): DataFrame = {
-    require(cells > 0 && (cells & (cells - 1)) == 0 && cells <= (1 << 16),
-      s"cells must be a power of two in [1, 65536], got $cells")
+    require(cells >= 2 && (cells & (cells - 1)) == 0 && cells <= (1 << 16),
+      s"cells must be a power of two in [2, 65536], got $cells")
     val bits = java.lang.Integer.numberOfTrailingZeros(cells)
     def cell(c: String, lo: Double, hi: Double) =
       least(greatest(

@@ -54,9 +54,9 @@ object Triangles {
     // canonical (min, max) form against the canonical edge set
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      // the join predicate already orders the pair: e1.hi < e2.hi
       .select(col("e1.lo").as("x"),
-        least(col("e1.hi"), col("e2.hi")).as("a"),
-        greatest(col("e1.hi"), col("e2.hi")).as("b"))
+        col("e1.hi").as("a"), col("e2.hi").as("b"))
     val triangles = wedges.join(canon, Seq("a", "b"))
     // each triangle (x, a, b) contains all three nodes
     val corners = triangles.select(col("x").as("node"))

@@ -1,6 +1,8 @@
 package graft.pipeline
 
-import java.util.concurrent.locks.ReentrantLock
+import java.util.concurrent.Semaphore
+
+import scala.util.control.NonFatal
 
 /** Scheduler-policy layer reproducing the reference DAG's run
   * semantics (`dags/sky_safe_dag.py:18-33`): each task retries once
@@ -20,18 +22,24 @@ final class Orchestrator(
     sleeper: Long => Unit = Thread.sleep) {
   require(retries >= 0 && retryDelayMs >= 0)
 
-  private val active = new ReentrantLock()
+  // a Semaphore, NOT a ReentrantLock: the admission check must be
+  // non-reentrant — a tick fired synchronously from inside the active
+  // run (re-entrant scheduler callback) must be SKIPPED like any
+  // other concurrent tick, but a ReentrantLock would admit it
+  private val active = new Semaphore(1)
 
   /** Run `body`, retrying up to `retries` times after `retryDelayMs`
     * on failure — the reference's per-task retry policy. Throws the
-    * LAST failure once attempts are exhausted.
+    * LAST failure once attempts are exhausted. Only non-fatal task
+    * failures are retried: interrupts (cancellation) and VM errors
+    * propagate immediately.
     */
   def withRetry[T](taskId: String)(body: => T): T = {
     var attempt = 0
     while (true) {
       try return body
       catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           attempt += 1
           if (attempt > retries) throw e
           sleeper(retryDelayMs)
@@ -45,7 +53,7 @@ final class Orchestrator(
     * see class doc.
     */
   def runSerialized[T](body: => T): Option[T] = {
-    if (!active.tryLock()) return None
-    try Some(body) finally active.unlock()
+    if (!active.tryAcquire()) return None
+    try Some(body) finally active.release()
   }
 }

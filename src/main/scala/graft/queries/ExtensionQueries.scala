@@ -939,23 +939,31 @@ object ExtensionQueries {
       "doc_id", "text", n = 5, minShared = 3L)
   }
 
-  /** Per-node triangle counts over the jaccard >= 0.9 near-dup graph
-    * (same bounded pair generator as q28) — the transitivity
-    * diagnostic for a candidate-pair stage. Degree-ordered orientation
-    * keeps the wedge join O(|E|^1.5) at scale.
+  /** The bounded q28-style near-dup pair generator shared by q113 and
+    * q120 (their oracles embed the identical SQL CTE): jaccard ≥ 0.9
+    * over whitespace token sets, doc_id < 500, canonical a < b pairs.
+    * ONE definition so a threshold/tokenizer tweak cannot desync the
+    * two queries from each other or from their oracle mirrors.
     */
-  def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
     val a = docs.select(col("doc_id").as("a"), col("toks").as("t_a"))
     val b = docs.select(col("doc_id").as("b"), col("toks").as("t_b"))
-    val edges = a.crossJoin(b)
+    a.crossJoin(b)
       .filter(col("a") < col("b"))
       .filter(TextFunctions.jaccard(col("t_a"), col("t_b")) >= 0.9)
       .select(col("a"), col("b"))
-    graft.operators.Triangles.perNode(edges)
   }
+
+  /** Per-node triangle counts over the jaccard >= 0.9 near-dup graph
+    * (same bounded pair generator as q28) — the transitivity
+    * diagnostic for a candidate-pair stage. Degree-ordered orientation
+    * keeps the wedge join O(|E|^1.5) at scale.
+    */
+  def qTriangleCount(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Triangles.perNode(nearDupPairs(s, dir))
 
   /** Stride-overlapped context-window chunking (size 512, stride 384)
     * — shuffle-free generate + codegen'd substring.
@@ -1032,15 +1040,7 @@ object ExtensionQueries {
     * candidate-pair stage, exact vs the unrolled-CTE oracle.
     */
   def qLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(s, dir, "documents")
-      .filter(col("doc_id") < 500)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    val a = docs.select(col("doc_id").as("a"), col("toks").as("t_a"))
-    val b = docs.select(col("doc_id").as("b"), col("toks").as("t_b"))
-    val pairs = a.crossJoin(b)
-      .filter(col("a") < col("b"))
-      .filter(TextFunctions.jaccard(col("t_a"), col("t_b")) >= 0.9)
-      .select(col("a"), col("b"))
+    val pairs = nearDupPairs(s, dir)
     // both directions in ONE structural pass over the quadratic pair
     // generator: a union of two selects evaluates it once too, but
     // only because ReusedExchange happens to fire — this form doesn't

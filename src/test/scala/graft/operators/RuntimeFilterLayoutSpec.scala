@@ -25,6 +25,16 @@ class RuntimeFilterLayoutSpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("sketch probes accept int key columns (widened to long at the API)") {
+    val probe = (1 to 100).toDF("k") // IntegerType, not LongType
+    val build = Seq(1, 2, 3).toDF("bk")
+    assert(RuntimeFilter.bloomPrunedJoin(probe, build, "k", "bk", 10L)
+      .count() == 3L)
+    val hh = HeavyHitters.exactOverThreshold(
+      (1 to 50).map(_ % 5).toDF("k"), "k", threshold = 10L)
+    assert(hh.count() == 5L)
+  }
+
   test("bloom-pruned join with an empty build side returns empty, no NPE") {
     val probe = (1L to 100L).toDF("k")
     val build = Seq.empty[Long].toDF("bk")

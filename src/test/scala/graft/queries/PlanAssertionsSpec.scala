@@ -110,6 +110,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // lineitem scan and the bloom Filter
     val scanIdx = plan.indexOf("Scan parquet [l_suppkey")
     val bloomIdx = plan.toLowerCase.indexOf("bloommightcontainlong")
+    assert(scanIdx >= 0, "lineitem scan not found in rendering:\n" + plan)
+    assert(bloomIdx >= 0, "bloom probe not found in rendering:\n" + plan)
     val between = plan.substring(math.min(bloomIdx, scanIdx), math.max(bloomIdx, scanIdx))
     assert(!between.contains("Exchange"),
       "bloom probe is above an exchange — prunes nothing:\n" + plan)

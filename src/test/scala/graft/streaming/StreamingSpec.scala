@@ -88,8 +88,15 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream.format("memory").queryName("tws_out")
         .outputMode("append").start()
       q.processAllAvailable()
-      // second batch pushes the watermark past both pending timers
-      mem.addData(Ev(t(40), 3, "c", 1.0))
+      // second batch: the 10:32 event must be read back from the state
+      // store and MERGED into user 2's open 10:30 session (the
+      // cross-batch read-modify-write path), while 10:40 pushes the
+      // watermark past user 1's pending timer
+      mem.addData(Ev(t(32), 2, "b", 1.0), Ev(t(40), 3, "c", 1.0))
+      q.processAllAvailable()
+      // third batch advances the watermark past the extended session's
+      // reset timer (10:37) and user 3's (10:45)
+      mem.addData(Ev(t(50), 4, "d", 1.0))
       q.processAllAvailable(); q.stop()
       val got = spark.table("tws_out")
         .select("user_id", "session_start", "session_end", "n_events").collect()
@@ -97,7 +104,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSet == Set(
         (1L, t(0), t(1), 2L), // closed by the in-batch gap
         (1L, t(20), t(20), 1L), // closed by its event-time timer
-        (2L, t(30), t(30), 1L)))
+        (2L, t(30), t(32), 2L), // EXTENDED across the batch boundary
+        (3L, t(40), t(40), 1L))) // user 4's own session stays open
     } finally before match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
