@@ -212,7 +212,9 @@ object SparkEntry {
     // deterministic synchronous label-propagation communities
     "q120_label_prop" -> (X.qLabelProp _),
     // join-view delta maintenance (oracle: the from-scratch join)
-    "q121_incremental_join" -> (X.qIncrementalJoin _)
+    "q121_incremental_join" -> (X.qIncrementalJoin _),
+    // exact-quota stratified split (largest-remainder, integer-exact)
+    "q122_quota_split" -> (X.qQuotaSplit _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -859,6 +861,27 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    // identical integer largest-remainder allocation + identical
+    // portable md5 rank (same salt string) — both sides exact
+    "q122_quota_split" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n_i FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(n_i) AS N, SUM((n_i*30)//100) AS sumBase
+        |  FROM counts),
+        |alloc AS (
+        |  SELECT lang, (n_i*30)//100 AS base,
+        |    ROW_NUMBER() OVER (ORDER BY (n_i*30)%100 DESC, lang ASC) AS rk
+        |  FROM counts),
+        |quota AS (
+        |  SELECT a.lang, a.base + CASE
+        |    WHEN a.rk <= ((t.N*30)//100 - t.sumBase) THEN 1 ELSE 0 END AS q
+        |  FROM alloc a, tot t),
+        |ranked AS (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota_v1'), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang
+        |FROM ranked r JOIN quota q USING (lang) WHERE r.rk <= q.q""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

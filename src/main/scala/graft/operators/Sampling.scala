@@ -70,6 +70,47 @@ object Sampling {
     df.filter(substring(hashUniform(col(idCol), salt), 1, 4) < threshold)
   }
 
+  /** Exact-quota stratified selection — where the hash-threshold
+    * samplers above hit their fraction only in expectation, this
+    * guarantees COUNTS (an eval set of exactly N·pct% rows): global
+    * target `T = N·pct div 100`, per-stratum base `n_i·pct div 100`,
+    * and the `T − Σ base` leftover units go to the strata with the
+    * largest remainders (`n_i·pct mod 100`, ties to the smaller
+    * stratum key) — the largest-remainder method, in pure integer
+    * arithmetic. In-stratum selection keeps the lowest md5-draw rows
+    * (rank by (md5, id)): deterministic, stable under corpus growth
+    * elsewhere, portable.
+    *
+    * Scale shape: the allocation runs on the tiny per-stratum counts
+    * frame (its global windows are O(#strata)); the row-level work is
+    * one rank window partitioned by stratum — an honest per-stratum
+    * sort. For few-strata/huge-strata regimes, pre-filter with
+    * `deterministicSample` at pct+ε then exact-rank the survivors:
+    * same result, the sort sees ~pct of the data.
+    */
+  def exactQuotaSplit(df: DataFrame, idCol: String, stratumCol: String,
+      pct: Int, salt: String = "quota_v1"): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct out of range: $pct")
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_i"))
+    val quotas = counts
+      .withColumn("N", sum(col("n_i")).over(w.partitionBy()))
+      .withColumn("base", expr(s"(n_i * $pct) div 100"))
+      .withColumn("sumBase", sum(col("base")).over(w.partitionBy()))
+      .withColumn("rk", row_number().over(w.partitionBy()
+        .orderBy(expr(s"(n_i * $pct) % 100").desc, col(stratumCol))))
+      .withColumn("quota", col("base") +
+        when(col("rk") <= expr(s"(N * $pct) div 100") - col("sumBase"), 1L)
+          .otherwise(0L))
+      .select(col(stratumCol), col("quota"))
+    df.withColumn("_rk", row_number().over(
+        w.partitionBy(col(stratumCol))
+          .orderBy(hashUniform(col(idCol), salt), col(idCol))))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .filter(col("_rk") <= col("quota"))
+      .drop("_rk", "quota")
+  }
+
   /** Deterministic mixture re-weighting (epoch-style source mixing):
     * each row is emitted `floor(w)` times plus one more when its hash
     * draw falls under `frac(w)` — so a stratum with weight 2.5 appears

@@ -1079,4 +1079,14 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("rev")).cast("double").as("revenue"))
   }
+
+  /** Exact-quota stratified split: exactly 30% of documents, stratified
+    * by language via largest-remainder allocation — hash thresholds
+    * (q94/q98) hit fractions in expectation; this one guarantees the
+    * count. All-integer allocation + portable md5 ranking = exact.
+    */
+  def qQuotaSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.exactQuotaSplit(
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang", pct = 30)
 }

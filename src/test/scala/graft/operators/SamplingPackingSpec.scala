@@ -47,6 +47,26 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(math.abs(counts.getOrElse("en", 0L) - 250L) < 80)
   }
 
+  test("exact-quota split: global count is exactly N*pct div 100") {
+    // strata sizes chosen so remainders force largest-remainder picks:
+    // n = {a:37, b:41, c:22}, pct=30 -> bases {11,12,6}=29, T=30 -> one
+    // leftover unit goes to the largest remainder (a: 110%100=10,
+    // b: 1230%100=30, c: 660%100=60 -> c wins)
+    val rows = (1L to 37L).map(i => (i, "a")) ++
+      (101L to 141L).map(i => (i, "b")) ++ (201L to 222L).map(i => (i, "c"))
+    val df = rows.toDF("doc_id", "lang")
+    val got = Sampling.exactQuotaSplit(df, "doc_id", "lang", pct = 30)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 11L, "b" -> 12L, "c" -> 7L))
+    assert(got.values.sum == 100L * 30L / 100L)
+    // determinism: same selection on re-run
+    val again = Sampling.exactQuotaSplit(df, "doc_id", "lang", pct = 30)
+      .select($"doc_id").as[Long].collect().toSet
+    val first = Sampling.exactQuotaSplit(df, "doc_id", "lang", pct = 30)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == first && again.size == 30)
+  }
+
   test("packing matches a sequential scan and conserves the stream") {
     val docs = (0L until 1000L).map(i => (i, 1L + (i * 37 % 120)))
       .toDF("doc_id", "n_tokens")
