@@ -214,7 +214,9 @@ object SparkEntry {
     // join-view delta maintenance (oracle: the from-scratch join)
     "q121_incremental_join" -> (X.qIncrementalJoin _),
     // exact-quota stratified split (largest-remainder, integer-exact)
-    "q122_quota_split" -> (X.qQuotaSplit _)
+    "q122_quota_split" -> (X.qQuotaSplit _),
+    // SCD2 point-in-time lookup = history builder ∘ backward as-of
+    "q123_scd2_lookup" -> (X.qScd2Lookup _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -882,6 +884,29 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.lang
         |FROM ranked r JOIN quota q USING (lang) WHERE r.rk <= q.q""".stripMargin,
+    // the engine answers via backward as-of on valid_from (gapless
+    // intervals make that equivalent); the oracle spells the literal
+    // interval containment — agreement proves the equivalence holds
+    "q123_scd2_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type AS state, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, state, ts_us, event_id FROM e
+        |      WHERE prev IS NULL OR prev <> state),
+        |hist AS (
+        |  SELECT user_id, state, ts_us AS vf,
+        |    LEAD(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS vt
+        |  FROM c),
+        |facts AS (
+        |  SELECT user_id, event_id, epoch_us(ts) - 1800000000 AS lookup_us
+        |  FROM events)
+        |SELECT f.user_id, f.event_id, h.state
+        |FROM facts f JOIN hist h ON f.user_id = h.user_id
+        |  AND h.vf <= f.lookup_us
+        |  AND (h.vt IS NULL OR f.lookup_us < h.vt)""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

@@ -1089,4 +1089,30 @@ object ExtensionQueries {
     graft.operators.Sampling.exactQuotaSplit(
       tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
       "doc_id", "lang", pct = 30)
+
+  /** SCD2 point-in-time lookup: each event asks "what state was this
+    * user in 30 minutes ago?" against the q108 dimension history.
+    * Because SCD2 intervals are gapless and non-overlapping per key,
+    * interval containment IS a backward as-of join on valid_from —
+    * so the lookup composes the two existing operators with no
+    * interval-join machinery. Zero-width intervals (several changes
+    * in one instant) are dropped first, making valid_from unique per
+    * key — containment and latest-valid_from semantics then coincide
+    * exactly. Oracle: the literal interval-containment join.
+    */
+  def qScd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+    val hist = graft.operators.Scd2.buildHistory(
+        ev, "user_id", "ts", "event_type", "event_id")
+      .filter(col("valid_to_us").isNull ||
+        col("valid_to_us") =!= col("valid_from_us"))
+      .select(col("key").as("user_id"), col("state"), col("valid_from_us"))
+    val facts = ev.select(col("user_id"), col("event_id"),
+      (unix_micros(col("ts")) - lit(1800000000L)).as("lookup_us"))
+    graft.operators.AsOfJoin.backward(
+        facts, hist, Seq("user_id"), "lookup_us", "valid_from_us",
+        rightPayload = Seq("state"), tieBreakCol = "valid_from_us")
+      .filter(col("state").isNotNull) // events before the first change
+      .select(col("user_id"), col("event_id"), col("state"))
+  }
 }

@@ -105,4 +105,31 @@ class Scd2Spec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected one shuffle, got $exchanges:\n$plan")
   }
+
+  test("point-in-time lookup: same-instant changes resolve to the last one") {
+    // the q123 composition contract: dropping zero-width intervals
+    // makes valid_from unique per key, so backward-as-of == interval
+    // containment even when several changes land on one instant
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", 1L),
+      (1L, ts("2024-01-02 00:00:00"), "b", 2L), // same instant...
+      (1L, ts("2024-01-02 00:00:00"), "c", 3L) // ...c wins (seq order)
+    ).toDF("user_id", "ts", "state", "event_id")
+    val hist = Scd2.buildHistory(log, "user_id", "ts", "state", "event_id")
+      .filter(col("valid_to_us").isNull ||
+        col("valid_to_us") =!= col("valid_from_us"))
+      .select(col("key").as("user_id"), col("state"), col("valid_from_us"))
+    def us(s: String) = ts(s).getTime * 1000L
+    val facts = Seq(
+      (1L, 10L, us("2024-01-01 12:00:00")), // inside [a)
+      (1L, 11L, us("2024-01-02 00:00:00")), // exactly at the double change
+      (1L, 12L, us("2023-12-31 00:00:00")) // before history -> no match
+    ).toDF("user_id", "event_id", "lookup_us")
+    val got = AsOfJoin.backward(
+        facts, hist, Seq("user_id"), "lookup_us", "valid_from_us",
+        rightPayload = Seq("state"), tieBreakCol = "valid_from_us")
+      .select(col("event_id"), col("state"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(10L -> Some("a"), 11L -> Some("c"), 12L -> None))
+  }
 }
