@@ -216,7 +216,9 @@ object SparkEntry {
     // exact-quota stratified split (largest-remainder, integer-exact)
     "q122_quota_split" -> (X.qQuotaSplit _),
     // SCD2 point-in-time lookup = history builder ∘ backward as-of
-    "q123_scd2_lookup" -> (X.qScd2Lookup _)
+    "q123_scd2_lookup" -> (X.qScd2Lookup _),
+    // content-defined chunking (rolling md5 window, self-healing)
+    "q124_cdc_chunks" -> (X.qCdcChunks _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -907,6 +909,24 @@ object SparkEntry {
         |FROM facts f JOIN hist h ON f.user_id = h.user_id
         |  AND h.vf <= f.lookup_us
         |  AND (h.vt IS NULL OR f.lookup_us < h.vt)""".stripMargin,
+    // boundary after position i when md5 of the 16-char window ending
+    // at i has 2-hex prefix < '04'; sentinel boundary at len(text);
+    // UNION (not ALL) dedupes a detected boundary at the last char
+    "q124_cdc_chunks" ->
+      """WITH b AS (
+        |  SELECT doc_id, i
+        |  FROM documents, UNNEST(range(16, len(text) + 1)) AS t(i)
+        |  WHERE substr(md5(substr(text, i - 15, 16)), 1, 2) < '04'
+        |  UNION
+        |  SELECT doc_id, len(text) FROM documents WHERE len(text) >= 1),
+        |c AS (
+        |  SELECT doc_id, i,
+        |    COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_ix
+        |  FROM b)
+        |SELECT c.doc_id, c.chunk_ix, c.s AS chunk_start,
+        |  substr(d.text, c.s, c.i - c.s + 1) AS chunk_text
+        |FROM c JOIN documents d USING (doc_id)""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

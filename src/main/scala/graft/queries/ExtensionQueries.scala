@@ -1115,4 +1115,13 @@ object ExtensionQueries {
       .filter(col("state").isNotNull) // events before the first change
       .select(col("user_id"), col("event_id"), col("state"))
   }
+
+  /** Content-defined chunking: 16-char window hash, p=4/256 boundary
+    * rate (mean chunk ≈ 64 chars) — the self-healing chunker whose
+    * boundaries re-synchronize after edits.
+    */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.contentDefined(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      window = 16, hexThreshold2 = "04")
 }

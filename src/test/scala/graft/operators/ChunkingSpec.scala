@@ -45,4 +45,33 @@ class ChunkingSpec extends AnyFunSuite {
     // full coverage: last chunk reaches the end
     assert(chunks.last._3 - 1 + chunks.last._5 == text.length)
   }
+
+  test("content-defined chunks tile the text and re-synchronize after edits") {
+    import org.apache.spark.sql.functions.col
+    val text = "the quick brown fox jumps over the lazy dog " * 8 // 352 chars
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Chunking.contentDefined(docs, "doc_id", "text", 16, "10")
+      .orderBy(col("chunk_ix")).collect()
+    // tiling: concatenation reconstructs the text exactly
+    assert(chunks.map(_.getString(3)).mkString == text)
+    assert(chunks.map(_.getInt(1)).toSeq == (1 to chunks.length))
+    assert(chunks.length > 2, "threshold should produce several chunks")
+    // self-healing: prepend a char — boundaries past the first window
+    // re-synchronize, so at most the chunks touching the edit change
+    val edited = Seq((1L, "X" + text)).toDF("doc_id", "text")
+    val a = chunks.map(_.getString(3)).toSet
+    val b = Chunking.contentDefined(edited, "doc_id", "text", 16, "10")
+      .collect().map(_.getString(3)).toSet
+    assert((a intersect b).size >= a.size - 2,
+      s"lost ${a.size - (a intersect b).size} of ${a.size} chunks")
+  }
+
+  test("content-defined chunking: short docs yield one whole-doc chunk") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "tiny"), (2L, "")).toDF("doc_id", "text")
+    val got = Chunking.contentDefined(docs, "doc_id", "text", 16, "04")
+      .select(col("doc_id"), col("chunk_text"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "tiny"))) // the empty doc yields nothing
+  }
 }
