@@ -855,7 +855,7 @@ object SparkEntry {
         |pairs AS (
         |  SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym, f
         |  FROM words, UNNEST(range(1, len(w))) AS u(i))
-        |SELECT left_sym, right_sym, SUM(f) AS n
+        |SELECT left_sym, right_sym, CAST(SUM(f) AS BIGINT) AS n
         |FROM pairs GROUP BY 1, 2 HAVING SUM(f) >= 10""".stripMargin,
     "q120_label_prop" -> lpaSql(4),
     // the view is maintained incrementally; the oracle re-joins from
