@@ -218,7 +218,10 @@ object SparkEntry {
     // SCD2 point-in-time lookup = history builder ∘ backward as-of
     "q123_scd2_lookup" -> (X.qScd2Lookup _),
     // content-defined chunking (rolling md5 window, self-healing)
-    "q124_cdc_chunks" -> (X.qCdcChunks _)
+    "q124_cdc_chunks" -> (X.qCdcChunks _),
+    // banded MinHash-LSH, portable md5 signature — the banding itself
+    // is hash-checked, not just the verify stage (q26's twin q64)
+    "q125_minhash_portable" -> (X.qMinhashPortable _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -927,6 +930,43 @@ object SparkEntry {
         |SELECT c.doc_id, c.chunk_ix, c.s AS chunk_start,
         |  substr(d.text, c.s, c.i - c.s + 1) AS chunk_text
         |FROM c JOIN documents d USING (doc_id)""".stripMargin,
+    // Portable MinHash-LSH: the oracle recomputes the md5-string
+    // signatures (min over distinct 2-word shingles of md5(j ':' s),
+    // lexicographic) and reproduces the band-collision predicate
+    // EXACTLY (2-slot '|'-joined band keys, 8 bands), then the exact
+    // Jaccard verify — so the banded operator output, banding
+    // decisions included, hash-checks end to end.
+    "q125_minhash_portable" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents WHERE doc_id < 400),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS toks
+        |  FROM tk WHERE len(tk) >= 2),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM sh),
+        |mh AS (
+        |  SELECT doc_id, j.j AS j,
+        |    MIN(md5(CAST(j.j AS VARCHAR) || ':' || term)) AS mh
+        |  FROM tok CROSS JOIN (SELECT unnest(range(16)) AS j) j
+        |  GROUP BY doc_id, j.j),
+        |bands AS (
+        |  SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
+        |    string_agg(mh, '|' ORDER BY j) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6)
+        |    AS jaccard_sim
+        |FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |  / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

@@ -126,6 +126,19 @@ object ExtensionQueries {
       tbl(s, dir, "documents").filter(col("doc_id") < 300),
       "doc_id", "text", maxHamming = 3, nBands = 4)
 
+  /** Banded MinHash-LSH whose md5-string signature makes the WHOLE
+    * operator — banding decisions included — hash-checkable against a
+    * SQL oracle that reproduces the band predicate exactly (see
+    * [[graft.operators.PortableMinHash]]). Bounded scope keeps the
+    * oracle's all-pairs side small; [[qDedupMinHash]] (xxhash kernel)
+    * stays the unbounded-scale variant.
+    */
+  def qMinhashPortable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PortableMinHash.nearDupPairs(
+      tbl(s, dir, "documents").filter(col("doc_id") < 400),
+      "doc_id", "text", numHashes = 16, bands = 8, shingleWords = 2,
+      threshold = 0.5)
+
   /** Exhaustive token-set Jaccard pairs — oracle-checkable in DuckDB
     * via list_intersect/list_distinct. Quadratic by construction; the
     * LSH variants above are the scale path.

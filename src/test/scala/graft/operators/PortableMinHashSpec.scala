@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The portable signature must match an independent JVM-side
+  * reimplementation (md5 hex strings, lexicographic min per slot), and
+  * the emitted pairs must equal the reference predicate — band
+  * collision AND exact Jaccard — computed exhaustively in plain Scala.
+  */
+class PortableMinHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val NumHashes = 16
+  private val Bands = 8
+  private val K = 2 // shingle words
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Independent reference: same definitions, plain Scala. */
+  private def refShingles(text: String): Set[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < K) Set.empty
+    else toks.sliding(K).map(_.mkString(" ")).toSet
+  }
+
+  private def refSig(sh: Set[String]): IndexedSeq[String] =
+    (0 until NumHashes).map(j => sh.map(t => md5hex(s"$j:$t")).min)
+
+  private def refBandCollide(a: IndexedSeq[String], b: IndexedSeq[String]): Boolean = {
+    val rows = NumHashes / Bands
+    (0 until Bands).exists(band =>
+      (0 until rows).forall(r => a(band * rows + r) == b(band * rows + r)))
+  }
+
+  private def refJaccard(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup
+    (4L, "totally different words appear in this document"),
+    (5L, "single"),                                        // too short
+    (6L, "  ")                                             // no tokens
+  ).toDF("doc_id", "text")
+
+  test("signatures match the independent JVM reference slot-for-slot") {
+    val got = PortableMinHash.signatures(docs, "doc_id", "text", NumHashes, K)
+      .select("doc_id", "sig").as[(Long, Seq[String])].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L)) // 5 and 6 dropped
+    for (id <- Seq(1L, 3L, 4L)) {
+      val text = Seq(
+        1L -> "alpha beta gamma delta epsilon zeta eta theta",
+        3L -> "alpha beta gamma delta epsilon zeta eta iota",
+        4L -> "totally different words appear in this document").toMap
+      assert(got(id) == refSig(refShingles(text(id))), s"doc $id")
+    }
+    assert(got(1L) == got(2L))
+  }
+
+  test("emitted pairs = band-collision AND jaccard, exhaustively checked") {
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "alpha beta gamma delta epsilon zeta eta iota",
+      4L -> "totally different words appear in this document")
+    val threshold = 0.5
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = refShingles(texts(a)); sb = refShingles(texts(b))
+      if refBandCollide(refSig(sa), refSig(sb))
+      j = refJaccard(sa, sb) if j >= threshold
+    } yield (a, b, BigDecimal(j).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+
+    val got = PortableMinHash.nearDupPairs(docs, "doc_id", "text",
+        NumHashes, Bands, K, threshold)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // sanity: the exact dup pair is present with jaccard 1.0
+    assert(got.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+}
