@@ -221,7 +221,10 @@ object SparkEntry {
     "q124_cdc_chunks" -> (X.qCdcChunks _),
     // banded MinHash-LSH, portable md5 signature — the banding itself
     // is hash-checked, not just the verify stage (q26's twin q64)
-    "q125_minhash_portable" -> (X.qMinhashPortable _)
+    "q125_minhash_portable" -> (X.qMinhashPortable _),
+    // multi-probe sign-LSH, portable md5 ±1 planes — bucketing itself
+    // is hash-checked via the closed-form Hamming ≤ 2 predicate
+    "q126_signlsh_portable" -> (X.qSignLshPortable _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -967,6 +970,46 @@ object SparkEntry {
         |FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |  / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5""".stripMargin,
+    // Portable sign-LSH: the oracle recomputes the md5-derived ±1
+    // hyperplanes, the in-order double projections (list_sum over
+    // list_zip ≡ the dot kernel's left-to-right fold — the q93
+    // recipe), the sign bucket, and states multi-probe blocking in
+    // closed form (own + 1-bit-flip probes on both sides admit exactly
+    // Hamming(bucket) ≤ 2), then the exact-cosine verify.
+    "q126_signlsh_portable" ->
+      """WITH planes AS (
+        |  SELECT h.h AS h, list_transform(range(64), d ->
+        |    CASE WHEN strpos('0123456789abcdef',
+        |        substr(md5(CAST(h.h AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+        |          1, 1)) - 1 >= 8
+        |      THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM (SELECT unnest(range(12)) AS h) h),
+        |proj AS (
+        |  SELECT e.vec_id, p.h,
+        |    list_sum(list_transform(list_zip(e.embedding, p.w),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS s
+        |  FROM embeddings e CROSS JOIN planes p),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN s >= 0
+        |      THEN CAST(1 AS BIGINT) << CAST(h AS INTEGER)
+        |      ELSE 0 END) AS BIGINT) AS b
+        |  FROM proj GROUP BY vec_id),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b
+        |    ON a.vec_id < b.vec_id AND bit_count(xor(a.b, b.b)) <= 2)
+        |SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+        |    JOIN embeddings b ON b.vec_id = c.id_b
+        |) WHERE sim >= 0.4""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

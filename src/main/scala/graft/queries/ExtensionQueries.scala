@@ -139,6 +139,18 @@ object ExtensionQueries {
       "doc_id", "text", numHashes = 16, bands = 8, shingleWords = 2,
       threshold = 0.5)
 
+  /** Multi-probe sign-LSH whose md5-derived ±1 hyperplanes make the
+    * WHOLE operator — bucket assignment and probe blocking included —
+    * hash-checkable against a SQL oracle stating the closed-form
+    * `Hamming(bucket) ≤ 2` predicate (see
+    * [[graft.operators.PortableSignLsh]]). [[qDedupEmbedding]]
+    * (Gaussian planes) stays the tunable scale variant.
+    */
+  def qSignLshPortable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PortableSignLsh.nearDupPairs(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, numPlanes = 12, threshold = 0.4)
+
   /** Exhaustive token-set Jaccard pairs — oracle-checkable in DuckDB
     * via list_intersect/list_distinct. Quadratic by construction; the
     * LSH variants above are the scale path.
