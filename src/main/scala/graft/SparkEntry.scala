@@ -224,7 +224,10 @@ object SparkEntry {
     "q125_minhash_portable" -> (X.qMinhashPortable _),
     // multi-probe sign-LSH, portable md5 ±1 planes — bucketing itself
     // is hash-checked via the closed-form Hamming ≤ 2 predicate
-    "q126_signlsh_portable" -> (X.qSignLshPortable _)
+    "q126_signlsh_portable" -> (X.qSignLshPortable _),
+    // gear-hash CDC: O(1)-per-char rolling boundaries, exact oracle
+    // via the closed-form trailing-window identity
+    "q127_gear_chunks" -> (X.qGearChunks _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1010,6 +1013,40 @@ object SparkEntry {
         |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
         |    JOIN embeddings b ON b.vec_id = c.id_b
         |) WHERE sim >= 0.4""".stripMargin,
+    // Gear CDC: gear(c) = first byte of md5('g:' || c); because the
+    // engine's rolling state shifts LEFT each step, its low 6 bits at
+    // position i equal (Σ_{j=0..5} gear(c_{i-j})·2^j) mod 64 — so the
+    // oracle states the boundary predicate positionally (LAG window
+    // sum, no recursion) and must match the one-pass kernel EXACTLY.
+    // Boundaries start at i ≥ 6; sentinel at len(text); UNION dedupes.
+    "q127_gear_chunks" ->
+      """WITH ch AS (
+        |  SELECT doc_id, i AS pos, substr(text, i, 1) AS c
+        |  FROM documents, UNNEST(range(1, len(text) + 1)) t(i)),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    (strpos('0123456789abcdef', substr(md5('g:' || c), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5('g:' || c), 2, 1)) - 1)
+        |      AS g
+        |  FROM ch),
+        |s AS (
+        |  SELECT doc_id, pos AS i,
+        |    (g + 2 * LAG(g, 1, 0) OVER w + 4 * LAG(g, 2, 0) OVER w
+        |       + 8 * LAG(g, 3, 0) OVER w + 16 * LAG(g, 4, 0) OVER w
+        |       + 32 * LAG(g, 5, 0) OVER w) % 64 AS m
+        |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |b AS (
+        |  SELECT doc_id, i FROM s WHERE i >= 6 AND m = 0
+        |  UNION
+        |  SELECT doc_id, len(text) FROM documents WHERE len(text) >= 1),
+        |c2 AS (
+        |  SELECT doc_id, i,
+        |    COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS st,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS chunk_ix
+        |  FROM b)
+        |SELECT c2.doc_id, c2.chunk_ix, c2.st AS chunk_start,
+        |  substr(d.text, c2.st, c2.i - c2.st + 1) AS chunk_text
+        |FROM c2 JOIN documents d USING (doc_id)""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

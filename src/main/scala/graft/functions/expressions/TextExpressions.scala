@@ -441,6 +441,62 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Content-defined chunking boundary detector — GEAR rolling hash
+    * (the CDC literature's O(1)-per-char construction): one pass over
+    * the text updating `h = (h << 1) + gear(c)`, boundary after
+    * 1-based char position `pos` whenever `pos ≥ maskBits` and the low
+    * `maskBits` bits of `h` are zero (mean chunk ≈ 2^maskBits chars).
+    * Returns the ascending boundary list WITH the end-of-doc sentinel
+    * appended (deduped), ready for shuffle-free chunk assembly.
+    *
+    * Portable-exact despite being a rolling hash: because each step
+    * shifts LEFT, the low `maskBits` bits of `h` at position `pos`
+    * equal `Σ_{j=0}^{maskBits-1} gear(c_{pos-j})·2^j  mod 2^maskBits`
+    * — a pure function of the trailing `maskBits` characters — so an
+    * external SQL oracle can state the same predicate positionally
+    * (md5-derived gear table, LAG window sum) with no recursion. The
+    * gear value of a char is the first byte of md5("g:" + char),
+    * memoized per distinct char (corpus alphabets are tiny, so the
+    * md5 cost amortizes to nothing and the scan is truly O(1)/char —
+    * unlike the md5-per-position window form it twins with).
+    */
+  case class GearBoundariesExpr(child: Expression, maskBits: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(maskBits >= 1 && maskBits <= 16, "maskBits in [1,16]")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val md5Local =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    @transient private lazy val gearCache =
+      new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
+    private def gear(cp: Int): Int =
+      gearCache.computeIfAbsent(cp, k => {
+        val md = md5Local.get()
+        md.reset()
+        val d = md.digest(("g:" + new String(Character.toChars(k)))
+          .getBytes("UTF-8"))
+        Integer.valueOf(d(0) & 0xff)
+      }).intValue()
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val mask = (1 << maskBits) - 1
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var h = 0
+      var idx = 0
+      var pos = 0
+      while (idx < s.length) {
+        val cp = s.codePointAt(idx)
+        idx += Character.charCount(cp)
+        pos += 1
+        h = ((h << 1) + gear(cp)) & 0xffff
+        if (pos >= maskBits && (h & mask) == 0) out += pos
+      }
+      if (pos >= 1 && (out.isEmpty || out.last != pos)) out += pos
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ── Column wrappers ─────────────────────────────────────────────────
 
   private def expr(c: Column) = ColumnBridge.expression(c)
@@ -473,4 +529,6 @@ object TextExpressions {
     toCol(QuantileBinExpr(expr(v), edges))
   def unicode_normalize(s: Column, form: String = "NFC"): Column =
     toCol(UnicodeNormalizeExpr(expr(s), form))
+  def gear_boundaries(text: Column, maskBits: Int): Column =
+    toCol(GearBoundariesExpr(expr(text), maskBits))
 }

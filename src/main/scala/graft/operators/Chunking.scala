@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Overlapping fixed-size document chunking — the context-window
@@ -50,12 +49,21 @@ object Chunking {
     * across a document's chunk list.
     *
     * Portable-exact: the window hash is md5 (identical hex in every
-    * engine, the [[graft.operators.Sampling]] contract), boundary
-    * selection is a lexicographic compare on the 2-hex prefix, and
-    * chunk assembly is one per-doc window over the boundary list —
-    * the only exchange, keyed by doc id. A doc always ends with a
-    * sentinel boundary at its last character, so chunks tile the text
-    * exactly; docs shorter than `window` yield one whole-doc chunk.
+    * engine, the [[graft.operators.Sampling]] contract) and boundary
+    * selection is a lexicographic compare on the 2-hex prefix. A doc
+    * always ends with a sentinel boundary at its last character, so
+    * chunks tile the text exactly; docs shorter than `window` yield
+    * one whole-doc chunk.
+    *
+    * Scale shape: the WHOLE operator is per-row array algebra — the
+    * boundary list and every chunk substring are computed inside one
+    * projection, and the only generate explodes the per-doc CHUNK
+    * structs (≈ L/64 rows, text already cut). No shuffle, no window,
+    * and no row ever carries the full document alongside per-position
+    * state (the earlier per-character explode was O(L²) bytes per doc
+    * in flight). The remaining cost is the md5 per position — the
+    * price of a cross-engine-checkable hash; [[gearContentDefined]]
+    * is the O(1)-per-char scale path with the same assembly.
     */
   def contentDefined(docs: DataFrame, idCol: String, textCol: String,
       window: Int, hexThreshold2: String): DataFrame = {
@@ -63,25 +71,60 @@ object Chunking {
     require(hexThreshold2.length == 2 &&
       hexThreshold2.forall(c => c.isDigit || ('a' to 'f').contains(c)),
       "threshold is two lowercase hex digits")
-    val base = docs.select(col(idCol).as("_id"), col(textCol).as("_t"))
+    val detected = filter(
+      sequence(lit(window), length(col("_t"))),
+      i => md5(col("_t").substr(i - (window - 1), lit(window)))
+        .substr(lit(1), lit(2)) < lit(hexThreshold2))
+    val boundaries = when(length(col("_t")) >= window, detected)
+      .otherwise(lit(Array.empty[Int]))
+    assemble(docs.select(col(idCol).as("_id"), col(textCol).as("_t"))
       .filter(length(col("_t")) >= 1)
-    val detected = base
-      .filter(length(col("_t")) >= window)
-      .select(col("_id"),
-        explode(expr(s"sequence($window, length(_t))")).as("i"),
-        col("_t"))
-      .filter(substring(md5(
-          expr(s"substring(_t, i - ${window - 1}, $window)")), 1, 2)
-        < hexThreshold2)
-      .select(col("_id"), col("i"))
-    val sentinel = base.select(col("_id"), length(col("_t")).as("i"))
-    val wb = Window.partitionBy(col("_id")).orderBy(col("i"))
-    detected.union(sentinel).distinct()
-      .withColumn("chunk_start", coalesce(lag(col("i"), 1).over(wb) + 1, lit(1)))
-      .withColumn("chunk_ix", row_number().over(wb))
-      .join(base, Seq("_id"))
-      .select(col("_id").as(idCol), col("chunk_ix"),
-        col("chunk_start"),
-        expr("substring(_t, chunk_start, i - chunk_start + 1)").as("chunk_text"))
+      .withColumn("_bs", withSentinel(boundaries)), idCol)
+  }
+
+  /** Content-defined chunking over the GEAR rolling hash — the
+    * O(1)-per-char scale path (one compiled pass per doc, memoized
+    * md5 gear table) with the SAME shuffle-free assembly and its own
+    * exact positional oracle: the left-shifting update makes the low
+    * `maskBits` bits of the state a pure function of the trailing
+    * `maskBits` chars, so the boundary predicate has a closed window
+    * form (see TextExpressions.GearBoundariesExpr). Mean chunk ≈
+    * 2^maskBits chars; boundaries start at position `maskBits`.
+    */
+  def gearContentDefined(docs: DataFrame, idCol: String, textCol: String,
+      maskBits: Int = 6): DataFrame =
+    assemble(docs.select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= 1)
+      .withColumn("_bs", graft.functions.expressions.TextExpressions
+        .gear_boundaries(col("_t"), maskBits)), idCol)
+
+  /** Appends the end-of-doc sentinel to an ascending boundary list
+    * (deduped when the last char is itself a detected boundary).
+    */
+  private def withSentinel(boundaries: Column): Column = {
+    val len = length(col("_t"))
+    when(size(boundaries) === 0 ||
+        element_at(boundaries, size(boundaries)) =!= len,
+      concat(boundaries, array(len))).otherwise(boundaries)
+  }
+
+  /** (_id, _t, _bs ascending boundaries incl. sentinel) → one row per
+    * chunk, cut per-row inside the array (no shuffle, no window; the
+    * generate emits finished chunks, never per-position state).
+    */
+  private def assemble(base: DataFrame, idCol: String): DataFrame = {
+    val chunks = transform(
+      sequence(lit(0), size(col("_bs")) - 1),
+      k => {
+        val start = when(k === 0, lit(1))
+          .otherwise(element_at(col("_bs"), k) + 1)
+        val end = element_at(col("_bs"), k + 1)
+        struct((k + 1).as("chunk_ix"), start.as("chunk_start"),
+          col("_t").substr(start, end - start + 1).as("chunk_text"))
+      })
+    base.select(col("_id").as(idCol), explode(chunks).as("_c"))
+      .select(col(idCol), col("_c.chunk_ix").as("chunk_ix"),
+        col("_c.chunk_start").as("chunk_start"),
+        col("_c.chunk_text").as("chunk_text"))
   }
 }

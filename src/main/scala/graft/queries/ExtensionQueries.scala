@@ -1149,4 +1149,12 @@ object ExtensionQueries {
     graft.operators.Chunking.contentDefined(
       tbl(s, dir, "documents"), "doc_id", "text",
       window = 16, hexThreshold2 = "04")
+
+  /** Gear-hash CDC — the O(1)-per-char rolling scale path, exact
+    * against a positional SQL oracle (closed-form trailing-window
+    * predicate; see [[graft.operators.Chunking.gearContentDefined]]).
+    */
+  def qGearChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.gearContentDefined(
+      tbl(s, dir, "documents"), "doc_id", "text", maskBits = 6)
 }

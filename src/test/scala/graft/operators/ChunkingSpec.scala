@@ -74,4 +74,49 @@ class ChunkingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "tiny"))) // the empty doc yields nothing
   }
+
+  /** Independent gear reference: same definition, plain Scala — the
+    * FULL-history rolling form (not the closed trailing-window form
+    * the oracle uses), so agreement here plus the oracle check proves
+    * the two forms coincide.
+    */
+  private def refGearChunks(s: String, maskBits: Int): Seq[(Int, Int, String)] = {
+    def gearVal(cp: Int): Int =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(("g:" + new String(Character.toChars(cp))).getBytes("UTF-8"))(0) & 0xff
+    val mask = (1 << maskBits) - 1
+    var h = 0
+    val bs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for ((cp, i) <- s.codePoints().toArray.zipWithIndex) {
+      h = ((h << 1) + gearVal(cp)) & 0xffff
+      if (i + 1 >= maskBits && (h & mask) == 0) bs += i + 1
+    }
+    if (s.nonEmpty && (bs.isEmpty || bs.last != s.length)) bs += s.length
+    bs.toSeq.zipWithIndex.map { case (end, k) =>
+      val start = if (k == 0) 1 else bs(k - 1) + 1
+      (k + 1, start, s.substring(start - 1, end))
+    }
+  }
+
+  test("gear CDC matches the independent rolling reference and tiles") {
+    import org.apache.spark.sql.functions.col
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    val docs = Seq((1L, text), (2L, "tiny"), (3L, "")).toDF("doc_id", "text")
+    val got = Chunking.gearContentDefined(docs, "doc_id", "text", maskBits = 6)
+      .orderBy(col("doc_id"), col("chunk_ix"))
+      .as[(Long, Int, Int, String)].collect().toSeq
+    val expect = refGearChunks(text, 6).map { case (ix, st, t) => (1L, ix, st, t) } ++
+      Seq((2L, 1, 1, "tiny")) // empty doc yields nothing
+    assert(got == expect)
+    assert(got.filter(_._1 == 1L).map(_._4).mkString == text) // tiling
+    assert(got.count(_._1 == 1L) > 2, "mean ~64 chars should chunk a 352-char doc")
+  }
+
+  test("gear CDC re-synchronizes after an edit (self-healing)") {
+    val text = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 12)
+    val a = refGearChunks(text, 6).map(_._3).toSet
+    val b = refGearChunks("X" + text, 6).map(_._3).toSet
+    assert((a intersect b).size >= a.size - 2,
+      s"lost ${a.size - (a intersect b).size} of ${a.size} chunks")
+  }
 }
