@@ -336,20 +336,30 @@ object EventStreams {
   /** Generic stream/batch-parity replay harness: feeds a BOUNDED event
     * frame (any subset of the columns `user_id, event_id, ts,
     * event_type, value`; missing ones are null/zero-filled) through a
-    * real `MemoryStream` in `numBatches` arrival-order micro-batches,
-    * runs `buildStream` over it (append mode), and returns the emitted
-    * rows. A sentinel event (`user_id = -1`, `event_type =
-    * "_sentinel"`) `horizonSeconds` past the last real event advances
-    * the watermark so every window/session/timeout closes — callers
-    * filter sentinel-derived rows where the operator passes keys
-    * through.
+    * real file streaming source in `numBatches` time-ordered
+    * micro-batches, runs `buildStream` over it (append mode), and
+    * returns the emitted rows. A sentinel event (`user_id = -1`,
+    * `event_type = "_sentinel"`) `horizonSeconds` past the last real
+    * event advances the watermark so every window/session/timeout
+    * closes — callers filter sentinel-derived rows where the operator
+    * passes keys through.
+    *
+    * No driver materialization anywhere: batches are assigned
+    * cluster-side (`ntile` over event-time order) and written as
+    * per-batch parquet under a staging dir; the stream reads a watched
+    * dir that batches are MOVED into one at a time between
+    * `processAllAvailable` barriers — batch composition is controlled
+    * by the rename, not by file-listing order, and the micro-batch
+    * data rides the parquet scan instead of the task closure (the
+    * MemoryStream form this replaces shipped every batch inside a
+    * multi-MiB task binary). This is also the production shape: swap
+    * the watched dir for a real landing zone and the harness IS the
+    * ingest path.
     *
     * The replay runs on few shuffle partitions (saved and restored):
     * each micro-batch commits one state store per partition, and at
     * replay scale per-task commit overhead dominates — a few wide-open
-    * state tasks beat 32 mostly-idle ones. Driver-bounded by design (a
-    * correctness harness over test-scale data, not a production path;
-    * production streams read from a real source).
+    * state tasks beat 32 mostly-idle ones.
     */
   def replayToTable(
       events: DataFrame,
@@ -360,36 +370,73 @@ object EventStreams {
       extraConfs: Map[String, String] = Map.empty): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val present = events.columns.toSet
     def pick(name: String, default: Column): Column =
       (if (present(name)) col(name) else default).as(name)
-    val rows = events.select(
+    val typed = events.select(
       pick("user_id", lit(0L)).cast("long").as("user_id"),
       pick("event_id", lit(0L)).cast("long").as("event_id"),
       col("ts"),
       pick("event_type", lit("")).cast("string").as("event_type"),
       pick("value", lit(0.0)).cast("double").as("value"))
-      .as[(Long, Long, java.sql.Timestamp, String, Double)]
-      .collect().sortBy(_._3.getTime)
-    require(rows.nonEmpty, "replayToTable needs at least one event")
-    val source = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
-    val out = buildStream(source.toDF()
-      .toDF("user_id", "event_id", "ts", "event_type", "value"))
+    val bounds = typed.agg(
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).collect()(0)
+    require(!bounds.isNullAt(1), "replayToTable needs at least one event")
+    val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
+
     val qname = "graft_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    // State-store commits write one delta file per partition per
-    // micro-batch; on a disk-backed java.io.tmpdir that fsync churn
-    // dominates replay time. Prefer a tmpfs checkpoint root (the
-    // checkpoint is transient by construction — the replay finishes
-    // within the session).
-    val ckptRoot = {
+    // Checkpoint + staging on tmpfs when available: state-store
+    // commits and batch renames are transient by construction (the
+    // replay finishes within the session), and disk-backed tmpdir
+    // fsync churn would dominate replay time.
+    val root = {
       val shm = java.nio.file.Paths.get("/dev/shm")
       if (java.nio.file.Files.isWritable(shm)) s"/dev/shm/graft-replay/$qname"
       else java.nio.file.Files.createTempDirectory("graft-replay").toString
     }
+    val stageDir = s"$root/stage"
+    val watchDir = s"$root/in"
+    val ckptRoot = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watchDir))
+
+    // time-ordered contiguous micro-batches assigned by RANGE over the
+    // event-time span — a map-only expression (no global sort, no
+    // window), so the staged write stays fully parallel. Equal event
+    // times land in the same batch, and arrival order within a batch
+    // is irrelevant to event-time operators.
+    val span = math.max(1L, mxUs - mnUs + 1)
+    val batchOf = least(
+      (unix_micros(col("ts")) - lit(mnUs)) * numBatches / span,
+      lit(numBatches - 1L)).cast("int")
+    // the sentinel rides the same write job (batch id = numBatches);
+    // a few coalesced input slices keep per-trigger file counts small
+    val sentinelDf = Seq((-1L, -1L,
+        new java.sql.Timestamp(mxUs / 1000L + horizonSeconds * 1000L),
+        "_sentinel", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    typed.coalesce(4).withColumn("_b", batchOf)
+      .union(sentinelDf.withColumn("_b", lit(numBatches)))
+      .write.partitionBy("_b").mode("overwrite").parquet(stageDir)
+
+    /** Atomically hands one staged batch to the stream. */
+    def release(sub: String): Unit = {
+      val dir = java.nio.file.Paths.get(stageDir, sub)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(dir).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { p =>
+            java.nio.file.Files.move(p, java.nio.file.Paths.get(watchDir,
+              s"$sub-${p.getFileName.toString}"))
+          }
+      }
+    }
+
+    val out = buildStream(
+      spark.readStream.schema(typed.schema).parquet(watchDir))
     val partitionsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
     val confsBefore = extraConfs.keys
@@ -401,16 +448,13 @@ object EventStreams {
         .option("checkpointLocation", ckptRoot)
         .start()
       try {
-        val chunkSize = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
-        rows.grouped(chunkSize).foreach { c =>
-          source.addData(c.toSeq)
+            for (k <- 0 until numBatches) {
+          release(s"_b=$k")
           q.processAllAvailable()
         }
-        val sentinelMs = rows.last._3.getTime + horizonSeconds * 1000L
-        source.addData(Seq((-1L, -1L, new java.sql.Timestamp(sentinelMs),
-          "_sentinel", 0.0)))
+        release(s"_b=$numBatches")
         q.processAllAvailable()
-      } finally q.stop()
+          } finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", partitionsBefore)
       confsBefore.foreach {
@@ -419,9 +463,9 @@ object EventStreams {
       }
       try {
         import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(ckptRoot)
-        if (java.nio.file.Files.exists(root)) {
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        val rootPath = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(rootPath)) {
+          java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq.reverse
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       } catch { case _: Throwable => () }
