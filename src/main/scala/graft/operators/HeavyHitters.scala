@@ -20,12 +20,15 @@ import graft.functions.expressions.SketchExpressions
   * bit-identical to the plain `GROUP BY HAVING count ≥ T`.
   *
   * Sizing: overestimate ≤ eps·N with probability `confidence` per
-  * key (width = ⌈e/eps⌉ counters × depth = ⌈ln(1/(1-conf))⌉ rows of
-  * 8 B). For the prefilter to prune, eps·N must be small against
-  * (T − typical count): eps ≈ slack/N. The sketch is built with one
+  * key. Spark's CountMinSketch allocates width = ⌈2/eps⌉ counters ×
+  * depth = ⌈log₂(1/(1−conf))⌉ rows of 8 B — eps 1e-4 / conf 0.99 is
+  * a ~1.1 MB sketch. For the prefilter to prune, eps·N must be small
+  * against (T − typical count): size eps ≈ slack/N at the call site
+  * when N is known (see the q116 site). The sketch is built with one
   * executor-side aggregate (counter sums are order-independent →
-  * deterministic) and shipped back out inside the compiled probe
-  * expression.
+  * deterministic) and shipped to executors as a BROADCAST inside the
+  * compiled probe expression, so task binaries stay sketch-free at
+  * any eps.
   */
 object HeavyHitters {
 
@@ -36,7 +39,7 @@ object HeavyHitters {
       df: DataFrame,
       key: String,
       threshold: Long,
-      eps: Double = 1e-5,
+      eps: Double = 1e-4,
       confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     val cms = df.stat.countMinSketch(key, eps, confidence, seed)

@@ -7,10 +7,12 @@ import scala.util.control.NonFatal
 /** Scheduler-policy layer reproducing the reference DAG's run
   * semantics (`dags/sky_safe_dag.py:18-33`): each task retries once
   * after a fixed delay (`retries=1, retry_delay=1min`), and runs of
-  * the whole pipeline are serialized (`max_active_runs=1`) — a tick
-  * that fires while the previous run is still active is SKIPPED, not
-  * queued (the reference schedules every minute with catchup=False;
-  * queuing would build an unbounded backlog behind one slow run).
+  * the whole pipeline are serialized (`max_active_runs=1`) with
+  * Airflow's ONE-SLOT backlog: ticks that fire while a run is active
+  * collapse into a single pending run executed immediately after the
+  * active one finishes (catchup=False keeps only the most recent
+  * missed interval — a backlog never builds behind one slow run, but
+  * the trailing run is not dropped either).
   *
   * Engine-agnostic by design: the policy wraps any `=> T` body, so it
   * composes with [[PipelineRunner.runOnce]] without the runner knowing
@@ -48,12 +50,30 @@ final class Orchestrator(
     throw new IllegalStateException("unreachable")
   }
 
-  /** max_active_runs=1: run `body` only if no other run is active;
-    * returns None (skipped tick) otherwise. Non-blocking by design —
-    * see class doc.
+  // the one-slot backlog: all ticks blocked behind an active run
+  // collapse into one trailing run (Airflow catchup=False keeps only
+  // the most recent missed interval)
+  private val pending = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** max_active_runs=1 with a one-slot backlog: if no run is active,
+    * run `body` — then drain the pending slot (ticks that fired
+    * mid-run) with trailing runs until it stays empty, returning the
+    * LAST result. If a run is active, mark the slot and return None
+    * without blocking (the active runner executes the trailing run).
+    *
+    * A tick that lands in the gap between the final drain check and
+    * the release is executed by ITS caller (tryAcquire succeeds) — at
+    * most one run is ever active, and no tick is silently lost.
     */
   def runSerialized[T](body: => T): Option[T] = {
-    if (!active.tryAcquire()) return None
-    try Some(body) finally active.release()
+    if (!active.tryAcquire()) {
+      pending.set(true)
+      return None
+    }
+    try {
+      var last = body
+      while (pending.getAndSet(false)) last = body
+      Some(last)
+    } finally active.release()
   }
 }

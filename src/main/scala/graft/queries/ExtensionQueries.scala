@@ -1027,7 +1027,12 @@ object ExtensionQueries {
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
     graft.operators.HeavyHitters.exactOverThreshold(
       tbl(s, dir, "lineitem").select(col("l_partkey")),
-      "l_partkey", threshold = 45L)
+      // eps sized for this site: expected overestimate ≈ N·eps/2
+      // (per-counter collision mass) must sit well under the slack
+      // threshold − mean ≈ 15; at sf0.1 (N ≈ 600 K) eps 1e-5 gives
+      // ≈ 3. The ~11 MB sketch broadcasts once per executor — it
+      // never rides a task binary (SketchPayload).
+      "l_partkey", threshold = 45L, eps = 1e-5)
 
   /** Verbatim cross-doc span detection: 32-char windows at stride 8
     * occurring in ≥ 2 documents — substring-level dedup's candidate

@@ -33,7 +33,7 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(o.withRetry("t")(7) == 7 && !slept)
   }
 
-  test("runSerialized: concurrent tick is skipped, not queued") {
+  test("runSerialized: blocked ticks collapse into ONE trailing run") {
     val o = new Orchestrator()
     val inside = new CountDownLatch(1)
     val release = new CountDownLatch(1)
@@ -45,13 +45,18 @@ class OrchestratorSpec extends AnyFunSuite {
       }
     })
     assert(inside.await(5, TimeUnit.SECONDS))
-    // second tick while the first is active → skipped (None)
+    // ticks while the first is active → not run by THIS caller (None),
+    // but they occupy the single pending slot (Airflow catchup=False:
+    // three missed intervals still collapse into one trailing run)
+    assert(o.runSerialized(ran.incrementAndGet()).isEmpty)
+    assert(o.runSerialized(ran.incrementAndGet()).isEmpty)
     assert(o.runSerialized(ran.incrementAndGet()).isEmpty)
     release.countDown()
     first.get(5, TimeUnit.SECONDS)
     pool.shutdown()
-    assert(ran.get() == 1)
-    // after the active run finishes, the next tick runs again
-    assert(o.runSerialized(ran.incrementAndGet()).contains(2))
+    // the active runner executed exactly one trailing run: 1 + 1
+    assert(ran.get() == 2)
+    // after everything drains, the next tick runs directly
+    assert(o.runSerialized(ran.incrementAndGet()).contains(3))
   }
 }
