@@ -77,7 +77,7 @@ object Bench {
     // warm cost is 1.2s (reps [10.5, 8.2, 1.2]) because BOTH early
     // reps caught the same GC storm. All raw reps land in
     // BENCH_DETAIL.json for exactly this kind of audit.
-    val results = selected.map { case (name, fn) =>
+    val results = selected.zipWithIndex.map { case ((name, fn), ix) =>
       val a = runOnce(fn)
       val b = runOnce(fn)
       val good = Seq(a, b).filter(_ >= 0)
@@ -89,6 +89,17 @@ object Bench {
           Seq(a, b, runOnce(fn))
         else Seq(a, b)
       val goodAll = reps.filter(_ >= 0)
+      // Per-query cleanup: operators sever lineage via localCheckpoint
+      // and release their own caches, but checkpoint RDD blocks and any
+      // cache a failed rep abandoned stay pinned until GC'd — 124+
+      // queries of that debt is what made late-suite reps climb (r6:
+      // q120 4→9→15 s in-suite vs ~2 s isolated). Drop all storage
+      // eagerly, and periodically nudge GC so the weak-ref-driven
+      // ContextCleaner actually releases shuffle files and broadcasts.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (ix % 16 == 15) System.gc()
       // all reps failed => -1 survives into the report as an explicit
       // broken-query marker (never a plausible-looking fast time)
       (name, if (goodAll.nonEmpty) goodAll.min else -1.0, reps)
