@@ -227,7 +227,11 @@ object SparkEntry {
     "q126_signlsh_portable" -> (X.qSignLshPortable _),
     // gear-hash CDC: O(1)-per-char rolling boundaries, exact oracle
     // via the closed-form trailing-window identity
-    "q127_gear_chunks" -> (X.qGearChunks _)
+    "q127_gear_chunks" -> (X.qGearChunks _),
+    // per-domain cap: portable md5 rank keeps ≤ 15 docs per source
+    "q128_domain_cap" -> (X.qDomainCap _),
+    // top-500 vocab (count desc, word asc) + per-doc OOV rate
+    "q129_vocab_oov" -> (X.qVocabOov _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1047,6 +1051,33 @@ object SparkEntry {
         |SELECT c2.doc_id, c2.chunk_ix, c2.st AS chunk_start,
         |  substr(d.text, c2.st, c2.i - c2.st + 1) AS chunk_text
         |FROM c2 JOIN documents d USING (doc_id)""".stripMargin,
+    // same portable rank convention as q122 (md5 of "id:salt", ties by
+    // id); groups at/under the cap are kept whole
+    "q128_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap_v1'), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 15""".stripMargin,
+    // vocabulary = top 500 terms by (count DESC, term ASC); OOV rate
+    // counts token OCCURRENCES outside it; integer-exact counts, one
+    // double division, 6 dp — identical association on both engines
+    "q129_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, COUNT(*) AS n FROM tok GROUP BY 1
+        |    ORDER BY n DESC, term LIMIT 500)),
+        |j AS (
+        |  SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  ROUND(CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS oov_rate
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

@@ -141,4 +141,31 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(1L), col("_copies"))))
       .drop("_copies")
   }
+
+  /** Per-group cap — the per-domain document limit a web-corpus
+    * pipeline applies so no single domain dominates the training mix
+    * (the Common-Crawl-style `max docs per domain` rule): groups at or
+    * under `cap` are kept whole; larger groups keep the `cap` rows
+    * with the lowest portable md5 draw (rank by (md5, id) — the
+    * exactQuotaSplit convention: deterministic, stable as OTHER
+    * groups grow, identical in any engine).
+    *
+    * Scale shape: one rank window partitioned by the group key — an
+    * honest per-group sort of only the hot groups' rows. For
+    * heavy-tailed corpora where one domain is a large fraction of all
+    * rows, pre-filter giant groups with [[deterministicSample]] at
+    * cap/n_g + ε and exact-rank the survivors (same result, the sort
+    * sees ~cap rows per group); the window itself never needs a
+    * global sort.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      cap: Int, salt: String = "cap_v1"): DataFrame = {
+    require(cap >= 1, s"cap must be positive: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashUniform(col(idCol), salt), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+  }
 }

@@ -92,4 +92,37 @@ object TextSearch {
         (col("tf").cast("double") *
           log(col("n").cast("double") / col("df").cast("double"))).as("tfidf"))
   }
+
+  /** Corpus-frequency vocabulary + per-doc out-of-vocabulary rate —
+    * the tokenizer-coverage signal an LLM-data pipeline uses to flag
+    * documents a fixed vocab represents poorly (high OOV ⇒ boilerplate
+    * noise, wrong language, or corrupt encoding). The vocabulary is
+    * the top `vocabSize` words by (count DESC, word ASC — the
+    * deterministic tie-break); per doc, `oov_rate` is the fraction of
+    * token OCCURRENCES outside it.
+    *
+    * Scale shape: building the vocab is one groupBy over tokens with a
+    * bounded TakeOrdered (never a full sort of the term space); the
+    * V-row vocab is then BROADCAST to the per-doc scoring pass, so the
+    * corpus-sized token frame shuffles once (the doc_id agg) and never
+    * carries text. `oov_rate` is an exact double (integer-exact counts
+    * divided once, rounded to 6 dp).
+    */
+  def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val vocab = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("_inv"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
 }

@@ -1162,4 +1162,22 @@ object ExtensionQueries {
   def qGearChunks(s: SparkSession, dir: String): DataFrame =
     graft.operators.Chunking.gearContentDefined(
       tbl(s, dir, "documents"), "doc_id", "text", maskBits = 6)
+
+  /** Per-domain document cap (Common-Crawl-style max-docs-per-domain):
+    * each source keeps at most 15 docs, chosen by the portable md5
+    * rank — 15 binds at every test SF (25 docs/source at sf0.01), so
+    * the gate exercises the cap, not the identity path.
+    */
+  def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(
+      tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+      "doc_id", "source", cap = 15)
+
+  /** Top-500 corpus vocabulary + per-doc OOV occurrence rate — the
+    * tokenizer-coverage quality signal; vocab broadcast, corpus
+    * shuffled once.
+    */
+  def qVocabOov(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.vocabOovRate(
+      tbl(s, dir, "documents"), "doc_id", "text", vocabSize = 500)
 }

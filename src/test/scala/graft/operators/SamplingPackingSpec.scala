@@ -97,4 +97,27 @@ class SamplingPackingSpec extends AnyFunSuite {
     val single = "SinglePartition".r.findAllIn(plan).size
     assert(single <= 1, s"unexpected single-partition exchanges:\n$plan")
   }
+
+  test("capPerGroup: small groups whole, hot groups capped by md5 rank") {
+    // group "hot": 50 rows; "cold": 3 rows; cap = 5
+    val df = ((0L until 50L).map(i => (i, "hot")) ++
+      Seq((100L, "cold"), (101L, "cold"), (102L, "cold")))
+      .toDF("id", "grp")
+    val got = Sampling.capPerGroup(df, "id", "grp", cap = 5)
+      .as[(Long, String)].collect().toSeq
+    assert(got.count(_._2 == "hot") == 5)
+    assert(got.filter(_._2 == "cold").map(_._1).sorted == Seq(100L, 101L, 102L))
+    // survivors = the 5 lowest (md5(id:cap_v1), id) draws — independent
+    // reference computed driver-side
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectHot = (0L until 50L).sortBy(i => (md5(s"$i:cap_v1"), i)).take(5).toSet
+    assert(got.filter(_._2 == "hot").map(_._1).toSet == expectHot)
+    // determinism + stability: rerunning and growing ANOTHER group
+    // never changes the hot survivors
+    val grown = df.union(Seq((200L, "new"), (201L, "new")).toDF("id", "grp"))
+    val again = Sampling.capPerGroup(grown, "id", "grp", cap = 5)
+      .as[(Long, String)].collect().filter(_._2 == "hot").map(_._1).toSet
+    assert(again == expectHot)
+  }
 }

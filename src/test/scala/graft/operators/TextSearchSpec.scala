@@ -61,4 +61,25 @@ class TextSearchSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("vocabOovRate: top-V by (count desc, term asc), occurrence-level rate") {
+    // corpus counts: spark=4; else/engine/fast/here/is/nothing/rare=1
+    // vocabSize=2 → vocab = {spark, else}: the seven-way count tie at 1
+    // resolves by term ASC ("else" first) — the tie-break under test
+    val got = TextSearch.vocabOovRate(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5)))      // fast, engine OOV
+    assert(got(2L) == ((3L, 2L, 0.666667))) // is, here OOV
+    assert(got(3L) == ((2L, 1L, 0.5)))      // nothing OOV, else in-vocab
+    assert(got(4L) == ((2L, 1L, 0.5)))      // rare OOV (doc 4: "rare spark")
+  }
+
+  test("vocabOovRate plan broadcasts the vocabulary, never the corpus") {
+    val plan = TextSearch.vocabOovRate(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // the vocab build is a bounded top-V, not a full sort of the term space
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }
