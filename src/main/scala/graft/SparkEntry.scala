@@ -231,7 +231,9 @@ object SparkEntry {
     // per-domain cap: portable md5 rank keeps ≤ 15 docs per source
     "q128_domain_cap" -> (X.qDomainCap _),
     // top-500 vocab (count desc, word asc) + per-doc OOV rate
-    "q129_vocab_oov" -> (X.qVocabOov _)
+    "q129_vocab_oov" -> (X.qVocabOov _),
+    // symmetric int8 quantization: scale = max|v|/127, round-half-up
+    "q130_quantize_int8" -> (X.qQuantizeInt8 _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1078,6 +1080,21 @@ object SparkEntry {
         |  ROUND(CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
         |    AS oov_rate
         |FROM j GROUP BY doc_id""".stripMargin,
+    // scale = max|v|/127 (double); code = floor(v/scale + 0.5) — pure
+    // IEEE arithmetic + floor, so both engines agree bit-for-bit; the
+    // all-zero vector gets scale 0 / code 0
+    "q130_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, i AS dim_ix,
+        |  CASE WHEN scale = 0 THEN 0
+        |    ELSE CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+        |      / scale + 0.5) AS BIGINT) END AS code,
+        |  scale
+        |FROM s, UNNEST(range(len(embedding))) t(i)""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

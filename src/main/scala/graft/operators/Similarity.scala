@@ -186,4 +186,30 @@ object Similarity {
     }
     centers
   }
+
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth
+    * step an embedding-serving pipeline runs before indexing (4×
+    * smaller vectors; integer dot products downstream). Per vector:
+    * `scale = max|v_d| / 127`; `code_d = floor(v_d / scale + 0.5)`
+    * (round-half-up, codes in [−127, 127] by construction since
+    * |v_d| ≤ 127·scale); the all-zero vector gets scale 0 and all-zero
+    * codes. Every step is IEEE double arithmetic + floor — identical
+    * in any engine, so the operator is exactly oracle-checkable.
+    *
+    * Output is exploded to (vec_id, dim_ix, code, scale) scalar rows —
+    * one narrow generate, no shuffle; `dequantized ≈ code·scale` with
+    * per-element error ≤ scale/2 (pinned in spec).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxabs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
+        (maxabs / 127.0).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("_v")).as(Seq("dim_ix", "_x")))
+      .select(col("vec_id"), col("dim_ix"),
+        when(col("scale") === 0.0, 0L)
+          .otherwise(floor(col("_x").cast("double") / col("scale") + 0.5))
+          .as("code"),
+        col("scale"))
+  }
 }

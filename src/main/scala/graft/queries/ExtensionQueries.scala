@@ -1180,4 +1180,11 @@ object ExtensionQueries {
   def qVocabOov(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextSearch.vocabOovRate(
       tbl(s, dir, "documents"), "doc_id", "text", vocabSize = 500)
+
+  /** Symmetric int8 embedding quantization, exploded to scalar rows —
+    * floor/double arithmetic only, exactly oracle-checked.
+    */
+  def qQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.quantizeInt8(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding")
 }

@@ -63,4 +63,32 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (bf intersect ivf).size.toDouble / bf.size
     assert(recall >= 0.6, s"recall $recall")
   }
+
+  test("quantizeInt8: matches the scalar definition; bounded roundtrip error") {
+    val vecs = Seq(
+      1L -> Seq(1.0f, -0.5f, 0.25f, 0.0f),
+      2L -> Seq(0.0f, 0.0f, 0.0f, 0.0f), // zero vector -> scale 0, codes 0
+      3L -> Seq(-2.0f, 2.0f, 1.0f, -1.0f))
+    val got = Similarity.quantizeInt8(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    for ((id, v) <- vecs) {
+      val maxabs = v.map(x => math.abs(x.toDouble)).max
+      val scale = maxabs / 127.0
+      val rows = got(id)
+      assert(rows.map(_._2).toSeq == (0 until v.length))
+      for (((_, d, code, s), x) <- rows.zip(v)) {
+        val expect =
+          if (scale == 0.0) 0L
+          else math.floor(x.toDouble / scale + 0.5).toLong
+        assert(code == expect, s"vec $id dim $d")
+        assert(s == scale)
+        assert(math.abs(code) <= 127L)
+        // dequantization error bound: |code*scale - x| <= scale/2
+        assert(math.abs(code * scale - x.toDouble) <= scale / 2 + 1e-12)
+      }
+    }
+  }
 }
