@@ -233,7 +233,9 @@ object SparkEntry {
     // top-500 vocab (count desc, word asc) + per-doc OOV rate
     "q129_vocab_oov" -> (X.qVocabOov _),
     // symmetric int8 quantization: scale = max|v|/127, round-half-up
-    "q130_quantize_int8" -> (X.qQuantizeInt8 _)
+    "q130_quantize_int8" -> (X.qQuantizeInt8 _),
+    // mean corpus-unigram surprisal per doc (decimal-carried weights)
+    "q131_unigram_surprisal" -> (X.qUnigramSurprisal _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1095,6 +1097,27 @@ object SparkEntry {
         |      / scale + 0.5) AS BIGINT) END AS code,
         |  scale
         |FROM s, UNNEST(range(len(embedding))) t(i)""".stripMargin,
+    // corpus unigram surprisal: per-term weight -ln(n/t) rounded to
+    // 6 dp and carried as DECIMAL(18,6) (the BM25 discipline), so the
+    // per-doc sum is aggregation-order independent; one double
+    // division + 6 dp round at the end, identical association on both
+    // engines
+    "q131_unigram_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS t FROM tok),
+        |w AS (SELECT term, CAST(ROUND(
+        |    -ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS s
+        |  FROM tc CROSS JOIN tot)
+        |SELECT k.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS surprisal
+        |FROM tok k JOIN w USING (term)
+        |GROUP BY k.doc_id""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

@@ -108,6 +108,39 @@ object TextSearch {
     * carries text. `oov_rate` is an exact double (integer-exact counts
     * divided once, rounded to 6 dp).
     */
+  /** Corpus unigram surprisal — mean −ln p(token) per document, the
+    * statistical quality signal (vs q23's rule-based score): documents
+    * of very common boilerplate score low, rare-token noise scores
+    * high. p is the corpus unigram MLE (every token occurs ≥ 1 time
+    * in its own corpus — no smoothing needed); per-occurrence
+    * surprisal is rounded to 6 dp and carried as DECIMAL so the sum
+    * is aggregation-order independent and absorbs libm-vs-JDK ln()
+    * ulps (the BM25 determinism discipline).
+    *
+    * Scale shape: one groupBy builds the term-count table; tokens join
+    * it BY TERM (the unbounded-vocab-safe choice — Heaps-law vocabs
+    * need not fit a broadcast) and aggregate by doc: two shuffles
+    * total, neither carrying text.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = tok.agg(count(lit(1)).cast("long").as("t"))
+    val weighted = counts.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(-log(col("n").cast("double") / col("t").cast("double")), 6)
+          .cast("decimal(18,6)").as("s"))
+    tok.join(weighted.hint("shuffle_merge"), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s")).as("_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_sum").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("surprisal"))
+  }
+
   def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")

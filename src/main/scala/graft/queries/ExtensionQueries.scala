@@ -1187,4 +1187,11 @@ object ExtensionQueries {
   def qQuantizeInt8(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.quantizeInt8(
       tbl(s, dir, "embeddings"), "vec_id", "embedding")
+
+  /** Mean corpus-unigram surprisal per document — decimal-carried
+    * per-occurrence weights (the BM25 determinism recipe).
+    */
+  def qUnigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.unigramSurprisal(
+      tbl(s, dir, "documents"), "doc_id", "text")
 }

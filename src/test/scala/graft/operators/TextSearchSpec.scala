@@ -75,6 +75,27 @@ class TextSearchSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 1L, 0.5)))      // rare OOV (doc 4: "rare spark")
   }
 
+  test("unigramSurprisal: hand-computed mean -ln p per doc, decimal-carried") {
+    // t=11 occurrences; spark n=4, seven singletons n=1.
+    // s(spark) = round(ln(11/4), 6) = 1.011601; s(singleton) = 2.397895
+    val got = TextSearch.unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((4L, 1.704748))) // (2*1.011601 + 2*2.397895)/4
+    assert(got(2L) == ((3L, 1.935797))) // (1.011601 + 2*2.397895)/3
+    assert(got(3L) == ((2L, 2.397895))) // two singletons
+    assert(got(4L) == ((2L, 1.704748))) // (2.397895 + 1.011601)/2
+  }
+
+  test("unigramSurprisal plan shuffles by term, never broadcasts the vocab") {
+    // vocabularies follow Heaps' law at corpus scale: the term-weight
+    // side must arrive via a shuffled (sort-merge/shuffled-hash) join;
+    // the only broadcast is the 1-row total
+    val plan = TextSearch.unigramSurprisal(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+  }
+
   test("vocabOovRate plan broadcasts the vocabulary, never the corpus") {
     val plan = TextSearch.vocabOovRate(docs, "doc_id", "text", 2)
       .queryExecution.executedPlan.toString
