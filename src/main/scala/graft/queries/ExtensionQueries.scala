@@ -1194,4 +1194,16 @@ object ExtensionQueries {
   def qUnigramSurprisal(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextSearch.unigramSurprisal(
       tbl(s, dir, "documents"), "doc_id", "text")
+
+  /** int8-quantized cosine top-10 for q31's query batch — scales
+    * cancel, so the scan is pure integer arithmetic and the operator
+    * hash-checks exactly (unlike float-dot ANN).
+    */
+  def qQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    graft.operators.Similarity.quantizedTopK(emb, queries,
+      "vec_id", "embedding", "query_id", "qvec", k = 10)
+  }
 }

@@ -91,4 +91,69 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Local mirror of the quantized-cosine definition: int8 codes via
+    * round-half-up, exact integer dot/norms, one double divide.
+    */
+  private def quantizedCosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    def codes(v: Seq[Float]): Seq[Long] = {
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      if (scale == 0.0) v.map(_ => 0L)
+      else v.map(x => math.floor(x.toDouble / scale + 0.5).toLong)
+    }
+    val (ca, cb) = (codes(a), codes(b))
+    val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+    val (na, nb) = (ca.map(x => x * x).sum, cb.map(x => x * x).sum)
+    if (na * nb == 0L) 0.0 else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  test("quantizedTopK matches the local integer-dot oracle; close to float cosine") {
+    val corpus = corpusLocal.toDF("vec_id", "embedding")
+    val queries = corpusLocal.take(3).toDF("query_id", "qvec")
+    val got = Similarity.quantizedTopK(corpus, queries,
+      "vec_id", "embedding", "query_id", "qvec", k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+
+    corpusLocal.take(3).foreach { case (qid, qv) =>
+      val expected = corpusLocal
+        .map { case (i, v) => (i, quantizedCosineLocal(qv, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(5)
+      assert(got(qid).map(_._2).toSeq == expected.map(_._1), s"query $qid ids")
+      got(qid).zip(expected).foreach { case ((_, _, s, _), (_, e)) =>
+        assert(s == math.rint(e * 1e6) / 1e6, s"query $qid score")
+        // int8 quantization keeps cosine within ~1% on gaussian vectors
+      }
+      val topFloat = corpusLocal.map { case (i, v) => (i, cosineLocal(qv, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(5)
+      got(qid).zip(topFloat).foreach { case ((_, _, s, _), (_, f)) =>
+        assert(math.abs(s - f) < 0.02, s"query $qid quantization drift")
+      }
+    }
+  }
+
+  test("quantizedTopK: zero vectors score 0 and self-sim is exactly 1") {
+    val vecs = Seq(
+      0L -> Seq(0.0f, 0.0f, 0.0f),
+      1L -> Seq(1.0f, 2.0f, -1.0f),
+      2L -> Seq(-1.0f, 0.5f, 3.0f))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.toDF("query_id", "qvec")
+    val got = Similarity.quantizedTopK(corpus, queries,
+      "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    // every pair involving the zero vector scores exactly 0
+    assert(got.filter(r => r._1 == 0L || r._2 == 0L).forall(_._3 == 0.0))
+    // self-similarity is exactly 1 (integer dot == product of norms)
+    assert(got.filter(r => r._1 == r._2 && r._1 != 0L).forall(_._3 == 1.0))
+  }
+
+  test("quantizedTopK plan broadcasts the query side, no corpus shuffle before topk") {
+    val corpus = corpusLocal.toDF("vec_id", "embedding")
+    val queries = corpusLocal.take(3).toDF("query_id", "qvec")
+    val plan = Similarity.quantizedTopK(corpus, queries,
+      "vec_id", "embedding", "query_id", "qvec", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
 }
