@@ -237,7 +237,11 @@ object SparkEntry {
     // mean corpus-unigram surprisal per doc (decimal-carried weights)
     "q131_unigram_surprisal" -> (X.qUnigramSurprisal _),
     // int8-quantized cosine top-k: scales cancel -> exact integer dots
-    "q132_quantized_topk" -> (X.qQuantizedTopK _)
+    "q132_quantized_topk" -> (X.qQuantizedTopK _),
+    // mean corpus-bigram surprisal per doc (word-order quality signal)
+    "q133_bigram_surprisal" -> (X.qBigramSurprisal _),
+    // exact top-20% quality gate: histogram threshold, no global sort
+    "q134_quality_gate" -> (X.qQualityGate _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1120,6 +1124,64 @@ object SparkEntry {
         |    AS surprisal
         |FROM tok k JOIN w USING (term)
         |GROUP BY k.doc_id""".stripMargin,
+    // the oracle IS the naive global-sort plan the operator avoids:
+    // exactly ceil(0.2*n) rows by (quality desc, doc_id asc) — same
+    // scoring CTEs as q81
+    "q134_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops
+        |  FROM t),
+        |scored AS (
+        |  SELECT doc_id, ROUND(
+        |      (CASE WHEN len < 20 THEN len/20.0
+        |            WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+        |            ELSE 1.0 END) * 0.3
+        |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+        |    + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+        |    + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+        |    6) AS quality
+        |  FROM r),
+        |ranked AS (
+        |  SELECT doc_id, quality,
+        |    ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER () AS nn
+        |  FROM scored)
+        |SELECT doc_id, quality FROM ranked
+        |WHERE rn <= CEIL(0.2 * nn)""".stripMargin,
+    // bigram MLE: weights -ln(n12/n1) rounded to 6 dp, DECIMAL-carried
+    // (aggregation-order independent); docs with < 2 tokens absent
+    "q133_bigram_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ts[t.i] AS w1, ts[t.i + 1] AS w2
+        |  FROM tok, UNNEST(range(1, len(ts))) t(i)
+        |  WHERE len(ts) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+        |w AS (SELECT w1, w2, CAST(ROUND(
+        |    -ln(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS s
+        |  FROM c12 JOIN c1 USING (w1))
+        |SELECT b.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS surprisal2
+        |FROM bg b JOIN w USING (w1, w2)
+        |GROUP BY b.doc_id""".stripMargin,
     // quantized cosine: per-vector scales cancel, so the score is an
     // exact int64 dot over round-half-up codes with one correctly-
     // rounded sqrt/divide — identical doubles in any IEEE engine

@@ -168,4 +168,48 @@ object Sampling {
       .filter(col("_rk") <= cap)
       .drop("_rk")
   }
+
+  /** Keep EXACTLY ⌈fraction·N⌉ best rows by score — the quality-gate
+    * selection step (keep the top p% of a corpus by quality score)
+    * with a deterministic (score desc, id asc) order, WITHOUT the
+    * naive plan's global sort.
+    *
+    * `ROW_NUMBER() OVER (ORDER BY score)` funnels the whole corpus
+    * through one partition — a non-starter at 100 TB. This operator
+    * instead: (1) one agg shuffle builds the score histogram — its
+    * size is the number of DISTINCT scores, which for 6-dp-rounded
+    * quality scores in [0,1] is ≤ ~10⁶ rows regardless of corpus
+    * size, so the driver cumsum is a bounded collect (the IVF-sample
+    * precedent); (2) the threshold score t and the boundary deficit m
+    * fall out of the cumulative counts; (3) `score > t` keeps rows
+    * with a narrow filter, and only the single boundary bin
+    * (`score == t`) pays an ordered top-m by id — per-partition heaps
+    * over one bin, never the corpus. Null scores are never kept.
+    *
+    * Exactly ⌈fraction·N⌉ rows survive — a plain `score >= cutoff`
+    * filter can't promise that when ties straddle the cutoff.
+    */
+  def topFractionByScore(df: DataFrame, idCol: String, scoreCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1]: $fraction")
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val hist = scored
+      .groupBy(col(scoreCol).cast("double").as("_s"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (s, _) => -s }
+    val n = hist.iterator.map(_._2).sum
+    if (n == 0L) return scored.limit(0)
+    val k = math.ceil(fraction * n).toLong
+    var cum = 0L
+    var i = 0
+    while (cum + hist(i)._2 < k) { cum += hist(i)._2; i += 1 }
+    val t = hist(i)._1
+    val m = (k - cum).toInt // rows still owed from the boundary bin
+    val above = scored.filter(col(scoreCol).cast("double") > t)
+    val boundary = scored.filter(col(scoreCol).cast("double") === t)
+      .orderBy(col(idCol).asc).limit(m)
+    above.unionByName(boundary)
+  }
 }

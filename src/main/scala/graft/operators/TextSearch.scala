@@ -141,6 +141,49 @@ object TextSearch {
           .as("surprisal"))
   }
 
+  /** Corpus bigram surprisal — mean −ln p(w₂|w₁) per document under
+    * the corpus bigram MLE. The sequence-aware companion to
+    * [[unigramSurprisal]]: unusual word ORDER (scrambled text, keyword
+    * stuffing, boilerplate splices) scores high even when every
+    * individual token is common. No smoothing needed: every scored
+    * bigram occurs ≥ 1 time in its own corpus. Same determinism
+    * recipe: per-occurrence weights rounded to 6 dp and carried as
+    * DECIMAL so the per-doc sum is aggregation-order independent.
+    *
+    * Scale shape: adjacent pairs come from one shuffle-free
+    * zip_with(slice,slice) generate; the two count tables and the
+    * pair→weight join all shuffle by bigram/left-token keys (the
+    * bigram vocabulary is far larger than the unigram one — a
+    * broadcast is out of the question, hence the pinned shuffled
+    * join). Docs with < 2 tokens have no bigrams and are absent from
+    * the output by definition.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(lower(col(textCol))).as("_t"))
+      .filter(size(col("_t")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("_t"), lit(1), size(col("_t")) - 1),
+          slice(col("_t"), lit(2), size(col("_t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .select(col("doc_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val weighted = c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(-log(col("n12").cast("double") / col("n1").cast("double")), 6)
+          .cast("decimal(18,6)").as("s"))
+    pairs.join(weighted.hint("shuffle_merge"), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("_sum").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("surprisal2"))
+  }
+
   def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")

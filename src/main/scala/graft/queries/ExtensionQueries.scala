@@ -1195,6 +1195,20 @@ object ExtensionQueries {
     graft.operators.TextSearch.unigramSurprisal(
       tbl(s, dir, "documents"), "doc_id", "text")
 
+  /** Mean corpus-bigram surprisal per document — the sequence-aware
+    * quality signal (word-order anomalies), same decimal carry.
+    */
+  def qBigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.bigramSurprisal(
+      tbl(s, dir, "documents"), "doc_id", "text")
+
+  /** Exact top-20% quality gate over the q81 scores — histogram
+    * threshold + boundary top-m, no global sort.
+    */
+  def qQualityGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.topFractionByScore(
+      qQualityScore(s, dir), "doc_id", "quality", fraction = 0.2)
+
   /** int8-quantized cosine top-10 for q31's query batch — scales
     * cancel, so the scan is pure integer arithmetic and the operator
     * hash-checks exactly (unlike float-dot ANN).

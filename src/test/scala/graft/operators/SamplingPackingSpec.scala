@@ -120,4 +120,39 @@ class SamplingPackingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().filter(_._2 == "hot").map(_._1).toSet
     assert(again == expectHot)
   }
+
+  test("topFractionByScore: exactly ceil(f*N) rows, tie-broken by id at the boundary") {
+    // scores: 0.9 x2, 0.5 x4 (ids 10..13), 0.1 x4; N=10, f=0.4 -> k=4:
+    // both 0.9s + the TWO SMALLEST ids of the 0.5 tie-bin
+    val df = Seq(
+      (1L, 0.9), (2L, 0.9),
+      (10L, 0.5), (11L, 0.5), (12L, 0.5), (13L, 0.5),
+      (20L, 0.1), (21L, 0.1), (22L, 0.1), (23L, 0.1)
+    ).toDF("id", "score")
+    val got = Sampling.topFractionByScore(df, "id", "score", 0.4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(got == Set(1L, 2L, 10L, 11L))
+    // ceil rounding: f=0.33 -> k=ceil(3.3)=4, same survivors
+    val got33 = Sampling.topFractionByScore(df, "id", "score", 0.33)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(got33 == Set(1L, 2L, 10L, 11L))
+    // f=1.0 keeps everything; null scores never survive
+    val withNull = df.union(Seq((99L, Option.empty[Double])).toDF("id", "score"))
+    val all = Sampling.topFractionByScore(withNull, "id", "score", 1.0)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(all == df.as[(Long, Double)].collect().map(_._1).toSet)
+  }
+
+  test("topFractionByScore plan: no global-sort exchange over the kept side") {
+    val df = (0L until 100L).map(i => (i, (i % 7).toDouble / 10.0))
+      .toDF("id", "score")
+    val gate = Sampling.topFractionByScore(df, "id", "score", 0.3)
+    // exactness first
+    assert(gate.count() == 30)
+    // the `score > t` branch must be a plain filter — no Sort/Window
+    // over the corpus side; the only ordered op is the boundary-bin
+    // top-m (TakeOrdered / local sort on one bin)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "global window leaked into the gate plan")
+  }
 }

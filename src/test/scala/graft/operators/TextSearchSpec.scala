@@ -87,6 +87,33 @@ class TextSearchSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 1.704748))) // (2.397895 + 1.011601)/2
   }
 
+  test("bigramSurprisal: hand-computed mean -ln p(w2|w1) per doc") {
+    // Every bigram in the fixture is unique (n12=1); left counts:
+    // spark->3 (spark spark|fast|is), all others->1. So weights are
+    // ln(3)=1.098612 for spark-led bigrams, 0 for the rest.
+    val got = TextSearch.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 0.732408))) // (2*1.098612 + 0)/3
+    assert(got(2L) == ((2L, 0.549306))) // (1.098612 + 0)/2
+    assert(got(3L) == ((1L, 0.0)))      // singleton bigram
+    assert(got(4L) == ((1L, 0.0)))
+  }
+
+  test("bigramSurprisal: docs with fewer than 2 tokens are absent") {
+    val d = Seq((1L, "one"), (2L, ""), (3L, "two tokens"))
+      .toDF("doc_id", "text")
+    val got = TextSearch.bigramSurprisal(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(3L))
+  }
+
+  test("bigramSurprisal plan shuffles the pair->weight join (bigram vocab never broadcast)") {
+    val plan = TextSearch.bigramSurprisal(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+  }
+
   test("unigramSurprisal plan shuffles by term, never broadcasts the vocab") {
     // vocabularies follow Heaps' law at corpus scale: the term-weight
     // side must arrive via a shuffled (sort-merge/shuffled-hash) join;
