@@ -241,7 +241,9 @@ object SparkEntry {
     // mean corpus-bigram surprisal per doc (word-order quality signal)
     "q133_bigram_surprisal" -> (X.qBigramSurprisal _),
     // exact top-20% quality gate: histogram threshold, no global sort
-    "q134_quality_gate" -> (X.qQualityGate _)
+    "q134_quality_gate" -> (X.qQualityGate _),
+    // inverted-index exact Jaccard: q28 semantics, no cross join/bound
+    "q135_jaccard_indexed" -> (X.qJaccardPairsIndexed _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1124,6 +1126,25 @@ object SparkEntry {
         |    AS surprisal
         |FROM tok k JOIN w USING (term)
         |GROUP BY k.doc_id""".stripMargin,
+    // oracle = the exhaustive pairwise form over the same word-trigram
+    // sets, UNBOUNDED — the inverted-index operator must reproduce it
+    // exactly
+    "q135_jaccard_indexed" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+        |  FROM (SELECT doc_id, list_filter(
+        |          regexp_split_to_array(lower(text), '\s+'),
+        |          t -> len(t) > 0) AS ts
+        |        FROM documents)
+        |  WHERE len(ts) >= 3)
+        |SELECT id_a, id_b, ROUND(jaccard_sim, 6) AS jaccard_sim FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard_sim
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard_sim >= 0.5""".stripMargin,
     // the oracle IS the naive global-sort plan the operator avoids:
     // exactly ceil(0.2*n) rows by (quality desc, doc_id asc) — same
     // scoring CTEs as q81

@@ -284,6 +284,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
   }
 
+  /** EXACT Jaccard ≥ t pairs via an inverted index — the scale path
+    * for exact set-similarity self-join, replacing the O(n²) cross
+    * join with candidates drawn only from pairs that SHARE an
+    * element (a pair sharing nothing has J = 0 and, for t > 0, can
+    * never qualify — dropping it is lossless).
+    *
+    * Plan: explode each doc's distinct element set into postings
+    * (element, doc, set_size); self-join postings BY ELEMENT (the
+    * only shuffle key); count co-occurrences per (a, b) — that count
+    * IS |A∩B|, so J = c / (|A| + |B| − c) with no second pass over
+    * the sets. A size-ratio prune (J ≤ min/max ⇒ qualifying pairs
+    * have min ≥ t·max) cuts candidates before the pair aggregation.
+    *
+    * Skew honesty: a very common element contributes O(df²) candidate
+    * rows; word-token sets at web scale need either selective
+    * elements (char n-grams — far rarer than words) or prefix
+    * filtering on rare elements only. The operator is exact for
+    * whatever set column the caller prepares; the declared query
+    * keeps q28's word-token semantics so the exhaustive oracle
+    * applies verbatim.
+    *
+    * @param sets (idCol, setCol: array) — elements should be DISTINCT
+    *             per row (array_distinct upstream); duplicates would
+    *             overcount the intersection.
+    */
+  def jaccardPairsIndexed(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val postings = sets.select(col(idCol).as("doc_id"),
+        size(col(setCol)).as("sz"), explode(col(setCol)).as("_el"))
+    val a = postings.select(col("_el"), col("doc_id").as("id_a"),
+      col("sz").as("sz_a"))
+    val b = postings.select(col("_el"), col("doc_id").as("id_b"),
+      col("sz").as("sz_b"))
+    a.join(b, Seq("_el"))
+      .filter(col("id_a") < col("id_b"))
+      // J ≤ min(|A|,|B|)/max(|A|,|B|): prune before the pair shuffle
+      .filter(least(col("sz_a"), col("sz_b")).cast("double")
+        >= greatest(col("sz_a"), col("sz_b")).cast("double") * threshold)
+      .groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("jaccard_sim", col("_c").cast("double")
+        / (col("sz_a") + col("sz_b") - col("_c")).cast("double"))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard_sim"), 6).as("jaccard_sim"))
+  }
+
   // ── Embedding cosine near-dup ───────────────────────────────────────
 
   /** Deterministic random hyperplanes for sign-LSH. */

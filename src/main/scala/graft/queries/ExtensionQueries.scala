@@ -172,6 +172,28 @@ object ExtensionQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard_sim"), 6).as("jaccard_sim"))
   }
 
+  /** Inverted-index EXACT Jaccard near-dup pairs over the WHOLE
+    * documents table — no O(n²) join, no doc_id bound (q28's cross
+    * join keeps both). The element domain is word TRIGRAMS, the
+    * standard near-dup granularity: selective enough that candidates
+    * ∝ Σ df² stays linear-ish (single tokens degenerate on this
+    * corpus — 31-word vocabulary ⇒ every doc pair collides).
+    * Oracle: the exhaustive pairwise SQL over the same trigram sets.
+    */
+  def qJaccardPairsIndexed(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col("text")))
+    val sets = tbl(s, dir, "documents")
+      .select(col("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("_t")) - 2), i =>
+          concat_ws(" ", element_at(col("_t"), i),
+            element_at(col("_t"), i + 1), element_at(col("_t"), i + 2))))
+        .as("grams"))
+    graft.operators.Dedup.jaccardPairsIndexed(
+      sets, "doc_id", "grams", threshold = 0.5)
+  }
+
   /** Duplicate clustering: exhaustive jaccard pairs (bounded scope,
     * same edges as q28) → distributed connected components → one
     * cluster id (min member) per document. Oracle: transitive closure

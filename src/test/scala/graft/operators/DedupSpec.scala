@@ -96,6 +96,35 @@ class DedupSpec extends AnyFunSuite {
     assert(sc.getPersistentRDDs.size <= mid + 1)
   }
 
+  test("jaccardPairsIndexed equals the exhaustive cross-join result exactly") {
+    import org.apache.spark.sql.functions._
+    val sets = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val exhaustive = {
+      val a = sets.select(col("doc_id").as("id_a"), col("toks").as("t_a"))
+      val b = sets.select(col("doc_id").as("id_b"), col("toks").as("t_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("j", graft.functions.TextFunctions.jaccard(col("t_a"), col("t_b")))
+        .filter(col("j") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard_sim"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val indexed = Dedup.jaccardPairsIndexed(sets, "doc_id", "toks", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == exhaustive)
+    assert(indexed.map(p => (p._1, p._2)).contains((1L, 2L))) // exact dup pair found
+  }
+
+  test("jaccardPairsIndexed plan: candidates shuffle by element, no cross join") {
+    import org.apache.spark.sql.functions._
+    val sets = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val plan = Dedup.jaccardPairsIndexed(sets, "doc_id", "toks", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "inverted index must not fall back to a product join")
+  }
+
   test("embedding near-dup via sign-LSH with multi-probe") {
     val rnd = new scala.util.Random(7)
     val v1 = Array.fill(16)(rnd.nextGaussian().toFloat)
