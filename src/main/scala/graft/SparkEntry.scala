@@ -243,7 +243,11 @@ object SparkEntry {
     // exact top-20% quality gate: histogram threshold, no global sort
     "q134_quality_gate" -> (X.qQualityGate _),
     // inverted-index exact Jaccard: q28 semantics, no cross join/bound
-    "q135_jaccard_indexed" -> (X.qJaccardPairsIndexed _)
+    "q135_jaccard_indexed" -> (X.qJaccardPairsIndexed _),
+    // near-dup canonicalization: trigram edges -> CC -> keep best quality
+    "q136_neardup_canonical" -> (X.qNearDupCanonical _),
+    // deterministic training order: two-level md5 rank, no global window
+    "q137_train_order" -> (X.qTrainOrder _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1145,6 +1149,77 @@ object SparkEntry {
         |      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard_sim
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
+    // closure over the q135 edge SQL + q81 scoring + per-cluster
+    // argmax (quality desc, id asc); cluster_id = min reachable member
+    "q136_neardup_canonical" ->
+      """WITH RECURSIVE tokd AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+        |  FROM tokd WHERE len(ts) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |clu AS (
+        |  SELECT d.doc_id,
+        |    LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS cluster_id
+        |  FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+        |  GROUP BY d.doc_id),
+        |t2 AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r2 AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops
+        |  FROM t2),
+        |scored AS (
+        |  SELECT doc_id, ROUND(
+        |      (CASE WHEN len < 20 THEN len/20.0
+        |            WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+        |            ELSE 1.0 END) * 0.3
+        |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+        |    + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+        |    + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+        |    6) AS quality
+        |  FROM r2),
+        |m AS (
+        |  SELECT c.cluster_id, c.doc_id, s.quality,
+        |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY s.quality DESC, c.doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS nm
+        |  FROM clu c JOIN scored s USING (doc_id))
+        |SELECT cluster_id, doc_id AS keep_id,
+        |  CAST(nm AS BIGINT) AS n_members, quality AS best_quality
+        |FROM m WHERE rn = 1""".stripMargin,
+    // oracle = the one-partition global window the operator refuses
+    // to run; ranks must agree exactly
+    "q137_train_order" ->
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(doc_id AS VARCHAR) || ':order_v1'), doc_id)
+        |    AS BIGINT) AS train_order
+        |FROM documents""".stripMargin,
     // the oracle IS the naive global-sort plan the operator avoids:
     // exactly ceil(0.2*n) rows by (quality desc, doc_id asc) — same
     // scoring CTEs as q81

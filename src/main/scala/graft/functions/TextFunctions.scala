@@ -13,6 +13,24 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** Distinct word-trigram strings ("w1 w2 w3") from a token array —
+    * built from three aligned slices, NOT per-position element_at.
+    * Higher-order lambdas run interpreted (no whole-stage codegen)
+    * and CollapseProject inlines the token expression into every
+    * lambda reference, so an element_at-per-position form re-runs the
+    * regex tokenizer O(len) times per document (measured: 6 s for
+    * 5 000 docs); the slice form references it O(1) times. Caller
+    * must ensure size(toks) ≥ 3.
+    */
+  def wordTrigrams(toks: Column): Column = {
+    val n = size(toks)
+    array_distinct(zip_with(
+      zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(toks, lit(3), n - 2),
+      (ab, c) => concat(ab, lit(" "), c)))
+  }
+
   /** Token count via pure arithmetic on single-space text — exact and
     * portable across engines (used by oracle-checked queries).
     */

@@ -316,13 +316,23 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
+    // persist: consumed by BOTH self-join sides, and set construction
+    // upstream (shingling/tokenizing) is typically the expensive part
+    // — unpersisted lineage would run it twice (plus once per extra
+    // column reference after projection collapse). The explicit
+    // repartition by element makes the cached layout satisfy the
+    // self-join's distribution on BOTH sides, so the join runs with
+    // zero additional exchanges (one shuffle total before the pair
+    // aggregation, and it's paid once, at persist time).
     val postings = sets.select(col(idCol).as("doc_id"),
         size(col(setCol)).as("sz"), explode(col(setCol)).as("_el"))
+      .repartition(col("_el"))
+      .persist()
     val a = postings.select(col("_el"), col("doc_id").as("id_a"),
       col("sz").as("sz_a"))
     val b = postings.select(col("_el"), col("doc_id").as("id_b"),
       col("sz").as("sz_b"))
-    a.join(b, Seq("_el"))
+    val result = a.join(b, Seq("_el"))
       .filter(col("id_a") < col("id_b"))
       // J ≤ min(|A|,|B|)/max(|A|,|B|): prune before the pair shuffle
       .filter(least(col("sz_a"), col("sz_b")).cast("double")
@@ -334,6 +344,7 @@ object Dedup {
       .filter(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard_sim"), 6).as("jaccard_sim"))
+    materializeAndRelease(result, postings)
   }
 
   // ── Embedding cosine near-dup ───────────────────────────────────────

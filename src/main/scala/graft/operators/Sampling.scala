@@ -189,6 +189,56 @@ object Sampling {
     * Exactly ⌈fraction·N⌉ rows survive — a plain `score >= cutoff`
     * filter can't promise that when ties straddle the cutoff.
     */
+  /** Deterministic global training order: rank 1..N in
+    * md5(id:salt) order — "shuffle the corpus once, reproducibly"
+    * (every epoch = a new salt), WITHOUT funnelling N rows through
+    * the single partition a global `ROW_NUMBER() OVER (ORDER BY u)`
+    * window requires.
+    *
+    * Two-level rank (the declarative zipWithIndex): range-partition
+    * by the md5 uniform so partitions tile the total order, rank
+    * WITHIN each partition, then add per-partition offsets (a
+    * P-row driver cumsum — bounded by the partition count). Boundary
+    * placement by repartitionByRange's sampler does NOT affect the
+    * result: ranges are contiguous in (u, id), so offset + local rank
+    * is the exact global rank wherever the cuts land. The frame is
+    * pinned with persist() between the count and rank passes —
+    * unpinned lineage could resample different boundaries per pass,
+    * corrupting offsets.
+    *
+    * The within-partition window shuffles by partition id (Catalyst
+    * can't see the layout already satisfies it) — two distributed
+    * exchanges total, versus the naive plan's one-partition funnel.
+    */
+  def globalOrderRank(df: DataFrame, idCol: String, salt: String,
+      partitions: Int = 32): DataFrame = {
+    require(partitions >= 1, s"partitions must be positive: $partitions")
+    val ranged = df.select(col(idCol))
+      .withColumn("_u", hashUniform(col(idCol), salt))
+      .repartitionByRange(partitions, col("_u"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    try {
+      val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var cum = 0L
+      val offsets = counts.map { case (pid, c) =>
+        val off = cum; cum += c; (pid, off)
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      val offDf = offsets.toSeq.toDF("_pid", "_off")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_pid")).orderBy(col("_u"), col(idCol))
+      ranged.withColumn("_rn", row_number().over(w))
+        .join(broadcast(offDf), Seq("_pid"))
+        .select(col(idCol),
+          (col("_off") + col("_rn")).as("train_order"))
+        // materialize before releasing the pinned partitioning
+        .localCheckpoint()
+    } finally ranged.unpersist()
+  }
+
   def topFractionByScore(df: DataFrame, idCol: String, scoreCol: String,
       fraction: Double): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,

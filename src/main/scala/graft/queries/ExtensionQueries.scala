@@ -185,13 +185,44 @@ object ExtensionQueries {
     val sets = tbl(s, dir, "documents")
       .select(col("doc_id"), toks.as("_t"))
       .filter(size(col("_t")) >= 3)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), size(col("_t")) - 2), i =>
-          concat_ws(" ", element_at(col("_t"), i),
-            element_at(col("_t"), i + 1), element_at(col("_t"), i + 2))))
-        .as("grams"))
+      .select(col("doc_id"),
+        TextFunctions.wordTrigrams(col("_t")).as("grams"))
     graft.operators.Dedup.jaccardPairsIndexed(
       sets, "doc_id", "grams", threshold = 0.5)
+  }
+
+  /** UNBOUNDED near-dup canonicalization — the FineWeb-style "keep
+    * the BEST copy" selection, end to end: inverted-index trigram
+    * Jaccard edges (q135) → distributed connected components → per
+    * cluster keep the highest-QUALITY member (quality desc, doc_id
+    * asc — q84's bounded pipeline keeps min-id; real pipelines keep
+    * the best document, not the first). Every stage is the unbounded
+    * scale path; the per-cluster argmax is a window partitioned by
+    * cluster (clusters are near-dup groups — small by construction),
+    * never a global sort. Oracle: recursive-CTE closure over the same
+    * edge SQL + the q81 scoring CTEs + the same per-cluster pick.
+    */
+  def qNearDupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val toks = TextFunctions.tokens(lower(col("text")))
+    val sets = docs.select(col("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .select(col("doc_id"),
+        TextFunctions.wordTrigrams(col("_t")).as("grams"))
+    val edges = graft.operators.Dedup
+      .jaccardPairsIndexed(sets, "doc_id", "grams", threshold = 0.5)
+      .select("id_a", "id_b")
+    val clusters = graft.operators.Dedup.duplicateClusters(
+      docs.select("doc_id"), edges, "doc_id", "id_a", "id_b")
+    val scored = qQualityScore(s, dir)
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("_rn", row_number().over(
+        byCluster.orderBy(col("quality").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_members"), col("quality").as("best_quality"))
   }
 
   /** Duplicate clustering: exhaustive jaccard pairs (bounded scope,
@@ -1230,6 +1261,13 @@ object ExtensionQueries {
   def qQualityGate(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.topFractionByScore(
       qQualityScore(s, dir), "doc_id", "quality", fraction = 0.2)
+
+  /** Deterministic global training order over the corpus —
+    * two-level rank in md5(doc_id:salt) order, no global window.
+    */
+  def qTrainOrder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.globalOrderRank(
+      tbl(s, dir, "documents"), "doc_id", "order_v1")
 
   /** int8-quantized cosine top-10 for q31's query batch — scales
     * cancel, so the scan is pure integer arithmetic and the operator

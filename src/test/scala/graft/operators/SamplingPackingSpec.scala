@@ -143,6 +143,23 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(all == df.as[(Long, Double)].collect().map(_._1).toSet)
   }
 
+  test("globalOrderRank: exact 1..N ranks in md5 order, boundary-invariant") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = (0L until 500L).toDF("id")
+    val got = Sampling.globalOrderRank(df, "id", "order_v1", partitions = 7)
+      .as[(Long, Long)].collect().sortBy(_._2)
+    // ranks are exactly 1..N with no gaps or dups
+    assert(got.map(_._2).toSeq == (1L to 500L))
+    // order agrees with the driver-side total order (md5(id:salt), id)
+    val expect = (0L until 500L).sortBy(i => (md5(s"$i:order_v1"), i))
+    assert(got.map(_._1).toSeq == expect)
+    // rerun is identical (epoch reproducibility)
+    val again = Sampling.globalOrderRank(df, "id", "order_v1", partitions = 3)
+      .as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(again == expect) // partition count must not change the order
+  }
+
   test("topFractionByScore plan: no global-sort exchange over the kept side") {
     val df = (0L until 100L).map(i => (i, (i % 7).toDouble / 10.0))
       .toDF("id", "score")
