@@ -247,7 +247,11 @@ object SparkEntry {
     // near-dup canonicalization: trigram edges -> CC -> keep best quality
     "q136_neardup_canonical" -> (X.qNearDupCanonical _),
     // deterministic training order: two-level md5 rank, no global window
-    "q137_train_order" -> (X.qTrainOrder _)
+    "q137_train_order" -> (X.qTrainOrder _),
+    // per-source KL(P_src || P_corpus) over unigrams (mixture drift)
+    "q138_domain_kl" -> (X.qDomainDivergence _),
+    // temperature-scaled (n^alpha) domain quotas, largest remainder
+    "q139_temperature_alloc" -> (X.qTemperatureAlloc _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1149,6 +1153,53 @@ object SparkEntry {
         |      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard_sim
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
+    // n^alpha rounded to 6 dp and DECIMAL-carried (order-independent
+    // normalizer); shares divide once as doubles; largest-remainder
+    // hand-out with (frac desc, domain asc) rank
+    "q139_temperature_alloc" ->
+      """WITH c AS (
+        |  SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |a AS (SELECT domain, n, CAST(ROUND(pow(CAST(n AS DOUBLE), 0.3), 6)
+        |        AS DECIMAL(28,6)) AS a
+        |  FROM c),
+        |t AS (SELECT SUM(a) AS ta FROM a),
+        |s AS (SELECT domain, n,
+        |    CAST(a AS DOUBLE) * 1000 / CAST(ta AS DOUBLE) AS share
+        |  FROM a CROSS JOIN t),
+        |b AS (SELECT domain, n, CAST(FLOOR(share) AS BIGINT) AS base,
+        |    share - FLOOR(share) AS frac
+        |  FROM s),
+        |r AS (SELECT domain, n, base,
+        |    ROW_NUMBER() OVER (ORDER BY frac DESC, domain ASC) AS rk,
+        |    SUM(base) OVER () AS tb
+        |  FROM b)
+        |SELECT domain, n,
+        |  CAST(base + CASE WHEN rk <= 1000 - tb THEN 1 ELSE 0 END
+        |    AS BIGINT) AS target
+        |FROM r""".stripMargin,
+    // KL contributions p*ln(p/q) over exact integer counts, rounded
+    // to 6 dp and DECIMAL-carried; all stats derive from the one
+    // (domain, term) count table, mirroring the Spark plan
+    "q138_domain_kl" ->
+      """WITH tok AS (
+        |  SELECT source AS domain, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |st AS (SELECT domain, term, COUNT(*) AS n_st FROM tok GROUP BY 1, 2),
+        |s AS (SELECT domain, SUM(n_st) AS t_s FROM st GROUP BY 1),
+        |ct AS (SELECT term, SUM(n_st) AS n_t FROM st GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_st) AS BIGINT) AS t FROM st),
+        |w AS (
+        |  SELECT st.domain, CAST(ROUND(
+        |      (CAST(n_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+        |      * ln((CAST(n_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+        |           / (CAST(n_t AS DOUBLE) / CAST(t AS DOUBLE))), 6)
+        |    AS DECIMAL(18,6)) AS w
+        |  FROM st JOIN ct USING (term) JOIN s USING (domain) CROSS JOIN tt)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  ROUND(CAST(SUM(w) AS DOUBLE), 6) AS kl
+        |FROM w GROUP BY domain""".stripMargin,
     // closure over the q135 edge SQL + q81 scoring + per-cluster
     // argmax (quality desc, id asc); cluster_id = min reachable member
     "q136_neardup_canonical" ->

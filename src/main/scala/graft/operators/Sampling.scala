@@ -169,6 +169,47 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Temperature-scaled domain allocation — the multilingual/
+    * multi-source sampling formula (mT5, XLM-R): domain i gets budget
+    * share ∝ n_i^α, with α < 1 flattening the natural distribution so
+    * low-resource domains are up-weighted. Returns one row per domain
+    * with its exact integer quota; quotas sum to EXACTLY `budget`
+    * via largest-remainder allocation (floor everyone, hand the
+    * leftover to the largest fractional parts, ties by domain asc).
+    *
+    * Determinism: n_i^α is one pow() over an exact integer, rounded
+    * to 6 dp and carried as DECIMAL so the normalizing sum is
+    * order-independent; shares divide once as doubles (identical in
+    * any IEEE engine). The ranking windows run over |domains| rows —
+    * domains are FEW by definition (sources/languages, not docs), so
+    * the single-partition window is bounded, same legitimacy as the
+    * driver cumsum in [[topFractionByScore]].
+    */
+  def temperatureAllocation(df: DataFrame, domainCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val counts = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_a",
+        round(pow(col("n").cast("double"), alpha), 6).cast("decimal(28,6)"))
+    val total = counts.agg(sum(col("_a")).as("_ta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_frac").desc, col("domain").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy() // |domains| rows — bounded by construction
+    counts.crossJoin(broadcast(total))
+      .withColumn("_share",
+        col("_a").cast("double") * budget / col("_ta").cast("double"))
+      .withColumn("_base", floor(col("_share")))
+      .withColumn("_frac", col("_share") - floor(col("_share")))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_left", lit(budget) - sum(col("_base")).over(wAll))
+      .select(col("domain"), col("n"),
+        (col("_base") + when(col("_rk") <= col("_left"), 1L).otherwise(0L))
+          .as("target"))
+  }
+
   /** Keep EXACTLY ⌈fraction·N⌉ best rows by score — the quality-gate
     * selection step (keep the top p% of a corpus by quality score)
     * with a deterministic (score desc, id asc) order, WITHOUT the

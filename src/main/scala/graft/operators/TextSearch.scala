@@ -184,6 +184,48 @@ object TextSearch {
           .as("surprisal2"))
   }
 
+  /** Per-domain KL divergence KL(P_domain ‖ P_corpus) over unigram
+    * distributions — the mixture-drift diagnostic: which sources'
+    * token statistics deviate most from the corpus they're blended
+    * into (near 0 = representative, large = skewed/noisy source).
+    * Every scored term occurs in its domain, and the corpus
+    * distribution dominates every domain (P_corpus(t) > 0 whenever
+    * P_domain(t) > 0), so no smoothing is needed.
+    *
+    * Determinism: the per-term contribution p·ln(p/q) is one double
+    * expression over exact integer counts, rounded to 6 dp and
+    * carried as DECIMAL (the [[unigramSurprisal]] discipline), so the
+    * per-domain sum is aggregation-order independent.
+    *
+    * Scale shape: everything derives from ONE (domain, term) count
+    * table — corpus term counts and domain totals are second-level
+    * aggregates of it, not second passes over the corpus. The
+    * term-count join shuffles by term (vocabulary never broadcast);
+    * only the per-domain totals (|domains| rows) and the 1-row corpus
+    * total broadcast.
+    */
+  def domainDivergence(docs: DataFrame, domainCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(domainCol).as("domain"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val st = tok.groupBy(col("domain"), col("term"))
+      .agg(count(lit(1)).as("n_st"))
+    val perDomain = st.groupBy(col("domain")).agg(sum(col("n_st")).as("t_s"))
+    val perTerm = st.groupBy(col("term")).agg(sum(col("n_st")).as("n_t"))
+    val total = st.agg(sum(col("n_st")).cast("long").as("t"))
+    val p = col("n_st").cast("double") / col("t_s").cast("double")
+    val q = col("n_t").cast("double") / col("t").cast("double")
+    st.join(perTerm.hint("shuffle_merge"), Seq("term"))
+      .join(broadcast(perDomain), Seq("domain"))
+      .crossJoin(broadcast(total))
+      .select(col("domain"),
+        round(p * log(p / q), 6).cast("decimal(18,6)").as("w"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("_kl"))
+      .select(col("domain"), col("n_terms"),
+        round(col("_kl").cast("double"), 6).as("kl"))
+  }
+
   def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")

@@ -1269,6 +1269,20 @@ object ExtensionQueries {
     graft.operators.Sampling.globalOrderRank(
       tbl(s, dir, "documents"), "doc_id", "order_v1")
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the mixture-drift diagnostic, decimal-carried contributions.
+    */
+  def qDomainDivergence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.domainDivergence(
+      tbl(s, dir, "documents"), "source", "text")
+
+  /** Temperature-scaled (alpha = 0.3) per-source quota allocation of
+    * a 1000-doc budget — integer-exact largest remainder.
+    */
+  def qTemperatureAlloc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureAllocation(
+      tbl(s, dir, "documents"), "source", alpha = 0.3, budget = 1000L)
+
   /** int8-quantized cosine top-10 for q31's query batch — scales
     * cancel, so the scan is pure integer arithmetic and the operator
     * hash-checks exactly (unlike float-dot ANN).

@@ -143,6 +143,31 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(all == df.as[(Long, Double)].collect().map(_._1).toSet)
   }
 
+  test("temperatureAllocation: quotas sum to budget, alpha flattens the distribution") {
+    // domains: big=900 docs, mid=90, small=10
+    val df = (Seq.fill(900)("big") ++ Seq.fill(90)("mid") ++ Seq.fill(10)("small"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "domain")
+    val got = Sampling.temperatureAllocation(df, "domain", alpha = 0.3, budget = 100L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.values.map(_._2).sum == 100L) // exact budget
+    // natural shares would be 90/9/1; alpha=0.3 flattens: driver mirror
+    val a = Map("big" -> 900L, "mid" -> 90L, "small" -> 10L).view
+      .mapValues(n => BigDecimal(math.pow(n.toDouble, 0.3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val ta = a.values.sum
+    val shares = a.view.mapValues(x => x.toDouble * 100L / ta.toDouble).toMap
+    val base = shares.view.mapValues(s => math.floor(s).toLong).toMap
+    val left = 100L - base.values.sum
+    val order = shares.toSeq
+      .map { case (d, s) => (d, s - math.floor(s)) }
+      .sortBy { case (d, f) => (-f, d) }.map(_._1)
+    val expect = base.map { case (d, bse) =>
+      d -> (bse + (if (order.indexOf(d) < left) 1L else 0L)) }
+    got.foreach { case (d, (_, t)) => assert(t == expect(d), s"domain $d") }
+    // flattening sanity: small domain gets far more than its 1% share
+    assert(got("small")._2 > 10L)
+  }
+
   test("globalOrderRank: exact 1..N ranks in md5 order, boundary-invariant") {
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -100,6 +100,38 @@ class TextSearchSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 0.0)))
   }
 
+  test("domainDivergence: hand-checked KL against a driver-side mirror; zero for a representative domain") {
+    // domain A = two copies of the same text, domain B = different text:
+    // P_A != P_corpus and P_B != P_corpus, both KLs > 0. A third
+    // single-domain corpus gives KL = 0 exactly (P_dom == P_corpus).
+    val d = Seq(
+      ("a", "x x y"), ("a", "x x y"),
+      ("b", "y z z z")
+    ).toDF("source", "text")
+    val got = TextSearch.domainDivergence(d, "source", "text")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // corpus: x=4, y=3, z=3, t=10. domain a: x=4,y=2, t_a=6; b: y=1,z=3, t_b=4
+    def w(n: Long, ts: Long, nt: Long, t: Long): BigDecimal = {
+      val p = n.toDouble / ts.toDouble
+      val q = nt.toDouble / t.toDouble
+      BigDecimal(p * math.log(p / q)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def fin(x: BigDecimal): Double = (x.toDouble * 1e6).round / 1e6
+    assert(got("a") == ((2L, fin(w(4, 6, 4, 10) + w(2, 6, 3, 10)))))
+    assert(got("b") == ((2L, fin(w(1, 4, 3, 10) + w(3, 4, 3, 10)))))
+    val single = TextSearch.domainDivergence(
+      Seq(("solo", "p q r")).toDF("source", "text"), "source", "text")
+      .as[(String, Long, Double)].collect()
+    assert(single.toSeq == Seq(("solo", 3L, 0.0)))
+  }
+
+  test("domainDivergence plan shuffles the term join, never broadcasts the vocab") {
+    val plan = TextSearch.domainDivergence(docs.withColumnRenamed("doc_id", "source"),
+      "source", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+  }
+
   test("bigramSurprisal: docs with fewer than 2 tokens are absent") {
     val d = Seq((1L, "one"), (2L, ""), (3L, "two tokens"))
       .toDF("doc_id", "text")
