@@ -251,7 +251,11 @@ object SparkEntry {
     // per-source KL(P_src || P_corpus) over unigrams (mixture drift)
     "q138_domain_kl" -> (X.qDomainDivergence _),
     // temperature-scaled (n^alpha) domain quotas, largest remainder
-    "q139_temperature_alloc" -> (X.qTemperatureAlloc _)
+    "q139_temperature_alloc" -> (X.qTemperatureAlloc _),
+    // asymmetric containment |A∩B|/|A| >= 0.7 (doc-in-doc detection)
+    "q140_containment" -> (X.qContainmentPairs _),
+    // per-doc char-level Shannon entropy (degenerate-text signal)
+    "q141_char_entropy" -> (X.qCharEntropy _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1153,6 +1157,50 @@ object SparkEntry {
         |      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard_sim
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
+    // histogram bins' -p*ln(p) rounded to 6 dp, DECIMAL-carried;
+    // totals are second-level aggregates of the (doc, char) table
+    "q141_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |hist AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(n) AS l FROM hist GROUP BY 1),
+        |w AS (
+        |  SELECT h.doc_id, CAST(ROUND(
+        |      -(CAST(n AS DOUBLE) / CAST(l AS DOUBLE))
+        |        * ln(CAST(n AS DOUBLE) / CAST(l AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS w
+        |  FROM hist h JOIN tot USING (doc_id))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+        |  ROUND(CAST(SUM(w) AS DOUBLE), 6) AS entropy
+        |FROM w GROUP BY doc_id""".stripMargin,
+    // both directed relations per unordered pair; filter on the
+    // ROUNDED containment in both engines (the declared convention)
+    "q140_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+        |  FROM (SELECT doc_id, list_filter(
+        |          regexp_split_to_array(lower(text), '\s+'),
+        |          t -> len(t) > 0) AS ts
+        |        FROM documents)
+        |  WHERE len(ts) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.grams, b.grams)) AS c,
+        |    len(a.grams) AS sa, len(b.grams) AS sb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |bothdir AS (
+        |  SELECT id_a AS id_in, id_b AS id_of,
+        |    ROUND(CAST(c AS DOUBLE) / CAST(sa AS DOUBLE), 6) AS containment
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a,
+        |    ROUND(CAST(c AS DOUBLE) / CAST(sb AS DOUBLE), 6)
+        |  FROM pairs)
+        |SELECT id_in, id_of, containment FROM bothdir
+        |WHERE containment >= 0.7""".stripMargin,
     // n^alpha rounded to 6 dp and DECIMAL-carried (order-independent
     // normalizer); shares divide once as doubles; largest-remainder
     // hand-out with (frac desc, domain asc) rank

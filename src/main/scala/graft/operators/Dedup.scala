@@ -347,6 +347,54 @@ object Dedup {
     materializeAndRelease(result, postings)
   }
 
+  /** EXACT containment pairs via the same inverted index as
+    * [[jaccardPairsIndexed]]: C(A→B) = |A∩B| / |A| ≥ t — the
+    * asymmetric near-dup relation Jaccard misses. A short document
+    * quoted inside a long boilerplate-wrapped page has high
+    * containment but low Jaccard (the union is dominated by the
+    * wrapper), and scrape dedup needs exactly this signal. Emits one
+    * row per ordered relation that qualifies (id_small's set inside
+    * id_big's): both directions are checked, so a pair can appear
+    * once per direction.
+    *
+    * Pruning: C(A→B) ≥ t needs |A∩B| ≥ t·|A| and |A∩B| ≤ min(|A|,|B|)
+    * — no size-ratio prune applies (ANY size gap can qualify, that is
+    * the point), so candidates are all co-occurring pairs; element
+    * selectivity (shingles, not tokens) is what bounds Σ df².
+    */
+  def containmentPairsIndexed(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    val postings = sets.select(col(idCol).as("doc_id"),
+        size(col(setCol)).as("sz"), explode(col(setCol)).as("_el"))
+      .repartition(col("_el"))
+      .persist()
+    val a = postings.select(col("_el"), col("doc_id").as("id_a"),
+      col("sz").as("sz_a"))
+    val b = postings.select(col("_el"), col("doc_id").as("id_b"),
+      col("sz").as("sz_b"))
+    val result = a.join(b, Seq("_el"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
+      .agg(count(lit(1)).as("_c"))
+      // containment of the SMALLER-set side in the other, both
+      // directions emitted as (contained, container)
+      .select(explode(array(
+        struct(col("id_a").as("id_in"), col("id_b").as("id_of"),
+          (col("_c").cast("double") / col("sz_a").cast("double")).as("containment")),
+        struct(col("id_b").as("id_in"), col("id_a").as("id_of"),
+          (col("_c").cast("double") / col("sz_b").cast("double")).as("containment"))))
+        .as("_r"))
+      .select(col("_r.id_in").as("id_in"), col("_r.id_of").as("id_of"),
+        round(col("_r.containment"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+    materializeAndRelease(result, postings)
+  }
+
   // ── Embedding cosine near-dup ───────────────────────────────────────
 
   /** Deterministic random hyperplanes for sign-LSH. */

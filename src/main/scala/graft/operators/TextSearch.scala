@@ -226,6 +226,39 @@ object TextSearch {
         round(col("_kl").cast("double"), 6).as("kl"))
   }
 
+  /** Per-document character-level Shannon entropy (nats) — the
+    * repetitive/degenerate-text quality signal: natural prose sits
+    * around 2.5–3.2, single-char spam near 0, and the score needs no
+    * language model. Empty documents have no characters and are
+    * absent from the output by definition.
+    *
+    * Same determinism recipe as [[unigramSurprisal]]: each histogram
+    * bin's −p·ln p is rounded to 6 dp and DECIMAL-carried, so the
+    * per-doc sum is aggregation-order independent. Scale shape: one
+    * (doc, char) count table (alphabet-bounded: ≤ distinct chars per
+    * doc), totals as a second-level aggregate, both shuffles keyed by
+    * doc_id.
+    */
+  def charEntropy(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val hist = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "")).as("c"))
+      // Spark's split("", "") yields [""], DuckDB's yields [] — drop
+      // the empty token so empty docs are absent in both engines
+      .filter(length(col("c")) > 0)
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
+    val tot = hist.groupBy(col("doc_id")).agg(sum(col("n")).as("l"))
+    val p = col("n").cast("double") / col("l").cast("double")
+    hist.join(tot, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(-p * log(p), 6).cast("decimal(18,6)").as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_chars"), sum(col("w")).as("_h"))
+      .select(col("doc_id"), col("n_distinct_chars"),
+        round(col("_h").cast("double"), 6).as("entropy"))
+  }
+
   def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")

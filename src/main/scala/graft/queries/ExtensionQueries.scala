@@ -1276,6 +1276,27 @@ object ExtensionQueries {
     graft.operators.TextSearch.domainDivergence(
       tbl(s, dir, "documents"), "source", "text")
 
+  /** Exact containment relations over the q135 trigram sets —
+    * the asymmetric doc-in-doc signal (C = |A∩B|/|A| ≥ 0.7).
+    */
+  def qContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col("text")))
+    val sets = tbl(s, dir, "documents")
+      .select(col("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .select(col("doc_id"),
+        TextFunctions.wordTrigrams(col("_t")).as("grams"))
+    graft.operators.Dedup.containmentPairsIndexed(
+      sets, "doc_id", "grams", threshold = 0.7)
+  }
+
+  /** Per-document character-level Shannon entropy — degenerate-text
+    * quality signal, decimal-carried histogram contributions.
+    */
+  def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.charEntropy(
+      tbl(s, dir, "documents"), "doc_id", "text")
+
   /** Temperature-scaled (alpha = 0.3) per-source quota allocation of
     * a 1000-doc budget — integer-exact largest remainder.
     */

@@ -125,6 +125,24 @@ class DedupSpec extends AnyFunSuite {
       "inverted index must not fall back to a product join")
   }
 
+  test("containmentPairsIndexed: quoted-inside detection that Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    // doc 2 = doc 1's tokens + a long wrapper: containment(1 in 2) = 1
+    // but Jaccard is low; doc 3 unrelated
+    val d = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l")),
+      (3L, Seq("x", "y", "z"))
+    ).toDF("doc_id", "toks")
+    val got = Dedup.containmentPairsIndexed(d, "doc_id", "toks", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0))) // 1's set fully inside 2's; nothing else
+    // the symmetric Jaccard at the same bar finds nothing (3/12 = 0.25)
+    val j = Dedup.jaccardPairsIndexed(d, "doc_id", "toks", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(j.isEmpty)
+  }
+
   test("embedding near-dup via sign-LSH with multi-probe") {
     val rnd = new scala.util.Random(7)
     val v1 = Array.fill(16)(rnd.nextGaussian().toFloat)

@@ -132,6 +132,25 @@ class TextSearchSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
   }
 
+  test("charEntropy: uniform alphabet = ln(k); single char = 0; empty absent") {
+    val d = Seq(
+      (1L, "abcd"),     // uniform over 4 chars: 4·round(-0.25·ln 0.25)
+      (2L, "aaaa"),     // single char: 0
+      (3L, ""),         // empty: absent
+      (4L, "aab")       // -(2/3)ln(2/3) - (1/3)ln(1/3) = 0.636514
+    ).toDF("doc_id", "text")
+    val got = TextSearch.charEntropy(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // bins round to 6 dp BEFORE the sum (the determinism recipe):
+    // 4 x 0.346574 = 1.386296, one ulp-in-the-6th-dp above ln(4)
+    assert(got(1L) == ((4L, 1.386296)))
+    assert(got(2L) == ((1L, 0.0)))
+    assert(!got.contains(3L))
+    // 0.270310 + 0.366204 (6-dp rounded bins) = 0.636514
+    assert(got(4L) == ((2L, 0.636514)))
+  }
+
   test("bigramSurprisal: docs with fewer than 2 tokens are absent") {
     val d = Seq((1L, "one"), (2L, ""), (3L, "two tokens"))
       .toDF("doc_id", "text")
