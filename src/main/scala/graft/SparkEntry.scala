@@ -255,7 +255,9 @@ object SparkEntry {
     // asymmetric containment |A∩B|/|A| >= 0.7 (doc-in-doc detection)
     "q140_containment" -> (X.qContainmentPairs _),
     // per-doc char-level Shannon entropy (degenerate-text signal)
-    "q141_char_entropy" -> (X.qCharEntropy _)
+    "q141_char_entropy" -> (X.qCharEntropy _),
+    // trigram novelty vs earlier docs (marginal-content diagnostic)
+    "q142_ngram_novelty" -> (X.qNgramNovelty _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1157,6 +1159,27 @@ object SparkEntry {
         |      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard_sim
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
+    // first-seen = min doc id per gram; novelty = share of this
+    // doc's grams first seen here — exact integer counts
+    "q142_ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+        |  FROM (SELECT doc_id, list_filter(
+        |          regexp_split_to_array(lower(text), '\s+'),
+        |          t -> len(t) > 0) AS ts
+        |        FROM documents)
+        |  WHERE len(ts) >= 3),
+        |post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |fs AS (SELECT g, MIN(doc_id) AS first_id FROM post GROUP BY 1)
+        |SELECT p.doc_id AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN first_id = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  ROUND(CAST(SUM(CASE WHEN first_id = p.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        |FROM post p JOIN fs USING (g)
+        |GROUP BY p.doc_id""".stripMargin,
     // histogram bins' -p*ln(p) rounded to 6 dp, DECIMAL-carried;
     // totals are second-level aggregates of the (doc, char) table
     "q141_char_entropy" ->

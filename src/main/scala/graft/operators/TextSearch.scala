@@ -259,6 +259,34 @@ object TextSearch {
         round(col("_h").cast("double"), 6).as("entropy"))
   }
 
+  /** Per-document n-gram novelty vs everything EARLIER in the corpus
+    * order: the fraction of a doc's distinct grams whose first
+    * occurrence (minimum doc id) is this doc. A streaming-dedup /
+    * ordering diagnostic — how much marginal content each document
+    * adds; near-dups of earlier docs score ≈ 0 without any pairwise
+    * comparison at all.
+    *
+    * Scale shape: one gram→min(doc) aggregate (shuffle by gram) and
+    * one postings join back (same key); counts are exact integers, one
+    * 6-dp-rounded division at the end. No pair explosion — novelty is
+    * per-doc, O(postings).
+    */
+  def ngramNovelty(sets: DataFrame, idCol: String,
+      setCol: String): DataFrame = {
+    val postings = sets.select(col(idCol).as("doc_id"),
+      explode(col(setCol)).as("_g"))
+    val firstSeen = postings.groupBy(col("_g"))
+      .agg(min(col("doc_id")).as("_first"))
+    postings.join(firstSeen.hint("shuffle_merge"), Seq("_g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("doc_id"), col("n_grams"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+  }
+
   def vocabOovRate(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")

@@ -1297,6 +1297,19 @@ object ExtensionQueries {
     graft.operators.TextSearch.charEntropy(
       tbl(s, dir, "documents"), "doc_id", "text")
 
+  /** Per-doc trigram novelty vs earlier doc ids — marginal-content
+    * diagnostic over the q135 trigram sets.
+    */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col("text")))
+    val sets = tbl(s, dir, "documents")
+      .select(col("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .select(col("doc_id"),
+        TextFunctions.wordTrigrams(col("_t")).as("grams"))
+    graft.operators.TextSearch.ngramNovelty(sets, "doc_id", "grams")
+  }
+
   /** Temperature-scaled (alpha = 0.3) per-source quota allocation of
     * a 1000-doc budget — integer-exact largest remainder.
     */

@@ -151,6 +151,22 @@ class TextSearchSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 0.636514)))
   }
 
+  test("ngramNovelty: first doc all-new, exact copy zero, half-overlap halved") {
+    val sets = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d")), // exact copy of 1 -> novelty 0
+      (3L, Seq("a", "b", "x", "y")), // half old, half new
+      (4L, Seq("z"))                 // all new
+    ).toDF("doc_id", "grams")
+    val got = TextSearch.ngramNovelty(sets, "doc_id", "grams")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 4L, 1.0)))
+    assert(got(2L) == ((4L, 0L, 0.0)))
+    assert(got(3L) == ((4L, 2L, 0.5)))
+    assert(got(4L) == ((1L, 1L, 1.0)))
+  }
+
   test("bigramSurprisal: docs with fewer than 2 tokens are absent") {
     val d = Seq((1L, "one"), (2L, ""), (3L, "two tokens"))
       .toDF("doc_id", "text")
