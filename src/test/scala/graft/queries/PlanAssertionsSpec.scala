@@ -117,6 +117,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "bloom probe is above an exchange — prunes nothing:\n" + plan)
   }
 
+  test("q31/q132: rank<=k filter compiles to WindowGroupLimit (bounded per-partition heap)") {
+    // SURVEY §4's 'planner rule for vector-similarity top-k pushdown'
+    // is subsumed by Spark 4's native InferWindowGroupLimit: the
+    // row_number-then-filter shape must plan a WindowGroupLimit on
+    // BOTH sides of the rank window's exchange (partial + final), so
+    // each partition keeps a k-bounded heap instead of sorting every
+    // scored candidate. A custom rule would duplicate this; the
+    // assertion guards that the queries keep the shape that triggers
+    // it (filter directly over row_number, default-frame window).
+    for (q <- Seq("q31_knn_bruteforce", "q132_quantized_topk")) {
+      val plan = planOf(q)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q lost the WindowGroupLimit rank pushdown:\n" + plan)
+    }
+  }
+
   test("q116: CMS prefilter sits below the counting aggregate's exchange") {
     val plan = planOf("q116_heavy_hitters")
     assert(plan.contains("cmsestimatelong"), plan)
