@@ -257,7 +257,9 @@ object SparkEntry {
     // per-doc char-level Shannon entropy (degenerate-text signal)
     "q141_char_entropy" -> (X.qCharEntropy _),
     // trigram novelty vs earlier docs (marginal-content diagnostic)
-    "q142_ngram_novelty" -> (X.qNgramNovelty _)
+    "q142_ngram_novelty" -> (X.qNgramNovelty _),
+    // centroid-margin label-noise scan (negative margin = suspect)
+    "q143_label_margin" -> (X.qLabelMargin _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1159,6 +1161,31 @@ object SparkEntry {
         |      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard_sim
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
+    // components and squared-diff contributions round to 6 dp and
+    // carry as DECIMAL (order-independent sums); the only doubles are
+    // the centroid divide and the final margin cast
+    "q143_label_margin" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, t.i AS dim,
+        |    CAST(ROUND(CAST(embedding[t.i] AS DOUBLE), 6) AS DECIMAL(20,6)) AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+        |c AS (SELECT label, dim, SUM(v) AS s, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |cd AS (SELECT label AS clabel, dim,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS cc
+        |  FROM c),
+        |d AS (
+        |  SELECT e.vec_id, e.label, cd.clabel,
+        |    SUM(CAST(ROUND((CAST(v AS DOUBLE) - cc) * (CAST(v AS DOUBLE) - cc), 6)
+        |      AS DECIMAL(20,6))) AS d2
+        |  FROM e JOIN cd USING (dim) GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT vec_id, label,
+        |    MAX(CASE WHEN clabel = label THEN d2 END) AS own,
+        |    MIN(CASE WHEN clabel <> label THEN d2 END) AS other
+        |  FROM d GROUP BY 1, 2)
+        |SELECT vec_id, label, ROUND(CAST(other - own AS DOUBLE), 6) AS margin,
+        |  other < own AS is_suspect
+        |FROM m""".stripMargin,
     // first-seen = min doc id per gram; novelty = share of this
     // doc's grams first seen here — exact integer counts
     "q142_ngram_novelty" ->

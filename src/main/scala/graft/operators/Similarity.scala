@@ -213,6 +213,49 @@ object Similarity {
         col("scale"))
   }
 
+  /** Label-noise detection by centroid margin: for each labeled
+    * vector, the squared distance to its OWN label's centroid versus
+    * the nearest OTHER label's centroid. margin = d²(other) − d²(own);
+    * negative margin (closer to a different label's centroid than its
+    * own) flags a likely mislabeled example — the cheap first-pass
+    * filter for classifier training data.
+    *
+    * Determinism (cross-engine exact): vector components round to
+    * 6 dp and carry as DECIMAL, so centroid sums are order-independent
+    * (float sums are not); each squared-diff contribution rounds to
+    * 6 dp and carries as DECIMAL, so per-(vector, label) distance sums
+    * are too; the only doubles are the centroid divide and the final
+    * margin cast — IEEE-identical everywhere.
+    *
+    * Scale shape: centroids are one groupBy over (label, dim) —
+    * |labels|·dims rows, broadcast back; the distance pass is a
+    * narrow dim-keyed join (each component row meets |labels|
+    * centroid components) and two aggregations keyed by vector. No
+    * pairwise vector comparisons anywhere.
+    */
+  def labelCentroidMargin(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val e = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        round(col("_x").cast("double"), 6).cast("decimal(20,6)").as("v"))
+    val cents = e.groupBy(col("label").as("clabel"), col("dim"))
+      .agg((sum(col("v")).cast("double") / count(lit(1)).cast("double"))
+        .as("cc"))
+    val diff = col("v").cast("double") - col("cc")
+    e.join(broadcast(cents), Seq("dim"))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(diff * diff, 6).cast("decimal(20,6)").as("contrib"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(col("contrib")).as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("d2"))).as("own"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("other"))
+      .select(col("vec_id"), col("label"),
+        round((col("other") - col("own")).cast("double"), 6).as("margin"),
+        (col("other") < col("own")).as("is_suspect"))
+  }
+
   /** Top-k by *quantized* cosine — the scan runs entirely over int8
     * codes ([[quantizeInt8]]'s scheme), never touching the float
     * vectors.

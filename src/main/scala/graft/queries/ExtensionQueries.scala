@@ -1317,6 +1317,13 @@ object ExtensionQueries {
     graft.operators.Sampling.temperatureAllocation(
       tbl(s, dir, "documents"), "source", alpha = 0.3, budget = 1000L)
 
+  /** Centroid-margin label-noise scan over the labeled embeddings —
+    * negative margin flags likely mislabeled vectors.
+    */
+  def qLabelMargin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.labelCentroidMargin(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", "label")
+
   /** int8-quantized cosine top-10 for q31's query batch — scales
     * cancel, so the scan is pure integer arithmetic and the operator
     * hash-checks exactly (unlike float-dot ANN).

@@ -148,6 +148,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.filter(r => r._1 == r._2 && r._1 != 0L).forall(_._3 == 1.0))
   }
 
+  test("labelCentroidMargin: planted outlier flagged, core members positive") {
+    // label 0 clusters at (1,0); label 1 at (-1,0); vec 5 carries
+    // label 0 but sits at label 1's centroid -> negative margin
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.1f), 0), (1L, Seq(1.1f, -0.1f), 0), (2L, Seq(0.9f, 0.0f), 0),
+      (3L, Seq(-1.0f, 0.1f), 1), (4L, Seq(-1.1f, -0.1f), 1),
+      (5L, Seq(-1.0f, 0.0f), 0) // mislabeled
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidMargin(vecs, "vec_id", "embedding", "label")
+      .as[(Long, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(5L)._2, "planted mislabel must be suspect")
+    assert(got(5L)._1 < 0)
+    for (i <- Seq(0L, 1L, 3L, 4L)) {
+      assert(!got(i)._2, s"core member $i wrongly flagged")
+      assert(got(i)._1 > 0)
+    }
+  }
+
   test("quantizedTopK plan broadcasts the query side, no corpus shuffle before topk") {
     val corpus = corpusLocal.toDF("vec_id", "embedding")
     val queries = corpusLocal.take(3).toDF("query_id", "qvec")
