@@ -259,7 +259,9 @@ object SparkEntry {
     // trigram novelty vs earlier docs (marginal-content diagnostic)
     "q142_ngram_novelty" -> (X.qNgramNovelty _),
     // centroid-margin label-noise scan (negative margin = suspect)
-    "q143_label_margin" -> (X.qLabelMargin _)
+    "q143_label_margin" -> (X.qLabelMargin _),
+    // exponentially time-decayed per-user value (recency feature)
+    "q144_decayed_sum" -> (X.qDecayedSum _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1161,6 +1163,18 @@ object SparkEntry {
         |      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard_sim
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
+    // lambda spelled as the SAME literal expression as the Spark
+    // side (never ln(2) at runtime — libm ulp would leak in);
+    // contributions 6-dp DECIMAL-carried; epoch_us truncation parity
+    "q144_decayed_sum" ->
+      """WITH t AS (SELECT MAX(epoch_us(ts)) AS tref FROM events)
+        |SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(CAST(ROUND(
+        |    "value" * exp(-(0.6931471805599453 / 7.0)
+        |      * (CAST(tref - epoch_us(ts) AS DOUBLE) / 86400000000.0)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS decayed_value
+        |FROM events CROSS JOIN t
+        |GROUP BY user_id""".stripMargin,
     // components and squared-diff contributions round to 6 dp and
     // carry as DECIMAL (order-independent sums); the only doubles are
     // the centroid divide and the final margin cast

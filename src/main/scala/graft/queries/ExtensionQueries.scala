@@ -1317,6 +1317,14 @@ object ExtensionQueries {
     graft.operators.Sampling.temperatureAllocation(
       tbl(s, dir, "documents"), "source", alpha = 0.3, budget = 1000L)
 
+  /** 7-day-half-life decayed value per user over the events table —
+    * lambda passed as a literal (see TimeSeries.decayedSum's contract).
+    */
+  def qDecayedSum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.decayedSum(
+      RelationalQueries.events(s, dir), "user_id", "ts", "value",
+      lambdaPerDay = 0.6931471805599453 / 7.0)
+
   /** Centroid-margin label-noise scan over the labeled embeddings —
     * negative margin flags likely mislabeled vectors.
     */

@@ -70,6 +70,21 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, "2024-01-04", 1L, 7.0),
       (2L, "2024-01-02", 1L, 1.0))) // key 2's span is its own min..max
   }
+
+  test("decayedSum: reference event full weight, older events decayed by half-life") {
+    val lam = 0.6931471805599453 / 7.0 // 7-day half-life, literal contract
+    val ev = Seq(
+      (1L, ts("2024-01-15 00:00:00"), 10.0), // the max ts -> weight 1
+      (1L, ts("2024-01-08 00:00:00"), 10.0), // exactly 7 days old -> 1/2
+      (2L, ts("2024-01-01 00:00:00"), 8.0)   // 14 days old -> 1/4
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.decayedSum(ev, "user_id", "ts", "value", lam)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // exp(-lam*7) = 0.5 exactly up to ulps -> 6-dp rounds absorb
+    assert(got(1L) == ((2L, 15.0)))
+    assert(got(2L) == ((1L, 2.0)))
+  }
 }
 
 /** SCD2: consecutive equal states merge; intervals chain exactly. */
