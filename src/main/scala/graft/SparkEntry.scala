@@ -261,7 +261,9 @@ object SparkEntry {
     // centroid-margin label-noise scan (negative margin = suspect)
     "q143_label_margin" -> (X.qLabelMargin _),
     // exponentially time-decayed per-user value (recency feature)
-    "q144_decayed_sum" -> (X.qDecayedSum _)
+    "q144_decayed_sum" -> (X.qDecayedSum _),
+    // view->click->purchase funnel: chained strict-after min times
+    "q145_funnel" -> (X.qFunnel _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1163,6 +1165,26 @@ object SparkEntry {
         |      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) AS jaccard_sim
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
+    // every step time is a pure MIN over a well-defined set -> no
+    // tie-break needed; strict > chains the steps
+    "q145_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS key, MIN(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS key, MIN(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.key
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS key, MIN(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.key
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |  GROUP BY 1)
+        |SELECT s1.key AS key, s1.t1 AS t1, s2.t2 AS t2, s3.t3 AS t3,
+        |  CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
+        |FROM s1 LEFT JOIN s2 USING (key) LEFT JOIN s3 USING (key)""".stripMargin,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

@@ -62,6 +62,45 @@ object TimeSeries {
     * Scale shape: one max() scalar broadcast, one map-side-combinable
     * groupBy — a single shuffle keyed by the aggregation key.
     */
+  /** Ordered conversion funnel: per key, the earliest time each step
+    * was reached STRICTLY AFTER the previous step — t₁ = min ts of
+    * step 1, tᵢ = min ts of step-i events with ts > tᵢ₋₁. Output is
+    * one row per key that entered the funnel, with per-step epoch-µs
+    * times (null once progression stops) and the furthest stage.
+    *
+    * Deterministic with no tie-break at all: every tᵢ is a pure min
+    * over a well-defined set, so equal timestamps cannot make the
+    * result ambiguous (a min over duplicates is the same value).
+    *
+    * Scale shape: one filtered map-side-combinable min aggregate per
+    * step, chained by per-key joins of the (small) per-key step
+    * frames — never a per-key event-list collection or ordered
+    * window over the raw stream.
+    */
+  def funnel(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = unix_micros(col(tsCol))
+    val base = events.select(col(keyCol).as("key"),
+      col(typeCol).as("_ty"), us.as("_us"))
+    val first = base.filter(col("_ty") === steps.head)
+      .groupBy(col("key")).agg(min(col("_us")).as("t1"))
+    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"t$i"
+        val cur = s"t${i + 1}"
+        val next = base.filter(col("_ty") === step)
+          .join(acc.select(col("key"), col(prev)), Seq("key"))
+          .filter(col("_us") > col(prev))
+          .groupBy(col("key")).agg(min(col("_us")).as(cur))
+        acc.join(next.select(col("key"), col(cur)), Seq("key"), "left")
+    }
+    val stage = steps.indices.drop(1).map(i =>
+        col(s"t${i + 1}").isNotNull.cast("int"))
+      .foldLeft(lit(1))(_ + _)
+    chained.withColumn("stage", stage)
+  }
+
   def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, lambdaPerDay: Double): DataFrame = {
     val tRef = events.agg(max(unix_micros(col(tsCol))).as("_tref"))

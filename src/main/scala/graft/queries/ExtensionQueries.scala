@@ -1325,6 +1325,14 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "ts", "value",
       lambdaPerDay = 0.6931471805599453 / 7.0)
 
+  /** view -> click -> purchase funnel per user: earliest strictly-
+    * ordered step times + furthest stage reached.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.funnel(
+      RelationalQueries.events(s, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+
   /** Centroid-margin label-noise scan over the labeled embeddings —
     * negative margin flags likely mislabeled vectors.
     */

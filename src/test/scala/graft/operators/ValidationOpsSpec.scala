@@ -71,6 +71,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, "2024-01-02", 1L, 1.0))) // key 2's span is its own min..max
   }
 
+  test("funnel: strict ordering chains steps; out-of-order steps don't count") {
+    val ev = Seq(
+      // user 1: full conversion in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: purchase BEFORE click -> stops at click (stage 2)
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:30:00"), "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), "click"),
+      // user 3: click precedes the first view -> only a later click counts
+      (3L, ts("2024-01-01 09:00:00"), "click"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      // user 4: never viewed -> not in the funnel at all
+      (4L, ts("2024-01-01 10:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select(col("key"), col("stage")).as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
   test("decayedSum: reference event full weight, older events decayed by half-life") {
     val lam = 0.6931471805599453 / 7.0 // 7-day half-life, literal contract
     val ev = Seq(
