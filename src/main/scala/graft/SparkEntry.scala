@@ -263,7 +263,19 @@ object SparkEntry {
     // exponentially time-decayed per-user value (recency feature)
     "q144_decayed_sum" -> (X.qDecayedSum _),
     // view->click->purchase funnel: chained strict-after min times
-    "q145_funnel" -> (X.qFunnel _)
+    "q145_funnel" -> (X.qFunnel _),
+    // frequent-token PMI pairs (integer thresholds, one IEEE division)
+    "q146_pmi_cooc" -> (X.qPmiCooc _),
+    // per-event trailing 1-hour window (peer-inclusive RANGE frame)
+    "q147_rolling_window" -> (X.qRollingWindow _),
+    // ROLLUP subtotals + grand total in one Expand pass
+    "q148_rollup" -> (X.qRollupAgg _),
+    // exact discrete per-group quantiles (percentile_disc semantics)
+    "q149_group_quantiles" -> (X.qGroupQuantiles _),
+    // per-user event-type pivot feature row
+    "q150_event_pivot" -> (X.qEventPivot _),
+    // key-skew diagnostic: exact Gini over the count histogram
+    "q151_skew_profile" -> (X.qSkewProfile _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1185,6 +1197,101 @@ object SparkEntry {
         |  CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
         |         + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
         |FROM s1 LEFT JOIN s2 USING (key) LEFT JOIN s3 USING (key)""".stripMargin,
+    // same whitespace tokenizer as q119; thresholds are integer
+    // cross-multiplications; pmi_ratio is one IEEE division of
+    // exactly-converted BIGINT products (no log — portable)
+    "q146_pmi_cooc" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id AS _doc, x AS tok
+        |  FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS t(x)),
+        |n AS (SELECT COUNT(DISTINCT _doc) AS n_docs FROM toks),
+        |dfreq AS (
+        |  SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1
+        |  HAVING COUNT(*) * 10 >= (SELECT n_docs FROM n)),
+        |kept AS (SELECT _doc, tok FROM toks JOIN dfreq USING (tok)),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+        |  FROM kept a JOIN kept b ON a._doc = b._doc AND a.tok < b.tok
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) * 25 >= (SELECT n_docs FROM n))
+        |SELECT tok_a, tok_b, c_ab, da.df AS c_a, db.df AS c_b,
+        |  CAST(c_ab * n.n_docs AS DOUBLE)
+        |    / CAST(da.df * db.df AS DOUBLE) AS pmi_ratio
+        |FROM pairs JOIN dfreq da ON pairs.tok_a = da.tok
+        |  JOIN dfreq db ON pairs.tok_b = db.tok CROSS JOIN n""".stripMargin,
+    // RANGE frame is peer-inclusive -> tie-safe; sums DECIMAL-carried;
+    // epoch_us truncation parity with the engine's ts div 1000
+    "q147_rolling_window" ->
+      """SELECT event_id AS id, user_id AS key, epoch_us(ts) AS ts_us,
+        |  COUNT(*) OVER w AS n_win,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_win
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // GROUPING bitmask semantics agree between engines (bit set =
+    // column rolled up); sums DECIMAL-carried
+    "q148_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    // k-th sorted value is deterministic under ties (the VALUE at a
+    // position is unique even when row_number among equals isn't);
+    // index arithmetic is pure integer: (p*n+99) div 100
+    "q149_group_quantiles" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT g, MAX(n) AS n,
+        |  MIN(CASE WHEN rn = (25 * n + 99) // 100 THEN v END) AS p25,
+        |  MIN(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50,
+        |  MIN(CASE WHEN rn = (75 * n + 99) // 100 THEN v END) AS p75,
+        |  MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS p95
+        |FROM t GROUP BY g""".stripMargin,
+    // conditional-agg mirror of the engine's pivot; counts null-safe
+    // 0 on both sides, sums NULL-on-empty on both sides
+    "q150_event_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+        |  CAST(SUM(CASE WHEN event_type = 'view'
+        |    THEN CAST("value" AS DECIMAL(18,6)) END) AS DOUBLE) AS view_sum,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+        |  CAST(SUM(CASE WHEN event_type = 'click'
+        |    THEN CAST("value" AS DECIMAL(18,6)) END) AS DOUBLE) AS click_sum,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST("value" AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase_sum,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_n,
+        |  CAST(SUM(CASE WHEN event_type = 'signup'
+        |    THEN CAST("value" AS DECIMAL(18,6)) END) AS DOUBLE) AS signup_sum,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_n,
+        |  CAST(SUM(CASE WHEN event_type = 'error'
+        |    THEN CAST("value" AS DECIMAL(18,6)) END) AS DOUBLE) AS error_sum
+        |FROM events GROUP BY user_id""".stripMargin,
+    // Gini via the count histogram: rank-sums collapse onto count
+    // blocks (tie-assignment-invariant), all-integer until the two
+    // final IEEE divisions — mirrors the engine formula exactly
+    "q151_skew_profile" ->
+      """WITH counts AS (
+        |  SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |hist AS (SELECT c, COUNT(*) AS f FROM counts GROUP BY 1),
+        |cum AS (
+        |  SELECT c, f, COALESCE(SUM(f) OVER (ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cf
+        |  FROM hist)
+        |SELECT SUM(c * f) AS n_rows, SUM(f) AS n_keys, MAX(c) AS max_cnt,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c * f) AS DOUBLE) AS top1_share,
+        |  CAST(2 * SUM(c * (f * cf + f * (f + 1) // 2))
+        |      - (SUM(f) + 1) * SUM(c * f) AS DOUBLE)
+        |    / CAST(SUM(f) * SUM(c * f) AS DOUBLE) AS gini
+        |FROM cum""".stripMargin,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

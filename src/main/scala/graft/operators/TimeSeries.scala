@@ -62,6 +62,35 @@ object TimeSeries {
     * Scale shape: one max() scalar broadcast, one map-side-combinable
     * groupBy — a single shuffle keyed by the aggregation key.
     */
+  /** Trailing event-time window aggregate: for every event, the count
+    * and exact sum of values over the SAME key's events in the last
+    * `windowMicros` microseconds, current event inclusive — the
+    * rate-limit / velocity / rolling-exposure feature computed without
+    * a stream processor.
+    *
+    * Determinism: a RANGE frame is peer-inclusive — events sharing
+    * (key, ts) all see the identical frame, so equal timestamps cannot
+    * make per-row results order-dependent (a ROWS frame would). Sums
+    * carry as DECIMAL(18,6), aggregation-order independent.
+    *
+    * Scale shape: one shuffle keyed by `keyCol`, one per-partition
+    * sort — the window never crosses keys, so 1000 executors each
+    * sort only their keys' events. Skewed keys bound the frame by
+    * time, not history length.
+    */
+  def trailingWindow(events: DataFrame, idCol: String, keyCol: String,
+      tsCol: String, valueCol: String, windowMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ts_us"))
+      .rangeBetween(-windowMicros, 0)
+    events
+      .select(col(idCol).as("id"), col(keyCol).as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(valueCol).cast("decimal(18,6)").as("_v"))
+      .select(col("id"), col("key"), col("ts_us"),
+        count(lit(1)).over(w).as("n_win"),
+        sum(col("_v")).over(w).cast("double").as("sum_win"))
+  }
+
   /** Ordered conversion funnel: per key, the earliest time each step
     * was reached STRICTLY AFTER the previous step — t₁ = min ts of
     * step 1, tᵢ = min ts of step-i events with ts > tᵢ₋₁. Output is

@@ -1351,4 +1351,67 @@ object ExtensionQueries {
     graft.operators.Similarity.quantizedTopK(emb, queries,
       "vec_id", "embedding", "query_id", "qvec", k = 10)
   }
+
+  /** Frequent-token PMI co-occurrence pairs: corpus-relative integer
+    * thresholds (df ≥ N/10, pair ≥ N/25); the only float op is one
+    * IEEE division of exact BIGINT products.
+    */
+  def qPmiCooc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cooccurrence.pmiPairs(
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("toks")),
+      "doc_id", "toks", dfTimes = 10, pairTimes = 25)
+
+  /** Per-event trailing 1-hour window over the same user's events:
+    * velocity/rolling-exposure features, decimal-exact sums.
+    */
+  def qRollingWindow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.trailingWindow(
+      RelationalQueries.events(s, dir), "event_id", "user_id", "ts",
+      "value", windowMicros = 3600000000L)
+
+  /** ROLLUP multi-level aggregate: detail + per-flag subtotal + grand
+    * total in one pass (Spark plans a single Expand + one shuffle,
+    * not three scans); grouping_id disambiguates real NULLs from
+    * rolled-up levels.
+    */
+  def qRollupAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+
+  /** Exact per-group discrete quantiles (percentile_disc semantics:
+    * real group members, zero interpolation arithmetic).
+    */
+  def qGroupQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.groupDiscrete(
+      tbl(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq(25, 50, 75, 95))
+
+  /** Per-user event-type pivot: counts (null-safe 0) and decimal-exact
+    * value sums widened into one feature row per user.
+    */
+  def qEventPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val p = RelationalQueries.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum"))
+    p.select(col("user_id") +:
+      types.flatMap(t => Seq(
+        coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+        col(s"${t}_sum"))): _*)
+  }
+
+  /** Key-skew profiler on lineitem's part key: exact Gini + hot-key
+    * share — the decide-whether-to-salt diagnostic.
+    */
+  def qSkewProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewTools.keySkewProfile(
+      tbl(s, dir, "lineitem"), "l_partkey")
 }

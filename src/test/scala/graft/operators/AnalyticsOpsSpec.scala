@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** PMI co-occurrence: presence semantics, threshold pruning, exact ratio. */
+class CooccurrenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("counts docs not occurrences; thresholds prune; ratio is exact") {
+    // 4 docs; "a" and "b" co-occur in 2, "a" appears 3x in doc 1 (counted once)
+    val docs = Seq(
+      (1L, Seq("a", "a", "a", "b")),
+      (2L, Seq("a", "b", "c")),
+      (3L, Seq("a", "c")),
+      (4L, Seq("d"))
+    ).toDF("doc_id", "toks")
+    // dfTimes=2: keep df*2 >= 4 i.e. df >= 2 -> a(3), b(2), c(2); d(1) pruned
+    // pairTimes=2: keep c_ab*2 >= 4 i.e. c_ab >= 2 -> only (a,b) and (a,c)
+    val got = Cooccurrence.pmiPairs(docs, "doc_id", "toks",
+        dfTimes = 2, pairTimes = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 2L, 3L, 2L, 2.0 * 4 / (3.0 * 2)),
+      ("a", "c", 2L, 3L, 2L, 2.0 * 4 / (3.0 * 2))))
+  }
+}
+
+/** Exact discrete quantiles: k-th sorted value, tie-stable. */
+class QuantilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("picks actual members at ceil(p*n/100); duplicates cannot perturb") {
+    val df = (1 to 10).map(i => ("g", i.toDouble)) ++
+      Seq.fill(4)(("h", 7.0)) // all-equal group
+    val got = Quantiles.groupDiscrete(df.toDF("g", "v"), "g", "v",
+        Seq(25, 50, 75, 100))
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+    // g: n=10 -> positions ceil(2.5)=3, 5, ceil(7.5)=8, 10
+    assert(got == Set(
+      ("g", 10L, 3.0, 5.0, 8.0, 10.0),
+      ("h", 4L, 7.0, 7.0, 7.0, 7.0)))
+  }
+}
+
+/** Skew profiler: exact Gini from the count histogram. */
+class SkewProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("uniform keys gini 0; concentrated distribution matches hand Gini") {
+    val uniform = (1 to 8).flatMap(k => Seq.fill(3)(k)).toDF("k")
+    val u = SkewTools.keySkewProfile(uniform, "k")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(u == ((24L, 8L, 3L, 3.0 / 24, 0.0)))
+
+    // counts 1,1,1,1,16: sorted ranks 1..5, S = 1+2+3+4+5*16 = 90
+    // G = (2*90 - 6*20) / (5*20) = 60/100 = 0.6
+    val skewed = (Seq.fill(16)(0) ++ (1 to 4)).toDF("k")
+    val sk = SkewTools.keySkewProfile(skewed, "k")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(sk == ((20L, 5L, 16L, 0.8, 0.6)))
+  }
+}
+
+/** Trailing event-time window: peer-inclusive frame, exact boundary. */
+class TrailingWindowSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("RANGE frame includes peers and the exact window edge; keys isolated") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 10L, ts("2024-01-01 10:30:00"), 2.0),
+      // two events at the same instant: both must see both (peers)
+      (3L, 10L, ts("2024-01-01 11:00:00"), 4.0),
+      (4L, 10L, ts("2024-01-01 11:00:00"), 8.0),
+      // other key: its own frame only
+      (5L, 20L, ts("2024-01-01 11:00:00"), 100.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeSeries.trailingWindow(ev, "event_id", "user_id", "ts",
+        "value", windowMicros = 3600000000L)
+      .select(col("id"), col("n_win"), col("sum_win"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, n, s) => i -> ((n, s)) }.toMap
+    assert(got(1L) == ((1L, 1.0)))
+    assert(got(2L) == ((2L, 3.0)))
+    // 10:00 is exactly 1h before 11:00 -> inclusive edge; peers included
+    assert(got(3L) == ((4L, 15.0)))
+    assert(got(4L) == ((4L, 15.0)))
+    assert(got(5L) == ((1L, 100.0)))
+  }
+}
