@@ -275,7 +275,13 @@ object SparkEntry {
     // per-user event-type pivot feature row
     "q150_event_pivot" -> (X.qEventPivot _),
     // key-skew diagnostic: exact Gini over the count histogram
-    "q151_skew_profile" -> (X.qSkewProfile _)
+    "q151_skew_profile" -> (X.qSkewProfile _),
+    // median/MAD outlier gate (discrete selections, no interpolation)
+    "q152_robust_outliers" -> (X.qRobustOutliers _),
+    // lang x source chi-square contingency cells
+    "q153_chisq_cells" -> (X.qChisqCells _),
+    // per-user least-squares trend over day offsets
+    "q154_group_trend" -> (X.qGroupTrend _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1292,6 +1298,76 @@ object SparkEntry {
         |      - (SUM(f) + 1) * SUM(c * f) AS DOUBLE)
         |    / CAST(SUM(f) * SUM(c * f) AS DOUBLE) AS gini
         |FROM cum""".stripMargin,
+    // both medians are discrete member selections (same (p*n+99)//100
+    // index form as q149); dev = one IEEE subtraction; n_out counted
+    // (not summed) so the type is BIGINT on both engines
+    "q152_robust_outliers" ->
+      """WITH t AS (SELECT event_type AS g, "value" AS v FROM events),
+        |r AS (
+        |  SELECT g, v,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM t),
+        |med AS (
+        |  SELECT g, MIN(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS med
+        |  FROM r GROUP BY g),
+        |d AS (
+        |  SELECT t.g, t.v, med.med, abs(t.v - med.med) AS dev
+        |  FROM t JOIN med USING (g)),
+        |rd AS (
+        |  SELECT g, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT g, MIN(CASE WHEN rn = (50 * n + 99) // 100 THEN dev END) AS mad
+        |  FROM rd GROUP BY g)
+        |SELECT d.g AS g, COUNT(*) AS n, MAX(d.med) AS med, MAX(mad.mad) AS mad,
+        |  COUNT(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 END) AS n_out
+        |FROM d JOIN mad USING (g) GROUP BY d.g""".stripMargin,
+    // marginals re-aggregate the cell frame; expected is the same
+    // cast-first double chain as the engine; contrib rounds to 6 dp
+    "q153_chisq_cells" ->
+      """WITH cells AS (
+        |  SELECT lang AS rv, source AS cv, COUNT(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rws AS (SELECT rv, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cls AS (SELECT cv, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells),
+        |e AS (
+        |  SELECT rv, cv, o, r, c, n_total,
+        |    CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE) AS expected
+        |  FROM cells JOIN rws USING (rv) JOIN cls USING (cv) CROSS JOIN n)
+        |SELECT rv, cv, o, r, c, n_total, expected,
+        |  ROUND((o - expected) * (o - expected) / expected, 6) AS contrib
+        |FROM e""".stripMargin,
+    // moment sums integer/decimal-exact; slope/intercept the same
+    // fixed IEEE chain as the engine; zero-variance keys -> NULLs
+    "q154_group_trend" ->
+      """WITH base AS (
+        |  SELECT user_id AS key, CAST(ts AS DATE) AS d,
+        |    CAST("value" AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |d0 AS (SELECT key, MIN(d) AS d0 FROM base GROUP BY 1),
+        |xy AS (
+        |  SELECT key, CAST(datediff('day', d0, d) AS BIGINT) AS x, y
+        |  FROM base JOIN d0 USING (key)),
+        |m AS (
+        |  SELECT key, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(y) AS sy, SUM(x * y) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM xy GROUP BY 1),
+        |sel AS (
+        |  SELECT key, n, sx, sy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS den
+        |  FROM m)
+        |SELECT key, n,
+        |  CASE WHEN den <> 0 THEN num / den END AS slope,
+        |  CASE WHEN den <> 0 THEN
+        |    (CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) END AS intercept
+        |FROM sel""".stripMargin,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

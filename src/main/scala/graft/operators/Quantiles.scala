@@ -47,4 +47,34 @@ object Quantiles {
     ranked.groupBy(col("g"))
       .agg(max(col("n")).as("n"), picks: _*)
   }
+
+  /** Robust per-group outlier detection: median / MAD (median absolute
+    * deviation) / count of values with |v − median| > k·MAD — the
+    * outlier gate that, unlike μ+kσ (reference anomaly flag, B7),
+    * is not itself dragged by the outliers it hunts.
+    *
+    * Exactness: both medians are DISCRETE selections (actual members,
+    * no interpolation); |v − med| is one IEEE subtraction, the k·MAD
+    * threshold one multiplication — deterministic, engine-portable.
+    *
+    * Scale shape: two window passes shuffled by the same group key
+    * (median, then deviation median) and one map-side-combinable final
+    * aggregate. MAD inherently needs the second pass; sketches (q44)
+    * are the single-pass approximate escape hatch.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double): DataFrame = {
+    val med = groupDiscrete(df, groupCol, valueCol, Seq(50))
+      .select(col("g"), col("p50").as("med"))
+    val dev = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .join(med, Seq("g"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = groupDiscrete(dev, "g", "dev", Seq(50))
+      .select(col("g"), col("p50").as("mad"))
+    dev.join(mad, Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(when(col("dev") > lit(k) * col("mad"), lit(1))).as("n_out"))
+  }
 }

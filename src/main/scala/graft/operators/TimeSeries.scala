@@ -62,6 +62,50 @@ object TimeSeries {
     * Scale shape: one max() scalar broadcast, one map-side-combinable
     * groupBy — a single shuffle keyed by the aggregation key.
     */
+  /** Per-key least-squares time trend: slope/intercept of value over
+    * day offsets from the key's own first event — the drift detector
+    * for per-entity metrics (is this user's engagement rising?).
+    *
+    * Exactness: x = whole-day offsets (exact integers), y carried as
+    * DECIMAL(18,6); all four moment sums (Σx, Σy, Σxy, Σx²) are
+    * integer/decimal-exact and order-independent; slope and intercept
+    * are a fixed IEEE chain over those exact sums, mirrored verbatim
+    * in the oracle. Keys with a single distinct day have zero
+    * variance → slope/intercept null.
+    *
+    * Scale shape: ONE map-side-combinable shuffle keyed by the key —
+    * the moment sums are plain aggregates; offsets need the per-key
+    * min, computed in the same pass via a self-contained two-phase
+    * form (min-day join) rather than a window, so no per-key sort
+    * anywhere.
+    */
+  def linearTrend(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = events.select(col(keyCol).as("key"),
+      to_date(col(tsCol)).as("_d"),
+      col(valueCol).cast("decimal(18,6)").as("_y"))
+    val d0 = base.groupBy(col("key")).agg(min(col("_d")).as("_d0"))
+    val xy = base.join(d0, Seq("key"))
+      .select(col("key"), datediff(col("_d"), col("_d0")).cast("long").as("_x"),
+        col("_y"))
+    val m = xy.groupBy(col("key")).agg(
+      count(lit(1)).as("n"),
+      sum(col("_x")).as("sx"),
+      sum(col("_y")).as("sy"),
+      sum(col("_x") * col("_y")).as("sxy"),
+      sum(col("_x") * col("_x")).as("sxx"))
+    // decimal-carried: a long n·Σx² would overflow at 1e9-event keys
+    val den = (col("n").cast("decimal(38,0)") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      den
+    m.select(col("key"), col("n"),
+      when(den =!= 0.0, slope).as("slope"),
+      when(den =!= 0.0,
+        (col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept"))
+  }
+
   /** Trailing event-time window aggregate: for every event, the count
     * and exact sum of values over the SAME key's events in the last
     * `windowMicros` microseconds, current event inclusive — the

@@ -1414,4 +1414,26 @@ object ExtensionQueries {
   def qSkewProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.SkewTools.keySkewProfile(
       tbl(s, dir, "lineitem"), "l_partkey")
+
+  /** Robust per-event-type outlier gate: median/MAD discrete
+    * selections, |v−med| > 3·MAD flags — not dragged by the outliers
+    * themselves (unlike B7's μ+2σ).
+    */
+  def qRobustOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.robustOutliers(
+      RelationalQueries.events(s, dir), "event_type", "value", k = 3.0)
+
+  /** lang × source contingency cells with chi-square contributions —
+    * the categorical-drift / independence diagnostic.
+    */
+  def qChisqCells(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Contingency.chiSquareCells(
+      tbl(s, dir, "documents"), "lang", "source")
+
+  /** Per-user least-squares value trend over day offsets — the
+    * per-entity drift detector, moment sums decimal-exact.
+    */
+  def qGroupTrend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.linearTrend(
+      RelationalQueries.events(s, dir), "user_id", "ts", "value")
 }

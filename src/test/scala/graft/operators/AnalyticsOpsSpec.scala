@@ -69,6 +69,67 @@ class SkewProfileSpec extends AnyFunSuite {
   }
 }
 
+/** Median/MAD robust outliers: discrete selections, gate not dragged. */
+class RobustOutliersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("median and MAD are members; only the far point flags") {
+    // v = 1..9 plus a wild 1000: med = value at ceil(50*10/100)=5th = 5.0
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("g", "v")
+    val got = Quantiles.robustOutliers(df, "g", "v", k = 3.0)
+      .as[(String, Long, Double, Double, Long)].head()
+    // devs from 5: 4,3,2,1,0,1,2,3,4,995 sorted -> 5th smallest = 2
+    // gate 3*2=6: only dev=995 exceeds it
+    assert(got == (("g", 10L, 5.0, 2.0, 1L)))
+  }
+}
+
+/** Chi-square contingency: integer marginals, exact expected chain. */
+class ContingencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cells carry observed, marginals, expected r*c/N and contribution") {
+    val df = (Seq.fill(30)(("en", "web")) ++ Seq.fill(10)(("en", "book")) ++
+      Seq.fill(10)(("fr", "web")) ++ Seq.fill(10)(("fr", "book")))
+      .toDF("lang", "source")
+    val got = Contingency.chiSquareCells(df, "lang", "source")
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val (_, _, o, r, c, n, e, contrib) = got(("en", "web"))
+    assert((o, r, c, n) == ((30L, 40L, 40L, 60L)))
+    assert(e == 40.0 * 40.0 / 60.0)
+    assert(contrib == math.rint((30 - e) * (30 - e) / e * 1e6) / 1e6 ||
+      (contrib - (30 - e) * (30 - e) / e).abs < 1e-6)
+  }
+}
+
+/** Per-key least-squares trend: exact moments, degenerate keys null. */
+class LinearTrendSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("perfect line recovered exactly; single-day key yields nulls") {
+    val ev = Seq(
+      // y = 2x + 1 over days 0,1,2
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (1L, ts("2024-01-02 09:00:00"), 3.0),
+      (1L, ts("2024-01-03 09:00:00"), 5.0),
+      // all on one day: zero x-variance
+      (2L, ts("2024-01-05 08:00:00"), 7.0),
+      (2L, ts("2024-01-05 10:00:00"), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.linearTrend(ev, "user_id", "ts", "value")
+      .as[(Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, Some(2.0), Some(1.0))))
+    assert(got(2L) == ((2L, 2L, None, None)))
+  }
+}
+
 /** Trailing event-time window: peer-inclusive frame, exact boundary. */
 class TrailingWindowSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
