@@ -281,7 +281,11 @@ object SparkEntry {
     // lang x source chi-square contingency cells
     "q153_chisq_cells" -> (X.qChisqCells _),
     // per-user least-squares trend over day offsets
-    "q154_group_trend" -> (X.qGroupTrend _)
+    "q154_group_trend" -> (X.qGroupTrend _),
+    // from_json property extraction + exact per-type stats
+    "q155_props_parse" -> (X.qPropsParse _),
+    // weekly cohort retention grid (distinct users per offset)
+    "q156_cohort_retention" -> (X.qCohortRetention _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1368,6 +1372,32 @@ object SparkEntry {
         |    (CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
         |      / CAST(n AS DOUBLE) END AS intercept
         |FROM sel""".stripMargin,
+    // engine parses with from_json (schema'd, malformed->null); the
+    // oracle only needs the same VALUES - json_extract suffices;
+    // sums cast BIGINT (HUGEINT discipline)
+    "q155_props_parse" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_parsed,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+        |  COUNT(DISTINCT k) AS n_distinct_k
+        |FROM p GROUP BY event_type""".stripMargin,
+    // ISO-Monday week truncation on both engines; offsets are exact
+    // integer day-diffs of week starts div 7; week rendered as text
+    // (date-vs-date32 parquet round-trip parity, q107 precedent)
+    "q156_cohort_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events),
+        |cohort AS (SELECT u, MIN(w) AS w0 FROM weeks GROUP BY 1)
+        |SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
+        |  CAST(datediff('day', w0, w) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT u) AS n_users
+        |FROM weeks JOIN cohort USING (u)
+        |GROUP BY 1, 2""".stripMargin,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

@@ -1436,4 +1436,31 @@ object ExtensionQueries {
   def qGroupTrend(s: SparkSession, dir: String): DataFrame =
     graft.operators.TimeSeries.linearTrend(
       RelationalQueries.events(s, dir), "user_id", "ts", "value")
+
+  /** Semi-structured property parsing: from_json over the events
+    * `props` column with an explicit schema (malformed → null, ANSI
+    * off — reference defensive-cast stance), then exact per-type
+    * stats over the extracted field. The JSON path stays inside
+    * whole-stage codegen — no UDF.
+    */
+  def qPropsParse(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+
+  /** Weekly cohort retention grid over events — distinct users per
+    * (first-event week, week offset).
+    */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retention.cohortWeeks(
+      RelationalQueries.events(s, dir), "user_id", "ts")
 }

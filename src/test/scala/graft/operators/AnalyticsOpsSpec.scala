@@ -130,6 +130,35 @@ class LinearTrendSpec extends AnyFunSuite {
   }
 }
 
+/** Cohort retention: first-week cohort, distinct-user offsets. */
+class RetentionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("users land in their first week's cohort; returns counted once per week") {
+    val ev = Seq(
+      // user 1: first week of 2024-01-01 (Mon), returns twice in week+2
+      (1L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      (1L, ts("2024-01-17 11:00:00")),
+      // user 2: same cohort, no return
+      (2L, ts("2024-01-05 09:00:00")),
+      // user 3: later cohort (week of 2024-01-08), returns week+1
+      (3L, ts("2024-01-08 09:00:00")),
+      (3L, ts("2024-01-15 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Retention.cohortWeeks(ev, "user_id", "ts")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L),
+      ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L),
+      ("2024-01-08", 1L, 1L)))
+  }
+}
+
 /** Trailing event-time window: peer-inclusive frame, exact boundary. */
 class TrailingWindowSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
