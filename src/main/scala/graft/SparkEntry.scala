@@ -285,7 +285,9 @@ object SparkEntry {
     // from_json property extraction + exact per-type stats
     "q155_props_parse" -> (X.qPropsParse _),
     // weekly cohort retention grid (distinct users per offset)
-    "q156_cohort_retention" -> (X.qCohortRetention _)
+    "q156_cohort_retention" -> (X.qCohortRetention _),
+    // multi-source BFS hop distance (recursive-CTE oracle)
+    "q157_bfs_hops" -> (X.qBfsHops _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1398,6 +1400,27 @@ object SparkEntry {
         |  COUNT(DISTINCT u) AS n_users
         |FROM weeks JOIN cohort USING (u)
         |GROUP BY 1, 2""".stripMargin,
+    // level-synchronous BFS vs a depth-bounded recursive CTE: UNION
+    // (distinct) keeps each level's working set at <= |nodes| rows,
+    // and MIN(d) collapses multi-depth sightings to first discovery
+    "q157_bfs_hops" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS s,
+        |    CAST(l_partkey AS BIGINT) + 10000000 AS p
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT s AS src, p AS dst FROM b
+        |  UNION
+        |  SELECT p AS src, s AS dst FROM b),
+        |walk(node, d) AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS node,
+        |    CAST(0 AS BIGINT) AS d
+        |  FROM lineitem WHERE l_suppkey < 5
+        |  UNION
+        |  SELECT e.dst, w.d + 1
+        |  FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.d < 4)
+        |SELECT node, MIN(d) AS dist FROM walk GROUP BY node""".stripMargin,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

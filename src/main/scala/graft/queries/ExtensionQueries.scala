@@ -1463,4 +1463,19 @@ object ExtensionQueries {
   def qCohortRetention(s: SparkSession, dir: String): DataFrame =
     graft.operators.Retention.cohortWeeks(
       RelationalQueries.events(s, dir), "user_id", "ts")
+
+  /** Multi-source BFS over q109's undirected supplier-part graph:
+    * min hop distance from suppliers 0-4, ≤ 4 hops.
+    */
+  def qBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val b = tbl(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("s"),
+        (col("l_partkey").cast("long") + 10000000L).as("p"))
+    val edges = b.select(col("s").as("src"), col("p").as("dst"))
+      .union(b.select(col("p").as("src"), col("s").as("dst")))
+    val seeds = tbl(s, dir, "lineitem")
+      .filter(col("l_suppkey") < 5)
+      .select(col("l_suppkey").cast("long").as("node"))
+    graft.operators.Bfs.hopDistance(edges, seeds, maxHops = 4)
+  }
 }
