@@ -287,7 +287,9 @@ object SparkEntry {
     // weekly cohort retention grid (distinct users per offset)
     "q156_cohort_retention" -> (X.qCohortRetention _),
     // multi-source BFS hop distance (recursive-CTE oracle)
-    "q157_bfs_hops" -> (X.qBfsHops _)
+    "q157_bfs_hops" -> (X.qBfsHops _),
+    // first-order Markov transition matrix over user event streams
+    "q158_transitions" -> (X.qTransitions _)
   )
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
@@ -1421,6 +1423,22 @@ object SparkEntry {
         |  FROM walk w JOIN e ON w.node = e.src
         |  WHERE w.d < 4)
         |SELECT node, MIN(d) AS dist FROM walk GROUP BY node""".stripMargin,
+    // lag over the SAME (ts, event_id) total order; p = one IEEE
+    // division of exact integer counts (CAST both sides — DuckDB's
+    // windowed SUM(BIGINT) is HUGEINT)
+    "q158_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS src_type
+        |  FROM events),
+        |c AS (
+        |  SELECT src_type, event_type AS dst_type, COUNT(*) AS n
+        |  FROM seq WHERE src_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

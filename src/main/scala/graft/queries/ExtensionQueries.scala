@@ -1464,6 +1464,14 @@ object ExtensionQueries {
     graft.operators.Retention.cohortWeeks(
       RelationalQueries.events(s, dir), "user_id", "ts")
 
+  /** First-order event-type transition matrix over (ts, event_id)-
+    * ordered per-user streams: counts + conditional probabilities.
+    */
+  def qTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.transitionCounts(
+      RelationalQueries.events(s, dir), "user_id", "event_type",
+      Seq(col("ts"), col("event_id")))
+
   /** Multi-source BFS over q109's undirected supplier-part graph:
     * min hop distance from suppliers 0-4, ≤ 4 hops.
     */

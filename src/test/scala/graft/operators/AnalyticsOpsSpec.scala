@@ -158,6 +158,41 @@ class BfsSpec extends AnyFunSuite {
   }
 }
 
+/** Transition matrix: (ts, id) total order, per-source probability. */
+class SequencesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("counts consecutive pairs per key; ties broken by id") {
+    // user 1: a->b->a  (order pinned by id at the tied timestamp)
+    // user 2: a->b
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 20L, 3L, "a"),
+      (2L, 10L, 4L, "a"), (2L, 30L, 5L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sequences.transitionCounts(
+        ev, "user_id", "event_type", Seq($"ts", $"event_id"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("probabilities normalize within each source state") {
+    val ev = Seq(
+      (1L, 1L, 1L, "x"), (1L, 2L, 2L, "y"),
+      (1L, 3L, 3L, "x"), (1L, 4L, 4L, "z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sequences.transitionCounts(
+        ev, "user_id", "event_type", Seq($"ts", $"event_id"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got == Map(
+      ("x", "y") -> 0.5, ("x", "z") -> 0.5, ("y", "x") -> 1.0))
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
