@@ -289,8 +289,39 @@ object SparkEntry {
     // multi-source BFS hop distance (recursive-CTE oracle)
     "q157_bfs_hops" -> (X.qBfsHops _),
     // first-order Markov transition matrix over user event streams
-    "q158_transitions" -> (X.qTransitions _)
+    "q158_transitions" -> (X.qTransitions _),
+    // bounded k-core peeling (unrolled-round oracle)
+    "q159_kcore" -> (X.qKCore _)
   )
+
+  /** k-core oracle: the bounded-round contract unrolled — a0 is all
+    * nodes, each a_i keeps nodes with ≥ k neighbors inside a_{i-1}
+    * (both endpoints alive), the final select reports degrees within
+    * the round-R survivor-induced subgraph. Rounds ≥ the measured
+    * peel depth (4 at sf0.01), so this equals the true 3-core; the
+    * engine's early exit makes the overshoot free.
+    */
+  private def kcoreSql: String = {
+    val rounds = 8
+    val chain = (1 to rounds).map(i =>
+      s"""a$i AS (
+         |  SELECT src AS node FROM e
+         |  WHERE src IN (SELECT node FROM a${i - 1})
+         |    AND dst IN (SELECT node FROM a${i - 1})
+         |  GROUP BY 1 HAVING COUNT(*) >= 3)""".stripMargin).mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+       |    CAST(l_partkey AS BIGINT) + 10000000 AS p
+       |  FROM lineitem WHERE l_quantity <= 2),
+       |e AS (SELECT s AS src, p AS dst FROM b
+       |      UNION SELECT p AS src, s AS dst FROM b),
+       |a0 AS (SELECT DISTINCT src AS node FROM e),
+       |$chain
+       |SELECT src AS node, COUNT(*) AS core_degree FROM e
+       |WHERE src IN (SELECT node FROM a$rounds)
+       |  AND dst IN (SELECT node FROM a$rounds)
+       |GROUP BY 1""".stripMargin
+  }
 
   /** Z-order oracle: identical double quantization arithmetic (IEEE
     * ops in the same order on both engines — bit-exact), Morton
@@ -1439,6 +1470,8 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) /
         |    CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
         |FROM c""".stripMargin,
+    // bounded-round peel unrolled; see kcoreSql
+    "q159_kcore" -> kcoreSql,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

@@ -1472,6 +1472,21 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Bounded k-core (k=3, 8 rounds) of the quantity-thinned
+    * supplier-part graph — sparse enough that peeling actually
+    * cascades (4 rounds to fixed point at sf0.01).
+    */
+  def qKCore(s: SparkSession, dir: String): DataFrame = {
+    val b = tbl(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .select(
+        col("l_suppkey").cast("long").as("s"),
+        (col("l_partkey").cast("long") + 10000000L).as("p"))
+    val edges = b.select(col("s").as("src"), col("p").as("dst"))
+      .union(b.select(col("p").as("src"), col("s").as("dst")))
+    graft.operators.KCore.coreMembers(edges, k = 3, rounds = 8)
+  }
+
   /** Multi-source BFS over q109's undirected supplier-part graph:
     * min hop distance from suppliers 0-4, ≤ 4 hops.
     */

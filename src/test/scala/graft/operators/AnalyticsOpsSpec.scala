@@ -193,6 +193,35 @@ class SequencesSpec extends AnyFunSuite {
   }
 }
 
+/** Bounded k-core peeling: fixed rounds, early exit, induced degree. */
+class KCoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def undirected(pairs: (Long, Long)*) =
+    pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+
+  test("triangle survives k=2, pendant peeled") {
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val got = KCore.coreMembers(edges, k = 2, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("path peels to empty via cascading rounds") {
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(KCore.coreMembers(edges, k = 2, rounds = 8).isEmpty)
+  }
+
+  test("bounded rounds stop mid-peel and report induced degrees") {
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // one round keeps {2,3,4}; induced path 2-3-4 has end-degrees 1
+    val got = KCore.coreMembers(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
