@@ -291,8 +291,37 @@ object SparkEntry {
     // first-order Markov transition matrix over user event streams
     "q158_transitions" -> (X.qTransitions _),
     // bounded k-core peeling (unrolled-round oracle)
-    "q159_kcore" -> (X.qKCore _)
+    "q159_kcore" -> (X.qKCore _),
+    // deterministic contrastive negative sampling (md5 ring draws)
+    "q160_negative_pairs" -> (X.qNegativePairs _)
   )
+
+  /** Negative-sampling oracle: the same md5-ring arithmetic spelled
+    * in SQL — rank ring via the q137 global-window form, 24-bit
+    * draw value via the strpos nibble sum (≡ Spark's conv of the
+    * 6-char hex prefix), ring distance 1 + (v mod (N-1)).
+    */
+  private def negPairsSql: String = {
+    val hexval = (0 until 6).map(i =>
+      s"CAST((strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) " +
+        s"AS BIGINT) * ${1L << (4 * (5 - i))}").mkString(" + ")
+    s"""WITH r AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY
+       |    md5(CAST(doc_id AS VARCHAR) || ':negs_v1'), doc_id)
+       |    AS BIGINT) AS o
+       |  FROM documents),
+       |nn AS (SELECT COUNT(*) AS n FROM r),
+       |probe AS (
+       |  SELECT doc_id, o, CAST(j AS BIGINT) AS j, n,
+       |    md5(CAST(doc_id AS VARCHAR) || ':negs_v1:neg:' ||
+       |        CAST(j AS VARCHAR)) AS h
+       |  FROM r, nn, generate_series(1, 3) AS gs(j))
+       |SELECT p.doc_id, p.j, r2.doc_id AS neg_id
+       |FROM (SELECT doc_id, j,
+       |        ((o - 1 + 1 + (($hexval) % (n - 1))) % n) + 1 AS po
+       |      FROM probe) p
+       |JOIN r r2 ON p.po = r2.o""".stripMargin
+  }
 
   /** k-core oracle: the bounded-round contract unrolled — a0 is all
     * nodes, each a_i keeps nodes with ≥ k neighbors inside a_{i-1}
@@ -1472,6 +1501,8 @@ object SparkEntry {
         |FROM c""".stripMargin,
     // bounded-round peel unrolled; see kcoreSql
     "q159_kcore" -> kcoreSql,
+    // md5-ring draws spelled in SQL; see negPairsSql
+    "q160_negative_pairs" -> negPairsSql,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

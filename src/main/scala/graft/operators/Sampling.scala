@@ -280,6 +280,44 @@ object Sampling {
     } finally ranged.unpersist()
   }
 
+  /** Deterministic contrastive negative sampling: k pseudo-random
+    * partner docs per doc (the in-batch-negatives data op for
+    * embedding / reranker training), WITHOUT a cross join and without
+    * any RNG state — every pair is a pure function of (id, salt, j),
+    * so the sample is reproducible across runs, engines and
+    * re-partitionings.
+    *
+    * Construction: arrange the corpus on the [[globalOrderRank]] ring
+    * (1..N in md5 order), then for each draw j take the partner at
+    * ring distance 1 + (md5(id:salt:neg:j)₂₄ mod (N-1)) — never 0,
+    * so a doc is never its own negative. Draws are with replacement
+    * across j (two draws may collide); the 24-bit hex prefix keeps
+    * the offset portable (conv here ≡ strpos nibble sum in SQL).
+    *
+    * Scale shape: one explode (k small), one shuffle join keyed by
+    * the partner rank against the N-row ring — no N² anything; the
+    * ring frame is the only extra state and it is O(N) ids, not
+    * payloads.
+    */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val ring = globalOrderRank(df, idCol, salt)
+    val n = ring.count()
+    require(n >= 2, s"need at least 2 rows, got $n")
+    val draw = md5(concat(col(idCol).cast("string"),
+      lit(":" + salt + ":neg:"), col("j").cast("string")))
+    val probe = ring
+      .withColumn("j", explode(array((1 to k).map(i => lit(i.toLong)): _*)))
+      .withColumn("_off",
+        lit(1L) + conv(substring(draw, 1, 6), 16, 10).cast("long") % (n - 1L))
+      .withColumn("_po", (col("train_order") - 1L + col("_off")) % n + 1L)
+    probe.join(
+        ring.select(col("train_order").as("_po"), col(idCol).as("neg_id")),
+        Seq("_po"))
+      .select(col(idCol), col("j"), col("neg_id"))
+  }
+
   def topFractionByScore(df: DataFrame, idCol: String, scoreCol: String,
       fraction: Double): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,

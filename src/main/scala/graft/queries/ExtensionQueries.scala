@@ -1472,6 +1472,13 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Deterministic contrastive negatives: 3 md5-ring draws per doc,
+    * self-excluded, reproducible across runs and engines.
+    */
+  def qNegativePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.negativePairs(
+      tbl(s, dir, "documents").select("doc_id"), "doc_id", 3, "negs_v1")
+
   /** Bounded k-core (k=3, 8 rounds) of the quantity-thinned
     * supplier-part graph — sparse enough that peeling actually
     * cascades (4 rounds to fixed point at sf0.01).

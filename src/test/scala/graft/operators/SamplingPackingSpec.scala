@@ -197,4 +197,22 @@ class SamplingPackingSpec extends AnyFunSuite {
     val plan = gate.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "global window leaked into the gate plan")
   }
+
+  test("negative pairs: k per doc, never self, deterministic") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val negs = Sampling.negativePairs(docs, "doc_id", k = 3, "negtest")
+      .as[(Long, Long, Long)].collect()
+    assert(negs.length == 40 * 3)
+    assert(negs.forall { case (d, _, neg) => d != neg })
+    assert(negs.map { case (d, j, _) => (d, j) }.distinct.length == 120)
+    assert(negs.forall { case (_, _, neg) => neg >= 0L && neg < 40L })
+    // pure function of (id, salt, j): a rerun is bit-identical
+    val rerun = Sampling.negativePairs(docs, "doc_id", k = 3, "negtest")
+      .as[(Long, Long, Long)].collect()
+    assert(negs.sorted.sameElements(rerun.sorted))
+    // a different salt is a different (non-degenerate) sample
+    val other = Sampling.negativePairs(docs, "doc_id", k = 3, "negtest2")
+      .as[(Long, Long, Long)].collect()
+    assert(!negs.sorted.sameElements(other.sorted))
+  }
 }
