@@ -293,8 +293,59 @@ object SparkEntry {
     // bounded k-core peeling (unrolled-round oracle)
     "q159_kcore" -> (X.qKCore _),
     // deterministic contrastive negative sampling (md5 ring draws)
-    "q160_negative_pairs" -> (X.qNegativePairs _)
+    "q160_negative_pairs" -> (X.qNegativePairs _),
+    // retrieval eval: MRR + NDCG@10 with literal discount table
+    "q161_retrieval_eval" -> (X.qRetrievalEval _)
   )
+
+  /** Retrieval-eval oracle: q31's exact cosine ranking (same
+    * sequential list_sum dot product, same (sim desc, id) tie-break)
+    * minus self, scored with the SAME 9-dp decimal discount literals
+    * the engine bakes in (one shared generator —
+    * RetrievalEval.discountLiterals — so libm never runs on either
+    * side), decimal-exact DCG/IDCG sums, one IEEE division each for
+    * mrr and ndcg.
+    */
+  private def retrievalEvalSql: String = {
+    val k = 10
+    val disc = graft.operators.RetrievalEval.discountLiterals(k)
+    val ideal = graft.operators.RetrievalEval.idealLiterals(k)
+    val discCase = (1 to k).map(r =>
+      s"WHEN $r THEN CAST('${disc(r - 1)}' AS DECIMAL(12,9))").mkString(" ")
+    val idealCase = (1 to k).map(m =>
+      s"WHEN $m THEN CAST('${ideal(m - 1)}' AS DECIMAL(22,9))").mkString(" ")
+    val dot = "list_sum(list_transform(list_zip(c.embedding, q.qvec), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    val norm = (v: String) => s"sqrt(list_sum(list_transform($v, " +
+      "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    val sim = s"$dot / (${norm("c.embedding")} * ${norm("q.qvec")})"
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+       |  FROM embeddings WHERE vec_id < 50),
+       |ranked AS (
+       |  SELECT q.query_id, q.qlabel, c.label AS clabel,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY $sim DESC, c.vec_id ASC) AS r
+       |  FROM embeddings c CROSS JOIN q
+       |  WHERE c.vec_id <> q.query_id),
+       |per AS (
+       |  SELECT query_id, qlabel,
+       |    CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_rel,
+       |    MIN(CASE WHEN clabel = qlabel THEN r END) AS first_rel,
+       |    SUM(CASE WHEN clabel = qlabel THEN CASE r $discCase END
+       |        ELSE CAST('0.000000000' AS DECIMAL(12,9)) END) AS dcg
+       |  FROM ranked WHERE r <= $k GROUP BY 1, 2),
+       |lf AS (SELECT label, COUNT(*) AS lc FROM embeddings GROUP BY 1)
+       |SELECT query_id, n_rel,
+       |  CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE) END AS mrr,
+       |  CASE WHEN idcg IS NULL THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END AS ndcg
+       |FROM (
+       |  SELECT per.*, CASE LEAST($k, lf.lc - 1) $idealCase END AS idcg
+       |  FROM per JOIN lf ON per.qlabel = lf.label)""".stripMargin
+  }
 
   /** Negative-sampling oracle: the same md5-ring arithmetic spelled
     * in SQL — rank ring via the q137 global-window form, 24-bit
@@ -1503,6 +1554,8 @@ object SparkEntry {
     "q159_kcore" -> kcoreSql,
     // md5-ring draws spelled in SQL; see negPairsSql
     "q160_negative_pairs" -> negPairsSql,
+    // shared-literal discount table; see retrievalEvalSql
+    "q161_retrieval_eval" -> retrievalEvalSql,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

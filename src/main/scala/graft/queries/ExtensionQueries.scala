@@ -1472,6 +1472,16 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Retrieval eval: MRR + NDCG@10 per query (relevant = same label),
+    * 50 query vectors drawn from the corpus, self-excluded.
+    */
+  def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    graft.operators.RetrievalEval.mrrNdcg(
+      emb, emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", "label", k = 10)
+  }
+
   /** Deterministic contrastive negatives: 3 md5-ring draws per doc,
     * self-excluded, reproducible across runs and engines.
     */

@@ -175,4 +175,35 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("retrieval eval: MRR and NDCG@k from hand-checked ranking") {
+    // labels: A={1,4}, B={2,3}, C={5}; query 1 ranks 2(B),4(A),5(C)
+    // in its top-3 → first relevant at rank 2; query 5's label is
+    // unique → all-zero metrics by contract
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"), (2L, Seq(0.9f, 0.1f), "B"),
+      (3L, Seq(0.0f, 1.0f), "B"), (4L, Seq(0.8f, 0.2f), "A"),
+      (5L, Seq(0.5f, 0.5f), "C")).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter($"vec_id".isin(1L, 5L))
+    val got = RetrievalEval.mrrNdcg(
+        corpus, queries, "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 0.5, 0.630929754)))
+    assert(got(5L) == ((0L, 0.0, 0.0)))
+  }
+
+  test("retrieval eval: perfect retrieval scores 1.0") {
+    // query 10's two same-label vectors are its two nearest; k=2 and
+    // exactly 2 relevant in-corpus → dcg = idcg
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f), "A"), (11L, Seq(0.99f, 0.01f), "A"),
+      (12L, Seq(0.98f, 0.02f), "A"), (13L, Seq(0.0f, 1.0f), "B"),
+      (14L, Seq(0.1f, 0.9f), "B")).toDF("vec_id", "embedding", "label")
+    val got = RetrievalEval.mrrNdcg(
+        corpus, corpus.filter($"vec_id" === 10L),
+        "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got == ((10L, 2L, 1.0, 1.0)))
+  }
 }
