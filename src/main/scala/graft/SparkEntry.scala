@@ -295,8 +295,36 @@ object SparkEntry {
     // deterministic contrastive negative sampling (md5 ring draws)
     "q160_negative_pairs" -> (X.qNegativePairs _),
     // retrieval eval: MRR + NDCG@10 with literal discount table
-    "q161_retrieval_eval" -> (X.qRetrievalEval _)
+    "q161_retrieval_eval" -> (X.qRetrievalEval _),
+    // exact-moment Pearson correlation matrix, one scan
+    "q162_corr_matrix" -> (X.qCorrMatrix _)
   )
+
+  /** Correlation-matrix oracle: the same decimal moment sums (exact
+    * in any order) cast to double, then the SAME pinned IEEE Pearson
+    * chain — generated for the same column list so the expression
+    * trees match term for term.
+    */
+  private def corrMatrixSql: String = {
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def d(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val sums = cs.map(c => s"CAST(SUM(${d(c)}) AS DOUBLE) AS s_$c") ++
+      cs.map(c => s"CAST(SUM(${d(c)} * ${d(c)}) AS DOUBLE) AS q_$c") ++
+      cs.combinations(2).map { case Seq(a, b) =>
+        s"CAST(SUM(${d(a)} * ${d(b)}) AS DOUBLE) AS p_${a}_$b" }
+    val rows = cs.combinations(2).map { case Seq(a, b) =>
+      s"SELECT '$a' AS col_x, '$b' AS col_y, " +
+        s"(n * p_${a}_$b - s_$a * s_$b) / " +
+        s"(sqrt(n * q_$a - s_$a * s_$a) * sqrt(n * q_$b - s_$b * s_$b)) " +
+        s"AS corr FROM m"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM lineitem
+       |  WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")})
+       |$rows""".stripMargin
+  }
 
   /** Retrieval-eval oracle: q31's exact cosine ranking (same
     * sequential list_sum dot product, same (sim desc, id) tie-break)
@@ -1556,6 +1584,8 @@ object SparkEntry {
     "q160_negative_pairs" -> negPairsSql,
     // shared-literal discount table; see retrievalEvalSql
     "q161_retrieval_eval" -> retrievalEvalSql,
+    // decimal moments + pinned IEEE Pearson chain; see corrMatrixSql
+    "q162_corr_matrix" -> corrMatrixSql,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

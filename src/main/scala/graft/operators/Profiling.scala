@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-profile statistics over wide numeric tables — the
+  * data-characterization pass that precedes feature selection and
+  * drift monitoring (which measures co-move, which are redundant,
+  * which carry no signal).
+  *
+  * Exactness recipe (the LinearTrend convention): every moment sum
+  * (Σx, Σx², Σxy) is carried as DECIMAL — exact in any row order and
+  * any partitioning — and only the FINAL Pearson chain runs in IEEE
+  * doubles, as one pinned expression tree evaluated identically by
+  * any engine:
+  *   corr = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²)).
+  * Never the two-pass mean-centered form: its per-row (x−x̄) products
+  * are order-dependent floats.
+  *
+  * Scale shape: ONE scan computes all C + C(C+1)/2 moments as a
+  * map-side-combined global aggregate (a single 1-row result —
+  * no shuffle of data, only of partial sums); the pair expansion
+  * works on that 1-row frame. C is the column count, not the row
+  * count — quadratic only in schema width.
+  */
+object Profiling {
+
+  /** (col_x, col_y, corr) for every unordered column pair, in the
+    * given column order. Rows with a null in ANY profiled column are
+    * excluded (one consistent n for every moment).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = s"decimal(18,$scale)"
+    val clean = df.na.drop(cols).select(cols.map(col): _*)
+    val d = (c: String) => col(c).cast(dec)
+    val moments =
+      Seq(count(lit(1)).cast("double").as("_n")) ++
+      cols.map(c => sum(d(c)).cast("double").as(s"_s_$c")) ++
+      cols.map(c => sum(d(c) * d(c)).cast("double").as(s"_q_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum(d(a) * d(b)).cast("double").as(s"_p_${a}_$b")
+      }.toSeq
+    val m = clean.agg(moments.head, moments.tail: _*)
+    val pairs = cols.combinations(2).map { case Seq(a, b) =>
+      val (n, sa, sb) = (col("_n"), col(s"_s_$a"), col(s"_s_$b"))
+      val corr = (n * col(s"_p_${a}_$b") - sa * sb) /
+        (sqrt(n * col(s"_q_$a") - sa * sa) *
+         sqrt(n * col(s"_q_$b") - sb * sb))
+      struct(lit(a).as("col_x"), lit(b).as("col_y"), corr.as("corr"))
+    }.toSeq
+    m.select(explode(array(pairs: _*)).as("_row")).select(col("_row.*"))
+  }
+}

@@ -1472,6 +1472,14 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Pearson correlation matrix over lineitem's four measures —
+    * exact decimal moments, one scan, final IEEE chain.
+    */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.correlationMatrix(
+      tbl(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   /** Retrieval eval: MRR + NDCG@10 per query (relevant = same label),
     * 50 query vectors drawn from the corpus, self-excluded.
     */

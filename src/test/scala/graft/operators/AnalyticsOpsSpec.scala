@@ -222,6 +222,43 @@ class KCoreSpec extends AnyFunSuite {
   }
 }
 
+/** Correlation matrix: exact decimal moments, pinned IEEE chain. */
+class ProfilingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("perfect linear and anti-linear pairs hit ±1 up to one ulp") {
+    // the exact moments are integers; the final IEEE chain may land
+    // one ulp inside ±1 (e.g. 0.9999999999999998) — that's the
+    // pinned-chain contract, not an error
+    val df = Seq(
+      (1.0, 2.0, 9.0), (2.0, 4.0, 8.0), (3.0, 6.0, 7.0), (4.0, 8.0, 6.0))
+      .toDF("x", "y", "z")
+    val got = Profiling.correlationMatrix(df, Seq("x", "y", "z"))
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got(("x", "y")) - 1.0) < 1e-15)
+    assert(math.abs(got(("x", "z")) + 1.0) < 1e-15)
+    assert(math.abs(got(("y", "z")) + 1.0) < 1e-15)
+  }
+
+  test("matches the hand-computed moment formula; null rows dropped") {
+    val rows = Seq((1.0, 3.5), (2.0, 1.25), (3.0, 4.0), (4.0, 2.75))
+    val df = (rows.map { case (a, b) => (Some(a), Some(b)) } :+
+      ((None: Option[Double], Some(9.0)))).toDF("a", "b")
+    val n = rows.size.toDouble
+    val sa = rows.map(_._1).sum; val sb = rows.map(_._2).sum
+    val qa = rows.map(r => r._1 * r._1).sum
+    val qb = rows.map(r => r._2 * r._2).sum
+    val p = rows.map(r => r._1 * r._2).sum
+    val want = (n * p - sa * sb) /
+      (math.sqrt(n * qa - sa * sa) * math.sqrt(n * qb - sb * sb))
+    val got = Profiling.correlationMatrix(df, Seq("a", "b"))
+      .as[(String, String, Double)].collect().head._3
+    assert(got == want)
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
