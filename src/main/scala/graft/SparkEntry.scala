@@ -297,8 +297,41 @@ object SparkEntry {
     // retrieval eval: MRR + NDCG@10 with literal discount table
     "q161_retrieval_eval" -> (X.qRetrievalEval _),
     // exact-moment Pearson correlation matrix, one scan
-    "q162_corr_matrix" -> (X.qCorrMatrix _)
+    "q162_corr_matrix" -> (X.qCorrMatrix _),
+    // bounded Bellman-Ford weighted shortest paths (unrolled oracle)
+    "q163_shortest_paths" -> (X.qShortestPaths _)
   )
+
+  /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
+    * folds "stay" (d_{i-1}) and "relax one edge" (d_{i-1}+w) and
+    * takes the min per node; equals the engine's delta-frontier
+    * result at the same round count (see ShortestPaths scaladoc for
+    * the invariant). Cast-first weight chain on both sides.
+    */
+  private def shortestPathsSql: String = {
+    val rounds = 4
+    val chain = (1 to rounds).map(i =>
+      s"""d$i AS (
+         |  SELECT node, MIN(d) AS d FROM (
+         |    SELECT node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d${i - 1}.d + e.w AS d
+         |    FROM d${i - 1} JOIN e ON d${i - 1}.node = e.src)
+         |  GROUP BY 1)""".stripMargin).mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT CAST(l_suppkey AS BIGINT) AS s,
+       |    CAST(l_partkey AS BIGINT) + 10000000 AS p,
+       |    MIN(CAST(l_quantity AS BIGINT)) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |e AS (SELECT s AS src, p AS dst, w FROM b
+       |      UNION ALL SELECT p AS src, s AS dst, w FROM b),
+       |d0 AS (
+       |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS node,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM lineitem WHERE l_suppkey < 5),
+       |$chain
+       |SELECT node, d AS cost FROM d$rounds""".stripMargin
+  }
 
   /** Correlation-matrix oracle: the same decimal moment sums (exact
     * in any order) cast to double, then the SAME pinned IEEE Pearson
@@ -1586,6 +1619,8 @@ object SparkEntry {
     "q161_retrieval_eval" -> retrievalEvalSql,
     // decimal moments + pinned IEEE Pearson chain; see corrMatrixSql
     "q162_corr_matrix" -> corrMatrixSql,
+    // Bellman-Ford rounds unrolled; see shortestPathsSql
+    "q163_shortest_paths" -> shortestPathsSql,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

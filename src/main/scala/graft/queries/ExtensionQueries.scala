@@ -1472,6 +1472,25 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Bounded Bellman-Ford over the weighted supplier-part graph:
+    * min path cost (edge weight = min lineitem quantity) from
+    * suppliers 0-4 within 4 relaxation rounds.
+    */
+  def qShortestPaths(s: SparkSession, dir: String): DataFrame = {
+    val b = tbl(s, dir, "lineitem")
+      .select(
+        col("l_suppkey").cast("long").as("s"),
+        (col("l_partkey").cast("long") + 10000000L).as("p"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("s", "p").agg(min("q").as("w"))
+    val edges = b.select(col("s").as("src"), col("p").as("dst"), col("w"))
+      .union(b.select(col("p").as("src"), col("s").as("dst"), col("w")))
+    val seeds = tbl(s, dir, "lineitem")
+      .filter(col("l_suppkey") < 5)
+      .select(col("l_suppkey").cast("long").as("node"))
+    graft.operators.ShortestPaths.bounded(edges, seeds, rounds = 4)
+  }
+
   /** Pearson correlation matrix over lineitem's four measures —
     * exact decimal moments, one scan, final IEEE chain.
     */

@@ -259,6 +259,32 @@ class ProfilingSpec extends AnyFunSuite {
   }
 }
 
+/** Bounded Bellman-Ford: min-plus relaxation, round-bounded costs. */
+class ShortestPathsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val edges = Seq(
+    (1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 1L))
+    .toDF("src", "dst", "w")
+  private val seed = Seq(1L).toDF("node")
+
+  private def run(rounds: Int) =
+    ShortestPaths.bounded(edges, seed, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("cheaper long path beats expensive direct edge") {
+    assert(run(4) == Map(1L -> 0L, 3L -> 1L, 2L -> 2L, 4L -> 3L))
+  }
+
+  test("round bound caps the path length considered") {
+    // ≤1 edge: only the direct (expensive) routes exist
+    assert(run(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+    // ≤2 edges: 2 improves via 1→3→2; 4 only via the expensive 1→2→4
+    assert(run(2) == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 11L))
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
