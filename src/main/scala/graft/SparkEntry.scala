@@ -299,7 +299,9 @@ object SparkEntry {
     // exact-moment Pearson correlation matrix, one scan
     "q162_corr_matrix" -> (X.qCorrMatrix _),
     // bounded Bellman-Ford weighted shortest paths (unrolled oracle)
-    "q163_shortest_paths" -> (X.qShortestPaths _)
+    "q163_shortest_paths" -> (X.qShortestPaths _),
+    // keyed snapshot diff (added/removed/changed + changed columns)
+    "q164_snapshot_diff" -> (X.qSnapshotDiff _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -1621,6 +1623,39 @@ object SparkEntry {
     "q162_corr_matrix" -> corrMatrixSql,
     // Bellman-Ford rounds unrolled; see shortestPathsSql
     "q163_shortest_paths" -> shortestPathsSql,
+    // null-safe full-outer CDC compare; changed columns as a flat
+    // comma-joined string in compare order, '' for added/removed
+    "q164_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    o_orderpriority FROM orders),
+        |a AS (SELECT * FROM base WHERE o_orderkey % 100 <> 0),
+        |b AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM base WHERE o_orderkey % 97 <> 0),
+        |j AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    a.o_orderkey IS NOT NULL AS in_a,
+        |    b.o_orderkey IS NOT NULL AS in_b,
+        |    array_to_string(list_filter([
+        |      CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |        THEN 'o_orderstatus' END,
+        |      CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |        THEN 'o_totalprice' END,
+        |      CASE WHEN a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |        THEN 'o_orderpriority' END], x -> x IS NOT NULL), ',') AS cc
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_a THEN 'added'
+        |       WHEN NOT in_b THEN 'removed'
+        |       ELSE 'changed' END AS change_type,
+        |  CASE WHEN in_a AND in_b THEN cc ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE NOT (in_a AND in_b) OR cc <> ''""".stripMargin,
     // lambda spelled as the SAME literal expression as the Spark
     // side (never ln(2) at runtime — libm ulp would leak in);
     // contributions 6-dp DECIMAL-carried; epoch_us truncation parity

@@ -1472,6 +1472,25 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Snapshot diff between two synthetic versions of orders: modulus
+    * masks simulate deletes/inserts, literal bumps simulate updates.
+    */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderpriority"))
+    val oldSnap = base.filter(col("o_orderkey") % 100 =!= 0)
+    val newSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 11 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "o_orderkey",
+      Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+  }
+
   /** Bounded Bellman-Ford over the weighted supplier-part graph:
     * min path cost (edge weight = min lineitem quantity) from
     * suppliers 0-4 within 4 relaxation rounds.

@@ -285,6 +285,42 @@ class ShortestPathsSpec extends AnyFunSuite {
   }
 }
 
+/** Snapshot diff: presence classes + null-safe per-column changes. */
+class SnapshotDiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("classifies added/removed/changed; null==null is unchanged") {
+    val oldSnap = Seq(
+      (1L, "A", Some(10.0)), (2L, "B", Some(20.0)),
+      (3L, "C", None), (5L, "E", None))
+      .toDF("k", "status", "price")
+    val newSnap = Seq(
+      (2L, "B", Some(25.0)), (3L, "C", None),
+      (4L, "D", Some(40.0)), (5L, "E", Some(5.0)))
+      .toDF("k", "status", "price")
+    val got = SnapshotDiff.diff(oldSnap, newSnap, "k",
+        Seq("status", "price"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> (("removed", "")),
+      4L -> (("added", "")),
+      2L -> (("changed", "price")),
+      5L -> (("changed", "price")))) // null → value IS a change
+    // key 3 (identical incl. null price) must not appear at all
+  }
+
+  test("multi-column changes list columns in compare order") {
+    val oldSnap = Seq((1L, "A", 1.0)).toDF("k", "status", "price")
+    val newSnap = Seq((1L, "Z", 2.0)).toDF("k", "status", "price")
+    val got = SnapshotDiff.diff(oldSnap, newSnap, "k",
+        Seq("status", "price"))
+      .as[(Long, String, String)].collect().head
+    assert(got == ((1L, "changed", "status,price")))
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
