@@ -301,7 +301,9 @@ object SparkEntry {
     // bounded Bellman-Ford weighted shortest paths (unrolled oracle)
     "q163_shortest_paths" -> (X.qShortestPaths _),
     // keyed snapshot diff (added/removed/changed + changed columns)
-    "q164_snapshot_diff" -> (X.qSnapshotDiff _)
+    "q164_snapshot_diff" -> (X.qSnapshotDiff _),
+    // per-group winsorization at exact discrete percentiles
+    "q165_winsorize" -> (X.qWinsorize _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -1623,6 +1625,26 @@ object SparkEntry {
     "q162_corr_matrix" -> corrMatrixSql,
     // Bellman-Ford rounds unrolled; see shortestPathsSql
     "q163_shortest_paths" -> shortestPathsSql,
+    // q149's discrete-selection band edges + pure LEAST/GREATEST
+    // clip — no float arithmetic anywhere on either side
+    "q165_winsorize" ->
+      """WITH t AS (
+        |  SELECT l_suppkey AS g, l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+        |  FROM lineitem),
+        |picks AS (
+        |  SELECT g,
+        |    MIN(CASE WHEN rn = (5 * n + 99) // 100 THEN v END) AS lo,
+        |    MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS hi
+        |  FROM t GROUP BY g)
+        |SELECT r.g AS l_suppkey, r.l_orderkey, r.l_linenumber,
+        |  r.v AS l_extendedprice,
+        |  LEAST(GREATEST(r.v, picks.lo), picks.hi) AS l_extendedprice_w
+        |FROM (SELECT l_suppkey AS g, l_orderkey, l_linenumber,
+        |        l_extendedprice AS v FROM lineitem) r
+        |JOIN picks USING (g)""".stripMargin,
     // null-safe full-outer CDC compare; changed columns as a flat
     // comma-joined string in compare order, '' for added/removed
     "q164_snapshot_diff" ->

@@ -48,6 +48,33 @@ object Quantiles {
       .agg(max(col("n")).as("n"), picks: _*)
   }
 
+  /** Per-group winsorization: clip each value into the group's
+    * [p_lo, p_hi] discrete-percentile band — the feature-prep /
+    * robust-statistics tail clamp (cap blowup outliers without
+    * dropping rows, the gentler sibling of [[robustOutliers]]'
+    * flagging). ZERO floating arithmetic: the band edges are actual
+    * group members (discrete selection) and clipping is
+    * least/greatest comparison only, so the output is engine-portable
+    * bit-for-bit.
+    *
+    * Scale shape: one [[groupDiscrete]] pass (one shuffle + sort by
+    * group) produces an O(|groups|)-row band table, broadcast into a
+    * map-side clip of the original rows — the big table is never
+    * re-shuffled.
+    */
+  def winsorize(df: DataFrame, groupCol: String, idCols: Seq[String],
+      valueCol: String, loPct: Int, hiPct: Int): DataFrame = {
+    require(loPct < hiPct, s"need loPct < hiPct: $loPct, $hiPct")
+    val picks = groupDiscrete(df, groupCol, valueCol, Seq(loPct, hiPct))
+      .select(col("g").as(groupCol),
+        col(s"p$loPct").as("_lo"), col(s"p$hiPct").as("_hi"))
+    df.select((groupCol +: idCols :+ valueCol).map(col): _*)
+      .join(broadcast(picks), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
   /** Robust per-group outlier detection: median / MAD (median absolute
     * deviation) / count of values with |v − median| > k·MAD — the
     * outlier gate that, unlike μ+kσ (reference anomaly flag, B7),

@@ -1472,6 +1472,14 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Per-supplier winsorization of extended price into the exact
+    * discrete [P5, P95] band — zero float arithmetic.
+    */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.winsorize(
+      tbl(s, dir, "lineitem"), "l_suppkey",
+      Seq("l_orderkey", "l_linenumber"), "l_extendedprice", 5, 95)
+
   /** Snapshot diff between two synthetic versions of orders: modulus
     * masks simulate deletes/inserts, literal bumps simulate updates.
     */

@@ -321,6 +321,29 @@ class SnapshotDiffSpec extends AnyFunSuite {
   }
 }
 
+/** Winsorization: exact discrete band edges, comparison-only clip. */
+class WinsorizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("clips to the group's own P5/P95 members; interior untouched") {
+    // group A: 1..20 → p5 = value at ceil(5*20/100)=1st → 1.0,
+    // p95 = value at ceil(95*20/100)=19th → 19.0
+    val a = (1 to 20).map(i => ("A", i.toLong, i.toDouble))
+    // group B: 10 constant values → both edges = 7.0, all clip to 7
+    val b = (1 to 10).map(i => ("B", 100L + i, 7.0))
+    val df = (a ++ b).toDF("g", "id", "v")
+    val got = Quantiles.winsorize(df, "g", Seq("id"), "v", 5, 95)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(got(1L) == 1.0)    // at the lower edge, not below it
+    assert(got(20L) == 19.0)  // capped to the P95 member
+    assert(got(19L) == 19.0)  // interior value untouched
+    assert(got(10L) == 10.0)
+    assert((101L to 110L).forall(got(_) == 7.0))
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
