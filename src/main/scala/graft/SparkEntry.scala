@@ -303,7 +303,9 @@ object SparkEntry {
     // keyed snapshot diff (added/removed/changed + changed columns)
     "q164_snapshot_diff" -> (X.qSnapshotDiff _),
     // per-group winsorization at exact discrete percentiles
-    "q165_winsorize" -> (X.qWinsorize _)
+    "q165_winsorize" -> (X.qWinsorize _),
+    // per-key CUSUM drift statistic (closed-form, decimal-exact)
+    "q166_cusum" -> (X.qCusum _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -1625,6 +1627,38 @@ object SparkEntry {
     "q162_corr_matrix" -> corrMatrixSql,
     // Bellman-Ford rounds unrolled; see shortestPathsSql
     "q163_shortest_paths" -> shortestPathsSql,
+    // the same closed form (S = R − min(0, running-min R)) over the
+    // same (ts, event_id) total order; all sums DECIMAL-carried,
+    // one double cast at the surface. Two DuckDB traps dodged to
+    // keep the arithmetic in decimal (probed directly): (a) the
+    // windowed SUM comes back DECIMAL(38,2) and 38+1-precision
+    // subtraction promotes to DOUBLE → narrow both operands to
+    // DECIMAL(28,2) first (exact: |r| ≪ 10^26); (b) LEAST over
+    // decimals ALWAYS returns DOUBLE → spell min(0, m) as a CASE,
+    // which unifies decimal types properly.
+    "q166_cusum" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) -
+        |        CAST('8.00' AS DECIMAL(18,2))) OVER w
+        |      AS DECIMAL(28,2)) AS r
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    CAST(r - (CASE WHEN m < CAST('0.00' AS DECIMAL(28,2))
+        |      THEN m ELSE CAST('0.00' AS DECIMAL(28,2)) END)
+        |      AS DOUBLE) AS cusum
+        |  FROM (
+        |    SELECT user_id, event_id, r,
+        |      CAST(MIN(r) OVER w2 AS DECIMAL(28,2)) AS m
+        |    FROM t
+        |    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+        |SELECT user_id, event_id, cusum,
+        |  cusum > CAST('40.00' AS DOUBLE) AS alarm
+        |FROM s""".stripMargin,
     // q149's discrete-selection band edges + pure LEAST/GREATEST
     // clip — no float arithmetic anywhere on either side
     "q165_winsorize" ->

@@ -174,6 +174,39 @@ object TimeSeries {
     chained.withColumn("stage", stage)
   }
 
+  /** Per-key one-sided CUSUM change-point statistic: after each
+    * event, S = max(0, S_prev + (value − k)) — the classic drift
+    * detector (has this key's metric shifted above its allowance
+    * k?), alarmed when S exceeds h.
+    *
+    * The recursion is NOT computed recursively — that would be a
+    * per-key serial fold. Closed form instead: with running sum
+    * R_i = Σ_{j≤i}(v_j − k),   S_i = R_i − min(0, min_{j≤i} R_j),
+    * so two window functions over ONE (key)-partitioned,
+    * (ts, id)-ordered sort — a total order, tie-safe — give every
+    * row's statistic in a single shuffle. All sums are DECIMAL-
+    * carried (exact in any partitioning); k and h are decimal
+    * literals, so there is no float anywhere until the final
+    * surfacing cast.
+    */
+  def cusum(events: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, valueCol: String, k: BigDecimal,
+      h: BigDecimal): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = col(valueCol).cast("decimal(18,2)") -
+      lit(k.underlying).cast("decimal(18,2)")
+    events
+      .withColumn("_r", sum(d).over(w))
+      .withColumn("_m", min(col("_r")).over(w))
+      .select(col(keyCol), col(idCol),
+        (col("_r") - least(col("_m"), lit(BigDecimal(0).underlying)
+          .cast("decimal(18,2)"))).cast("double").as("cusum"))
+      .withColumn("alarm",
+        col("cusum") > lit(h.underlying).cast("double"))
+  }
+
   def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, lambdaPerDay: Double): DataFrame = {
     val tRef = events.agg(max(unix_micros(col(tsCol))).as("_tref"))

@@ -1472,6 +1472,14 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Per-user CUSUM drift statistic over event values (allowance
+    * k=8.00, alarm h=40.00) — closed-form, one shuffle.
+    */
+  def qCusum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.cusum(
+      RelationalQueries.events(s, dir), "user_id", "event_id", "ts",
+      "value", BigDecimal("8.00"), BigDecimal("40.00"))
+
   /** Per-supplier winsorization of extended price into the exact
     * discrete [P5, P95] band — zero float arithmetic.
     */

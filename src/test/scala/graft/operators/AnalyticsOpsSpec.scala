@@ -344,6 +344,40 @@ class WinsorizeSpec extends AnyFunSuite {
   }
 }
 
+/** CUSUM: closed-form equals the serial fold; resets clamp at zero. */
+class CusumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("matches the hand-folded recursion; alarm at the threshold") {
+    // k=2: d = [1, -1, -2, 3] → serial S = [1, 0, 0, 3]
+    val ev = Seq(
+      ("u", 1L, 10L, 3.0), ("u", 2L, 20L, 1.0),
+      ("u", 3L, 30L, 0.0), ("u", 4L, 40L, 5.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = TimeSeries.cusum(ev, "user_id", "event_id", "ts",
+        "value", BigDecimal("2.00"), BigDecimal("2.50"))
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((1.0, false)), 2L -> ((0.0, false)),
+      3L -> ((0.0, false)), 4L -> ((3.0, true))))
+  }
+
+  test("keys evolve independently; ties broken by id") {
+    val ev = Seq(
+      ("a", 1L, 10L, 9.0), ("b", 2L, 10L, 1.0),
+      ("a", 3L, 10L, 9.0)) // same ts as a's first: id orders them
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = TimeSeries.cusum(ev, "user_id", "event_id", "ts",
+        "value", BigDecimal("2.00"), BigDecimal("100.00"))
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("a", 1L) -> 7.0, ("a", 3L) -> 14.0, ("b", 2L) -> 0.0))
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
