@@ -305,7 +305,9 @@ object SparkEntry {
     // per-group winsorization at exact discrete percentiles
     "q165_winsorize" -> (X.qWinsorize _),
     // per-key CUSUM drift statistic (closed-form, decimal-exact)
-    "q166_cusum" -> (X.qCusum _)
+    "q166_cusum" -> (X.qCusum _),
+    // streaming: stream-static dim join + windowed agg (batch oracle)
+    "q167_stream_static_join" -> (X.qStreamStaticDim _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2465,6 +2467,19 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "q79_dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+    // batch mirror of the stream-static enrichment replay: same
+    // 5-minute bucketing as q78, inner join to the same derived dim
+    "q167_stream_static_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey - 1 AS user_id, c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey <= 150)
+        |SELECT strftime(make_timestamp(
+        |    (epoch_us(ts) // 300000000) * 300000000),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  segment, COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN dim USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q80_media_metadata" ->
       """SELECT doc_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -570,6 +570,28 @@ object ExtensionQueries {
     * same epoch-bucket oracle as its batch form. Decimal-carried sums
     * keep the float aggregation order-independent across micro-batches.
     */
+  /** Stream-static enrichment replay: events joined per micro-batch
+    * against a customer-derived user→segment dim, then 5-minute
+    * windowed counts per segment. Oracle = the batch join+agg.
+    */
+  def qStreamStaticDim(s: SparkSession, dir: String): DataFrame = {
+    val dim = tbl(s, dir, "customer")
+      .filter(col("c_custkey") <= 150)
+      .select((col("c_custkey") - 1).cast("long").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    graft.streaming.EventStreams.replayToTable(
+      RelationalQueries.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value")),
+      df => graft.streaming.EventStreams.enrichedWindowedCounts(
+          df, dim, "user_id", "segment", "5 minutes", "0 seconds")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("segment"), col("n"), col("sum_value")),
+      horizonSeconds = 600)
+  }
+
   def qWindowedStream(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStreams.replayToTable(
       RelationalQueries.events(s, dir)

@@ -76,6 +76,35 @@ object EventStreams {
         col("sess.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment: join the event stream against a
+    * batch dimension table, then window-aggregate by a dimension
+    * attribute — the canonical streaming-ETL shape (events are
+    * enriched with slowly-changing reference data; Spark re-plans
+    * the static side per micro-batch, no state is kept for it).
+    *
+    * Scale shape: the static side is a broadcast-sized dim in the
+    * common case (Catalyst broadcasts it under AQE like any batch
+    * join); stream state exists only for the windowed aggregate,
+    * bounded by the watermark. Inner-join semantics: events without
+    * a dimension row are dropped (the enrichment contract).
+    */
+  def enrichedWindowedCounts(
+      events: DataFrame,
+      dim: DataFrame,
+      joinKey: String,
+      dimAttr: String,
+      windowLen: String = "5 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .join(dim.select(col(joinKey), col(dimAttr)), Seq(joinKey))
+      .groupBy(window(col("ts"), windowLen).as("win"), col(dimAttr))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .select(col("win.start").as("window_start"),
+        col(dimAttr), col("n"), col("sum_value"))
+
   /** Streaming dedup by key within the watermark horizon — the
     * streaming analog of exact dedup (first occurrence wins).
     */

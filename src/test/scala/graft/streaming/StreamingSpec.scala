@@ -39,6 +39,28 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:05:00.0", "click", 1L)))
   }
 
+  test("stream-static enrichment joins the dim per batch, drops unmatched") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "segment")
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(t(0), 1, "click", 1.5), Ev(t(1), 2, "click", 2.0),
+      Ev(t(2), 9, "click", 99.0), // no dim row → dropped (inner join)
+      Ev(t(6), 1, "view", 3.25))
+    val q = EventStreams.enrichedWindowedCounts(
+        mem.toDF, dim, "user_id", "segment", "5 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enrich_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", "GOLD", 1L, 1.5),
+      ("2024-01-01 10:00:00.0", "SILVER", 1L, 2.0),
+      ("2024-01-01 10:05:00.0", "GOLD", 1L, 3.25)))
+  }
+
   test("flatMapGroupsWithState sessionizer emits on in-batch gap and on timeout") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Ev]
