@@ -307,7 +307,11 @@ object SparkEntry {
     // per-key CUSUM drift statistic (closed-form, decimal-exact)
     "q166_cusum" -> (X.qCusum _),
     // streaming: stream-static dim join + windowed agg (batch oracle)
-    "q167_stream_static_join" -> (X.qStreamStaticDim _)
+    "q167_stream_static_join" -> (X.qStreamStaticDim _),
+    // shard-interleaved curriculum schedule (md5 shards, integer)
+    "q168_curriculum_order" -> (X.qCurriculum _),
+    // per-source greedy token-budget selection
+    "q169_token_budget" -> (X.qTokenBudget _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -414,6 +418,32 @@ object SparkEntry {
        |FROM (
        |  SELECT per.*, CASE LEAST($k, lf.lc - 1) $idealCase END AS idcg
        |  FROM per JOIN lf ON per.qlabel = lf.label)""".stripMargin
+  }
+
+  /** Curriculum oracle: the q95 token formula, the negPairsSql
+    * nibble-sum shard hash, a per-shard rank and the integer
+    * interleave — all BIGINT.
+    */
+  private def curriculumSql: String = {
+    val hexval = (0 until 6).map(i =>
+      s"CAST((strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) " +
+        s"AS BIGINT) * ${1L << (4 * (5 - i))}").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+       |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END
+       |      AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR) || ':cur_v1') AS h
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, n_tokens, ($hexval) % 8 AS shard FROM tok),
+       |r AS (
+       |  SELECT doc_id, shard,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rk
+       |  FROM sh)
+       |SELECT doc_id, shard, (rk - 1) * 8 + shard + 1 AS position
+       |FROM r""".stripMargin
   }
 
   /** Negative-sampling oracle: the same md5-ring arithmetic spelled
@@ -1623,6 +1653,25 @@ object SparkEntry {
     "q159_kcore" -> kcoreSql,
     // md5-ring draws spelled in SQL; see negPairsSql
     "q160_negative_pairs" -> negPairsSql,
+    // shard hash + per-shard rank + interleave; see curriculumSql
+    "q168_curriculum_order" -> curriculumSql,
+    // greedy walk = running-frame cumsum in the same (weight desc,
+    // id) total order; keep rows that START under the budget
+    "q169_token_budget" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+        |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_tokens DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM tok)
+        |WHERE cum_before < 800""".stripMargin,
     // shared-literal discount table; see retrievalEvalSql
     "q161_retrieval_eval" -> retrievalEvalSql,
     // decimal moments + pinned IEEE Pearson chain; see corrMatrixSql

@@ -280,6 +280,63 @@ object Sampling {
     } finally ranged.unpersist()
   }
 
+  /** Shard-interleaved curriculum order: assign each doc to one of S
+    * md5-shards, rank by difficulty WITHIN each shard, and interleave
+    * (position = (rank−1)·S + shard + 1) — globally easy→hard while
+    * every consecutive S-block still mixes all shards, so no batch is
+    * a difficulty cliff or a single-shard cluster (the curriculum-
+    * learning schedule, shard-stratified). Pure integer arithmetic on
+    * a portable hash: reproducible anywhere.
+    *
+    * `position` is an ORDER KEY, not a dense index: values are
+    * distinct (positions of shard s are ≡ s+1 mod S) but have gaps
+    * wherever hash shards are unequal — consumers sort by it; a
+    * dense 1..N would cost the global window this operator exists to
+    * avoid (q137's rank is the dense alternative).
+    *
+    * Scale shape: one shuffle by shard (S ≈ tens) with a
+    * per-shard sort — each shard is ~N/S rows, so no one-partition
+    * global window; the interleave is a map-side expression.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String,
+      difficultyCol: String, shards: Int, salt: String): DataFrame = {
+    require(shards >= 2, s"need at least 2 shards: $shards")
+    val shard = conv(substring(hashUniform(col(idCol), salt), 1, 6), 16, 10)
+      .cast("long") % shards
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col(difficultyCol), col(idCol))
+    df.select(col(idCol), col(difficultyCol))
+      .withColumn("shard", shard)
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"),
+        ((col("_rk") - 1L) * shards + col("shard") + 1L).as("position"))
+  }
+
+  /** Per-group greedy budget selection: walk each group's rows in
+    * (weight desc, id) order and keep every row that STARTS before
+    * the budget is exhausted — the data-mixing op "top docs per
+    * domain until the token budget runs out". Deterministic total
+    * order, integer cumulative sums, no driver state.
+    *
+    * Scale shape: one shuffle by group + per-group sort (the same
+    * cost as any per-group ranking); the cumulative sum is a
+    * running-frame window on that sort — no second pass.
+    */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(weightCol).desc, col(idCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(groupCol), col(idCol), col(weightCol))
+      .withColumn("cum_before",
+        coalesce(sum(col(weightCol)).over(w), lit(0L)).cast("long"))
+      .filter(col("cum_before") < budget)
+  }
+
   /** Deterministic contrastive negative sampling: k pseudo-random
     * partner docs per doc (the in-batch-negatives data op for
     * embedding / reranker training), WITHOUT a cross join and without

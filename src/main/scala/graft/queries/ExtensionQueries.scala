@@ -1494,6 +1494,29 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Curriculum order: whitespace-token difficulty, 8 md5 shards,
+    * interleaved easy→hard global schedule.
+    */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val tok = tbl(s, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCountArithmetic(col("text"))
+        .cast("long").as("n_tokens"))
+    graft.operators.Sampling.curriculumOrder(
+      tok, "doc_id", "n_tokens", shards = 8, "cur_v1")
+  }
+
+  /** Greedy per-source token budget: largest docs first until 800
+    * tokens are committed per source (≈60% of each source's corpus
+    * is cut, so the gate provably bites).
+    */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val tok = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCountArithmetic(col("text"))
+        .cast("long").as("n_tokens"))
+    graft.operators.Sampling.tokenBudgetSelect(
+      tok, "source", "doc_id", "n_tokens", budget = 800L)
+  }
+
   /** Per-user CUSUM drift statistic over event values (allowance
     * k=8.00, alarm h=40.00) — closed-form, one shuffle.
     */

@@ -198,6 +198,37 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "global window leaked into the gate plan")
   }
 
+  test("curriculum order: interleaved permutation, easy→hard per shard") {
+    val docs = (0L until 64L).map(i => (i, i % 7)).toDF("id", "diff")
+    val got = Sampling.curriculumOrder(docs, "id", "diff", 4, "curtest")
+      .as[(Long, Long, Long)].collect()
+    // positions are a distinct total-order key (gaps allowed where
+    // hash shards are unequal — see the operator contract)
+    assert(got.map(_._3).distinct.length == 64)
+    assert(got.map(_._3).forall(_ >= 1L))
+    // position parity encodes the shard: p ≡ shard+1 (mod S)
+    assert(got.forall { case (_, s, p) => (p - 1 - s) % 4 == 0 })
+    // within a shard, difficulty is non-decreasing along positions
+    val byDiff = docs.as[(Long, Long)].collect().toMap
+    got.groupBy(_._2).values.foreach { rows =>
+      val ds = rows.sortBy(_._3).map(r => byDiff(r._1))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("token budget: keeps rows that start under the budget") {
+    val df = Seq(
+      ("A", 1L, 10L), ("A", 2L, 10L), ("A", 3L, 5L),
+      ("B", 4L, 100L), ("B", 5L, 1L))
+      .toDF("g", "id", "w")
+    val got = Sampling.tokenBudgetSelect(df, "g", "id", "w", 15L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    // A: id1 starts at 0, id2 at 10 (< 15, kept though it overshoots),
+    // id3 at 20 (dropped). B: the oversized first row is always kept.
+    assert(got == Map(1L -> 0L, 2L -> 10L, 4L -> 0L))
+  }
+
   test("negative pairs: k per doc, never self, deterministic") {
     val docs = (0L until 40L).toDF("doc_id")
     val negs = Sampling.negativePairs(docs, "doc_id", k = 3, "negtest")
