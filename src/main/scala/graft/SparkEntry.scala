@@ -311,7 +311,11 @@ object SparkEntry {
     // shard-interleaved curriculum schedule (md5 shards, integer)
     "q168_curriculum_order" -> (X.qCurriculum _),
     // per-source greedy token-budget selection
-    "q169_token_budget" -> (X.qTokenBudget _)
+    "q169_token_budget" -> (X.qTokenBudget _),
+    // interval concurrency timeline (boundary deltas + bounded cumsum)
+    "q170_concurrency" -> (X.qConcurrency _),
+    // ratio-to-report shares via broadcast decimal totals
+    "q171_ratio_report" -> (X.qRatioToReport _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -1655,6 +1659,44 @@ object SparkEntry {
     "q160_negative_pairs" -> negPairsSql,
     // shard hash + per-shard rank + interleave; see curriculumSql
     "q168_curriculum_order" -> curriculumSql,
+    // boundary-delta concurrency: +1 at start, −1 the day after the
+    // inclusive end; per-day aggregate then ONE bounded cumsum over
+    // the calendar axis
+    "q170_concurrency" ->
+      """WITH iv AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS sd,
+        |    CAST(MAX(l.l_shipdate) AS DATE) AS ed
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY o.o_orderkey, o.o_orderdate),
+        |deltas AS (
+        |  SELECT sd AS day, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT ed + 1, CAST(-1 AS BIGINT) FROM iv),
+        |daily AS (SELECT day, SUM(delta) AS d FROM deltas GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(SUM(d) OVER (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS n_active
+        |FROM daily""".stripMargin,
+    // per-customer decimal partial sums merged into nation/grand
+    // totals (decimal-exact in any composition), then two pinned
+    // IEEE divisions
+    "q171_ratio_report" ->
+      """WITH rev AS (
+        |  SELECT c_custkey, n_name,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(24,6))) AS rd
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |nat AS (SELECT n_name, SUM(rd) AS nd FROM rev GROUP BY 1),
+        |tot AS (SELECT SUM(rd) AS td FROM rev)
+        |SELECT c_custkey, n_name, CAST(rd AS DOUBLE) AS revenue,
+        |  CAST(rd AS DOUBLE) / CAST(nd AS DOUBLE) AS share_nation,
+        |  CAST(rd AS DOUBLE) / CAST(td AS DOUBLE) AS share_total
+        |FROM rev JOIN nat USING (n_name), tot""".stripMargin,
     // greedy walk = running-frame cumsum in the same (weight desc,
     // id) total order; keep rows that START under the budget
     "q169_token_budget" ->

@@ -25,6 +25,28 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Ratio-to-report: each row's share of its group total and of the
+    * grand total — the OLAP percent-of-parent column pair. The value
+    * column must be DECIMAL (exact partial sums): group and grand
+    * totals are then sums of those decimals — identical under any
+    * aggregation order/composition — and each share is one pinned
+    * IEEE division. Totals travel by BROADCAST join (O(|groups|) and
+    * O(1) rows), never by a window over the detail table: a global
+    * window would funnel every row through one partition.
+    */
+  def ratioToReport(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val grp = df.groupBy(groupCol).agg(sum(col(valueCol)).as("_g"))
+    val tot = df.agg(sum(col(valueCol)).as("_t"))
+    df.join(broadcast(grp), Seq(groupCol)).crossJoin(broadcast(tot))
+      .select(col(idCol), col(groupCol),
+        col(valueCol).cast("double").as("value"),
+        (col(valueCol).cast("double") / col("_g").cast("double"))
+          .as("share_group"),
+        (col(valueCol).cast("double") / col("_t").cast("double"))
+          .as("share_total"))
+  }
+
   /** (col_x, col_y, corr) for every unordered column pair, in the
     * given column order. Rows with a null in ANY profiled column are
     * excluded (one consistent n for every moment).

@@ -1494,6 +1494,43 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Orders-in-flight timeline: interval = order date .. last
+    * shipment day (inclusive), boundary-delta concurrency.
+    */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val spans = tbl(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("_last"))
+      .join(tbl(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(to_date(col("o_orderdate")).as("sd"),
+        to_date(col("_last")).as("ed"))
+    graft.operators.Intervals.concurrencyTimeline(spans, "sd", "ed")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"))
+  }
+
+  /** Ratio-to-report revenue shares: per-customer revenue with its
+    * share of nation and of the whole report — totals by broadcast
+    * join of decimal-exact partial sums, not by windows.
+    */
+  def qRatioToReport(s: SparkSession, dir: String): DataFrame = {
+    val rev = tbl(s, dir, "lineitem")
+      .join(broadcast(tbl(s, dir, "orders")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")).as("_rd"))
+    graft.operators.Profiling.ratioToReport(rev, "c_custkey", "n_name", "_rd")
+      .select(col("c_custkey"), col("n_name"),
+        col("value").as("revenue"),
+        col("share_group").as("share_nation"),
+        col("share_total"))
+  }
+
   /** Curriculum order: whitespace-token difficulty, 8 md5 shards,
     * interleaved easy→hard global schedule.
     */

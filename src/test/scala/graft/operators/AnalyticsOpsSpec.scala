@@ -378,6 +378,47 @@ class CusumSpec extends AnyFunSuite {
   }
 }
 
+/** Interval concurrency: boundary deltas, compressed timeline. */
+class IntervalsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("overlap counting with inclusive ends and touching intervals") {
+    def d(n: Int) = java.sql.Date.valueOf(f"2024-01-$n%02d")
+    val iv = Seq((d(1), d(3)), (d(2), d(2)), (d(5), d(5)))
+      .toDF("sd", "ed")
+    val got = Intervals.concurrencyTimeline(iv, "sd", "ed")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == Map(
+      "2024-01-01" -> 1L, // first opens
+      "2024-01-02" -> 2L, // second overlaps inside the first
+      "2024-01-03" -> 1L, // second closed (inclusive end on the 2nd)
+      "2024-01-04" -> 0L, // first closed
+      "2024-01-05" -> 1L, // isolated single-day interval
+      "2024-01-06" -> 0L))
+  }
+}
+
+/** Ratio-to-report: decimal totals by broadcast, pinned divisions. */
+class RatioToReportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shares of group and grand total from exact decimal values") {
+    val df = Seq((1L, "n1", "100.00"), (2L, "n1", "300.00"),
+        (3L, "n2", "100.00"))
+      .toDF("id", "grp", "v")
+      .withColumn("v", col("v").cast("decimal(24,6)"))
+    val got = Profiling.ratioToReport(df, "id", "grp", "v")
+      .as[(Long, String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> ((100.0, 0.25, 0.2)),
+      2L -> ((300.0, 0.75, 0.6)),
+      3L -> ((100.0, 1.0, 0.2))))
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
