@@ -315,7 +315,9 @@ object SparkEntry {
     // interval concurrency timeline (boundary deltas + bounded cumsum)
     "q170_concurrency" -> (X.qConcurrency _),
     // ratio-to-report shares via broadcast decimal totals
-    "q171_ratio_report" -> (X.qRatioToReport _)
+    "q171_ratio_report" -> (X.qRatioToReport _),
+    // A/B two-proportion readout from exact counts
+    "q172_ab_test" -> (X.qAbTest _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -1659,6 +1661,40 @@ object SparkEntry {
     "q160_negative_pairs" -> negPairsSql,
     // shard hash + per-shard rank + interleave; see curriculumSql
     "q168_curriculum_order" -> curriculumSql,
+    // q94's md5 hex-threshold coin for arms; all statistics are the
+    // SAME pinned IEEE chain over the four exact counts
+    "q172_ab_test" ->
+      """WITH conv AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+        |units AS (
+        |  SELECT CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || ':ab_v1'), 1, 4) < '8000' THEN 'A' ELSE 'B' END AS arm,
+        |    conv.o_custkey IS NOT NULL AS converted
+        |  FROM customer LEFT JOIN conv ON c_custkey = o_custkey),
+        |m AS (
+        |  SELECT
+        |    CAST(COUNT(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(COUNT(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(COUNT(CASE WHEN arm = 'A' AND converted THEN 1 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(COUNT(CASE WHEN arm = 'B' AND converted THEN 1 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM units)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |    (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - 1.0 AS lift,
+        |  ((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) -
+        |   (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))) /
+        |  sqrt((CAST(conv_a + conv_b AS DOUBLE) /
+        |        CAST(n_a + n_b AS DOUBLE)) *
+        |       (1.0 - CAST(conv_a + conv_b AS DOUBLE) /
+        |        CAST(n_a + n_b AS DOUBLE)) *
+        |       (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |    AS z
+        |FROM m""".stripMargin,
     // boundary-delta concurrency: +1 at start, −1 the day after the
     // inclusive end; per-day aggregate then ONE bounded cumsum over
     // the calendar axis

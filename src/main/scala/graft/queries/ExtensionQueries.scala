@@ -1494,6 +1494,22 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** A/B readout: customers hash-split 50/50, conversion = placed an
+    * order in 1995; rates, lift and pooled z from exact counts.
+    */
+  def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val conv = tbl(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey")).distinct()
+    val units = tbl(s, dir, "customer")
+      .select(col("c_custkey"),
+        graft.operators.Experiments.abArm(col("c_custkey"), "ab_v1")
+          .as("arm"))
+      .join(conv, col("c_custkey") === col("o_custkey"), "left_outer")
+      .withColumn("converted", col("o_custkey").isNotNull)
+    graft.operators.Experiments.twoProportions(units, "arm", "converted")
+  }
+
   /** Orders-in-flight timeline: interval = order date .. last
     * shipment day (inclusive), boundary-delta concurrency.
     */

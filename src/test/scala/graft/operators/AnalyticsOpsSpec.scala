@@ -419,6 +419,40 @@ class RatioToReportSpec extends AnyFunSuite {
   }
 }
 
+/** A/B readout: exact counts, pinned z chain, stable arm coin. */
+class ExperimentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two-proportion summary matches the hand-built chain") {
+    val df = (Seq.fill(3)(("A", false)) ++ Seq(("A", true)) ++
+      Seq.fill(2)(("B", false)) ++ Seq.fill(2)(("B", true)))
+      .toDF("arm", "converted")
+    val r = Experiments.twoProportions(df, "arm", "converted")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert((r._1, r._2, r._3, r._4) == ((4L, 4L, 1L, 2L)))
+    assert((r._5, r._6) == ((0.25, 0.5)))
+    assert(r._7 == 1.0) // lift: B doubles A's rate
+    val pooled = 3.0 / 8.0
+    val want = (0.5 - 0.25) /
+      math.sqrt(pooled * (1.0 - pooled) * (1.0 / 4.0 + 1.0 / 4.0))
+    assert(r._8 == want)
+  }
+
+  test("arm coin is stable per id and splits a large set near-half") {
+    val ids = (0L until 4000L).toDF("id")
+    val armed = ids.select($"id",
+      Experiments.abArm($"id", "armtest").as("arm"))
+    val counts = armed.groupBy("arm").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("A") - 2000L) < 150)
+    // re-evaluation identical (pure hash function)
+    assert(armed.except(ids.select($"id",
+      Experiments.abArm($"id", "armtest").as("arm"))).isEmpty)
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
