@@ -142,4 +142,36 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "plan renders top-down: the CMS filter must appear BELOW (after) " +
         "the first exchange in the rendering, i.e. run before it:\n" + plan)
   }
+
+  test("q165: the winsorize band table is broadcast — the big side is not re-shuffled") {
+    val plan = planOf("q165_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q171: both ratio totals arrive by broadcast, detail never windows") {
+    val plan = planOf("q171_ratio_report")
+    assert(!plan.contains("Window"), "share must not use a window:\n" + plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q172: A/B readout is a single-scan aggregate (no joins beyond the conv flag)") {
+    val plan = planOf("q172_ab_test")
+    // one left join for the conversion flag, then pure aggregation —
+    // no window, no sort
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("TakeOrdered"), plan)
+  }
+
+  test("q170: concurrency cumsum windows AFTER the per-day aggregate, not over intervals") {
+    val plan = planOf("q170_concurrency")
+    // plan renders top-down: Window (the bounded cumsum) must sit
+    // ABOVE the partial/final aggregate pair that shrinks deltas to
+    // O(days) rows
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "cumsum must consume the aggregated day table:\n" + plan)
+  }
 }
