@@ -317,7 +317,9 @@ object SparkEntry {
     // ratio-to-report shares via broadcast decimal totals
     "q171_ratio_report" -> (X.qRatioToReport _),
     // A/B two-proportion readout from exact counts
-    "q172_ab_test" -> (X.qAbTest _)
+    "q172_ab_test" -> (X.qAbTest _),
+    // rolling 7-day distinct active users (coverage-run timeline)
+    "q173_rolling_active" -> (X.qRollingActive _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -1661,6 +1663,34 @@ object SparkEntry {
     "q160_negative_pairs" -> negPairsSql,
     // shard hash + per-shard rank + interleave; see curriculumSql
     "q168_curriculum_order" -> curriculumSql,
+    // INDEPENDENT oracle: same boundary-day set (runs are integer
+    // date logic), but the count at each day comes from the direct
+    // quadratic form — distinct users active in [d−6, d] — not from
+    // the engine's delta-cumsum mechanics
+    "q173_rolling_active" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT u, day,
+        |    CASE WHEN LAG(day) OVER (PARTITION BY u ORDER BY day)
+        |        IS NULL
+        |      OR day > LAG(day) OVER (PARTITION BY u ORDER BY day) + 6
+        |      THEN 1 ELSE 0 END AS newrun
+        |  FROM act),
+        |runs AS (
+        |  SELECT u, day, SUM(newrun) OVER (PARTITION BY u ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM r),
+        |iv AS (SELECT u, run, MIN(day) AS sd, MAX(day) + 6 AS ed
+        |       FROM runs GROUP BY 1, 2),
+        |dayset AS (SELECT sd AS day FROM iv
+        |           UNION SELECT ed + 1 FROM iv)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_active
+        |FROM dayset d
+        |LEFT JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin,
     // q94's md5 hex-threshold coin for arms; all statistics are the
     // SAME pinned IEEE chain over the four exact counts
     "q172_ab_test" ->

@@ -1494,6 +1494,13 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Rolling 7-day distinct active users, exact, at every day the
+    * count changes — oracle is the independent quadratic form.
+    */
+  def qRollingActive(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retention.rollingActiveUsers(
+      RelationalQueries.events(s, dir), "user_id", "ts", windowDays = 7)
+
   /** A/B readout: customers hash-split 50/50, conversion = placed an
     * order in 1995; rates, lift and pooled z from exact counts.
     */

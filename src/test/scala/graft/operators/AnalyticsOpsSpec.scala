@@ -453,6 +453,32 @@ class ExperimentsSpec extends AnyFunSuite {
   }
 }
 
+/** Rolling active users: coverage runs, exact window-distinct. */
+class RollingActiveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("window coverage, run merging, no double count across runs") {
+    def ts(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-$n%02d 12:00:00")
+    // user a: days 1 and 3 (one merged run, covers 1..5 for W=3);
+    // a returns day 10 (separate run, covers 10..12);
+    // user b: day 4 only (covers 4..6)
+    val ev = Seq(("a", ts(1)), ("a", ts(3)), ("a", ts(10)), ("b", ts(4)))
+      .toDF("u", "t")
+    val got = Retention.rollingActiveUsers(ev, "u", "t", windowDays = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "2024-01-01" -> 1L, // a's first run opens
+      "2024-01-04" -> 2L, // b joins while a still covered
+      "2024-01-06" -> 1L, // a's coverage (3+2=5) ended, b remains
+      "2024-01-07" -> 0L, // b's coverage ended
+      "2024-01-10" -> 1L, // a's second run
+      "2024-01-13" -> 0L))
+    // a active on 1 and 3 merged into ONE run: no boundary at day 3
+    assert(!got.contains("2024-01-03"))
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
