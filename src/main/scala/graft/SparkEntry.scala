@@ -319,7 +319,9 @@ object SparkEntry {
     // A/B two-proportion readout from exact counts
     "q172_ab_test" -> (X.qAbTest _),
     // rolling 7-day distinct active users (coverage-run timeline)
-    "q173_rolling_active" -> (X.qRollingActive _)
+    "q173_rolling_active" -> (X.qRollingActive _),
+    // CUPED variance-reduced readout from decimal moments
+    "q174_cuped" -> (X.qCuped _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -1663,6 +1665,59 @@ object SparkEntry {
     "q160_negative_pairs" -> negPairsSql,
     // shard hash + per-shard rank + interleave; see curriculumSql
     "q168_curriculum_order" -> curriculumSql,
+    // decimal moment sums (exact in any order) cast to double once,
+    // then the SAME pinned chain as Experiments.cuped — per-unit
+    // adjustment algebraically eliminated on both sides
+    "q174_cuped" ->
+      """WITH rev94 AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x0
+        |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1994
+        |  GROUP BY 1),
+        |rev95 AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y0
+        |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        |  GROUP BY 1),
+        |units AS (
+        |  SELECT CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || ':ab_v1'), 1, 4) < '8000' THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(COALESCE(x0, 0) AS DECIMAL(18,2)) AS x,
+        |    CAST(COALESCE(y0, 0) AS DECIMAL(18,2)) AS y
+        |  FROM customer
+        |  LEFT JOIN rev94 ON c_custkey = rev94.o_custkey
+        |  LEFT JOIN rev95 ON c_custkey = rev95.o_custkey),
+        |m AS (
+        |  SELECT
+        |    COUNT(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+        |    COUNT(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+        |    SUM(CASE WHEN arm = 'A' THEN x END) AS sx_a,
+        |    SUM(CASE WHEN arm = 'B' THEN x END) AS sx_b,
+        |    SUM(CASE WHEN arm = 'A' THEN y END) AS sy_a,
+        |    SUM(CASE WHEN arm = 'B' THEN y END) AS sy_b,
+        |    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        |  FROM units),
+        |f AS (
+        |  SELECT CAST(n_a + n_b AS DOUBLE) AS n,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE) AS sx,
+        |    CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE) AS sy,
+        |    CAST(sx_a AS DOUBLE) AS sxa, CAST(sx_b AS DOUBLE) AS sxb,
+        |    CAST(sy_a AS DOUBLE) AS sya, CAST(sy_b AS DOUBLE) AS syb,
+        |    CAST(sxx AS DOUBLE) AS dxx, CAST(sxy AS DOUBLE) AS dxy,
+        |    CAST(syy AS DOUBLE) AS dyy
+        |  FROM m)
+        |SELECT
+        |  (n * dxy - sx * sy) / (n * dxx - sx * sx) AS theta,
+        |  ((n * dxy - sx * sy) * (n * dxy - sx * sy)) /
+        |    ((n * dxx - sx * sx) * (n * dyy - sy * sy)) AS r2,
+        |  sya / na AS mean_a_raw,
+        |  syb / nb AS mean_b_raw,
+        |  sya / na - ((n * dxy - sx * sy) / (n * dxx - sx * sx)) *
+        |    (sxa / na - sx / n) AS mean_a_adj,
+        |  syb / nb - ((n * dxy - sx * sy) / (n * dxx - sx * sx)) *
+        |    (sxb / nb - sx / n) AS mean_b_adj
+        |FROM f""".stripMargin,
     // INDEPENDENT oracle: same boundary-day set (runs are integer
     // date logic), but the count at each day comes from the direct
     // quadratic form — distinct users active in [d−6, d] — not from

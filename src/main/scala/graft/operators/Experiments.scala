@@ -30,6 +30,54 @@ object Experiments {
     when(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 4)
       < "8000", lit("A")).otherwise(lit("B"))
 
+  /** CUPED variance-reduction readout: adjust the experiment metric
+    * y by a pre-period covariate x (θ = cov(x,y)/var(x), pooled) —
+    * the standard trick that shrinks A/B confidence intervals by the
+    * share of variance x explains.
+    *
+    * The textbook form adjusts EVERY unit (ŷᵢ = yᵢ − θ(xᵢ − x̄)) and
+    * then averages — a per-row float sum whose result depends on
+    * aggregation order. Here the adjustment is algebraically
+    * eliminated instead: mean(ŷ | arm) = ȳ_arm − θ(x̄_arm − x̄), so
+    * the WHOLE readout derives from decimal-exact sums (Σx, Σy, Σx²,
+    * Σxy, Σy², per arm and pooled) collected in ONE scan, with a
+    * single pinned IEEE chain at the end. Also emits r² — the
+    * variance-reduction fraction.
+    *
+    * Expects DECIMAL x/y columns (exact partial aggregation).
+    */
+  def cuped(df: DataFrame, armCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    def arm(a: String, c: org.apache.spark.sql.Column) =
+      sum(when(col(armCol) === a, c))
+    val m = df.agg(
+      count(when(col(armCol) === "A", lit(1))).as("n_a"),
+      count(when(col(armCol) === "B", lit(1))).as("n_b"),
+      arm("A", x).as("sx_a"), arm("B", x).as("sx_b"),
+      arm("A", y).as("sy_a"), arm("B", y).as("sy_b"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    def d(c: String) = col(c).cast("double")
+    val sx = d("sx_a") + d("sx_b")
+    val sy = d("sy_a") + d("sy_b")
+    val covN = n * d("sxy") - sx * sy    // n²·cov
+    val varXN = n * d("sxx") - sx * sx   // n²·var(x)
+    val varYN = n * d("syy") - sy * sy
+    val theta = covN / varXN
+    val xbar = sx / n
+    m.select(
+      theta.as("theta"),
+      ((covN * covN) / (varXN * varYN)).as("r2"),
+      (d("sy_a") / d("n_a")).as("mean_a_raw"),
+      (d("sy_b") / d("n_b")).as("mean_b_raw"),
+      (d("sy_a") / d("n_a") - theta * (d("sx_a") / d("n_a") - xbar))
+        .as("mean_a_adj"),
+      (d("sy_b") / d("n_b") - theta * (d("sx_b") / d("n_b") - xbar))
+        .as("mean_b_adj"))
+  }
+
   /** One summary row from (armCol ∈ {'A','B'}, convCol boolean):
     * counts, rates, relative lift of B over A, and the pooled
     * two-proportion z statistic.

@@ -1494,6 +1494,30 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** CUPED readout: metric = 1995 customer revenue, covariate = 1994
+    * revenue, arms = the q172 hash coin; decimal moments, one scan.
+    */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    def revYear(yr: Int, alias: String) = tbl(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as(alias))
+    val units = tbl(s, dir, "customer")
+      .select(col("c_custkey"),
+        graft.operators.Experiments.abArm(col("c_custkey"), "ab_v1")
+          .as("arm"))
+      .join(revYear(1994, "_x0"), col("c_custkey") === col("o_custkey"),
+        "left_outer").drop("o_custkey")
+      .join(revYear(1995, "_y0"), col("c_custkey") === col("o_custkey"),
+        "left_outer").drop("o_custkey")
+      .select(col("arm"),
+        coalesce(col("_x0"), lit(0).cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("x"),
+        coalesce(col("_y0"), lit(0).cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("y"))
+    graft.operators.Experiments.cuped(units, "arm", "x", "y")
+  }
+
   /** Rolling 7-day distinct active users, exact, at every day the
     * count changes — oracle is the independent quadratic form.
     */

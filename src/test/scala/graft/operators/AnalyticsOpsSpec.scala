@@ -479,6 +479,40 @@ class RollingActiveSpec extends AnyFunSuite {
   }
 }
 
+/** CUPED: moment-sum chain equals the hand computation exactly. */
+class CupedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("theta, r2 and adjusted arm means from exact moments") {
+    val rows = Seq(("A", 1.0, 3.0), ("A", 2.0, 5.0),
+      ("B", 1.0, 4.0), ("B", 3.0, 8.0))
+    val df = rows.toDF("arm", "x", "y")
+      .select($"arm", $"x".cast("decimal(18,2)").as("x"),
+        $"y".cast("decimal(18,2)").as("y"))
+    val r = Experiments.cuped(df, "arm", "x", "y")
+      .as[(Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    // replicate the pinned chain
+    val n = 4.0
+    val (sxa, sxb) = (3.0, 4.0); val (sya, syb) = (8.0, 12.0)
+    val sx = sxa + sxb; val sy = sya + syb
+    val (dxx, dxy, dyy) = (15.0, 41.0, 114.0)
+    val covN = n * dxy - sx * sy
+    val varXN = n * dxx - sx * sx
+    val varYN = n * dyy - sy * sy
+    val theta = covN / varXN
+    assert(r._1 == theta)
+    assert(r._2 == (covN * covN) / (varXN * varYN))
+    assert((r._3, r._4) == ((4.0, 6.0)))
+    assert(r._5 == 4.0 - theta * (sxa / 2.0 - sx / n))
+    assert(r._6 == 6.0 - theta * (sxb / 2.0 - sx / n))
+    // the adjustment moves both arm means toward parity here (B's
+    // higher pre-period x explains part of its higher y)
+    assert(r._6 - r._5 < r._4 - r._3)
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
