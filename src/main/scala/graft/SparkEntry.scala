@@ -321,7 +321,9 @@ object SparkEntry {
     // rolling 7-day distinct active users (coverage-run timeline)
     "q173_rolling_active" -> (X.qRollingActive _),
     // CUPED variance-reduced readout from decimal moments
-    "q174_cuped" -> (X.qCuped _)
+    "q174_cuped" -> (X.qCuped _),
+    // personalized PageRank (seed-gated base, integer fixed point)
+    "q175_ppr" -> (X.qPersonalizedPageRank _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -593,6 +595,34 @@ object SparkEntry {
        |outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT node, r AS micro_rank FROM r$iters""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: q109's unrolled integer rounds
+    * with the base term seed-gated (seeds = suppliers 0-4) and r0
+    * nonzero only on seeds.
+    */
+  private def pprSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |    CAST((CASE WHEN n.node < 5 THEN 150000 ELSE 0 END) +
+         |      (CAST(85 AS BIGINT) * COALESCE(s.sc, 0)) // 100
+         |      AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.r // o.outdeg) AS sc
+         |    FROM e JOIN r${i - 1} p ON e.src = p.node
+         |    JOIN outd o ON e.src = o.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+       |  CAST(l_partkey AS BIGINT) + 10000000 AS p FROM lineitem),
+       |e AS (SELECT s AS src, p AS dst FROM b UNION ALL SELECT p, s FROM b),
+       |outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node,
+       |  CAST(CASE WHEN node < 5 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes),
        |$rounds
        |SELECT node, r AS micro_rank FROM r$iters""".stripMargin
   }
@@ -1665,6 +1695,8 @@ object SparkEntry {
     "q160_negative_pairs" -> negPairsSql,
     // shard hash + per-shard rank + interleave; see curriculumSql
     "q168_curriculum_order" -> curriculumSql,
+    // q109's unrolled rounds, seed-gated base; see pprSql
+    "q175_ppr" -> pprSql(6),
     // decimal moment sums (exact in any order) cast to double once,
     // then the SAME pinned chain as Experiments.cuped — per-unit
     // adjustment algebraically eliminated on both sides

@@ -143,4 +143,76 @@ object PageRank {
     Seq(e, nodes).foreach(_.unpersist())
     rank.select(col("node"), col("r").as("micro_rank"))
   }
+
+  /** Personalized PageRank: restart mass flows only to the SEED set —
+    * the "relevance to these nodes" centrality behind
+    * related-document ranking and seed-expansion labeling (which
+    * suppliers/docs are most connected to this contaminated/curated
+    * seed set). Same fixed-point integer contract as
+    * [[microPageRank]] with the base term seed-gated:
+    *
+    *   R₀(v)  = 1_{v∈S} · 10⁶
+    *   R'(v)  = 1_{v∈S} · 150000 + (85 · Σ_{u→v} R(u) div outdeg(u)) div 100
+    *
+    * — every step long arithmetic, bit-reproducible on any engine
+    * (see microPageRank's scaladoc for why floats are a trap here).
+    * Nodes unreached after `iterations` rounds surface with rank 0.
+    *
+    * Scale shape: identical to microPageRank's rounds (cached
+    * src-clustered edges + broadcast/shuffle-hash rank frame), plus
+    * ONE broadcast of the seed flag to build the per-node base frame
+    * at setup — seeds are small by nature; the base join replaces the
+    * rebase join microPageRank needs in its general regime.
+    */
+  def microPersonalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int,
+      distinctEdges: Boolean = false,
+      broadcastThreshold: Long = 4000000L): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val clustered = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+    val eDist =
+      if (distinctEdges) clustered else clustered.dropDuplicates("src", "dst")
+    val e = eDist.withColumn("outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))).cast("long"))
+      .persist()
+    val edgeCount = e.count()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val flag = seeds.select(col("node")).distinct()
+      .withColumn("_s", lit(1L))
+    val base = nodes.join(broadcast(flag), Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("_s"), lit(0L)) * 150000L).as("base"))
+      .persist()
+    val bcast = 2 * edgeCount <= broadcastThreshold ||
+      base.count() <= broadcastThreshold
+    var rank = base
+      .select(col("node"),
+        when(col("base") > 0L, lit(1000000L)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint(true)
+    var pinned = rank
+    for (i <- 1 to iterations) {
+      val rankSide = rank.withColumnRenamed("node", "src")
+      val contribs = e.join(
+          if (bcast) broadcast(rankSide) else rankSide.hint("shuffle_hash"),
+          Seq("src"))
+        .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("sc"))
+        .withColumnRenamed("dst", "node")
+      val next = base.join(
+          if (bcast) broadcast(contribs) else contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
+      if (i % 8 == 0 || i == iterations) {
+        rank = next.localCheckpoint(true)
+        pinned.unpersist()
+        pinned = rank
+      } else rank = next
+    }
+    Seq(e, base).foreach(_.unpersist())
+    rank.select(col("node"), col("r").as("micro_rank"))
+  }
 }

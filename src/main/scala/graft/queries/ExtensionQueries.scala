@@ -1494,6 +1494,22 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Personalized PageRank from suppliers 0-4 over the undirected
+    * supplier-part graph, 6 fixed-point integer rounds.
+    */
+  def qPersonalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val b = tbl(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("s"),
+        (col("l_partkey").cast("long") + 10000000L).as("p")).distinct()
+    val edges = b.select(col("s").as("src"), col("p").as("dst"))
+      .union(b.select(col("p").as("src"), col("s").as("dst")))
+    val seeds = tbl(s, dir, "lineitem")
+      .filter(col("l_suppkey") < 5)
+      .select(col("l_suppkey").cast("long").as("node"))
+    graft.operators.PageRank.microPersonalizedPageRank(
+      edges, seeds, iterations = 6, distinctEdges = true)
+  }
+
   /** CUPED readout: metric = 1995 customer revenue, covariate = 1994
     * revenue, arms = the q172 hash coin; decimal moments, one scan.
     */

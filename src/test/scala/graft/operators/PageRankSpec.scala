@@ -68,4 +68,33 @@ class PageRankSpec extends AnyFunSuite {
     // floor leaks at most a few micro-units per node per round
     assert(math.abs(got.values.sum - 5000000L) < 1000L)
   }
+
+  test("personalized: restart mass gated to seeds, hand-checked rounds") {
+    // chain 1→2→3 with seed {1}; isolated seedless pair 8→9
+    val edges = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = PageRank.microPersonalizedPageRank(edges, seeds, 2)
+      .as[(Long, Long)].collect().toMap
+    // r1: 1→150000, 2→850000, 3→0
+    // r2: 1→150000, 2→(85·150000)div 100, 3→(85·850000)div 100
+    assert(got == Map(
+      1L -> 150000L, 2L -> 127500L, 3L -> 722500L,
+      8L -> 0L, 9L -> 0L))
+  }
+
+  test("personalized: the seed dominates; a pure sink's echo is damped") {
+    // star around 1 (seed) plus a chain hung off one spoke. NOTE:
+    // rank is NOT monotone in hop distance on undirected graphs —
+    // chain end 5 returns ALL its mass to 4, while 1 splits between
+    // two spokes, so 4 legitimately outranks 3. Assert only what the
+    // recurrence guarantees: the seed strictly dominates, and 5
+    // (fed solely by half of 4's damped mass) stays below 4.
+    val und = Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = PageRank.microPersonalizedPageRank(
+        und, Seq(1L).toDF("node"), 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.filter(_._1 != 1L).values.forall(_ < got(1L)))
+    assert(got(5L) < got(4L))
+  }
 }
