@@ -323,7 +323,9 @@ object SparkEntry {
     // CUPED variance-reduced readout from decimal moments
     "q174_cuped" -> (X.qCuped _),
     // personalized PageRank (seed-gated base, integer fixed point)
-    "q175_ppr" -> (X.qPersonalizedPageRank _)
+    "q175_ppr" -> (X.qPersonalizedPageRank _),
+    // deterministic md5 bootstrap CI for the mean
+    "q176_bootstrap_ci" -> (X.qBootstrapCI _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -597,6 +599,50 @@ object SparkEntry {
        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
        |$rounds
        |SELECT node, r AS micro_rank FROM r$iters""".stripMargin
+  }
+
+  /** Bootstrap-CI oracle: the same md5 draw arithmetic (nibble sum ≡
+    * conv) with n as a scalar subquery (scale-free), the same exact
+    * decimal resample sums, one division per mean, and the q149
+    * discrete selection at the same precomputed positions.
+    */
+  private def bootstrapSql: String = {
+    val b = 200
+    val hexval = (0 until 6).map(i =>
+      s"CAST((strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) " +
+        s"AS BIGINT) * ${1L << (4 * (5 - i))}").mkString(" + ")
+    def pos(p: Int) = (p * b + 99) / 100
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y0
+       |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+       |  GROUP BY 1),
+       |units AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS idx,
+       |    CAST(COALESCE(y0, 0) AS DECIMAL(18,2)) AS y
+       |  FROM customer LEFT JOIN rev ON c_custkey = rev.o_custkey),
+       |nn AS (SELECT COUNT(*) AS n FROM units),
+       |draws AS (
+       |  SELECT g.b, u.idx AS slot
+       |  FROM generate_series(0, ${b - 1}) g(b) CROSS JOIN units u),
+       |picked AS (
+       |  SELECT b, ($hexval) % nn.n AS idx
+       |  FROM (SELECT b, slot,
+       |          md5('boot_v1:' || CAST(b AS VARCHAR) || ':' ||
+       |              CAST(slot AS VARCHAR)) AS h
+       |        FROM draws), nn),
+       |means AS (
+       |  SELECT b,
+       |    CAST(SUM(u.y) AS DOUBLE) / CAST(nn.n AS DOUBLE) AS m
+       |  FROM picked JOIN units u USING (idx), nn
+       |  GROUP BY b, nn.n),
+       |ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn
+       |           FROM means)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+       |  MIN(CASE WHEN rn = ${pos(3)} THEN m END) AS ci_lo,
+       |  MIN(CASE WHEN rn = ${pos(50)} THEN m END) AS boot_median,
+       |  MIN(CASE WHEN rn = ${pos(98)} THEN m END) AS ci_hi
+       |FROM ranked""".stripMargin
   }
 
   /** Personalized-PageRank oracle: q109's unrolled integer rounds
@@ -1697,6 +1743,8 @@ object SparkEntry {
     "q168_curriculum_order" -> curriculumSql,
     // q109's unrolled rounds, seed-gated base; see pprSql
     "q175_ppr" -> pprSql(6),
+    // md5 draw arithmetic + discrete band; see bootstrapSql
+    "q176_bootstrap_ci" -> bootstrapSql,
     // decimal moment sums (exact in any order) cast to double once,
     // then the SAME pinned chain as Experiments.cuped — per-unit
     // adjustment algebraically eliminated on both sides

@@ -78,6 +78,67 @@ object Experiments {
         .as("mean_b_adj"))
   }
 
+  /** Deterministic bootstrap CI for a mean: B resamples-with-
+    * replacement of the n units, every draw a pure md5 function of
+    * (salt, resample, slot) — the classic uncertainty estimate made
+    * reproducible across runs, engines and partitionings, with no
+    * RNG state to seed or ship. The percentile band uses the q149
+    * discrete-selection convention (an ACTUAL resample mean at sorted
+    * position ⌈p·B/100⌉, no interpolation).
+    *
+    * Contract: `idxCol` must be a dense 0..n−1 index (feed arbitrary
+    * ids through globalOrderRank first); `valueCol` must be DECIMAL
+    * so each resample's sum is exact in any order — its mean is then
+    * ONE IEEE division.
+    *
+    * Scale shape: the draw table is B·n synthetic (resample, slot)
+    * rows joined to the n units BY INDEX — one shuffle join keyed by
+    * idx, map-side-combined per-resample sums, then a B-row frame for
+    * the band selection (B is hundreds; the one-partition sort is
+    * bounded by design). Nothing quadratic in n.
+    */
+  def bootstrapMeanCI(df: DataFrame, idxCol: String, valueCol: String,
+      resamples: Int, salt: String, loPct: Int = 3,
+      hiPct: Int = 98): DataFrame = {
+    require(resamples >= 10, s"need at least 10 resamples: $resamples")
+    val spark = df.sparkSession
+    // the bounds probe rides the required count pass: a non-dense
+    // index silently drops draws at the join (observed: an off-by-one
+    // index shifted every resample), so the contract is CHECKED
+    val bounds = df.agg(count(lit(1)), min(col(idxCol)),
+      max(col(idxCol))).collect()(0)
+    val n = bounds.getLong(0)
+    require(n >= 2, s"need at least 2 units, got $n")
+    require(bounds.get(1).toString.toLong == 0L &&
+      bounds.get(2).toString.toLong == n - 1,
+      s"idxCol '$idxCol' must be dense 0..${n - 1}; got " +
+        s"[${bounds.get(1)}, ${bounds.get(2)}] — rank ids first " +
+        "(globalOrderRank produces 1..N; subtract 1)")
+    val draws = spark.range(resamples.toLong * n).select(
+      expr(s"id div $n").as("_b"),
+      expr(s"id % $n").as("_slot"))
+    val pick = conv(substring(md5(concat(
+        lit(salt + ":"), col("_b").cast("string"),
+        lit(":"), col("_slot").cast("string"))), 1, 6), 16, 10)
+      .cast("long") % n
+    val means = draws
+      .withColumn(idxCol, pick)
+      .join(df.select(col(idxCol), col(valueCol)), Seq(idxCol))
+      .groupBy(col("_b"))
+      .agg(sum(col(valueCol)).as("_s"))
+      .select(col("_b"),
+        (col("_s").cast("double") / lit(n.toDouble)).as("_m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_m"))
+    val ranked = means.withColumn("_rn", row_number().over(w))
+    def at(p: Int) = min(when(
+      col("_rn") === (p * resamples + 99) / 100, col("_m")))
+    ranked.agg(
+      count(lit(1)).as("n_resamples"),
+      at(loPct).as("ci_lo"),
+      at(50).as("boot_median"),
+      at(hiPct).as("ci_hi"))
+  }
+
   /** One summary row from (armCol ∈ {'A','B'}, convCol boolean):
     * counts, rates, relative lift of B over A, and the pooled
     * two-proportion z statistic.

@@ -1494,6 +1494,24 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Deterministic bootstrap CI of mean 1995 customer revenue:
+    * 200 md5-indexed resamples over the dense c_custkey−1 index.
+    */
+  def qBootstrapCI(s: SparkSession, dir: String): DataFrame = {
+    val rev95 = tbl(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("_y0"))
+    // c_custkey is already the dense 0..n−1 index this operator needs
+    val units = tbl(s, dir, "customer")
+      .join(rev95, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey").cast("long").as("idx"),
+        coalesce(col("_y0"), lit(0).cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("y"))
+    graft.operators.Experiments.bootstrapMeanCI(
+      units, "idx", "y", resamples = 200, "boot_v1")
+  }
+
   /** Personalized PageRank from suppliers 0-4 over the undirected
     * supplier-part graph, 6 fixed-point integer rounds.
     */

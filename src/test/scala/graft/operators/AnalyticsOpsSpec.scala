@@ -513,6 +513,33 @@ class CupedSpec extends AnyFunSuite {
   }
 }
 
+/** Bootstrap CI: deterministic draws, ordered band, sane coverage. */
+class BootstrapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("band is ordered, reproducible, and brackets the true mean") {
+    val units = (0L until 100L).map(i => (i, BigDecimal(i)))
+      .toDF("idx", "y")
+      .select($"idx", $"y".cast("decimal(18,2)").as("y"))
+    val r = Experiments.bootstrapMeanCI(units, "idx", "y", 50, "bt")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r._1 == 50L)
+    assert(r._2 <= r._3 && r._3 <= r._4)
+    // population mean 49.5, sd≈28.9 → se≈2.89; the band must
+    // bracket the truth comfortably at these settings
+    assert(r._2 < 49.5 && r._4 > 49.5)
+    assert(r._4 - r._2 < 20.0)
+    val rerun = Experiments.bootstrapMeanCI(units, "idx", "y", 50, "bt")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r == rerun)
+    // a different salt draws a different resample set
+    val other = Experiments.bootstrapMeanCI(units, "idx", "y", 50, "bt2")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(other != r)
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
