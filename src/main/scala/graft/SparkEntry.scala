@@ -325,7 +325,11 @@ object SparkEntry {
     // personalized PageRank (seed-gated base, integer fixed point)
     "q175_ppr" -> (X.qPersonalizedPageRank _),
     // deterministic md5 bootstrap CI for the mean
-    "q176_bootstrap_ci" -> (X.qBootstrapCI _)
+    "q176_bootstrap_ci" -> (X.qBootstrapCI _),
+    // top-k frequent 3-event paths (sequence mining)
+    "q177_top_paths" -> (X.qTopPaths _),
+    // hour-of-week seasonal profile + index
+    "q178_seasonal_profile" -> (X.qSeasonalProfile _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -1745,6 +1749,42 @@ object SparkEntry {
     "q175_ppr" -> pprSql(6),
     // md5 draw arithmetic + discrete band; see bootstrapSql
     "q176_bootstrap_ci" -> bootstrapSql,
+    // dow aligned to 0=Sunday on both engines; decimal sums, one
+    // IEEE division per mean and one for the index
+    "q178_seasonal_profile" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(EXTRACT(DOW FROM ts) AS BIGINT) AS dow,
+        |    CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod,
+        |    COUNT(*) AS n,
+        |    SUM(CAST("value" AS DECIMAL(18,2))) AS sc
+        |  FROM events GROUP BY 1, 2, 3),
+        |totals AS (
+        |  SELECT event_type, COUNT(*) AS nt,
+        |    SUM(CAST("value" AS DECIMAL(18,2))) AS st
+        |  FROM events GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.hod, c.n,
+        |  CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+        |  (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) AS seasonal_index
+        |FROM cells c JOIN totals t ON c.event_type = t.event_type""".stripMargin,
+    // two lags over the same (ts, id) total order; deterministic
+    // top-k ties broken by the full path
+    "q177_top_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 2) OVER w AS s1,
+        |    LAG(event_type, 1) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT s1 AS step1, s2 AS step2, event_type AS step3,
+        |    COUNT(*) AS n
+        |  FROM seq WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT step1, step2, step3, n FROM c
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin,
     // decimal moment sums (exact in any order) cast to double once,
     // then the SAME pinned chain as Experiments.cuped — per-unit
     // adjustment algebraically eliminated on both sides

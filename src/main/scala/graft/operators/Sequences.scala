@@ -42,4 +42,35 @@ object Sequences {
     pairs.withColumn(
       "p", col("n").cast("double") / sum("n").over(bySrc).cast("double"))
   }
+
+  /** Top-k most frequent length-3 event paths — the "what do users
+    * actually do" sequence-mining readout behind UX-flow and
+    * funnel-discovery dashboards. Consecutive within a key under the
+    * (time, id) total order (tie-safe, like [[transitionCounts]]);
+    * counts are exact integers; the top-k is a bounded
+    * TakeOrdered (ties broken by the path strings), never a global
+    * sort of the path table.
+    *
+    * Scale shape: one shuffle by key for the two lags (both windows
+    * share the partitioning/sort → one Window node), one map-side-
+    * combined count over ≤|states|³ paths, then top-k.
+    */
+  def topPaths(
+      events: DataFrame,
+      key: String,
+      stateCol: String,
+      orderBy: Seq[Column],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val seq = Window.partitionBy(key).orderBy(orderBy: _*)
+    events
+      .withColumn("_s1", lag(col(stateCol), 2).over(seq))
+      .withColumn("_s2", lag(col(stateCol), 1).over(seq))
+      .filter(col("_s1").isNotNull && col("_s2").isNotNull)
+      .groupBy(col("_s1").as("step1"), col("_s2").as("step2"),
+        col(stateCol).as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
 }

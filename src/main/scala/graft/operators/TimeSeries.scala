@@ -207,6 +207,36 @@ object TimeSeries {
         col("cusum") > lit(h.underlying).cast("double"))
   }
 
+  /** Hour-of-week seasonal profile per series: each (key, dow, hour)
+    * cell's event count, mean value, and seasonal index (cell mean ÷
+    * the key's overall mean) — the baseline every seasonal anomaly
+    * detector and capacity planner divides by. Means come from
+    * decimal-exact sums with ONE IEEE division each; the index is a
+    * division of those two means. `dow` is 0=Sunday (both engines'
+    * conventions aligned explicitly — Spark's dayofweek is 1-based).
+    *
+    * Scale shape: one map-side-combined aggregate to the
+    * |keys|·168-cell grid, plus a |keys|-row broadcast for the
+    * overall means.
+    */
+  def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val dec = col(valueCol).cast("decimal(18,2)")
+    val cells = events.groupBy(col(keyCol),
+        (dayofweek(col(tsCol)) - 1).cast("long").as("dow"),
+        hour(col(tsCol)).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"), sum(dec).as("_sc"))
+    val totals = events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_nt"), sum(dec).as("_st"))
+    cells.join(broadcast(totals), Seq(keyCol))
+      .select(col(keyCol), col("dow"), col("hod"), col("n"),
+        (col("_sc").cast("double") / col("n").cast("double"))
+          .as("mean_value"),
+        ((col("_sc").cast("double") / col("n").cast("double")) /
+         (col("_st").cast("double") / col("_nt").cast("double")))
+          .as("seasonal_index"))
+  }
+
   def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, lambdaPerDay: Double): DataFrame = {
     val tRef = events.agg(max(unix_micros(col(tsCol))).as("_tref"))

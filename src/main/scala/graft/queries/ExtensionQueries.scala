@@ -1494,6 +1494,19 @@ object ExtensionQueries {
       RelationalQueries.events(s, dir), "user_id", "event_type",
       Seq(col("ts"), col("event_id")))
 
+  /** Hour-of-week seasonal profile of event values per type. */
+  def qSeasonalProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.seasonalProfile(
+      RelationalQueries.events(s, dir), "event_type", "ts", "value")
+
+  /** Top-20 most frequent 3-event user paths over (ts, event_id)
+    * order, ties broken by path.
+    */
+  def qTopPaths(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.topPaths(
+      RelationalQueries.events(s, dir), "user_id", "event_type",
+      Seq(col("ts"), col("event_id")), k = 20)
+
   /** Deterministic bootstrap CI of mean 1995 customer revenue:
     * 200 md5-indexed resamples over the dense c_custkey−1 index.
     */

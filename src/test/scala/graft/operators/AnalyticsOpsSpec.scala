@@ -540,6 +540,47 @@ class BootstrapSpec extends AnyFunSuite {
   }
 }
 
+/** Path mining: trigram paths per key, deterministic top-k. */
+class TopPathsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("counts consecutive triples; ranks by count then path") {
+    // user 1: a b c a b c → paths abc(×1+..): abc, bca, cab, abc
+    val ev = Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map {
+      case (t, i) => (1L, (i + 1).toLong, i.toLong * 10L, t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sequences.topPaths(ev, "user_id", "event_type",
+        Seq($"ts", $"event_id"), k = 2)
+      .as[(String, String, String, Long)].collect()
+    // abc appears twice; bca and cab once each — bca wins the tie
+    assert(got.toSeq == Seq(("a", "b", "c", 2L), ("b", "c", "a", 1L)))
+  }
+}
+
+/** Seasonal profile: aligned dow, exact means, index ratio. */
+class SeasonalProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cell means and seasonal index against hand computation") {
+    // 2024-01-07 is a Sunday → dow 0
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:30:00")
+    val ev = Seq(
+      ("x", t(7, 9), 10.0), ("x", t(7, 9), 20.0),  // Sun 09: mean 15
+      ("x", t(8, 9), 40.0))                        // Mon 09: mean 40
+      .toDF("event_type", "ts", "value")
+    val got = TimeSeries.seasonalProfile(ev, "event_type", "ts", "value")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._2, r._3) -> ((r._4, r._5, r._6))).toMap
+    val overall = 70.0 / 3.0
+    assert(got == Map(
+      (0L, 9L) -> ((2L, 15.0, 15.0 / overall)),
+      (1L, 9L) -> ((1L, 40.0, 40.0 / overall))))
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
