@@ -329,7 +329,11 @@ object SparkEntry {
     // top-k frequent 3-event paths (sequence mining)
     "q177_top_paths" -> (X.qTopPaths _),
     // hour-of-week seasonal profile + index
-    "q178_seasonal_profile" -> (X.qSeasonalProfile _)
+    "q178_seasonal_profile" -> (X.qSeasonalProfile _),
+    // near-dup-cluster-level split: no twin crosses train/test
+    "q179_cluster_split" -> (X.qClusterSplit _),
+    // minimal k-anonymity generalization ladder over acctbal
+    "q180_k_anonymity" -> (X.qKAnonymity _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2628,7 +2632,76 @@ object SparkEntry {
         |    + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
         |    + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
         |    6) AS quality
-        |  FROM rf)""".stripMargin
+        |  FROM rf)""".stripMargin,
+    // q136's cluster CTEs + q94's md5 rule applied to cluster_id:
+    // the draw is on the CLUSTER, so members share one split
+    "q179_cluster_split" ->
+      """WITH RECURSIVE tokd AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+        |  FROM tokd WHERE len(ts) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |clu AS (
+        |  SELECT d.doc_id,
+        |    LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS cluster_id
+        |  FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)
+        |      || ':cluster_split_v1'), 1, 4) < 'cccc' THEN 'train'
+        |    WHEN substr(md5(CAST(cluster_id AS VARCHAR)
+        |      || ':cluster_split_v1'), 1, 4) < 'e666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM clu""".stripMargin,
+    // per-level counts joined back; level pick = first count >= k;
+    // integer bucket indexes (floor of an IEEE division — identical
+    // on both engines), band released as a string ('*' = suppressed)
+    "q180_k_anonymity" ->
+      """WITH l0 AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS b, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |l1 AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 5000.0) AS BIGINT) AS b, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |ls AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_custkey, c.c_nationkey, c.c_mktsegment,
+        |  CASE WHEN l0.n >= 6 THEN 0 WHEN l1.n >= 6 THEN 1 ELSE 2 END AS level,
+        |  CASE WHEN l0.n >= 6 THEN CAST(l0.b AS VARCHAR)
+        |    WHEN l1.n >= 6 THEN CAST(l1.b AS VARCHAR)
+        |    ELSE '*' END AS band,
+        |  CASE WHEN l0.n >= 6 THEN l0.n WHEN l1.n >= 6 THEN l1.n
+        |    ELSE ls.n END AS group_n,
+        |  (CASE WHEN l0.n >= 6 THEN l0.n WHEN l1.n >= 6 THEN l1.n
+        |    ELSE ls.n END) >= 6 AS anonymous
+        |FROM customer c
+        |JOIN l0 ON l0.c_nationkey = c.c_nationkey
+        |  AND l0.c_mktsegment = c.c_mktsegment
+        |  AND l0.b = CAST(FLOOR(c.c_acctbal / 2000.0) AS BIGINT)
+        |JOIN l1 ON l1.c_nationkey = c.c_nationkey
+        |  AND l1.c_mktsegment = c.c_mktsegment
+        |  AND l1.b = CAST(FLOOR(c.c_acctbal / 5000.0) AS BIGINT)
+        |JOIN ls ON ls.c_nationkey = c.c_nationkey
+        |  AND ls.c_mktsegment = c.c_mktsegment""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy / re-identification-risk operators for serving-side data
+  * release (SURVEY.md §7.5 extension family).
+  *
+  * k-anonymity is the standard bar for releasing quasi-identifier
+  * (QI) columns: every released (QI, attribute-bucket) combination
+  * must be shared by at least k rows, or a joiner with an external
+  * dataset can single out individuals. The generalization ladder
+  * below finds, per row, the MINIMAL coarsening of a numeric
+  * attribute that clears the bar — the classic Samarati-style
+  * full-domain generalization restricted to one attribute hierarchy
+  * (bucket widths widening to full suppression).
+  */
+object Privacy {
+
+  /** Minimal-generalization k-anonymity over one numeric attribute.
+    *
+    * Levels: `widths(0)` … `widths(L-1)` bucket `numCol` by
+    * `floor(num/width)` (level l), and level L suppresses the
+    * attribute entirely (group = QI columns alone). Each row is
+    * assigned the SMALLEST level whose (QI, bucket) group holds at
+    * least `k` rows; rows whose QI combination is rarer than `k` even
+    * under suppression are flagged `anonymous = false` — they cannot
+    * be released without row suppression.
+    *
+    * Output: input id + QI columns + `level` (0-based; L =
+    * suppressed), `bucket` (the floor index at that level; null when
+    * suppressed), `group_n` (the size of the chosen group),
+    * `anonymous`.
+    *
+    * Scale shape: per level, one `groupBy` over (QI, bucket) whose
+    * result is O(#distinct QI×bucket combos) — bounded by the domain
+    * of the released columns, not the row count — broadcast-joined
+    * back to the rows. No row-side shuffle at any level; L+1 small
+    * aggregates + L+1 broadcast joins. The level pick is a single
+    * `when` chain over the joined counts.
+    */
+  def kAnonymityGeneralize(df: DataFrame, idCol: String,
+      qiCols: Seq[String], numCol: String, widths: Seq[Double],
+      k: Int): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0.0),
+      s"bucket widths must be positive: $widths")
+    require(widths.sliding(2).forall {
+      case Seq(a, b) => b > a
+      case _         => true
+    }, s"widths must widen monotonically: $widths")
+    require(k >= 1, s"k must be positive: $k")
+
+    val qi = qiCols.map(col)
+    def bucket(l: Int): Column =
+      floor(col(numCol) / lit(widths(l))).cast("long")
+
+    // per-level counts — each frame is tiny (domain-bounded), so the
+    // join back is an explicit broadcast: rows never shuffle
+    val levels = widths.indices.map { l =>
+      val cnt = df.groupBy(qi :+ bucket(l).as("_b"): _*)
+        .agg(count(lit(1)).as(s"_n$l"))
+        .withColumnRenamed("_b", s"_b$l")
+      (l, cnt)
+    }
+    val supCnt = df.groupBy(qi: _*).agg(count(lit(1)).as("_nsup"))
+
+    val withBuckets = widths.indices.foldLeft(
+      df.select(col(idCol) +: col(numCol) +: qi: _*)) { (acc, l) =>
+      acc.withColumn(s"_b$l", bucket(l))
+    }.drop(numCol)
+    val joined = levels.foldLeft(withBuckets) { case (acc, (l, cnt)) =>
+      acc.join(broadcast(cnt), qiCols :+ s"_b$l", "left")
+    }.join(broadcast(supCnt), qiCols, "left")
+
+    val L = widths.length
+    // smallest qualifying level: chain when()s from level 0 upward
+    val levelCol = widths.indices.reverse.foldLeft(lit(L)) { (els, l) =>
+      when(coalesce(col(s"_n$l"), lit(0L)) >= k, lit(l)).otherwise(els)
+    }
+    val bucketCol = widths.indices.reverse.foldLeft(
+      lit(null).cast("long")) { (els, l) =>
+      when(coalesce(col(s"_n$l"), lit(0L)) >= k, col(s"_b$l")).otherwise(els)
+    }
+    val groupN = widths.indices.reverse.foldLeft(
+      coalesce(col("_nsup"), lit(0L))) { (els, l) =>
+      when(coalesce(col(s"_n$l"), lit(0L)) >= k, col(s"_n$l")).otherwise(els)
+    }
+
+    joined
+      .withColumn("level", levelCol)
+      .withColumn("bucket", bucketCol)
+      .withColumn("group_n", groupN)
+      .withColumn("anonymous", col("group_n") >= k)
+      .select(col(idCol) +: qi :+ col("level") :+ col("bucket") :+
+        col("group_n") :+ col("anonymous"): _*)
+  }
+}

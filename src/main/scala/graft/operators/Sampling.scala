@@ -47,6 +47,25 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Leakage-safe train/val/test split: the split unit is a GROUP
+    * (near-duplicate cluster, url domain, author…), not the row —
+    * every member of a group receives the SAME assignment because the
+    * hash draw is taken on the group key. This is the split a training
+    * pipeline must use after near-dup detection: with a per-document
+    * draw, one copy of a duplicated page lands in train and its twin
+    * in test, and the eval set silently overlaps the training set.
+    *
+    * `membership` carries one row per id with its group key (e.g. the
+    * output of [[graft.operators.Dedup.duplicateClusters]], where
+    * singleton docs are their own cluster). Narrow per-row op — no
+    * shuffle beyond whatever produced the membership frame.
+    */
+  def leakageSafeSplit(membership: DataFrame, idCol: String,
+      groupCol: String, trainFrac: Double = 0.8, valFrac: Double = 0.1,
+      salt: String = "cluster_split_v1"): DataFrame =
+    membership.select(col(idCol), col(groupCol),
+      splitColumn(col(groupCol), salt, trainFrac, valFrac).as("split"))
+
   /** Deterministic uniform subsample: keeps ~`fraction` of rows. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
       salt: String = "sample_v1"): DataFrame =

@@ -1756,4 +1756,42 @@ object ExtensionQueries {
       .select(col("l_suppkey").cast("long").as("node"))
     graft.operators.Bfs.hopDistance(edges, seeds, maxHops = 4)
   }
+
+  /** Leakage-safe train/val/test split: q136's near-dup clusters
+    * (trigram-Jaccard edges → connected components) are the split
+    * unit — the md5 draw is taken on cluster_id, so every member of a
+    * near-dup cluster lands in the SAME split and no duplicate of a
+    * training page can leak into val/test.
+    */
+  def qClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val toks = TextFunctions.tokens(lower(col("text")))
+    val sets = docs.select(col("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .select(col("doc_id"),
+        TextFunctions.wordTrigrams(col("_t")).as("grams"))
+    val edges = Dedup.jaccardPairsIndexed(sets, "doc_id", "grams", 0.5)
+      .select("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(docs.select("doc_id"), edges,
+      "doc_id", "id_a", "id_b")
+    graft.operators.Sampling.leakageSafeSplit(clusters, "doc_id", "cluster_id")
+  }
+
+  /** k-anonymity minimal generalization (k=6) of customer account
+    * balance against the (nation, segment) quasi-identifier: widths
+    * 2000/5000 then full suppression; `band` is the released label
+    * ('*' when suppressed). At sf0.01 all three levels fire and 10
+    * rows stay non-anonymous even suppressed (their QI combo is rarer
+    * than k) — the row-suppression set a release pipeline must drop.
+    */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.kAnonymityGeneralize(
+        tbl(s, dir, "customer"), "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal",
+        widths = Seq(2000.0, 5000.0), k = 6)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("level"),
+        when(col("bucket").isNull, lit("*"))
+          .otherwise(col("bucket").cast("string")).as("band"),
+        col("group_n"), col("anonymous"))
 }

@@ -22,15 +22,27 @@ object RelationalQueries {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read `ts` as nanos-long (legacy conf) and convert
-    * with exact integer division to a micros timestamp. DuckDB reading
-    * the same file truncates ns→µs identically.
+  /** events.parquet has shipped in two physical layouts: TIMESTAMP
+    * (NANOS), which Spark's vectorized reader only accepts as a
+    * nanos-long under the legacy conf (divided to µs here exactly as
+    * DuckDB truncates ns→µs), and plain TIMESTAMP(MICROS), which reads
+    * as TIMESTAMP_NTZ. Normalize both to session-tz TimestampType (the
+    * session runs UTC, so the NTZ wall clock IS the instant) so every
+    * downstream operator sees one `ts` type regardless of the file.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // schema conversion consults SQLConf.get, which resolves through the
+    // calling thread's ACTIVE session (falling back to the JVM default) —
+    // pin it to `s` so the conf above is the one the reader actually sees
+    SparkSession.setActiveSession(s)
+    val raw = tbl(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact (decimal-carried) sum of a double column, surfaced as double. */

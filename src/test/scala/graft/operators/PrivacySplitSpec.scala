@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Leakage-safe group-level split + k-anonymity generalization. */
+class PrivacySplitSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("leakage-safe split: cluster members never straddle splits") {
+    // 3000 docs in 1000 clusters of 3 — a per-doc draw would scatter
+    // most triples across splits; the cluster draw must not
+    val membership = (0L until 3000L).map(i => (i, i / 3L))
+      .toDF("doc_id", "cluster_id")
+    val got = Sampling.leakageSafeSplit(membership, "doc_id", "cluster_id")
+    val perCluster = got.groupBy("cluster_id")
+      .agg(countDistinct($"split").as("k"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(perCluster.forall { case (_, k, n) => k == 1L && n == 3L })
+    // fractions land near nominal at the CLUSTER level
+    val clusterSplits = got.select($"cluster_id", $"split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(clusterSplits("train") - 800L) < 80)
+    // and the assignment equals the row-level rule applied to the key
+    val expect = membership.select($"doc_id", $"cluster_id",
+      Sampling.splitColumn($"cluster_id", "cluster_split_v1").as("split"))
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
+
+  test("k-anonymity: smallest level whose group reaches k wins") {
+    // qi=g, num=v, widths 10/100, k=3, suppression level = 2
+    // g=a: v in {1,2,3} -> level-0 bucket 0 has 3 rows (passes k)
+    // g=b: v in {5,15,25} -> level-0 buckets distinct (1 each);
+    //      level-1 bucket 0 has all 3 (passes at level 1)
+    // g=c: v in {5, 205} -> fails level 0 and 1; suppressed with
+    //      group_n=2 < k -> anonymous=false
+    val rows = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 5.0), (5L, "b", 15.0), (6L, "b", 25.0),
+      (7L, "c", 5.0), (8L, "c", 205.0)
+    ).toDF("id", "g", "v")
+    val got = Privacy.kAnonymityGeneralize(rows, "id", Seq("g"), "v",
+        widths = Seq(10.0, 100.0), k = 3)
+      .as[(Long, String, Int, Option[Long], Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((0, Some(0L), 3L, true)))
+    assert(got(4L) == ((1, Some(0L), 3L, true)))
+    assert(got(5L) == ((1, Some(0L), 3L, true)))
+    assert(got(7L) == ((2, None, 2L, false)))
+    assert(got(8L) == ((2, None, 2L, false)))
+  }
+
+  test("k-anonymity: negative values bucket by floor, not truncation") {
+    val rows = Seq((1L, "a", -5.0), (2L, "a", -7.0), (3L, "a", 4.0))
+      .toDF("id", "g", "v")
+    val got = Privacy.kAnonymityGeneralize(rows, "id", Seq("g"), "v",
+        widths = Seq(10.0), k = 2)
+      .as[(Long, String, Int, Option[Long], Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._3, r._4))).toMap
+    // floor(-5/10) = -1 groups with floor(-7/10) = -1: two rows >= k
+    assert(got(1L) == ((0, Some(-1L))))
+    assert(got(2L) == ((0, Some(-1L))))
+    // 4.0 -> bucket 0 alone -> suppressed (group of 3 passes there)
+    assert(got(3L) == ((1, None)))
+  }
+}

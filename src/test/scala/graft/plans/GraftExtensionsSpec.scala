@@ -17,9 +17,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // getOrCreate promoted this session to the JVM default; restore the
+    // shared one so suites on threads WITHOUT an active session (where
+    // SQLConf.get falls back to the default) keep TestSpark's configs
+    SparkSession.setDefaultSession(graft.TestSpark.spark)
     s
   }
 
