@@ -333,7 +333,11 @@ object SparkEntry {
     // near-dup-cluster-level split: no twin crosses train/test
     "q179_cluster_split" -> (X.qClusterSplit _),
     // minimal k-anonymity generalization ladder over acctbal
-    "q180_k_anonymity" -> (X.qKAnonymity _)
+    "q180_k_anonymity" -> (X.qKAnonymity _),
+    // last-writer-wins CDC fold with delete markers
+    "q181_cdc_apply" -> (X.qCdcApply _),
+    // integer-exact weighted systematic sample (PPS)
+    "q182_pps_sample" -> (X.qPpsSample _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2701,7 +2705,38 @@ object SparkEntry {
         |  AND l1.c_mktsegment = c.c_mktsegment
         |  AND l1.b = CAST(FLOOR(c.c_acctbal / 5000.0) AS BIGINT)
         |JOIN ls ON ls.c_nationkey = c.c_nationkey
-        |  AND ls.c_mktsegment = c.c_mktsegment""".stripMargin
+        |  AND ls.c_mktsegment = c.c_mktsegment""".stripMargin,
+    // the window twin of the engine's max_by fold: latest change per
+    // key by (ts, event_id); delete markers drop the key entirely
+    "q181_cdc_apply" ->
+      """WITH last AS (
+        |  SELECT user_id, event_type, "value",
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |SELECT user_id, event_type, "value",
+        |  CAST(n_changes AS BIGINT) AS n_changes
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // integer stride walk over the md5-shuffled weight line; // on
+    // non-negative operands = Spark's div; HUGEINT window sum cast
+    // back to BIGINT in the projected m
+    "q182_pps_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    md5(CAST(doc_id AS VARCHAR) || ':pps_v1') AS draw
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w,
+        |    SUM(w) OVER (ORDER BY draw, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |  FROM b),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM b),
+        |s AS (SELECT tot // 50 AS step FROM t)
+        |SELECT doc_id, w,
+        |  CAST((hi // step) - ((hi - w) // step) AS BIGINT) AS m
+        |FROM p, s
+        |WHERE (hi // step) - ((hi - w) // step) > 0""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

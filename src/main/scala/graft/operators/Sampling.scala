@@ -130,6 +130,59 @@ object Sampling {
       .drop("_rk", "quota")
   }
 
+  /** Probability-proportional-to-size SYSTEMATIC sampling — the
+    * survey-sampling workhorse (select ~k rows with inclusion
+    * probability ∝ weight, e.g. documents by length so the sample
+    * covers the token mass, not the doc count) in PURE INTEGER
+    * arithmetic: lay the rows on a line in a deterministic
+    * md5-shuffled order, each occupying its weight; walk the line with
+    * stride `step = totalW div k`; a row is selected once per stride
+    * point inside its interval — `m = hi div step − lo div step`
+    * (half-open (lo, hi], all operands non-negative so truncating
+    * division IS floor division in any engine). Exactly k selections
+    * when totalW ≥ k² (then totalW mod k < step); rows heavier than
+    * `step` are certainty inclusions with multiplicity m > 1. Weights
+    * must be non-negative; zero-weight rows are never selected.
+    *
+    * The md5 shuffle kills the classic systematic-sampling failure
+    * mode (periodicity in the input order correlating with the
+    * stride) and makes the draw reproducible and oracle-checkable —
+    * no RNG state, no float.
+    *
+    * Scale shape: exact prefix sums via the two-level decomposition
+    * (partition-local window + an O(#partitions) base-offset frame,
+    * as in [[Packing.packByTokenBudget]]) — no global single-partition
+    * window; totals ride a one-row broadcast.
+    *
+    * Output: (idCol, w, m) for selected rows only (m ≥ 1).
+    */
+  def ppsSystematicSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "pps_v1"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(weightCol).cast("long").as("w"),
+      hashUniform(col(idCol), salt).as("_draw"))
+    val parted = base.repartitionByRange(col("_draw"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val wIn = w.partitionBy(col("_pid")).orderBy(col("_draw"), col(idCol))
+    val local = parted.withColumn("_hi_local", sum(col("w")).over(wIn))
+    val wBase = w.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bases = local.groupBy(col("_pid"))
+      .agg(max(col("_hi_local")).as("_pt"))
+      .withColumn("_base", coalesce(sum(col("_pt")).over(wBase), lit(0L)))
+      .select(col("_pid"), col("_base"), col("_pt"))
+    val tot = bases.agg(max(col("_base") + col("_pt")).as("_tot"))
+      .withColumn("_step", expr(s"_tot div $k"))
+    local.join(broadcast(bases.select(col("_pid"), col("_base"))), Seq("_pid"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_hi", col("_base") + col("_hi_local"))
+      .withColumn("_lo", col("_hi") - col("w"))
+      .withColumn("m", expr("_hi div _step - _lo div _step"))
+      .filter(col("m") > 0L)
+      .select(col(idCol), col("w"), col("m"))
+  }
+
   /** Deterministic mixture re-weighting (epoch-style source mixing):
     * each row is emitted `floor(w)` times plus one more when its hash
     * draw falls under `frac(w)` — so a stratum with weight 2.5 appears

@@ -1777,6 +1777,26 @@ object ExtensionQueries {
     graft.operators.Sampling.leakageSafeSplit(clusters, "doc_id", "cluster_id")
   }
 
+  /** CDC fold of the event log into the current per-user snapshot:
+    * last writer by (ts, event_id) wins; a final 'error' event acts
+    * as the delete marker and removes the user from the snapshot.
+    */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.applyChangeLog(
+      RelationalQueries.events(s, dir),
+      keyCols = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"),
+      payloadCols = Seq("event_type", "value"),
+      isDelete = col("event_type") === "error")
+
+  /** ~50-row PPS systematic sample of documents by character mass:
+    * inclusion probability ∝ n_chars, exact integer stride walk over
+    * the md5-shuffled line (sum of multiplicities = exactly 50 here).
+    */
+  def qPpsSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.ppsSystematicSample(
+      tbl(s, dir, "documents"), "doc_id", "n_chars", k = 50)
+
   /** k-anonymity minimal generalization (k=6) of customer account
     * balance against the (nation, segment) quasi-identifier: widths
     * 2000/5000 then full suppression; `band` is the released label
