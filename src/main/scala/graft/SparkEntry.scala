@@ -337,7 +337,9 @@ object SparkEntry {
     // last-writer-wins CDC fold with delete markers
     "q181_cdc_apply" -> (X.qCdcApply _),
     // integer-exact weighted systematic sample (PPS)
-    "q182_pps_sample" -> (X.qPpsSample _)
+    "q182_pps_sample" -> (X.qPpsSample _),
+    // 3-round integer Lloyd's, unrolled oracle
+    "q183_kmeans_quant" -> (X.qKmeansQuant _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2736,7 +2738,9 @@ object SparkEntry {
         |SELECT doc_id, w,
         |  CAST((hi // step) - ((hi - w) // step) AS BIGINT) AS m
         |FROM p, s
-        |WHERE (hi // step) - ((hi - w) // step) > 0""".stripMargin
+        |WHERE (hi // step) - ((hi - w) // step) > 0""".stripMargin,
+    // 3 unrolled integer-Lloyd's rounds; see kmeansQuantSql
+    "q183_kmeans_quant" -> kmeansQuantSql
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —
@@ -3086,6 +3090,58 @@ object SparkEntry {
   /** Exact cosine top-10 for query vectors vec_id<5 — the oracle for
     * both q31 (brute force) and q63 (IVF with every cell probed).
     */
+  /** q183's unrolled oracle: the SAME integer quantization (shifted
+    * grid, constants cancel in distances), md5-seeded init, and two
+    * centroid updates via `SUM // COUNT` (floor division on
+    * non-negative sums ≡ Spark's truncating `div`), with the final
+    * round's argmin emitted. Positions index `q[pos]` 1-based via a
+    * range UNNEST (DuckDB 1.0 has no WITH ORDINALITY).
+    */
+  private def kmeansQuantSql: String = {
+    def assign(srcC: String, n: Int): String = {
+      val dist =
+        "list_sum(list_transform(list_zip(q, c), p -> (p[1]-p[2])*(p[1]-p[2])))"
+      s"""a$n AS (
+         |  SELECT id, q, cidx,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY $dist, cidx) AS rn
+         |  FROM qv CROSS JOIN $srcC),
+         |s$n AS (SELECT id, q, cidx FROM a$n WHERE rn = 1)""".stripMargin
+    }
+    def update(srcS: String, n: Int): String =
+      s"""c$n AS (
+         |  SELECT cidx, list(cv ORDER BY pos) AS c FROM (
+         |    SELECT cidx, pos, SUM(q[pos]) // COUNT(*) AS cv
+         |    FROM $srcS, UNNEST(range(1, len(q) + 1)) AS t(pos)
+         |    GROUP BY cidx, pos)
+         |  GROUP BY cidx)""".stripMargin
+    val finalDist =
+      "list_sum(list_transform(list_zip(q, c), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    s"""WITH qv AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding,
+       |      e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT) + 1000) AS q
+       |  FROM embeddings),
+       |init AS (
+       |  SELECT q AS c,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY
+       |      md5(CAST(id AS VARCHAR) || ':km_v1'), id) - 1 AS INTEGER) AS cidx
+       |  FROM qv
+       |  ORDER BY md5(CAST(id AS VARCHAR) || ':km_v1'), id
+       |  LIMIT 4),
+       |${assign("init", 1)},
+       |${update("s1", 2)},
+       |${assign("c2", 2)},
+       |${update("s2", 3)},
+       |a3 AS (
+       |  SELECT id, cidx, $finalDist AS dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY $finalDist, cidx) AS rn
+       |  FROM qv CROSS JOIN c3)
+       |SELECT id AS vec_id, CAST(cidx AS INTEGER) AS cluster,
+       |  CAST(dist2 AS BIGINT) AS dist2
+       |FROM a3 WHERE rn = 1""".stripMargin
+  }
+
   private def knnBruteForceSql: String =
     """SELECT query_id, vec_id, ROUND(sim, 6) AS cosine_sim,
       |  CAST(rn AS INTEGER) AS rank FROM (

@@ -1797,6 +1797,15 @@ object ExtensionQueries {
     graft.operators.Sampling.ppsSystematicSample(
       tbl(s, dir, "documents"), "doc_id", "n_chars", k = 50)
 
+  /** 3-round integer Lloyd's over the 64-dim embeddings (k=4):
+    * quantize → md5-seeded init → broadcast argmin → integer-mean
+    * update, all in BIGINT so the fixed point is bit-reproducible
+    * and the full iteration hash-checks against an unrolled oracle.
+    */
+  def qKmeansQuant(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.quantizedKMeans(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 4, rounds = 3)
+
   /** k-anonymity minimal generalization (k=6) of customer account
     * balance against the (nation, segment) quasi-identifier: widths
     * 2000/5000 then full suppression; `band` is the released label
