@@ -339,7 +339,9 @@ object SparkEntry {
     // integer-exact weighted systematic sample (PPS)
     "q182_pps_sample" -> (X.qPpsSample _),
     // 3-round integer Lloyd's, unrolled oracle
-    "q183_kmeans_quant" -> (X.qKmeansQuant _)
+    "q183_kmeans_quant" -> (X.qKmeansQuant _),
+    // streaming MERGE parity: replayed CDC fold vs the batch oracle
+    "q184_cdc_stream" -> (X.qCdcStream _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2740,7 +2742,19 @@ object SparkEntry {
         |FROM p, s
         |WHERE (hi // step) - ((hi - w) // step) > 0""".stripMargin,
     // 3 unrolled integer-Lloyd's rounds; see kmeansQuantSql
-    "q183_kmeans_quant" -> kmeansQuantSql
+    "q183_kmeans_quant" -> kmeansQuantSql,
+    // stream/batch MERGE parity: the replayed fold must equal the
+    // batch window form exactly — same oracle as q181
+    "q184_cdc_stream" ->
+      """WITH last AS (
+        |  SELECT user_id, event_type, "value",
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |SELECT user_id, event_type, "value",
+        |  CAST(n_changes AS BIGINT) AS n_changes
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

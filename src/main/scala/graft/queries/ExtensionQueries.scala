@@ -1797,6 +1797,25 @@ object ExtensionQueries {
     graft.operators.Sampling.ppsSystematicSample(
       tbl(s, dir, "documents"), "doc_id", "n_chars", k = 50)
 
+  /** The CDC fold run as a real stream (flatMapGroupsWithState, O(1)
+    * state per key) and replayed to completion: the emitted snapshot
+    * must equal the batch q181 fold row-for-row — MERGE-semantics
+    * stream/batch parity, checked against the same SQL oracle.
+    */
+  def qCdcStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.replayToTable(
+      RelationalQueries.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value")),
+      df => graft.streaming.EventStreams
+        // 90-day horizon > the 30-day event span: no key may time out
+        // mid-replay (emit-and-forget would restart its fold count)
+        .statefulCdcFold(df, deleteType = "error",
+          horizonSeconds = 90L * 24 * 3600)
+        .toDF(),
+      horizonSeconds = 90L * 24 * 3600 + 3600)
+      .filter(col("user_id") =!= -1L)
+
   /** 3-round integer Lloyd's over the 64-dim embeddings (k=4):
     * quantize → md5-seeded init → broadcast argmin → integer-mean
     * update, all in BIGINT so the fixed point is bit-reproducible

@@ -23,6 +23,24 @@ case class SessionSummary(
 /** Open-session state carried between micro-batches (epoch µs). */
 private[streaming] case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
+/** Input row for [[EventStreams.statefulCdcFold]] (epoch-µs `us` for
+  * the same ms-truncation reason as [[SessionEvent]]).
+  */
+case class CdcChange(user_id: Long, ts: java.sql.Timestamp, us: Long,
+    event_id: Long, event_type: String, value: Double)
+
+/** Per-key CDC fold state: the winning (us, event_id) change so far
+  * plus the fold count.
+  */
+private[streaming] case class CdcFoldState(us: Long, id: Long,
+    eventType: String, value: Double, n: Long)
+
+/** Final snapshot row emitted by [[EventStreams.statefulCdcFold]] —
+  * schema-identical to the batch [[graft.operators.Cdc.applyChangeLog]].
+  */
+case class CdcRow(user_id: Long, event_type: String, value: Double,
+    n_changes: Long)
+
 /** Structured-Streaming operators over an event stream
   * (ts: timestamp, user_id, event_type, value).
   *
@@ -223,6 +241,71 @@ object EventStreams {
               state.setTimeoutTimestamp(Math.floorDiv(s.endUs + gapUs, 1000L) + 1L)
             }
             closed.iterator
+          }
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.Cdc.applyChangeLog]] keyed on
+    * user_id with order (us, event_id): each key's state is the
+    * winning change + fold count, updated per micro-batch in O(1)
+    * state per key; the snapshot row is emitted when the key's
+    * horizon timer fires (event-time `lastUs + horizonSeconds`, i.e.
+    * the log is quiescent for that key), with `deleteType` markers
+    * suppressing the row exactly like the batch filter. Feed it a
+    * replay whose sentinel advances the watermark past every horizon
+    * and the emitted table IS the batch snapshot — q181's oracle
+    * checks that equality end-to-end.
+    *
+    * The horizon is the state-retention rule: a key quiescent past it
+    * EMITS AND FORGETS, so a still-later change re-folds from empty
+    * state (n_changes restarts). For batch parity over a bounded
+    * replay the horizon must therefore exceed the replayed span —
+    * same reasoning as the dedup replay's whole-range lateness.
+    */
+  def statefulCdcFold(
+      events: DataFrame,
+      deleteType: String,
+      horizonSeconds: Long,
+      lateness: String = "0 seconds"): Dataset[CdcRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonUs = horizonSeconds * 1000000L
+
+    events.selectExpr("user_id", "ts", "unix_micros(ts) AS us",
+        "event_id", "event_type", "value")
+      .withWatermark("ts", lateness)
+      .as[CdcChange]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcFoldState, CdcRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[CdcChange], state: GroupState[CdcFoldState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            if (s.eventType == deleteType) Iterator.empty
+            else Iterator.single(CdcRow(uid, s.eventType, s.value, s.n))
+          } else {
+            var cur = state.getOption
+            var lastUs = cur.map(_.us).getOrElse(0L)
+            rows.foreach { r =>
+              lastUs = math.max(lastUs, r.us)
+              cur = cur match {
+                case Some(s) =>
+                  val wins = r.us > s.us || (r.us == s.us && r.event_id > s.id)
+                  Some(if (wins)
+                    CdcFoldState(r.us, r.event_id, r.event_type, r.value, s.n + 1)
+                  else s.copy(n = s.n + 1))
+                case None =>
+                  Some(CdcFoldState(r.us, r.event_id, r.event_type, r.value, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // ms-grained timeout API: round UP past the µs horizon
+              state.setTimeoutTimestamp(
+                Math.floorDiv(lastUs + horizonUs, 1000L) + 1L)
+            }
+            Iterator.empty
           }
       }
   }

@@ -235,4 +235,31 @@ class StreamingSpec extends AnyFunSuite {
       .select("risk_score").first().getInt(0)
     assert(lowRisk >= 15)
   }
+
+  test("replayed CDC fold equals the batch change-log fold") {
+    val changes = Seq(
+      // user 1: two upserts -> latest wins
+      (t(0), 1L, 1L, "set", 1.0), (t(1), 1L, 2L, "set", 2.0),
+      // user 2: final delete -> absent
+      (t(0), 2L, 3L, "set", 3.0), (t(2), 2L, 4L, "del", 0.0),
+      // user 3: delete then re-insert -> present
+      (t(0), 3L, 5L, "del", 0.0), (t(3), 3L, 6L, "set", 6.0),
+      // user 4: same-ts tie -> higher event_id wins
+      (t(5), 4L, 7L, "set", 7.0), (t(5), 4L, 8L, "set", 8.0)
+    ).toDF("ts", "user_id", "event_id", "event_type", "value")
+
+    // horizon (1 h) > replayed span (5 min): no mid-replay timeout
+    val streamed = EventStreams.replayToTable(changes,
+        df => EventStreams.statefulCdcFold(df, deleteType = "del",
+          horizonSeconds = 3600).toDF(),
+        horizonSeconds = 3660)
+      .filter($"user_id" =!= -1L)
+      .as[(Long, String, Double, Long)].collect().toSet
+    val batch = graft.operators.Cdc.applyChangeLog(changes,
+        Seq("user_id"), Seq("ts", "event_id"), Seq("event_type", "value"),
+        isDelete = $"event_type" === "del")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(1L, 3L, 4L))
+  }
 }
