@@ -341,7 +341,11 @@ object SparkEntry {
     // 3-round integer Lloyd's, unrolled oracle
     "q183_kmeans_quant" -> (X.qKmeansQuant _),
     // streaming MERGE parity: replayed CDC fold vs the batch oracle
-    "q184_cdc_stream" -> (X.qCdcStream _)
+    "q184_cdc_stream" -> (X.qCdcStream _),
+    // ROUGE-1 clipped-overlap generation eval over source-adjacent pairs
+    "q185_rouge1" -> (X.qRouge1 _),
+    // linear multi-touch attribution ledger (banded lookback join)
+    "q186_attribution" -> (X.qAttribution _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2754,7 +2758,69 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_type, "value",
         |  CAST(n_changes AS BIGINT) AS n_changes
-        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // q136's tokenizer CTE; clipped counts = SUM(LEAST(c, r)); each
+    // metric one double division, F1 composed from unrounded P/R,
+    // ROUND only at the output edge — mirrored exactly engine-side
+    "q185_rouge1" ->
+      """WITH tokd AS (
+        |  SELECT doc_id, source, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT id_c, id_r FROM (
+        |    SELECT doc_id AS id_c,
+        |      LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS id_r
+        |    FROM tokd)
+        |  WHERE id_r IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, x AS gram, COUNT(*) AS cnt
+        |  FROM tokd, UNNEST(ts) AS t(x) GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM tokd),
+        |ov AS (
+        |  SELECT id_c, id_r,
+        |    CAST(SUM(LEAST(gc.cnt, gr.cnt)) AS BIGINT) AS overlap
+        |  FROM pairs
+        |  JOIN g gc ON gc.doc_id = id_c
+        |  JOIN g gr ON gr.doc_id = id_r AND gr.gram = gc.gram
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p.id_c, p.id_r,
+        |    COALESCE(ov.overlap, 0) AS overlap, nc.n AS n_c, nr.n AS n_r
+        |  FROM pairs p
+        |  JOIN n nc ON nc.doc_id = p.id_c
+        |  JOIN n nr ON nr.doc_id = p.id_r
+        |  LEFT JOIN ov ON ov.id_c = p.id_c AND ov.id_r = p.id_r)
+        |SELECT id_c, id_r, overlap, n_c, n_r,
+        |  ROUND(CASE WHEN n_c = 0 THEN 0.0
+        |    ELSE CAST(overlap AS DOUBLE) / n_c END, 6) AS p,
+        |  ROUND(CASE WHEN n_r = 0 THEN 0.0
+        |    ELSE CAST(overlap AS DOUBLE) / n_r END, 6) AS r,
+        |  ROUND(CASE WHEN overlap = 0 THEN 0.0 ELSE
+        |    2.0 * (CAST(overlap AS DOUBLE) / n_c)
+        |        * (CAST(overlap AS DOUBLE) / n_r)
+        |    / ((CAST(overlap AS DOUBLE) / n_c)
+        |        + (CAST(overlap AS DOUBLE) / n_r)) END, 6) AS f1
+        |FROM m""".stripMargin,
+    // strict-before 7-day lookback; pair-level shares (one division,
+    // no float summation); window count per conversion
+    "q186_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS conv_ts, "value"
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS touch_id, ts AS touch_ts
+        |  FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.user_id, conv_id, touch_id, "value"
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.touch_ts < p.conv_ts
+        |    AND c.touch_ts >= p.conv_ts - INTERVAL 7 DAY)
+        |SELECT conv_id, touch_id, user_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_touches,
+        |  ROUND(CAST("value" AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY conv_id), 6) AS share
+        |FROM pairs""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

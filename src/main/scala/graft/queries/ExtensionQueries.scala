@@ -1797,6 +1797,44 @@ object ExtensionQueries {
     graft.operators.Sampling.ppsSystematicSample(
       tbl(s, dir, "documents"), "doc_id", "n_chars", k = 50)
 
+  /** ROUGE-1 (clipped unigram overlap) scoring each document against
+    * the next doc_id of the same source — the generation-eval metric
+    * as a set-scale operator: exact integer clipped counts, one IEEE
+    * division per metric, rounded at the output edge.
+    */
+  def qRouge1(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokens(lower(col("text"))).as("_t"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val pairs = docs
+      .withColumn("id_r", lead(col("doc_id"), 1).over(w))
+      .filter(col("id_r").isNotNull)
+      .select(col("doc_id").as("id_c"), col("id_r"))
+    val grams = docs.select(col("doc_id"), explode(col("_t")).as("gram"))
+    graft.operators.TextEval.rougeClipped(pairs, grams)
+  }
+
+  /** Linear multi-touch attribution ledger: each purchase's value
+    * split equally over the user's clicks in the strict-before 7-day
+    * window (banded equi join, window count per conversion).
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"), col("value"))
+    val touch = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"))
+    graft.operators.Attribution.linearTouches(conv, touch,
+        keys = Seq("user_id"), convId = "conv_id", convTs = "conv_ts",
+        touchTs = "touch_ts", valueCol = "value",
+        lookbackSeconds = 7L * 24 * 3600)
+      .select(col("conv_id"), col("touch_id"), col("user_id"),
+        col("n_touches"), col("share"))
+  }
+
   /** The CDC fold run as a real stream (flatMapGroupsWithState, O(1)
     * state per key) and replayed to completion: the emitted snapshot
     * must equal the batch q181 fold row-for-row — MERGE-semantics

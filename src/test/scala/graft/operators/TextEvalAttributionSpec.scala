@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** ROUGE clipped overlap + linear attribution ledger. */
+class TextEvalAttributionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rouge: clipped counts, hand-computed P/R/F1, zero-overlap row") {
+    // cand 1 = "a a b", ref 2 = "a b b c": clipped overlap =
+    // min(2,1) + min(1,2) = 2; P = 2/3, R = 2/4
+    // cand 3 = "x", ref 4 = "y": overlap 0 -> all-zero metrics
+    val grams = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (2L, "b"), (2L, "c"),
+      (3L, "x"), (4L, "y")
+    ).toDF("doc_id", "gram")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_c", "id_r")
+    val got = TextEval.rougeClipped(pairs, grams)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => (r._2, r._1) -> ((r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    // base selects (idR joins first): key by (id_c) for clarity
+    val one = got((2L, 1L))
+    assert(one._1 == 2L && one._2 == 3L && one._3 == 4L)
+    assert(one._4 == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(one._5 == 0.5)
+    val p = 2.0 / 3.0; val r = 0.5
+    assert(one._6 == math.rint(2.0 * p * r / (p + r) * 1e6) / 1e6)
+    assert(got((4L, 3L)) == ((0L, 1L, 1L, 0.0, 0.0, 0.0)))
+  }
+
+  test("attribution: equal split inside the strict-before window only") {
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val conv = Seq(
+      (1L, 100L, t(10, 12), 30.0), // user 1 buys on the 10th
+      (2L, 200L, t(10, 12), 9.0)   // user 2: no touches in window
+    ).toDF("user_id", "conv_id", "conv_ts", "value")
+    val touch = Seq(
+      (1L, 11L, t(9, 12)),   // inside (1 day before)
+      (1L, 12L, t(4, 11)),   // inside (just under 7 days: 6d1h)
+      (1L, 13L, t(3, 11)),   // OUTSIDE (7d1h before)
+      (1L, 14L, t(10, 12)),  // OUTSIDE (same instant: strict before)
+      (2L, 21L, t(10, 13))   // OUTSIDE (after conversion)
+    ).toDF("user_id", "touch_id", "touch_ts")
+    val got = Attribution.linearTouches(conv, touch, Seq("user_id"),
+        "conv_id", "conv_ts", "touch_ts", "value", 7L * 24 * 3600)
+      .select("conv_id", "touch_id", "n_touches", "share")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((100L, 11L, 2L, 15.0), (100L, 12L, 2L, 15.0)))
+  }
+
+  test("attribution: boundary exactly lookback-before is included") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val conv = Seq((1L, 1L, ts("2024-01-08 00:00:00"), 10.0))
+      .toDF("user_id", "conv_id", "conv_ts", "value")
+    val touch = Seq((1L, 2L, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "touch_id", "touch_ts")
+    val got = Attribution.linearTouches(conv, touch, Seq("user_id"),
+        "conv_id", "conv_ts", "touch_ts", "value", 7L * 24 * 3600)
+      .select("touch_id", "share").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 10.0)))
+  }
+}
