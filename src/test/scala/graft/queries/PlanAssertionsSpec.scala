@@ -174,4 +174,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(winIdx >= 0 && aggIdx > winIdx,
       "cumsum must consume the aggregated day table:\n" + plan)
   }
+
+  test("q181: the CDC fold is a keyed aggregate (no window over the log)") {
+    val plan = planOf("q181_cdc_apply")
+    assert(!plan.contains("Window"), plan)
+    // max_by(struct) plans as SortAggregate (struct buffers aren't
+    // hash-aggregable) — any aggregate form is fine, a Window is not
+    assert(plan.contains("Aggregate"), plan)
+    assert(plan.contains("max_by"), plan)
+  }
+
+  test("q186: the lookback join is a banded equi join, not a nested loop") {
+    val plan = planOf("q186_attribution")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q183: k-means assignment broadcasts centroids; argmin is an aggregate") {
+    val plan = planOf("q183_kmeans_quant")
+    // the k-row centroid side arrives by broadcast every round...
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // ...and no round resolves the argmin with a row_number window
+    assert(!plan.contains("Window,"), plan)
+  }
 }
