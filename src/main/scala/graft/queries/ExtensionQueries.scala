@@ -1529,16 +1529,20 @@ object ExtensionQueries {
     * supplier-part graph, 6 fixed-point integer rounds.
     */
   def qPersonalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    // no pre-distinct: the operator dedups AFTER its repartition(src)
+    // (hashpartitioning(src) satisfies the (src,dst) dedup
+    // distribution — q109's one-shuffle setup), where a .distinct()
+    // here would add a whole extra shuffle of the edge list
     val b = tbl(s, dir, "lineitem").select(
         col("l_suppkey").cast("long").as("s"),
-        (col("l_partkey").cast("long") + 10000000L).as("p")).distinct()
+        (col("l_partkey").cast("long") + 10000000L).as("p"))
     val edges = b.select(col("s").as("src"), col("p").as("dst"))
       .union(b.select(col("p").as("src"), col("s").as("dst")))
     val seeds = tbl(s, dir, "lineitem")
       .filter(col("l_suppkey") < 5)
       .select(col("l_suppkey").cast("long").as("node"))
     graft.operators.PageRank.microPersonalizedPageRank(
-      edges, seeds, iterations = 6, distinctEdges = true)
+      edges, seeds, iterations = 6)
   }
 
   /** CUPED readout: metric = 1995 customer revenue, covariate = 1994
