@@ -345,7 +345,9 @@ object SparkEntry {
     // ROUGE-1 clipped-overlap generation eval over source-adjacent pairs
     "q185_rouge1" -> (X.qRouge1 _),
     // linear multi-touch attribution ledger (banded lookback join)
-    "q186_attribution" -> (X.qAttribution _)
+    "q186_attribution" -> (X.qAttribution _),
+    // Zipf log-log OLS on the exact scaled-ln lattice
+    "q187_zipf_fit" -> (X.qZipfFit _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2820,7 +2822,39 @@ object SparkEntry {
         |  CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_touches,
         |  ROUND(CAST("value" AS DOUBLE)
         |    / COUNT(*) OVER (PARTITION BY conv_id), 6) AS share
-        |FROM pairs""".stripMargin
+        |FROM pairs""".stripMargin,
+    // scaled-ln integer lattice (round half away from zero on
+    // positives — both engines), HUGEINT-exact moments mirroring the
+    // engine's decimal sums, one IEEE chain; q154's discipline
+    "q187_zipf_fit" ->
+      """WITH tokd AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |tf AS (
+        |  SELECT x AS term, COUNT(*) AS f
+        |  FROM tokd, UNNEST(ts) AS t(x) GROUP BY 1),
+        |rk AS (
+        |  SELECT term, f,
+        |    ROW_NUMBER() OVER (ORDER BY f DESC, term ASC) AS r
+        |  FROM tf),
+        |pts AS (
+        |  SELECT
+        |    CAST(ROUND(ln(CAST(r AS DOUBLE)) * 100000000.0) AS HUGEINT) AS x,
+        |    CAST(ROUND(ln(CAST(f AS DOUBLE)) * 100000000.0) AS HUGEINT) AS y
+        |  FROM rk WHERE r <= 1000),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 100000000.0, 6) AS intercept
+        |FROM m""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

@@ -74,4 +74,49 @@ object Profiling {
     }.toSeq
     m.select(explode(array(pairs: _*)).as("_row")).select(col("_row.*"))
   }
+
+  /** Zipf-law fit: the log-log OLS slope of term frequency against
+    * frequency rank over the top-N vocabulary — the corpus-health
+    * statistic (natural text sits near slope −1; template/boilerplate
+    * corpora flatten, spam steepens).
+    *
+    * Exactness: each ln lands on an integer lattice
+    * (`round(ln(·)·10⁸)` as BIGINT — both engines round positive
+    * halves away from zero), so every OLS moment is an EXACT integer
+    * sum (decimal-carried; products fit well under 38 digits), and
+    * slope/intercept are one fixed IEEE chain over those exact
+    * totals — the q154 trend discipline applied to a log-log fit.
+    * The intercept divides the 10⁸ scale back out; the slope is
+    * scale-free.
+    *
+    * Scale shape: the rank is a window over the TERM table (vocab-
+    * bounded, Heaps-law small — not the corpus), cut to `topN`; the
+    * moments are one map-side-combinable global aggregate. Output is
+    * a single row (n_terms, slope, intercept).
+    */
+  def zipfFit(terms: DataFrame, termCol: String, freqCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 3, s"need at least 3 rank points: $topN")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(freqCol).desc, col(termCol).asc)
+    val pts = terms
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= topN)
+      .select(
+        round(log(col("_rk").cast("double")) * 1e8).cast("long").as("_x"),
+        round(log(col(freqCol).cast("double")) * 1e8).cast("long").as("_y"))
+    val m = pts.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("_x").cast("decimal(18,0)")).as("sx"),
+      sum(col("_y").cast("decimal(18,0)")).as("sy"),
+      sum(col("_x").cast("decimal(18,0)") * col("_y").cast("decimal(18,0)")).as("sxy"),
+      sum(col("_x").cast("decimal(18,0)") * col("_x").cast("decimal(18,0)")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(
+      col("n").cast("long").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n").cast("double") / lit(1e8), 6).as("intercept"))
+  }
 }

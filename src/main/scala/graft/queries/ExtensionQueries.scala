@@ -1801,6 +1801,17 @@ object ExtensionQueries {
     graft.operators.Sampling.ppsSystematicSample(
       tbl(s, dir, "documents"), "doc_id", "n_chars", k = 50)
 
+  /** Zipf-law fit over the corpus vocabulary: log-log OLS slope of
+    * term frequency vs rank (top 1000 terms) on the exact scaled-ln
+    * integer lattice — single-row corpus-health statistic.
+    */
+  def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val tf = tbl(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    graft.operators.Profiling.zipfFit(tf, "term", "f", topN = 1000)
+  }
+
   /** ROUGE-1 (clipped unigram overlap) scoring each document against
     * the next doc_id of the same source — the generation-eval metric
     * as a set-scale operator: exact integer clipped counts, one IEEE

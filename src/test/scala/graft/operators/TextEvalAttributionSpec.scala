@@ -55,6 +55,33 @@ class TextEvalAttributionSpec extends AnyFunSuite {
     assert(got == Set((100L, 11L, 2L, 15.0), (100L, 12L, 2L, 15.0)))
   }
 
+  test("zipf fit matches a plain-Scala OLS on the same lattice") {
+    val tf = Seq(("a", 16L), ("b", 8L), ("c", 4L), ("d", 2L), ("e", 1L))
+      .toDF("term", "f")
+    val got = Profiling.zipfFit(tf, "term", "f", topN = 1000)
+      .as[(Long, Double, Double)].collect().head
+
+    // reference: same lattice, exact BigInt moments, same IEEE chain
+    val pts = Seq(16L, 8L, 4L, 2L, 1L).zipWithIndex.map { case (f, i) =>
+      (math.round(math.log((i + 1).toDouble) * 1e8),
+        math.round(math.log(f.toDouble) * 1e8))
+    }
+    val n = BigInt(pts.size)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble / 1e8
+    assert(got._1 == 5L)
+    assert(got._2 == math.rint(slope * 1e6) / 1e6 ||
+      math.abs(got._2 - slope) < 1e-6)
+    assert(math.abs(got._3 - icept) < 1e-6)
+    // powers of two at ranks ~2^k: slope near -ln2-ish scaling, and
+    // definitely negative
+    assert(got._2 < 0.0)
+  }
+
   test("attribution: boundary exactly lookback-before is included") {
     def ts(s: String) = Timestamp.valueOf(s)
     val conv = Seq((1L, 1L, ts("2024-01-08 00:00:00"), 10.0))
