@@ -347,7 +347,9 @@ object SparkEntry {
     // linear multi-touch attribution ledger (banded lookback join)
     "q186_attribution" -> (X.qAttribution _),
     // Zipf log-log OLS on the exact scaled-ln lattice
-    "q187_zipf_fit" -> (X.qZipfFit _)
+    "q187_zipf_fit" -> (X.qZipfFit _),
+    // Heaps vocabulary-growth fit over doc-id-decile prefixes
+    "q188_heaps_fit" -> (X.qHeapsFit _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2848,6 +2850,41 @@ object SparkEntry {
         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
         |  FROM pts)
         |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 100000000.0, 6) AS intercept
+        |FROM m""".stripMargin,
+    // value-decile id thresholds ((mx+1)·k // 10 — floor ≡ div on
+    // non-negatives), first-occurrence vocab counts, same lattice OLS
+    "q188_heaps_fit" ->
+      """WITH tokd AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |mx AS (SELECT MAX(doc_id) AS mxid FROM tokd),
+        |th AS (
+        |  SELECT k, ((mxid + 1) * k) // 10 AS t
+        |  FROM mx, UNNEST(range(1, 11)) AS u(k)),
+        |nk AS (
+        |  SELECT k, CAST(SUM(len(ts)) AS BIGINT) AS n
+        |  FROM tokd, th WHERE doc_id < t GROUP BY k),
+        |fi AS (
+        |  SELECT x AS term, MIN(doc_id) AS first_id
+        |  FROM tokd, UNNEST(ts) AS u(x) GROUP BY 1),
+        |vk AS (SELECT k, COUNT(*) AS v FROM fi, th WHERE first_id < t GROUP BY k),
+        |pts AS (
+        |  SELECT
+        |    CAST(ROUND(ln(CAST(n AS DOUBLE)) * 100000000.0) AS HUGEINT) AS x,
+        |    CAST(ROUND(ln(CAST(v AS DOUBLE)) * 100000000.0) AS HUGEINT) AS y
+        |  FROM nk JOIN vk USING (k) WHERE n > 0 AND v > 0),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_points,
         |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
         |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
         |  ROUND((CAST(sy AS DOUBLE)

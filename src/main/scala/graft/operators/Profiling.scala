@@ -105,6 +105,55 @@ object Profiling {
       .select(
         round(log(col("_rk").cast("double")) * 1e8).cast("long").as("_x"),
         round(log(col(freqCol).cast("double")) * 1e8).cast("long").as("_y"))
+    latticeOls(pts, "n_terms")
+  }
+
+  /** Heaps-law fit: vocabulary size V against token count N over
+    * growing doc-id prefixes of the corpus, as the log-log OLS slope
+    * (the Heaps β, with intercept = ln K) — the companion statistic
+    * to [[zipfFit]]: natural corpora grow vocabulary as V ≈ K·N^β
+    * with β ≈ 0.4–0.6; duplicated/template corpora flatten β.
+    *
+    * Checkpoints are `parts` value-deciles of the id domain
+    * (`T_k = (max_id + 1)·k div parts` — one max() scalar, no global
+    * row-ranking of the corpus): N_k = Σ tokens over docs with
+    * id < T_k, V_k = #terms whose FIRST doc id < T_k. Both are one
+    * broadcast of the `parts`-row threshold table against corpus-
+    * bounded frames (the doc token counts; the per-term min-id table),
+    * so the whole fit is two map-side-combinable aggregates + the
+    * exact-lattice OLS. Empty prefixes (N_k = 0) are excluded.
+    */
+  def heapsFit(docTokens: DataFrame, idCol: String, nTokensCol: String,
+      termFirstId: DataFrame, firstIdCol: String,
+      parts: Int = 10): DataFrame = {
+    require(parts >= 3, s"need at least 3 checkpoints: $parts")
+    val ks = docTokens.sparkSession.range(1, parts + 1)
+      .select(col("id").as("_k"))
+    val maxId = docTokens.agg(max(col(idCol)).cast("long").as("_mx"))
+    val thresholds = ks.crossJoin(maxId)
+      .select(col("_k"), expr(s"(_mx + 1L) * _k div ${parts}L").as("_t"))
+    val nK = docTokens.crossJoin(broadcast(thresholds))
+      .filter(col(idCol) < col("_t"))
+      .groupBy(col("_k"))
+      .agg(sum(col(nTokensCol).cast("long")).as("_n"))
+    val vK = termFirstId.crossJoin(broadcast(thresholds))
+      .filter(col(firstIdCol) < col("_t"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("_v"))
+    val pts = nK.join(vK, Seq("_k"))
+      .filter(col("_n") > 0L && col("_v") > 0L)
+      .select(
+        round(log(col("_n").cast("double")) * 1e8).cast("long").as("_x"),
+        round(log(col("_v").cast("double")) * 1e8).cast("long").as("_y"))
+    latticeOls(pts, "n_points")
+  }
+
+  /** Exact-lattice log-log OLS shared by [[zipfFit]] / [[heapsFit]]:
+    * `pts` carries (_x, _y) = round(ln(·)·10⁸) BIGINT lattice points;
+    * moments are decimal-exact sums, slope/intercept one IEEE chain,
+    * intercept divided back by the 10⁸ scale.
+    */
+  private def latticeOls(pts: DataFrame, nName: String): DataFrame = {
     val m = pts.agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(col("_x").cast("decimal(18,0)")).as("sx"),
@@ -114,7 +163,7 @@ object Profiling {
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
       (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     m.select(
-      col("n").cast("long").as("n_terms"),
+      col("n").cast("long").as(nName),
       round(slope, 6).as("slope"),
       round((col("sy").cast("double") - slope * col("sx").cast("double")) /
         col("n").cast("double") / lit(1e8), 6).as("intercept"))

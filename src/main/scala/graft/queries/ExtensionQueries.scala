@@ -1812,6 +1812,21 @@ object ExtensionQueries {
     graft.operators.Profiling.zipfFit(tf, "term", "f", topN = 1000)
   }
 
+  /** Heaps-law fit: log-log OLS of vocabulary size vs token count
+    * over 10 doc-id-decile prefixes — the vocabulary-growth companion
+    * to q187's Zipf slope, on the same exact lattice.
+    */
+  def qHeapsFit(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("_t"))
+    val docTokens = docs.select(col("doc_id"),
+      size(col("_t")).cast("long").as("nt"))
+    val firstId = docs.select(col("doc_id"), explode(col("_t")).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_id"))
+    graft.operators.Profiling.heapsFit(docTokens, "doc_id", "nt",
+      firstId, "first_id")
+  }
+
   /** ROUGE-1 (clipped unigram overlap) scoring each document against
     * the next doc_id of the same source — the generation-eval metric
     * as a set-scale operator: exact integer clipped counts, one IEEE

@@ -82,6 +82,29 @@ class TextEvalAttributionSpec extends AnyFunSuite {
     assert(got._2 < 0.0)
   }
 
+  test("heaps fit: checkpoint prefixes and beta near the planted growth") {
+    // synthetic corpus obeying V = N^0.5 exactly at checkpoints:
+    // doc i contributes tokens so prefix N = (i+1)^2, V = i+1
+    // (doc i adds 2i+1 tokens of which exactly 1 is a new term)
+    val docs = (0L until 40L).map { i =>
+      val toks = Seq.fill((2 * i + 1).toInt - 1)("t" + (i % (i / 2 + 1))) :+ ("new" + i)
+      (i, toks)
+    }
+    val docTokens = docs.map { case (i, t) => (i, t.size.toLong) }
+      .toDF("doc_id", "nt")
+    val firstId = docs.flatMap { case (i, t) => t.map(_ -> i) }
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
+      .toSeq.toDF("term", "first_id")
+    val got = Profiling.heapsFit(docTokens, "doc_id", "nt",
+        firstId, "first_id")
+      .as[(Long, Double, Double)].collect().head
+    assert(got._1 == 10L)
+    // the filler terms reuse earlier vocab imperfectly, so beta sits
+    // near but not exactly 0.5 — the invariant worth pinning is a
+    // sublinear positive growth exponent
+    assert(got._2 > 0.2 && got._2 < 0.8, s"beta=${got._2}")
+  }
+
   test("attribution: boundary exactly lookback-before is included") {
     def ts(s: String) = Timestamp.valueOf(s)
     val conv = Seq((1L, 1L, ts("2024-01-08 00:00:00"), 10.0))
