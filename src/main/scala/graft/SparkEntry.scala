@@ -349,7 +349,9 @@ object SparkEntry {
     // Zipf log-log OLS on the exact scaled-ln lattice
     "q187_zipf_fit" -> (X.qZipfFit _),
     // Heaps vocabulary-growth fit over doc-id-decile prefixes
-    "q188_heaps_fit" -> (X.qHeapsFit _)
+    "q188_heaps_fit" -> (X.qHeapsFit _),
+    // cluster-balanced exact-quota sample (q183 ∘ q122 composition)
+    "q189_cluster_sample" -> (X.qClusterSample _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2751,6 +2753,31 @@ object SparkEntry {
         |WHERE (hi // step) - ((hi - w) // step) > 0""".stripMargin,
     // 3 unrolled integer-Lloyd's rounds; see kmeansQuantSql
     "q183_kmeans_quant" -> kmeansQuantSql,
+    // the FULL q183 oracle as a nested CTE feeding q122's quota CTEs
+    // (stratum = cluster, pct 20, salt cluster_sample_v1) — the
+    // composition is oracle-checked end to end
+    "q189_cluster_sample" ->
+      s"""WITH assign AS (
+         |$kmeansQuantSql
+         |),
+         |counts AS (SELECT cluster, COUNT(*) AS n_i FROM assign GROUP BY cluster),
+         |tot AS (SELECT SUM(n_i) AS N, SUM((n_i*20)//100) AS sumBase
+         |  FROM counts),
+         |alloc AS (
+         |  SELECT cluster, (n_i*20)//100 AS base,
+         |    ROW_NUMBER() OVER (ORDER BY (n_i*20)%100 DESC, cluster ASC) AS rk
+         |  FROM counts),
+         |quota AS (
+         |  SELECT a.cluster, a.base + CASE
+         |    WHEN a.rk <= ((t.N*20)//100 - t.sumBase) THEN 1 ELSE 0 END AS q
+         |  FROM alloc a, tot t),
+         |ranked AS (
+         |  SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY cluster
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':cluster_sample_v1'),
+         |      vec_id) AS rk
+         |  FROM assign)
+         |SELECT r.vec_id, r.cluster
+         |FROM ranked r JOIN quota q USING (cluster) WHERE r.rk <= q.q""".stripMargin,
     // stream/batch MERGE parity: the replayed fold must equal the
     // batch window form exactly — same oracle as q181
     "q184_cdc_stream" ->

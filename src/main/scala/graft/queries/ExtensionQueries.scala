@@ -1884,6 +1884,20 @@ object ExtensionQueries {
       horizonSeconds = 90L * 24 * 3600 + 3600)
       .filter(col("user_id") =!= -1L)
 
+  /** Diversity-balanced eval-set selection: q183's integer k-means
+    * clusters become the strata of q122's exact-quota sampler — a
+    * 20% sample whose cluster proportions are integer-exact
+    * (largest-remainder), so no embedding region is over/under-drawn.
+    * Pure composition of two oracle-proven operators.
+    */
+  def qClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.operators.Clustering.quantizedKMeans(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 4, rounds = 3)
+      .select(col("vec_id"), col("cluster"))
+    graft.operators.Sampling.exactQuotaSplit(clusters, "vec_id", "cluster",
+      pct = 20, salt = "cluster_sample_v1")
+  }
+
   /** 3-round integer Lloyd's over the 64-dim embeddings (k=4):
     * quantize → md5-seeded init → broadcast argmin → integer-mean
     * update, all in BIGINT so the fixed point is bit-reproducible
