@@ -351,7 +351,9 @@ object SparkEntry {
     // Heaps vocabulary-growth fit over doc-id-decile prefixes
     "q188_heaps_fit" -> (X.qHeapsFit _),
     // cluster-balanced exact-quota sample (q183 ∘ q122 composition)
-    "q189_cluster_sample" -> (X.qClusterSample _)
+    "q189_cluster_sample" -> (X.qClusterSample _),
+    // end-to-end prep: gate → dedup → split → pack, one oracle
+    "q190_training_prep" -> (X.qTrainingPrep _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2778,6 +2780,55 @@ object SparkEntry {
          |  FROM assign)
          |SELECT r.vec_id, r.cluster
          |FROM ranked r JOIN quota q USING (cluster) WHERE r.rk <= q.q""".stripMargin,
+    // q81's scoring CTEs → GROUP BY text min-id dedup (≡ the engine's
+    // sha2 group — same partition, text never keys its shuffle) →
+    // q94's md5 train rule → q95's packing CTEs over the survivors
+    "q190_training_prep" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, text,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r2 AS (
+        |  SELECT doc_id, text, len,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops
+        |  FROM t2),
+        |scored AS (
+        |  SELECT doc_id, text, ROUND(
+        |      (CASE WHEN len < 20 THEN len/20.0
+        |            WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+        |            ELSE 1.0 END) * 0.3
+        |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+        |    + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+        |    + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+        |    6) AS quality
+        |  FROM r2),
+        |surv AS (
+        |  SELECT MIN(doc_id) AS doc_id, text
+        |  FROM scored WHERE quality >= 0.5 GROUP BY text),
+        |train AS (
+        |  SELECT doc_id, text FROM surv
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':split_v1'), 1, 4)
+        |    < 'cccc'),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+        |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS BIGINT) AS n_tokens
+        |  FROM train),
+        |offs AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS pack_id
+        |FROM offs""".stripMargin,
     // stream/batch MERGE parity: the replayed fold must equal the
     // batch window form exactly — same oracle as q181
     "q184_cdc_stream" ->

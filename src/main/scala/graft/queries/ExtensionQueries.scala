@@ -1884,6 +1884,37 @@ object ExtensionQueries {
       horizonSeconds = 90L * 24 * 3600 + 3600)
       .filter(col("user_id") =!= -1L)
 
+  /** END-TO-END pretraining data prep as ONE hash-checked query —
+    * the composition a training pipeline actually runs: quality gate
+    * (q81's score, keep ≥ 0.5) → exact content dedup (min-id
+    * survivor, grouped by sha2 so full text never keys the shuffle)
+    * → stable hash split (q94's md5 rule, keep the train fraction) →
+    * q95's 512-token sequence packing via the two-level exact prefix
+    * sum. Each stage is individually oracle-proven; this pins the
+    * composition and its cross-stage contracts (dedup sees only gated
+    * docs, the split draws on the SURVIVOR's id, pack offsets run
+    * over the train subset alone).
+    */
+  def qTrainingPrep(s: SparkSession, dir: String): DataFrame = {
+    val gated = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .withColumn("_q",
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks")))
+      .filter(col("_q") >= 0.5)
+      .select(col("doc_id"), col("text"))
+    val survivors = gated
+      .groupBy(sha2(col("text"), 256).as("_h"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("_m"))
+      .select(col("_m.doc_id").as("doc_id"), col("_m.text").as("text"))
+    val train = survivors.filter(
+      graft.operators.Sampling.splitColumn(col("doc_id"), "split_v1")
+        === "train")
+    val withTok = train.select(col("doc_id"),
+      TextFunctions.tokenCountArithmetic(col("text")).as("n_tokens"))
+    graft.operators.Packing.packByTokenBudget(withTok, "doc_id",
+      "n_tokens", 512L)
+  }
+
   /** Diversity-balanced eval-set selection: q183's integer k-means
     * clusters become the strata of q122's exact-quota sampler — a
     * 20% sample whose cluster proportions are integer-exact
