@@ -353,7 +353,9 @@ object SparkEntry {
     // cluster-balanced exact-quota sample (q183 ∘ q122 composition)
     "q189_cluster_sample" -> (X.qClusterSample _),
     // end-to-end prep: gate → dedup → split → pack, one oracle
-    "q190_training_prep" -> (X.qTrainingPrep _)
+    "q190_training_prep" -> (X.qTrainingPrep _),
+    // per-event hour-of-week z-score (exact moments, IEEE sqrt)
+    "q191_seasonal_anomaly" -> (X.qSeasonalAnomaly _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -2969,7 +2971,38 @@ object SparkEntry {
         |      - (CAST(n * sxy - sx * sy AS DOUBLE)
         |         / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 100000000.0, 6) AS intercept
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // cent-quantized HUGEINT moments (≡ the engine's decimal(38,0)
+    // sums), exact variance numerator, one double cast, IEEE sqrt;
+    // z chain mirrored term for term; n<2 / zero-variance cells drop
+    "q191_seasonal_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(EXTRACT(DOW FROM ts) AS BIGINT) AS dow,
+        |    CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, dow, hod, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(v AS HUGEINT)) AS s,
+        |    SUM(CAST(v AS HUGEINT) * v) AS s2
+        |  FROM e GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT e.event_id, e.event_type, e.dow, e.hod, e.v,
+        |    c.n, c.s, CAST(c.n * c.s2 - c.s * c.s AS DOUBLE) AS varnum
+        |  FROM e JOIN c USING (event_type, dow, hod)
+        |  WHERE c.n >= 2 AND CAST(c.n * c.s2 - c.s * c.s AS DOUBLE) > 0)
+        |SELECT event_id, event_type, dow, hod,
+        |  ROUND((CAST(v AS DOUBLE) / 100.0
+        |      - CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))
+        |    / sqrt(varnum / 10000.0
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS z,
+        |  ABS((CAST(v AS DOUBLE) / 100.0
+        |      - CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))
+        |    / sqrt(varnum / 10000.0
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) > 3.0
+        |    AS anomalous
+        |FROM j""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

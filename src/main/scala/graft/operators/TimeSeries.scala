@@ -237,6 +237,46 @@ object TimeSeries {
           .as("seasonal_index"))
   }
 
+  /** Seasonal-baseline anomaly score: each event's z against ITS OWN
+    * (key, day-of-week, hour) cell — the detector [[seasonalProfile]]
+    * is the denominator for (a 3 a.m. Sunday spike is judged against
+    * 3 a.m. Sundays, not the global mean).
+    *
+    * Exactness: values quantize to cents (the decimal(18,2) cast both
+    * engines agree on, ×100 as BIGINT), so per-cell n/Σv/Σv² are
+    * EXACT integers (decimal-carried against overflow) and the
+    * variance numerator n·Σv² − (Σv)² is computed exactly before ONE
+    * cast to double; sqrt is correctly rounded in IEEE 754 (unlike
+    * ln), so z = (v − mean)/std is a fixed IEEE chain mirrored
+    * verbatim in the oracle. Zero-variance and singleton cells emit
+    * nothing (no z exists).
+    *
+    * Scale shape: one map-side-combinable aggregate to the
+    * |keys|·168-cell grid, broadcast back — events never shuffle.
+    */
+  def seasonalAnomaly(events: DataFrame, idCol: String, keyCol: String,
+      tsCol: String, valueCol: String, zThreshold: Double = 3.0): DataFrame = {
+    val v100 = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val e = events.select(col(idCol), col(keyCol),
+      (dayofweek(col(tsCol)) - 1).cast("long").as("dow"),
+      hour(col(tsCol)).cast("long").as("hod"),
+      v100.as("_v"))
+    val cells = e.groupBy(col(keyCol), col("dow"), col("hod"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("_v").cast("decimal(38,0)")).as("_s"),
+        sum((col("_v") * col("_v")).cast("decimal(38,0)")).as("_s2"))
+      .withColumn("_varnum",
+        (col("_n") * col("_s2") - col("_s") * col("_s")).cast("double"))
+      .filter(col("_n") >= 2 && col("_varnum") > 0.0)
+    val nD = col("_n").cast("double")
+    val mean = col("_s").cast("double") / 100.0 / nD
+    val std = sqrt(col("_varnum") / 10000.0 / (nD * (nD - 1.0)))
+    val z = (col("_v").cast("double") / 100.0 - mean) / std
+    e.join(broadcast(cells), Seq(keyCol, "dow", "hod"))
+      .select(col(idCol), col(keyCol), col("dow"), col("hod"),
+        round(z, 6).as("z"), (abs(z) > zThreshold).as("anomalous"))
+  }
+
   def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, lambdaPerDay: Double): DataFrame = {
     val tRef = events.agg(max(unix_micros(col(tsCol))).as("_tref"))

@@ -1884,6 +1884,14 @@ object ExtensionQueries {
       horizonSeconds = 90L * 24 * 3600 + 3600)
       .filter(col("user_id") =!= -1L)
 
+  /** Per-event seasonal anomaly z (value vs its own hour-of-week
+    * cell): exact cent-quantized moments, IEEE-exact sqrt, one chain.
+    */
+  def qSeasonalAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.seasonalAnomaly(
+      RelationalQueries.events(s, dir),
+      "event_id", "event_type", "ts", "value")
+
   /** END-TO-END pretraining data prep as ONE hash-checked query —
     * the composition a training pipeline actually runs: quality gate
     * (q81's score, keep ≥ 0.5) → exact content dedup (min-id

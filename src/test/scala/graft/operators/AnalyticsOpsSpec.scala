@@ -581,6 +581,32 @@ class SeasonalProfileSpec extends AnyFunSuite {
   }
 }
 
+/** Seasonal anomaly: z against the event's own hour-of-week cell. */
+class SeasonalAnomalySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("z from exact cent moments; singleton and flat cells drop") {
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:15:00")
+    val ev = Seq(
+      (1L, "x", t(7, 9), 10.0), (2L, "x", t(7, 9), 20.0), // Sun 09
+      (3L, "x", t(8, 9), 40.0),                           // singleton
+      (4L, "y", t(7, 9), 5.0), (5L, "y", t(7, 9), 5.0)    // zero var
+    ).toDF("event_id", "event_type", "ts", "value")
+    val got = TimeSeries.seasonalAnomaly(ev, "event_id", "event_type",
+        "ts", "value")
+      .as[(Long, String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._5, r._6))).toMap
+    // cents: v=1000,2000 -> n=2 s=3000 s2=5e6; varnum=1e6;
+    // var = 1e6/1e4/2 = 50; z = ±5/sqrt(50)
+    val z = 5.0 / math.sqrt(50.0)
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((-math.rint(z * 1e6) / 1e6, false)))
+    assert(got(2L) == ((math.rint(z * 1e6) / 1e6, false)))
+  }
+}
+
 /** Cohort retention: first-week cohort, distinct-user offsets. */
 class RetentionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
