@@ -355,7 +355,9 @@ object SparkEntry {
     // end-to-end prep: gate → dedup → split → pack, one oracle
     "q190_training_prep" -> (X.qTrainingPrep _),
     // per-event hour-of-week z-score (exact moments, IEEE sqrt)
-    "q191_seasonal_anomaly" -> (X.qSeasonalAnomaly _)
+    "q191_seasonal_anomaly" -> (X.qSeasonalAnomaly _),
+    // media-struct checksum dedup ledger (sha-256 payload identity)
+    "q192_media_dedup" -> (X.qMediaDedup _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3002,7 +3004,13 @@ object SparkEntry {
         |    / sqrt(varnum / 10000.0
         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) > 3.0
         |    AS anomalous
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+    // Spark sha2(payload bytes) must equal DuckDB sha256(VARCHAR) on
+    // the UTF-8 text payload — the media identity key, hash-pinned
+    "q192_media_dedup" ->
+      """SELECT sha256(text) AS checksum, MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

@@ -1884,6 +1884,21 @@ object ExtensionQueries {
       horizonSeconds = 90L * 24 * 3600 + 3600)
       .filter(col("user_id") =!= -1L)
 
+  /** Media-struct dedup ledger: group by the media column's sha-256
+    * payload checksum (the §7.5 multimodal contract's identity key),
+    * min-id survivor + copy count per group. Duplicate payloads
+    * collapse when present; the per-payload checksum parity itself is
+    * what the oracle pins (Spark sha2 over the UTF-8 payload bytes ≡
+    * DuckDB sha256 over the VARCHAR).
+    */
+  def qMediaDedup(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), graft.multimodal.Multimodal
+        .asMedia(col("text").cast("binary"), lit("text/plain")).as("media"))
+      .groupBy(col("media.checksum").as("checksum"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Per-event seasonal anomaly z (value vs its own hour-of-week
     * cell): exact cent-quantized moments, IEEE-exact sqrt, one chain.
     */
