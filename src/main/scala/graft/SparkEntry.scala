@@ -357,7 +357,9 @@ object SparkEntry {
     // per-event hour-of-week z-score (exact moments, IEEE sqrt)
     "q191_seasonal_anomaly" -> (X.qSeasonalAnomaly _),
     // media-struct checksum dedup ledger (sha-256 payload identity)
-    "q192_media_dedup" -> (X.qMediaDedup _)
+    "q192_media_dedup" -> (X.qMediaDedup _),
+    // exact Gini of token-mass concentration (two-level rank)
+    "q193_gini" -> (X.qGini _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3010,7 +3012,23 @@ object SparkEntry {
     "q192_media_dedup" ->
       """SELECT sha256(text) AS checksum, MIN(doc_id) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies
-        |FROM documents GROUP BY sha256(text)""".stripMargin
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    // ascending (w, id) global rank; HUGEINT-exact moments; the same
+    // closed form (2*srw - (n+1)*sw)/(n*sw) in one division
+    "q193_gini" ->
+      """WITH r AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS w,
+        |    ROW_NUMBER() OVER (ORDER BY CAST(n_chars AS BIGINT), doc_id) AS rk
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(w AS HUGEINT)) AS sw,
+        |    SUM(CAST(rk AS HUGEINT) * w) AS srw
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sw AS BIGINT) AS total_w,
+        |  ROUND(CAST(2 * srw - (n + 1) * sw AS DOUBLE)
+        |    / CAST(n * sw AS DOUBLE), 6) AS gini
+        |FROM m""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

@@ -148,6 +148,49 @@ object Profiling {
     latticeOls(pts, "n_points")
   }
 
+  /** Exact Gini coefficient of a non-negative integer weight column —
+    * the concentration statistic a data-curation pipeline tracks (is
+    * the token mass owned by a handful of documents?): G =
+    * (2·Σᵢ i·wᵢ − (n+1)·Σw) / (n·Σw) over weights sorted ascending.
+    *
+    * Exactness: the global rank comes from the two-level
+    * decomposition (partition-local row_number over a range
+    * partitioning by (w, id) + O(#partitions) base offsets — no
+    * single-partition window), all three moments are decimal-carried
+    * integer sums, and the statistic is ONE division over two exact
+    * totals. Requires rank·w to fit a long per row (n·max(w) <
+    * 2⁶³ — at 10 M docs × 1e5-token docs that is 1e12, seven orders
+    * under the bound).
+    */
+  def giniCoefficient(df: DataFrame, idCol: String,
+      weightCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("_id"),
+      col(weightCol).cast("long").as("_w"))
+    val parted = base.repartitionByRange(col("_w"), col("_id"))
+      .withColumn("_pid", spark_partition_id())
+    val wIn = w.partitionBy(col("_pid")).orderBy(col("_w"), col("_id"))
+    val local = parted.withColumn("_lrn", row_number().over(wIn))
+    val wBase = w.orderBy(col("_pid")).rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bases = local.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(wBase), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val ranked = local.join(broadcast(bases), Seq("_pid"))
+      .select(col("_w"), (col("_off") + col("_lrn")).as("_r"))
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("_w").cast("decimal(38,0)")).as("sw"),
+      sum((col("_r") * col("_w")).cast("decimal(38,0)")).as("srw"))
+    m.select(col("n").cast("long").as("n"),
+      col("sw").cast("long").as("total_w"),
+      round(
+        (lit(2).cast("decimal(38,0)") * col("srw")
+          - (col("n") + 1).cast("decimal(38,0)") * col("sw")).cast("double")
+        / (col("n").cast("decimal(38,0)") * col("sw")).cast("double"),
+        6).as("gini"))
+  }
+
   /** Exact-lattice log-log OLS shared by [[zipfFit]] / [[heapsFit]]:
     * `pts` carries (_x, _y) = round(ln(·)·10⁸) BIGINT lattice points;
     * moments are decimal-exact sums, slope/intercept one IEEE chain,

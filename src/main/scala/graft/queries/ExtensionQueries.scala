@@ -1884,6 +1884,14 @@ object ExtensionQueries {
       horizonSeconds = 90L * 24 * 3600 + 3600)
       .filter(col("user_id") =!= -1L)
 
+  /** Exact Gini coefficient of document token mass (n_chars):
+    * concentration statistic via the two-level global rank, three
+    * decimal-exact moments, one division.
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.giniCoefficient(
+      tbl(s, dir, "documents"), "doc_id", "n_chars")
+
   /** Media-struct dedup ledger: group by the media column's sha-256
     * payload checksum (the §7.5 multimodal contract's identity key),
     * min-id survivor + copy count per group. Duplicate payloads

@@ -105,6 +105,19 @@ class TextEvalAttributionSpec extends AnyFunSuite {
     assert(got._2 > 0.2 && got._2 < 0.8, s"beta=${got._2}")
   }
 
+  test("gini: uniform mass scores 0; one-owner mass scores (n-1)/n") {
+    val uniform = (1L to 4L).map((_, 5L)).toDF("id", "w")
+    val g0 = Profiling.giniCoefficient(uniform, "id", "w")
+      .as[(Long, Long, Double)].collect().head
+    assert(g0 == ((4L, 20L, 0.0)))
+    // all mass on one row: ranks 1..4 ascending puts it last;
+    // G = (2*4*4 - 5*4) / (4*4) = 0.75 = (n-1)/n
+    val single = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 4L)).toDF("id", "w")
+    val g1 = Profiling.giniCoefficient(single, "id", "w")
+      .as[(Long, Long, Double)].collect().head
+    assert(g1 == ((4L, 4L, 0.75)))
+  }
+
   test("attribution: boundary exactly lookback-before is included") {
     def ts(s: String) = Timestamp.valueOf(s)
     val conv = Seq((1L, 1L, ts("2024-01-08 00:00:00"), 10.0))
