@@ -359,7 +359,9 @@ object SparkEntry {
     // media-struct checksum dedup ledger (sha-256 payload identity)
     "q192_media_dedup" -> (X.qMediaDedup _),
     // exact Gini of token-mass concentration (two-level rank)
-    "q193_gini" -> (X.qGini _)
+    "q193_gini" -> (X.qGini _),
+    // per-group weighted median (cumulative-mass walk, no division)
+    "q194_weighted_median" -> (X.qWeightedMedian _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3028,7 +3030,25 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n, CAST(sw AS BIGINT) AS total_w,
         |  ROUND(CAST(2 * srw - (n + 1) * sw AS DOUBLE)
         |    / CAST(n * sw AS DOUBLE), 6) AS gini
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // ascending (v, id) cumulative-mass walk; first row with
+    // 2*cum >= tot; MIN over the qualifying suffix = that row's value
+    "q194_weighted_median" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w,
+        |    l_orderkey * 10 + l_linenumber AS id
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT g, v, w, id,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY v, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY g) AS tot
+        |  FROM b)
+        |SELECT g AS l_returnflag, MIN(v) AS median_value,
+        |  CAST(MIN(tot) AS BIGINT) AS total_w
+        |FROM c WHERE cum * 2 >= tot GROUP BY g""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

@@ -4,6 +4,56 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Weighted quantiles — the "median row by mass, not by count"
+  * family (median price weighted by quantity, median doc weighted by
+  * tokens…). Where the unweighted q46 percentiles interpolate
+  * positions, the weighted form walks the cumulative weight.
+  */
+object WeightedQuantiles {
+
+  /** Per-group lower weighted median: the smallest value whose
+    * cumulative weight (ascending (value, id) order) reaches half the
+    * group's total — the discrete lower-median convention, exact in
+    * integer arithmetic (`2·cumW ≥ totalW`, no division at all).
+    *
+    * Values and weights must arrive as exact integers (quantize
+    * upstream — cents, token counts). Ties are pinned by the unique
+    * `idCol` in the walk order, though the SELECTED value is
+    * tie-insensitive (equal values share a cumulative run).
+    *
+    * Scale shape: one shuffle keyed by the group; the cumulative walk
+    * is a per-group RANGE-framed window (honest per-group sort), the
+    * winner a map-side-combinable `min(struct)` — no global sort, no
+    * driver. Groups are assumed group-sized-bounded (the usual
+    * dimension-keyed case); for a single giant group use the
+    * two-level decomposition instead (see `Profiling.giniCoefficient`).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"),
+      col(valueCol).cast("long").as("_v"),
+      col(weightCol).cast("long").as("_w"),
+      col(idCol).as("_id"))
+    val wCum = Window.partitionBy(col("_g"))
+      .orderBy(col("_v"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("_g"))
+    val walked = base
+      .withColumn("_cum", sum(col("_w")).over(wCum))
+      .withColumn("_tot", sum(col("_w")).over(wTot))
+      .filter(col("_cum") * 2 >= col("_tot"))
+    walked.groupBy(col("_g").as(groupCol))
+      .agg(min(struct(col("_v"), col("_id"))).as("_m"),
+        first(col("_tot")).as("_t"))
+      .select(col(groupCol), col("_m._v").as("median_value"),
+        col("_t").as("total_w"))
+  }
+}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 /** Exact per-group discrete quantiles (percentile_disc semantics):
   * the p-th percentile of a group of n values is the value at sorted
   * position ⌈p·n/100⌉ — an ACTUAL group member, never an interpolated

@@ -1884,6 +1884,19 @@ object ExtensionQueries {
       horizonSeconds = 90L * 24 * 3600 + 3600)
       .filter(col("user_id") =!= -1L)
 
+  /** Per-returnflag weighted median price (weight = quantity, cents
+    * integer walk, lower-median convention — zero divisions).
+    */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame =
+    graft.operators.WeightedQuantiles.weightedMedian(
+      tbl(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("price_cents"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid")),
+      "l_returnflag", "price_cents", "qty", "rid")
+
   /** Exact Gini coefficient of document token mass (n_chars):
     * concentration statistic via the two-level global rank, three
     * decimal-exact moments, one division.

@@ -118,6 +118,20 @@ class TextEvalAttributionSpec extends AnyFunSuite {
     assert(g1 == ((4L, 4L, 0.75)))
   }
 
+  test("weighted median: mass walk, not row count; lower convention") {
+    // group a: values 1(w=1), 2(w=1), 100(w=8) -> half of 10 is 5,
+    //   first value whose cum reaches 5 is 100 (mass-median, where the
+    //   unweighted median would be 2)
+    // group b: 1(w=1), 2(w=1) -> cum at value 1 is 1, 2*1 >= 2 -> 1
+    val rows = Seq(
+      ("a", 1L, 1L, 1L), ("a", 2L, 1L, 2L), ("a", 100L, 8L, 3L),
+      ("b", 1L, 1L, 4L), ("b", 2L, 1L, 5L)
+    ).toDF("g", "v", "w", "id")
+    val got = WeightedQuantiles.weightedMedian(rows, "g", "v", "w", "id")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("a" -> ((100L, 10L)), "b" -> ((1L, 2L))))
+  }
+
   test("attribution: boundary exactly lookback-before is included") {
     def ts(s: String) = Timestamp.valueOf(s)
     val conv = Seq((1L, 1L, ts("2024-01-08 00:00:00"), 10.0))
