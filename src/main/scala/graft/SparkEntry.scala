@@ -1632,7 +1632,8 @@ object SparkEntry {
         |  SELECT c, f, COALESCE(SUM(f) OVER (ORDER BY c
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cf
         |  FROM hist)
-        |SELECT SUM(c * f) AS n_rows, SUM(f) AS n_keys, MAX(c) AS max_cnt,
+        |SELECT CAST(SUM(c * f) AS BIGINT) AS n_rows,
+        |  CAST(SUM(f) AS BIGINT) AS n_keys, MAX(c) AS max_cnt,
         |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c * f) AS DOUBLE) AS top1_share,
         |  CAST(2 * SUM(c * (f * cf + f * (f + 1) // 2))
         |      - (SUM(f) + 1) * SUM(c * f) AS DOUBLE)
@@ -2697,9 +2698,11 @@ object SparkEntry {
         |      || ':cluster_split_v1'), 1, 4) < 'e666' THEN 'val'
         |    ELSE 'test' END AS split
         |FROM clu""".stripMargin,
-    // per-level counts joined back; level pick = first count >= k;
-    // integer bucket indexes (floor of an IEEE division — identical
-    // on both engines), band released as a string ('*' = suppressed)
+    // Samarati full-domain: a level qualifies for a QI group only
+    // when its WEAKEST bucket clears k (per-QI MIN over bucket
+    // counts), so the whole group releases at one level; integer
+    // bucket indexes (floor of an IEEE division — identical on both
+    // engines), band released as a string ('*' = suppressed)
     "q180_k_anonymity" ->
       """WITH l0 AS (
         |  SELECT c_nationkey, c_mktsegment,
@@ -2709,17 +2712,23 @@ object SparkEntry {
         |  SELECT c_nationkey, c_mktsegment,
         |    CAST(FLOOR(c_acctbal / 5000.0) AS BIGINT) AS b, COUNT(*) AS n
         |  FROM customer GROUP BY 1, 2, 3),
+        |m0 AS (
+        |  SELECT c_nationkey, c_mktsegment, MIN(n) AS mn
+        |  FROM l0 GROUP BY 1, 2),
+        |m1 AS (
+        |  SELECT c_nationkey, c_mktsegment, MIN(n) AS mn
+        |  FROM l1 GROUP BY 1, 2),
         |ls AS (
         |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
         |  FROM customer GROUP BY 1, 2)
         |SELECT c_custkey, c.c_nationkey, c.c_mktsegment,
-        |  CASE WHEN l0.n >= 6 THEN 0 WHEN l1.n >= 6 THEN 1 ELSE 2 END AS level,
-        |  CASE WHEN l0.n >= 6 THEN CAST(l0.b AS VARCHAR)
-        |    WHEN l1.n >= 6 THEN CAST(l1.b AS VARCHAR)
+        |  CASE WHEN m0.mn >= 6 THEN 0 WHEN m1.mn >= 6 THEN 1 ELSE 2 END AS level,
+        |  CASE WHEN m0.mn >= 6 THEN CAST(l0.b AS VARCHAR)
+        |    WHEN m1.mn >= 6 THEN CAST(l1.b AS VARCHAR)
         |    ELSE '*' END AS band,
-        |  CASE WHEN l0.n >= 6 THEN l0.n WHEN l1.n >= 6 THEN l1.n
+        |  CASE WHEN m0.mn >= 6 THEN l0.n WHEN m1.mn >= 6 THEN l1.n
         |    ELSE ls.n END AS group_n,
-        |  (CASE WHEN l0.n >= 6 THEN l0.n WHEN l1.n >= 6 THEN l1.n
+        |  (CASE WHEN m0.mn >= 6 THEN l0.n WHEN m1.mn >= 6 THEN l1.n
         |    ELSE ls.n END) >= 6 AS anonymous
         |FROM customer c
         |JOIN l0 ON l0.c_nationkey = c.c_nationkey
@@ -2728,6 +2737,10 @@ object SparkEntry {
         |JOIN l1 ON l1.c_nationkey = c.c_nationkey
         |  AND l1.c_mktsegment = c.c_mktsegment
         |  AND l1.b = CAST(FLOOR(c.c_acctbal / 5000.0) AS BIGINT)
+        |JOIN m0 ON m0.c_nationkey = c.c_nationkey
+        |  AND m0.c_mktsegment = c.c_mktsegment
+        |JOIN m1 ON m1.c_nationkey = c.c_nationkey
+        |  AND m1.c_mktsegment = c.c_mktsegment
         |JOIN ls ON ls.c_nationkey = c.c_nationkey
         |  AND ls.c_mktsegment = c.c_mktsegment""".stripMargin,
     // the window twin of the engine's max_by fold: latest change per

@@ -40,10 +40,17 @@ object Attribution {
       lookbackSeconds: Long): DataFrame = {
     require(lookbackSeconds > 0, "lookback must be positive")
     val tolUs = lookbackSeconds * 1000000L
+    // FLOOR division, not `div` (which truncates toward zero): for
+    // pre-1970 timestamps truncation would shift a bucket boundary
+    // and break the (b, b+1) replication invariant the banded join
+    // relies on. `x - pmod(x, t)` is the largest multiple of t <= x,
+    // exact in long arithmetic (no double round-trip).
+    def floorDiv(ts: String): String =
+      s"(unix_micros($ts) - pmod(unix_micros($ts), ${tolUs}L)) div ${tolUs}L"
     val l = conversions
-      .withColumn("_b", expr(s"unix_micros($convTs) div ${tolUs}L"))
+      .withColumn("_b", expr(floorDiv(convTs)))
     val r = touches
-      .withColumn("_b0", expr(s"unix_micros($touchTs) div ${tolUs}L"))
+      .withColumn("_b0", expr(floorDiv(touchTs)))
       .withColumn("_b", explode(array(col("_b0"), col("_b0") + 1)))
       .drop("_b0")
     val pairs = l.join(r, keys :+ "_b")

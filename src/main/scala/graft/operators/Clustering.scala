@@ -51,9 +51,18 @@ object Clustering {
       shift: Int = 1000,
       salt: String = "km_v1"): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds must be positive")
+    // the floor-vs-truncate agreement in the centroid update (and the
+    // DuckDB `//` oracle parity) holds ONLY for non-negative sums, so
+    // a coordinate below -shift/scale must fail fast, not silently
+    // break bit-reproducibility
     val qv = vecs.select(col(idCol).as("id"),
-      transform(col(vecCol),
-        e => (floor(e.cast("double") * scale).cast("long") + shift)).as("q"))
+      transform(col(vecCol), e => {
+        val q = floor(e.cast("double") * scale).cast("long") + shift
+        when(q < 0L, raise_error(concat(
+          lit(s"quantizedKMeans: coordinate below ${-shift.toDouble / scale}"
+            + " (raise shift or rescale); value="), e.cast("string"))))
+          .otherwise(q)
+      }).as("q"))
 
     val draw = Sampling.hashUniform(col("id"), salt)
     var centroids = qv

@@ -10,34 +10,44 @@ import org.apache.spark.sql.functions._
   * (QI) columns: every released (QI, attribute-bucket) combination
   * must be shared by at least k rows, or a joiner with an external
   * dataset can single out individuals. The generalization ladder
-  * below finds, per row, the MINIMAL coarsening of a numeric
-  * attribute that clears the bar — the classic Samarati-style
-  * full-domain generalization restricted to one attribute hierarchy
-  * (bucket widths widening to full suppression).
+  * below finds, per QI group, the MINIMAL coarsening of a numeric
+  * attribute under which EVERY bucket of that group clears the bar —
+  * Samarati-style full-domain generalization (one level per QI
+  * group, not per row) restricted to one attribute hierarchy
+  * (bucket widths widening to full suppression). Applying one level
+  * to the whole group is what makes the guarantee hold on the
+  * RELEASED table: a per-row minimal level would let the same
+  * group's rows surface at different levels, leaving some released
+  * (QI, band, level) tuples rarer than k.
   */
 object Privacy {
 
-  /** Minimal-generalization k-anonymity over one numeric attribute.
+  /** Minimal full-domain k-anonymity over one numeric attribute.
     *
     * Levels: `widths(0)` … `widths(L-1)` bucket `numCol` by
     * `floor(num/width)` (level l), and level L suppresses the
-    * attribute entirely (group = QI columns alone). Each row is
-    * assigned the SMALLEST level whose (QI, bucket) group holds at
-    * least `k` rows; rows whose QI combination is rarer than `k` even
-    * under suppression are flagged `anonymous = false` — they cannot
-    * be released without row suppression.
+    * attribute entirely (group = QI columns alone). Each QI group is
+    * assigned the SMALLEST level at which EVERY occupied bucket of
+    * that group holds at least `k` rows (so all the group's rows are
+    * released at one level, and every released (QI, band, level)
+    * tuple genuinely has >= k rows); groups whose QI combination is
+    * rarer than `k` even under suppression are flagged
+    * `anonymous = false` — they cannot be released without row
+    * suppression.
     *
     * Output: input id + QI columns + `level` (0-based; L =
     * suppressed), `bucket` (the floor index at that level; null when
-    * suppressed), `group_n` (the size of the chosen group),
-    * `anonymous`.
+    * suppressed), `group_n` (the size of the row's (QI, bucket)
+    * group at the chosen level — >= k by construction whenever
+    * `anonymous`), `anonymous`.
     *
     * Scale shape: per level, one `groupBy` over (QI, bucket) whose
     * result is O(#distinct QI×bucket combos) — bounded by the domain
-    * of the released columns, not the row count — broadcast-joined
-    * back to the rows. No row-side shuffle at any level; L+1 small
-    * aggregates + L+1 broadcast joins. The level pick is a single
-    * `when` chain over the joined counts.
+    * of the released columns, not the row count — then a per-QI
+    * `min` over those bucket counts (the full-domain gate), all
+    * broadcast-joined back to the rows. No row-side shuffle at any
+    * level; 2L+1 small aggregates + L+2 broadcast joins. The level
+    * pick is a single `when` chain over the joined group minima.
     */
   def kAnonymityGeneralize(df: DataFrame, idCol: String,
       qiCols: Seq[String], numCol: String, widths: Seq[Double],
@@ -55,12 +65,17 @@ object Privacy {
       floor(col(numCol) / lit(widths(l))).cast("long")
 
     // per-level counts — each frame is tiny (domain-bounded), so the
-    // join back is an explicit broadcast: rows never shuffle
+    // join back is an explicit broadcast: rows never shuffle. The
+    // per-QI min over bucket counts is the full-domain gate: a level
+    // qualifies for a group only when its WEAKEST bucket clears k.
     val levels = widths.indices.map { l =>
       val cnt = df.groupBy(qi :+ bucket(l).as("_b"): _*)
         .agg(count(lit(1)).as(s"_n$l"))
         .withColumnRenamed("_b", s"_b$l")
       (l, cnt)
+    }
+    val mins = levels.map { case (l, cnt) =>
+      cnt.groupBy(qiCols.map(col): _*).agg(min(col(s"_n$l")).as(s"_mn$l"))
     }
     val supCnt = df.groupBy(qi: _*).agg(count(lit(1)).as("_nsup"))
 
@@ -68,22 +83,25 @@ object Privacy {
       df.select(col(idCol) +: col(numCol) +: qi: _*)) { (acc, l) =>
       acc.withColumn(s"_b$l", bucket(l))
     }.drop(numCol)
-    val joined = levels.foldLeft(withBuckets) { case (acc, (l, cnt)) =>
+    val joined0 = levels.foldLeft(withBuckets) { case (acc, (l, cnt)) =>
       acc.join(broadcast(cnt), qiCols :+ s"_b$l", "left")
+    }
+    val joined = mins.foldLeft(joined0) { (acc, mn) =>
+      acc.join(broadcast(mn), qiCols, "left")
     }.join(broadcast(supCnt), qiCols, "left")
 
     val L = widths.length
-    // smallest qualifying level: chain when()s from level 0 upward
+    // smallest qualifying level for the GROUP: chain when()s upward
     val levelCol = widths.indices.reverse.foldLeft(lit(L)) { (els, l) =>
-      when(coalesce(col(s"_n$l"), lit(0L)) >= k, lit(l)).otherwise(els)
+      when(coalesce(col(s"_mn$l"), lit(0L)) >= k, lit(l)).otherwise(els)
     }
     val bucketCol = widths.indices.reverse.foldLeft(
       lit(null).cast("long")) { (els, l) =>
-      when(coalesce(col(s"_n$l"), lit(0L)) >= k, col(s"_b$l")).otherwise(els)
+      when(coalesce(col(s"_mn$l"), lit(0L)) >= k, col(s"_b$l")).otherwise(els)
     }
     val groupN = widths.indices.reverse.foldLeft(
       coalesce(col("_nsup"), lit(0L))) { (els, l) =>
-      when(coalesce(col(s"_n$l"), lit(0L)) >= k, col(s"_n$l")).otherwise(els)
+      when(coalesce(col(s"_mn$l"), lit(0L)) >= k, col(s"_n$l")).otherwise(els)
     }
 
     joined

@@ -157,10 +157,10 @@ object Profiling {
     * decomposition (partition-local row_number over a range
     * partitioning by (w, id) + O(#partitions) base offsets — no
     * single-partition window), all three moments are decimal-carried
-    * integer sums, and the statistic is ONE division over two exact
-    * totals. Requires rank·w to fit a long per row (n·max(w) <
-    * 2⁶³ — at 10 M docs × 1e5-token docs that is 1e12, seven orders
-    * under the bound).
+    * integer sums — the per-row rank·w product is formed IN
+    * decimal(38,0), never long, so n·max(w) up to 10³⁸ stays exact
+    * (a long product would wrap silently past 2⁶³ with ANSI off) —
+    * and the statistic is ONE division over two exact totals.
     */
   def giniCoefficient(df: DataFrame, idCol: String,
       weightCol: String): DataFrame = {
@@ -181,7 +181,8 @@ object Profiling {
     val m = ranked.agg(
       count(lit(1)).as("n"),
       sum(col("_w").cast("decimal(38,0)")).as("sw"),
-      sum((col("_r") * col("_w")).cast("decimal(38,0)")).as("srw"))
+      sum(col("_r").cast("decimal(38,0)")
+        * col("_w").cast("decimal(38,0)")).as("srw"))
     m.select(col("n").cast("long").as("n"),
       col("sw").cast("long").as("total_w"),
       round(

@@ -142,7 +142,9 @@ object Sampling {
     * division IS floor division in any engine). Exactly k selections
     * when totalW ≥ k² (then totalW mod k < step); rows heavier than
     * `step` are certainty inclusions with multiplicity m > 1. Weights
-    * must be non-negative; zero-weight rows are never selected.
+    * must be non-negative; zero-weight rows are never selected;
+    * totalW < k (stride 0) fails fast at execution rather than
+    * silently returning an empty frame.
     *
     * The md5 shuffle kills the classic systematic-sampling failure
     * mode (periodicity in the input order correlating with the
@@ -172,8 +174,16 @@ object Sampling {
       .agg(max(col("_hi_local")).as("_pt"))
       .withColumn("_base", coalesce(sum(col("_pt")).over(wBase), lit(0L)))
       .select(col("_pid"), col("_base"), col("_pt"))
+    // totalW < k would make _step = 0 and (with ANSI off) turn the
+    // stride walk into a silent empty result (DuckDB's `//0` errors
+    // instead) — fail fast at execution on the one-row total rather
+    // than return a wrong answer outside the documented regime
     val tot = bases.agg(max(col("_base") + col("_pt")).as("_tot"))
-      .withColumn("_step", expr(s"_tot div $k"))
+      .withColumn("_step",
+        when(col("_tot") < k, raise_error(concat(
+          lit(s"ppsSystematicSample: total weight "), col("_tot"),
+          lit(s" < k=$k — stride would be 0"))))
+          .otherwise(expr(s"_tot div $k")))
     local.join(broadcast(bases.select(col("_pid"), col("_base"))), Seq("_pid"))
       .crossJoin(broadcast(tot))
       .withColumn("_hi", col("_base") + col("_hi_local"))

@@ -1982,12 +1982,15 @@ object ExtensionQueries {
     graft.operators.Clustering.quantizedKMeans(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 4, rounds = 3)
 
-  /** k-anonymity minimal generalization (k=6) of customer account
-    * balance against the (nation, segment) quasi-identifier: widths
-    * 2000/5000 then full suppression; `band` is the released label
-    * ('*' when suppressed). At sf0.01 all three levels fire and 10
-    * rows stay non-anonymous even suppressed (their QI combo is rarer
-    * than k) — the row-suppression set a release pipeline must drop.
+  /** Full-domain k-anonymity (k=6) of customer account balance
+    * against the (nation, segment) quasi-identifier: widths 2000/5000
+    * then full suppression, ONE level per QI group (the smallest at
+    * which every bucket of the group clears k, so the released table
+    * itself is k-anonymous); `band` is the released label ('*' when
+    * suppressed). At sf0.01, 212 rows release at level 1, the rest
+    * suppress, and 10 rows stay non-anonymous even suppressed (their
+    * QI combo is rarer than k) — the row-suppression set a release
+    * pipeline must drop.
     */
   def qKAnonymity(s: SparkSession, dir: String): DataFrame =
     graft.operators.Privacy.kAnonymityGeneralize(

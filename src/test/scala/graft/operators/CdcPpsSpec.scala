@@ -69,4 +69,15 @@ class CdcPpsSpec extends AnyFunSuite {
     assert(got(99L) >= 4L)
     assert(got.values.sum == 10L)
   }
+
+  test("pps: total weight below k fails fast instead of returning empty") {
+    // totalW = 3 < k = 5 -> stride would be 0; must raise, not
+    // silently select nothing
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "wt")
+    val e = intercept[Exception] {
+      Sampling.ppsSystematicSample(df, "id", "wt", k = 5).collect()
+    }
+    assert(e.getMessage.contains("total weight")
+      || Option(e.getCause).exists(_.getMessage.contains("total weight")))
+  }
 }

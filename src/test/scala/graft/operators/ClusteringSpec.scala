@@ -75,4 +75,20 @@ class ClusteringSpec extends AnyFunSuite {
     }
     assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
   }
+
+  test("coordinates below -shift/scale fail fast (floor/trunc parity " +
+      "guard)") {
+    // -1.5 quantizes to floor(-1500) + 1000 = -500 < 0: the integer
+    // mean's floor-vs-truncate agreement (and the oracle's `//`
+    // parity) would silently break, so the quantizer must raise
+    val df = Seq((1L, Seq(-1.5f, 0.0f)), (2L, Seq(0.5f, 0.5f)))
+      .toDF("id", "vec")
+    val e = intercept[Exception] {
+      Clustering.quantizedKMeans(df, "id", "vec", k = 1, rounds = 1)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("coordinate below")))
+  }
 }

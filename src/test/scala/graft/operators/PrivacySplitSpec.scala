@@ -54,16 +54,43 @@ class PrivacySplitSpec extends AnyFunSuite {
   }
 
   test("k-anonymity: negative values bucket by floor, not truncation") {
-    val rows = Seq((1L, "a", -5.0), (2L, "a", -7.0), (3L, "a", 4.0))
-      .toDF("id", "g", "v")
+    val rows = Seq((1L, "a", -5.0), (2L, "a", -7.0),
+      (3L, "a", 4.0), (4L, "a", 6.0)).toDF("id", "g", "v")
     val got = Privacy.kAnonymityGeneralize(rows, "id", Seq("g"), "v",
         widths = Seq(10.0), k = 2)
       .as[(Long, String, Int, Option[Long], Long, Boolean)]
       .collect().map(r => r._1 -> ((r._3, r._4))).toMap
-    // floor(-5/10) = -1 groups with floor(-7/10) = -1: two rows >= k
+    // floor(-5/10) = -1 groups with floor(-7/10) = -1 (truncation
+    // toward zero would put both in bucket 0); both buckets have 2
+    // rows, so the whole group releases at level 0
     assert(got(1L) == ((0, Some(-1L))))
     assert(got(2L) == ((0, Some(-1L))))
-    // 4.0 -> bucket 0 alone -> suppressed (group of 3 passes there)
-    assert(got(3L) == ((1, None)))
+    assert(got(3L) == ((0, Some(0L))))
+    assert(got(4L) == ((0, Some(0L))))
+  }
+
+  test("k-anonymity: one level per QI group — a lone-bucket row drags " +
+      "its whole group up (release-level guarantee)") {
+    // g=a: bucket -1 has 2 rows but bucket 0 has only 1 -> level 0
+    // does NOT qualify for the group; all three rows are suppressed
+    // together (per-row minimal levels would release row 3 as the
+    // unique ('a', '*') tuple — the broken release the full-domain
+    // rule exists to prevent)
+    val rows = Seq((1L, "a", -5.0), (2L, "a", -7.0), (3L, "a", 4.0))
+      .toDF("id", "g", "v")
+    val released = Privacy.kAnonymityGeneralize(rows, "id", Seq("g"), "v",
+        widths = Seq(10.0), k = 2)
+    val got = released
+      .as[(Long, String, Int, Option[Long], Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((1, None, 3L, true)))
+    assert(got(2L) == ((1, None, 3L, true)))
+    assert(got(3L) == ((1, None, 3L, true)))
+    // the released table itself satisfies k-anonymity: every
+    // (QI, bucket, level) combination among anonymous rows has >= k
+    val tupleCounts = released.filter($"anonymous")
+      .groupBy($"g", $"bucket", $"level").count()
+      .as[(String, Option[Long], Int, Long)].collect()
+    assert(tupleCounts.nonEmpty && tupleCounts.forall(_._4 >= 2L))
   }
 }

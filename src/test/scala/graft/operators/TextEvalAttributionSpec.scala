@@ -55,6 +55,25 @@ class TextEvalAttributionSpec extends AnyFunSuite {
     assert(got == Set((100L, 11L, 2L, 15.0), (100L, 12L, 2L, 15.0)))
   }
 
+  test("attribution: pre-1970 timestamps bucket by floor, keeping the " +
+      "(b, b+1) band invariant") {
+    // negative epoch micros: truncating `div` would collapse buckets
+    // -1 and 0 onto 0, so a touch 30 min before a conversion that
+    // straddles the epoch would miss the banded join entirely
+    def t(s: String) = Timestamp.valueOf(s)
+    val conv = Seq((1L, 100L, t("1970-01-01 00:10:00"), 10.0))
+      .toDF("user_id", "conv_id", "conv_ts", "value")
+    val touch = Seq(
+      (1L, 11L, t("1969-12-31 23:40:00")), // inside (30 min before)
+      (1L, 12L, t("1969-12-31 22:40:00"))  // OUTSIDE (90 min before)
+    ).toDF("user_id", "touch_id", "touch_ts")
+    val got = Attribution.linearTouches(conv, touch, Seq("user_id"),
+        "conv_id", "conv_ts", "touch_ts", "value", 3600L)
+      .select("conv_id", "touch_id", "n_touches", "share")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((100L, 11L, 1L, 10.0)))
+  }
+
   test("zipf fit matches a plain-Scala OLS on the same lattice") {
     val tf = Seq(("a", 16L), ("b", 8L), ("c", 4L), ("d", 2L), ("e", 1L))
       .toDF("term", "f")
