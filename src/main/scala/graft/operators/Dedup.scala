@@ -347,20 +347,30 @@ object Dedup {
     materializeAndRelease(result, postings)
   }
 
-  /** EXACT containment pairs via the same inverted index as
-    * [[jaccardPairsIndexed]]: C(A→B) = |A∩B| / |A| ≥ t — the
-    * asymmetric near-dup relation Jaccard misses. A short document
-    * quoted inside a long boilerplate-wrapped page has high
-    * containment but low Jaccard (the union is dominated by the
-    * wrapper), and scrape dedup needs exactly this signal. Emits one
-    * row per ordered relation that qualifies (id_small's set inside
-    * id_big's): both directions are checked, so a pair can appear
-    * once per direction.
+  /** EXACT containment pairs via a PREFIX-FILTERED inverted index:
+    * C(A→B) = |A∩B| / |A| ≥ t — the asymmetric near-dup relation
+    * Jaccard misses. A short document quoted inside a long
+    * boilerplate-wrapped page has high containment but low Jaccard
+    * (the union is dominated by the wrapper), and scrape dedup needs
+    * exactly this signal. Emits one row per ordered relation that
+    * qualifies (id_in's set inside id_of's): both directions are
+    * checked, so a pair can appear once per direction.
     *
-    * Pruning: C(A→B) ≥ t needs |A∩B| ≥ t·|A| and |A∩B| ≤ min(|A|,|B|)
-    * — no size-ratio prune applies (ANY size gap can qualify, that is
-    * the point), so candidates are all co-occurring pairs; element
-    * selectivity (shingles, not tokens) is what bounds Σ df².
+    * Pruning (the part that survives 100 TB): C(A→B) ≥ t needs
+    * |A∩B| ≥ ⌈t·|A|⌉, so if B misses ALL of A's first
+    * |A| − ⌈t·|A|⌉ + 1 elements under any fixed global order, the
+    * overlap cannot reach the bar — the classic prefix filter
+    * (Chaudhuri et al., ICDE'06 / PPJoin). Ordering each set
+    * rarest-element-first makes prefixes prefer globally rare
+    * elements, so a stop-word-grade element (huge df) almost never
+    * generates candidates: the candidate shuffle costs
+    * Σ_el df_prefix(el)·df(el) instead of Σ_el df(el)² — the
+    * quadratic term now rides the PREFIX document frequency, which
+    * prefix placement actively suppresses. Only the contained side
+    * needs a prefix (the container is probed in full), so any size
+    * gap still qualifies — that asymmetry is the point. Candidates
+    * are then verified EXACTLY with one local array intersection per
+    * pair; no approximation anywhere.
     */
   def containmentPairsIndexed(
       sets: DataFrame,
@@ -369,30 +379,43 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
-    val postings = sets.select(col(idCol).as("doc_id"),
-        size(col(setCol)).as("sz"), explode(col(setCol)).as("_el"))
-      .repartition(col("_el"))
+    val base = sets.select(col(idCol).as("doc_id"), col(setCol).as("_set"),
+        size(col(setCol)).as("sz"))
       .persist()
-    val a = postings.select(col("_el"), col("doc_id").as("id_a"),
-      col("sz").as("sz_a"))
-    val b = postings.select(col("_el"), col("doc_id").as("id_b"),
-      col("sz").as("sz_b"))
-    val result = a.join(b, Seq("_el"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
-      .agg(count(lit(1)).as("_c"))
-      // containment of the SMALLER-set side in the other, both
-      // directions emitted as (contained, container)
-      .select(explode(array(
-        struct(col("id_a").as("id_in"), col("id_b").as("id_of"),
-          (col("_c").cast("double") / col("sz_a").cast("double")).as("containment")),
-        struct(col("id_b").as("id_in"), col("id_a").as("id_of"),
-          (col("_c").cast("double") / col("sz_b").cast("double")).as("containment"))))
-        .as("_r"))
-      .select(col("_r.id_in").as("id_in"), col("_r.id_of").as("id_of"),
-        round(col("_r.containment"), 6).as("containment"))
+    val postings = base.select(col("doc_id"), col("sz"),
+        explode(col("_set")).as("_el"))
+      .persist()
+    val dfreq = postings.groupBy(col("_el")).agg(count(lit(1)).as("_df"))
+    // rank each set's elements rarest-first (df, then element value —
+    // any fixed total order works; this one minimizes candidates)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_df"), col("_el"))
+    // minOverlap = ⌈t·sz⌉, nudged by 1e-9 so an exact-integer t·sz
+    // errs toward a LONGER prefix (shorter would lose recall; the
+    // exact verify below makes longer merely redundant)
+    val prefix = postings.join(dfreq, Seq("_el"))
+      .withColumn("_rn", row_number().over(wDoc))
+      .filter(col("_rn") <=
+        col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1)
+      .select(col("_el"), col("doc_id").as("id_in"))
+    val full = postings.select(col("_el"), col("doc_id").as("id_of"))
+    val cand = prefix.join(full, Seq("_el"))
+      .filter(col("id_in") =!= col("id_of"))
+      .select(col("id_in"), col("id_of"))
+      .distinct()
+    // exact verification: one array_intersect per surviving pair —
+    // local work, no further shuffle beyond the two id joins
+    val result = cand
+      .join(base.select(col("doc_id").as("id_in"),
+        col("_set").as("_set_in"), col("sz").as("_sz_in")), Seq("id_in"))
+      .join(base.select(col("doc_id").as("id_of"),
+        col("_set").as("_set_of")), Seq("id_of"))
+      .select(col("id_in"), col("id_of"),
+        round(size(array_intersect(col("_set_in"), col("_set_of")))
+          .cast("double") / col("_sz_in").cast("double"), 6)
+          .as("containment"))
       .filter(col("containment") >= threshold)
-    materializeAndRelease(result, postings)
+    materializeAndRelease(result, base, postings)
   }
 
   // ── Embedding cosine near-dup ───────────────────────────────────────

@@ -143,6 +143,31 @@ class DedupSpec extends AnyFunSuite {
     assert(j.isEmpty)
   }
 
+  test("containment prefix filter is lossless vs brute force " +
+      "(random sets, several thresholds)") {
+    import org.apache.spark.sql.functions._
+    // skewed element draw (Zipf-ish) so some elements are
+    // stop-word-grade: exactly the regime the prefix filter prunes
+    val rnd = new scala.util.Random(42)
+    def draw(): String = ("e" + (math.pow(rnd.nextDouble(), 2.0) * 30).toInt)
+    val rows = (1L to 60L).map { id =>
+      val n = 3 + rnd.nextInt(10)
+      (id, Seq.fill(n)(draw()).distinct)
+    }
+    val d = rows.toDF("doc_id", "toks")
+    for (t <- Seq(0.5, 0.7, 0.9, 1.0)) {
+      val got = Dedup.containmentPairsIndexed(d, "doc_id", "toks", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val expect = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia != ib
+        c = sa.toSet.intersect(sb.toSet).size
+        cont = math.rint(c.toDouble / sa.size * 1e6) / 1e6
+        if cont >= t
+      } yield (ia, ib, cont)).toSet
+      assert(got == expect, s"t=$t: ${got.diff(expect)} / ${expect.diff(got)}")
+    }
+  }
+
   test("embedding near-dup via sign-LSH with multi-probe") {
     val rnd = new scala.util.Random(7)
     val v1 = Array.fill(16)(rnd.nextGaussian().toFloat)
