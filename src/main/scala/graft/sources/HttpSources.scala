@@ -69,6 +69,16 @@ object Http {
     send(b.build())
   }
 
+  def put(url: String, body: String, contentType: String,
+      headers: Map[String, String] = Map.empty, timeoutSec: Long = 30L): String = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSec))
+      .header("Content-Type", contentType)
+      .PUT(HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    send(b.build())
+  }
+
   def enc(s: String): String =
     java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
 
