@@ -895,6 +895,69 @@ object SparkEntry {
     "q25_dedup_exact" ->
       """SELECT sha256(text) AS text_sha, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin,
+    // Portable MinHash at the q26 near-dup parameterization (64 hashes,
+    // 8 bands × 8 rows, 3-word shingles, J ≥ 0.8) over the FULL corpus:
+    // the oracle mirrors the band predicate with the same group-by-
+    // band-key shape (q125's recipe — nothing quadratic), then the
+    // exact-Jaccard verify.
+    "q26_dedup_minhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS toks
+        |  FROM tk WHERE len(tk) >= 3),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM sh),
+        |mh AS (
+        |  SELECT doc_id, j.j AS j,
+        |    MIN(md5(CAST(j.j AS VARCHAR) || ':' || term)) AS mh
+        |  FROM tok CROSS JOIN (SELECT unnest(range(64)) AS j) j
+        |  GROUP BY doc_id, j.j),
+        |bands AS (
+        |  SELECT doc_id, CAST(j // 8 AS INTEGER) AS band,
+        |    string_agg(mh, '|' ORDER BY j) AS band_key
+        |  FROM mh GROUP BY doc_id, j // 8),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6)
+        |    AS jaccard_sim
+        |FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |  / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.8""".stripMargin,
+    // Portable SimHash over the FULL corpus: banding is lossless by
+    // pigeonhole (4 bands > 3 = maxHamming), so the oracle states the
+    // output in closed form — every pair at Hamming ≤ 3 over the
+    // md5-nibble 60-bit fingerprint (q105's recipe, unbounded).
+    "q27_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(term) AS hex FROM tok),
+        |b AS (
+        |  SELECT doc_id, p.p AS p,
+        |    CASE WHEN SUM(2 * (CAST(floor(
+        |        (strpos('0123456789abcdef',
+        |           substr(hex, CAST(p.p // 4 AS INTEGER) + 1, 1)) - 1)
+        |        / power(2, 3 - p.p % 4)) AS BIGINT) % 2) - 1) > 0
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS p) p
+        |  GROUP BY doc_id, p.p),
+        |fp AS (SELECT doc_id,
+        |         CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(p AS INTEGER)))
+        |           AS BIGINT) AS fp
+        |       FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.fp, b2.fp)) <= 3""".stripMargin,
     "q28_jaccard_pairs" ->
       """SELECT id_a, id_b, ROUND(jaccard_sim, 6) AS jaccard_sim FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -906,10 +969,121 @@ object SparkEntry {
         |        FROM documents WHERE doc_id < 500) b
         |    ON a.doc_id < b.doc_id
         |) WHERE jaccard_sim >= 0.5""".stripMargin,
+    // Portable sign-LSH at the q29 parameterization (6 md5-derived ±1
+    // planes, multi-probe ⇔ Hamming(bucket) ≤ 2, cosine ≥ 0.4) — q126's
+    // oracle recipe with range(6).
+    "q29_dedup_embedding" ->
+      """WITH planes AS (
+        |  SELECT h.h AS h, list_transform(range(64), d ->
+        |    CASE WHEN strpos('0123456789abcdef',
+        |        substr(md5(CAST(h.h AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+        |          1, 1)) - 1 >= 8
+        |      THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM (SELECT unnest(range(6)) AS h) h),
+        |proj AS (
+        |  SELECT e.vec_id, p.h,
+        |    list_sum(list_transform(list_zip(e.embedding, p.w),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS s
+        |  FROM embeddings e CROSS JOIN planes p),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN s >= 0
+        |      THEN CAST(1 AS BIGINT) << CAST(h AS INTEGER)
+        |      ELSE 0 END) AS BIGINT) AS b
+        |  FROM proj GROUP BY vec_id),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b
+        |    ON a.vec_id < b.vec_id AND bit_count(xor(a.b, b.b)) <= 2)
+        |SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+        |    JOIN embeddings b ON b.vec_id = c.id_b
+        |) WHERE sim >= 0.4""".stripMargin,
     // q63 (IVF, nprobe=nlist) is exact by construction → must reproduce
     // the brute-force result bit-for-bit, so it shares q31's oracle.
     "q31_knn_bruteforce" -> knnBruteForceSql,
     "q63_knn_ivf_exact" -> knnBruteForceSql,
+    // Portable IVF with REAL pruning (nprobe 3 of nlist 8): centroids
+    // are the 8 vectors ranked first by (md5(id ":ivf_v1"), id); the
+    // oracle replays cell assignment, probe ranking and the pruned
+    // top-k with the same in-order float folds and (dist, cell) /
+    // (sim desc, id) tie-breaks as the engine kernels.
+    "q32_knn_ivf" ->
+      """WITH cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+        |      md5(CAST(vec_id AS VARCHAR) || ':ivf_v1'), vec_id) AS INTEGER)
+        |      - 1 AS cell,
+        |    embedding AS cvec
+        |  FROM embeddings
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':ivf_v1'), vec_id) <= 8),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.embedding, c.cvec),
+        |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |             * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
+        |        c.cell ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, embedding AS qvec
+        |       FROM embeddings WHERE vec_id < 5),
+        |probe AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.qvec, c.cvec),
+        |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |             * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
+        |        c.cell ASC) AS rn
+        |    FROM qs q CROSS JOIN cent c)
+        |  WHERE rn <= 3),
+        |sc AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qvec),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM probe p JOIN asg a ON a.cell = p.cell
+        |    JOIN embeddings e ON e.vec_id = a.vec_id
+        |    JOIN qs q ON q.query_id = p.query_id)
+        |SELECT query_id, vec_id, ROUND(sim, 6) AS cosine_sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+        |FROM sc
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        |  ORDER BY sim DESC, vec_id ASC) <= 10""".stripMargin,
+    // The deterministic slice of the stub decoder, replayed byte-for-
+    // byte from the text (printable-ASCII corpus ⇒ chars ≡ UTF-8
+    // bytes): width/height from the first two bytes, frames from byte
+    // length, mean intensity = Σbytes/n (integer-valued double sum —
+    // order-independent and exact).
+    "q39_media_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id, SUM(ascii(substr(text, CAST(i AS INTEGER), 1))) AS s,
+        |    COUNT(*) AS n
+        |  FROM documents, UNNEST(range(1, len(text) + 1)) t(i)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.source,
+        |  CAST(1 + (CASE WHEN len(d.text) > 0
+        |    THEN ascii(substr(d.text, 1, 1)) ELSE 0 END) % 64 AS INTEGER)
+        |    AS width,
+        |  CAST(1 + (CASE WHEN len(d.text) > 1
+        |    THEN ascii(substr(d.text, 2, 1)) ELSE 0 END) % 64 AS INTEGER)
+        |    AS height,
+        |  CAST(1 + len(d.text) % 4 AS INTEGER) AS n_frames,
+        |  ROUND(COALESCE(CAST(c.s AS DOUBLE) / c.n, 0.0), 6) AS mean_intensity
+        |FROM documents d LEFT JOIN ch c USING (doc_id)""".stripMargin,
     "q93_embedding_verify" -> embeddingVerifySql,
     // deterministic md5-hex split/sampling: thresholds are
     // floor(frac*65536) as 4 hex digits, compared lexicographically
@@ -2471,6 +2645,15 @@ object SparkEntry {
         |WHERE c_acctbal > (
         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
         |    / COUNT(c_acctbal) FROM customer)""".stripMargin,
+    // Sketch contract (q44): the oracle recomputes the EXACT columns
+    // and states the within-error-bound booleans as TRUE — a sketch
+    // drifting outside its documented bound turns the engine's boolean
+    // false and the row red.
+    "q44_approx" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok, TRUE AS median_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "q45_asof_join" -> asOfJoinSql,
     // the native whole-operator plan must reproduce the composed
     // form's rows exactly — same oracle
@@ -2507,6 +2690,14 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY event_type
         |      ORDER BY "value" DESC, event_id ASC) AS rn
         |  FROM events) WHERE rn <= 5""".stripMargin,
+    // Merged-sketch contract (q51, same recipe as q44): exact columns
+    // + a TRUE stating the union-merged HLL estimate stayed within 5%
+    // of the exact distinct count.
+    "q51_hll_merge" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_days,
+        |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS merge_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "q52_fuzzy_join" ->
       """SELECT x.p_partkey AS id_a, y.p_partkey AS id_b,
         |  CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS edit_dist

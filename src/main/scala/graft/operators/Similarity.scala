@@ -77,6 +77,63 @@ object Similarity {
       .select("_v").collect()
       .map(_.getSeq[Double](0).toArray)
     val centroids = fitCentroidsLocal(sample, nlist, maxIter = 20, seed = seed)
+    ivfSearch(corpus, queries, corpusId, corpusVec, queryId, queryVec,
+      k, nprobe, centroids)
+  }
+
+  /** IVF with a PORTABLE coarse quantizer, making the WHOLE ANN
+    * operator — cell assignment, probe ranking, candidate pruning and
+    * top-k — hash-checkable against an external SQL oracle even with
+    * real pruning (`nprobe < nlist`), which the k-means variant can't
+    * be (RNG-seeded quantizer):
+    *
+    *   - centroids = the `nlist` corpus vectors ranked first by
+    *     `(md5(id ":" salt), id)` — a deterministic, engine-neutral
+    *     decorrelated draw (md5 rank ⊥ ingest order); cell id =
+    *     position in that ranking
+    *   - cell assignment / probe ranking / cosine all accumulate in
+    *     array index order on both engines (the q93/q126 associativity
+    *     recipe), ties broken by cell id / corpus id — so every
+    *     decision, including WHICH cells are pruned, is bit-
+    *     reproducible in SQL
+    *
+    * Same plan shape as [[ivfTopK]] (search is shared): one compiled
+    * assignment pass, centroid table as plan constant, candidates
+    * touch ~nprobe/nlist of the corpus.
+    */
+  def ivfTopKPortable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int,
+      nlist: Int = 8,
+      nprobe: Int = 3,
+      salt: String = "ivf_v1"): DataFrame = {
+    // bounded collect: exactly nlist centroid rows
+    val centroids: Array[Array[Double]] = corpus
+      .select(col(corpusId).as("_id"), toDouble(col(corpusVec)).as("_v"))
+      .orderBy(md5(concat(col("_id").cast("string"), lit(":" + salt))),
+        col("_id"))
+      .limit(nlist)
+      .select("_v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    ivfSearch(corpus, queries, corpusId, corpusVec, queryId, queryVec,
+      k, nprobe, centroids)
+  }
+
+  /** Shared IVF search given a fitted centroid table: assignment →
+    * probe → candidate join → exact-cosine top-k.
+    */
+  private def ivfSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      k: Int,
+      nprobe: Int,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
 
     // 2. corpus → cell assignment: one compiled pass, no shuffle
     val assigned = corpus.withColumn("_cell",

@@ -95,24 +95,37 @@ object ExtensionQueries {
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactHashGroups(tbl(s, dir, "documents"), "doc_id", "text")
 
-  /** MinHash-LSH near-dup pairs (rows-only: LSH banding is not
-    * SQL-expressible portably).
+  /** MinHash-LSH near-dup pairs over the FULL corpus with the portable
+    * md5 signature ([[graft.operators.PortableMinHash]]), so the
+    * banded operator — banding decisions included — is hash-checked
+    * end to end by a SQL oracle that mirrors the band predicate with
+    * the same group-by-band-key shape (nothing quadratic on either
+    * side). 8 bands × 8 rows targets J≥0.8 (the standard near-dup
+    * cutoff): the band-collision curve must be steep enough that the
+    * corpus's high background similarity (~0.5) does not flood the
+    * candidate join — 16×4 banding fires at ~64% for J=0.5 pairs,
+    * 8×8 at ~3%. [[Dedup.minHashNearDupPairs]] (xxhash + affine
+    * compiled kernel, one hash per token) stays the fastest-kernel
+    * variant, spec-pinned in DedupSpec.
     */
   def qDedupMinHash(s: SparkSession, dir: String): DataFrame =
-    // 8 bands × 8 rows targets J≥0.8 (the standard near-dup cutoff):
-    // the band-collision curve must be steep enough that the corpus's
-    // high background similarity (~0.5) does not flood the candidate
-    // join — 16×4 banding fires at ~64% for J=0.5 pairs, 8×8 at ~3%.
-    Dedup.minHashNearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
-      shingleWords = 3, numHashes = 64, bands = 8, threshold = 0.8)
+    graft.operators.PortableMinHash.nearDupPairs(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      numHashes = 64, bands = 8, shingleWords = 3, threshold = 0.8)
 
-  /** SimHash near-dup pairs (rows-only). */
+  /** SimHash near-dup pairs over the FULL corpus with the portable
+    * md5-nibble fingerprint ([[graft.operators.PortableSimHash]]) —
+    * banding is lossless by pigeonhole (bands > maxHamming), so the
+    * oracle states the output in closed form (all pairs with
+    * Hamming ≤ 3) and the banded engine path must reproduce it
+    * exactly. Canonical setting: hamming ≤ 3 with 4 × 15-bit bands.
+    * [[Dedup.simHashNearDupPairs]] (xxhash kernel) stays the
+    * fastest-kernel variant, spec-pinned in DedupSpec.
+    */
   def qDedupSimHash(s: SparkSession, dir: String): DataFrame =
-    // canonical SimHash setting: hamming <= 3 with 4 x 16-bit bands —
-    // bands > maxHamming (pigeonhole) makes the blocking lossless while
-    // 16-bit band keys keep candidate volume near-linear
-    Dedup.simHashNearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
-      bands = 4, maxHamming = 3)
+    graft.operators.PortableSimHash.nearDupPairs(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 3, nBands = 4)
 
   /** Portable-fingerprint SimHash near-dup pairs: the md5-nibble
     * fingerprint is engine-neutral, so the FULL banded operator
@@ -293,15 +306,23 @@ object ExtensionQueries {
       .withColumn("kept", col("quality") >= 0.5)
   }
 
-  /** Embedding-cosine near-duplicate pairs via sign-LSH (rows-only:
-    * LSH recall < 1 by construction). Threshold 0.4 sits at the top
-    * ~0.05% of the synthetic corpus's pairwise-cosine distribution
-    * (max ≈ 0.47), so the query surfaces the genuinely closest pairs;
-    * 6 planes + 1-bit multi-probe gives ≈ 0.6 recall at that level.
+  /** Embedding-cosine near-duplicate pairs via sign-LSH with PORTABLE
+    * md5-derived ±1 hyperplanes ([[graft.operators.PortableSignLsh]]):
+    * multi-probe blocking admits exactly the Hamming(bucket) ≤ 2
+    * pairs, a closed-form predicate the SQL oracle states directly —
+    * so the bucketed operator, blocking decisions included, is
+    * hash-checked end to end. Threshold 0.4 sits at the top ~0.05% of
+    * the synthetic corpus's pairwise-cosine distribution (max ≈ 0.47),
+    * so the query surfaces the genuinely closest pairs; 6 planes keep
+    * per-bucket recall high at that level (q126 runs the 12-plane
+    * sharper-bucket variant). [[Dedup.embeddingNearDupPairs]]
+    * (tunable Gaussian planes) stays the seeded variant, spec-pinned
+    * in DedupSpec.
     */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
-      "embedding", dim = 64, threshold = 0.4, numPlanes = 6)
+    graft.operators.PortableSignLsh.nearDupPairs(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, numPlanes = 6, threshold = 0.4)
 
   // ── Similarity search ───────────────────────────────────────────────
 
@@ -320,14 +341,20 @@ object ExtensionQueries {
       "query_id", "qvec", k = 10)
   }
 
-  /** IVF ANN top-10 for the same queries (rows-only: ANN recall is
-    * probabilistic; ScalaTest asserts recall ≥ threshold vs brute force).
+  /** IVF ANN top-10 with REAL cell pruning (nprobe 3 of nlist 8) over
+    * the portable md5-ranked quantizer
+    * ([[Similarity.ivfTopKPortable]]): every decision — which vectors
+    * land in which cell, which cells each query probes, which
+    * candidates are pruned, the final ranking — is bit-reproducible in
+    * SQL, so the approximate operator itself is hash-checked, not just
+    * its exact twin (q63 pins the nprobe=nlist degenerate case on the
+    * k-means quantizer; SimilaritySpec pins k-means-IVF recall floors).
     */
   def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+    Similarity.ivfTopKPortable(emb, queries, "vec_id", "embedding",
       "query_id", "qvec", k = 10, nlist = 8, nprobe = 3)
   }
 
@@ -835,25 +862,43 @@ object ExtensionQueries {
   /** Mergeable-sketch distinct counting: per-day DataSketches HLL
     * sketches union-merged into a per-type estimate — the 100 TB
     * pattern where raw rows are sketched once near the data and only
-    * fixed-size sketch blobs move between aggregation levels. Rows-only
-    * (DuckDB's HLL is a different implementation); SkewAndSketchSpec
-    * bounds the estimate against the exact distinct count.
+    * fixed-size sketch blobs move between aggregation levels. The
+    * declared surface is hash-checkable (the q44 recipe): the sketch
+    * estimate itself is implementation-specific, so the output carries
+    * the exact distinct count plus a boolean asserting the MERGED
+    * estimate landed within 5% (≈3·rsd at the default lgK=12) of it —
+    * the oracle recomputes the exact columns and states TRUE, so a
+    * broken merge turns the row red. SkewAndSketchSpec pins the raw
+    * estimate besides.
     */
   def qHllMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = RelationalQueries.events(s, dir)
     val daily = ev
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sketch"))
-    daily.groupBy(col("event_type"))
+    val merged = daily.groupBy(col("event_type"))
       .agg(
-        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("_est"),
         count(lit(1)).as("n_days"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("_est") - col("exact_users"))
+          <= lit(0.05) * col("exact_users")).as("merge_ok"))
   }
 
   /** Multimodal plumbing driven from testdata: document text bytes act
-    * as opaque media payloads → media struct → batched decode stub →
-    * per-source feature aggregate (rows-only: stub features are not
-    * SQL-expressible; MultimodalSpec pins the semantics).
+    * as opaque media payloads → media struct → the REAL batched
+    * `mapPartitions` decode stage → per-document feature rows. The
+    * declared surface is the deterministic slice of the stub decoder —
+    * width/height from the first two payload bytes, frame count from
+    * the byte length, mean intensity = Σbytes/n (an integer-valued
+    * double sum, so order-independent and exact) — which an external
+    * SQL oracle reproduces byte-for-byte from the same text (the
+    * corpus is printable-ASCII, so chars ≡ UTF-8 bytes). The stub
+    * embedding (rolling hash) has no SQL form and stays
+    * MultimodalSpec-pinned, as does the real-ImageIO path.
     */
   def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
@@ -862,10 +907,11 @@ object ExtensionQueries {
         Multimodal.asMedia(encode(col("text"), "UTF-8"), lit("text/plain"))
           .as("media"))
     Multimodal.decodeFeatures(media, "media", embeddingDim = 8)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        avg(col("features.mean_intensity")).as("avg_intensity"),
-        avg(VectorFunctions.l2Norm(col("features.embedding"))).as("avg_emb_norm"))
+      .select(col("doc_id"), col("source"),
+        col("features.width").as("width"),
+        col("features.height").as("height"),
+        col("features.n_frames").as("n_frames"),
+        round(col("features.mean_intensity"), 6).as("mean_intensity"))
   }
 
   /** Media-struct metadata contract over real document bytes: the

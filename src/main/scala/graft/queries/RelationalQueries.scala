@@ -285,17 +285,36 @@ object RelationalQueries {
       .select(col("c_custkey"), col("c_acctbal"))
   }
 
-  /** Approximate sketches (HLL distinct + quantiles) — rows-only
-    * (sketch internals are engine-specific by design; SketchSpec
-    * bounds the error against exact answers).
+  /** Approximate sketches (HLL distinct + quantiles), surfaced as a
+    * hash-checkable contract: the sketch values themselves are
+    * engine-specific by design, so the declared output carries the
+    * EXACT totals plus booleans asserting each sketch landed inside
+    * its documented error bound — `approx_count_distinct(rsd=0.02)`
+    * within 3·rsd of the exact distinct count, and each
+    * `percentile_approx(accuracy=1000)` (rank error ≤ 1/1000) inside
+    * a comfortably wider exact-quantile bracket. The oracle recomputes
+    * the exact columns and states the booleans as TRUE, so a sketch
+    * drifting outside its bound turns the row red rather than
+    * invisible. SketchSpec pins the raw estimates besides.
     */
   def q26Approx(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("approx_p99"))
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("_au"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("_am"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("_ap"),
+        expr("percentile(value, 0.45)").as("_p45"),
+        expr("percentile(value, 0.55)").as("_p55"),
+        expr("percentile(value, 0.98)").as("_p98"),
+        expr("percentile(value, 0.999)").as("_p999"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("_au") - col("exact_users"))
+          <= lit(0.06) * col("exact_users")).as("hll_ok"),
+        col("_am").between(col("_p45"), col("_p55")).as("median_ok"),
+        col("_ap").between(col("_p98"), col("_p999")).as("p99_ok"))
 
   /** Exact interpolated percentiles per group (sort-based `percentile`,
     * not the approximate sketch) — rounded for cross-engine float

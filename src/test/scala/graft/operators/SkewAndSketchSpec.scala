@@ -55,14 +55,17 @@ class SkewAndSketchSpec extends AnyFunSuite {
     val exact = events.groupBy($"event_type")
       .agg(countDistinct($"user_id").as("u")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = graft.queries.RelationalQueries.q26Approx(
+    val rows = graft.queries.RelationalQueries.q26Approx(
       spark, "/root/testdata/sf0.001").collect()
-    approx.foreach { r =>
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
       val et = r.getString(0)
-      val approxU = r.getLong(1)
-      assert(math.abs(approxU - exact(et)).toDouble / exact(et) < 0.1,
-        s"$et approx=$approxU exact=${exact(et)}")
-      assert(r.getDouble(2) > 0 && r.getDouble(3) >= r.getDouble(2)) // p50<=p99
+      // the exact column must be exact, and every sketch must have
+      // landed inside its documented error bound (the oracle contract)
+      assert(r.getLong(2) == exact(et), s"$et exact_users mismatch")
+      assert(r.getBoolean(3), s"$et hll outside 3*rsd")
+      assert(r.getBoolean(4), s"$et approx median outside [p45,p55]")
+      assert(r.getBoolean(5), s"$et approx p99 outside [p98,p99.9]")
     }
   }
 }
