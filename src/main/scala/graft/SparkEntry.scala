@@ -912,12 +912,14 @@ object SparkEntry {
         |tok AS (SELECT doc_id, unnest(toks) AS term FROM sh),
         |mh AS (
         |  SELECT doc_id, j.j AS j,
-        |    MIN(md5(CAST(j.j AS VARCHAR) || ':' || term)) AS mh
+        |    MIN((((j.j + 1) * 2654435761 % 2147483647)
+        |         * (('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647)
+        |         + j.j * 40503 + 12345) % 2147483647) AS mh
         |  FROM tok CROSS JOIN (SELECT unnest(range(64)) AS j) j
         |  GROUP BY doc_id, j.j),
         |bands AS (
         |  SELECT doc_id, CAST(j // 8 AS INTEGER) AS band,
-        |    string_agg(mh, '|' ORDER BY j) AS band_key
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
         |  FROM mh GROUP BY doc_id, j // 8),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1522,12 +1524,14 @@ object SparkEntry {
         |tok AS (SELECT doc_id, unnest(toks) AS term FROM sh),
         |mh AS (
         |  SELECT doc_id, j.j AS j,
-        |    MIN(md5(CAST(j.j AS VARCHAR) || ':' || term)) AS mh
+        |    MIN((((j.j + 1) * 2654435761 % 2147483647)
+        |         * (('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647)
+        |         + j.j * 40503 + 12345) % 2147483647) AS mh
         |  FROM tok CROSS JOIN (SELECT unnest(range(16)) AS j) j
         |  GROUP BY doc_id, j.j),
         |bands AS (
         |  SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
-        |    string_agg(mh, '|' ORDER BY j) AS band_key
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
         |  FROM mh GROUP BY doc_id, j // 2),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -5,15 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 
-/** MinHash-LSH near-duplicate detection over a PORTABLE signature: the
-  * per-hash family is `h_j(t) = md5(j ":" t)` and the per-document
-  * minhash is the LEXICOGRAPHIC minimum of those hex strings — both
-  * bit-identical in every engine — so the banded operator itself (not
-  * just its exhaustive verify stage) can be hash-checked against an
-  * external SQL oracle. This is the [[PortableSimHash]] recipe applied
-  * to MinHash; the engine's fast path ([[Dedup.minHashNearDupPairs]],
-  * xxhash + affine-permutation compiled kernel) keeps the same shape
-  * and remains the unbounded-scale variant.
+/** MinHash-LSH near-duplicate detection over a PORTABLE signature —
+  * the standard one-base-hash affine family, bit-identical in every
+  * engine — so the banded operator itself (not just its exhaustive
+  * verify stage) can be hash-checked against an external SQL oracle.
+  * This is the [[PortableSimHash]] recipe applied to MinHash; the
+  * engine's fast path ([[Dedup.minHashNearDupPairs]], xxhash +
+  * affine-permutation compiled kernel) keeps the same shape and
+  * remains the non-portable variant.
   *
   * Unlike SimHash banding (lossless by pigeonhole), MinHash banding is
   * probabilistic: a qualifying pair is emitted only if it ALSO collides
@@ -27,19 +26,22 @@ import graft.functions.TextFunctions
   *     DISTINCT space-joined `shingleWords`-grams (explicit slice +
   *     concat_ws algebra — mirrors SQL `array_to_string(tk[i:i+k-1])`
   *     1:1); docs with fewer than `shingleWords` tokens emit nothing
-  *   - signature j (j = 0..numHashes-1): min over shingles of
-  *     md5(j ":" shingle), compared as lowercase-hex ASCII strings
+  *   - signature slot j (j = 0..numHashes-1): min over shingles of
+  *     `(A_j·base(t) + B_j) mod P` with `base(t)` = the first 15 hex
+  *     digits of md5(t) as an integer mod P = 2³¹−1 — the exact
+  *     constants and the SQL mirror live on
+  *     [[graft.functions.expressions.TextExpressions.PortableMinHashSigExpr]]
   *   - band b covers signature slots [b·rows, (b+1)·rows); its key is
-  *     the '|'-joined slice (hex strings never contain '|')
+  *     the '|'-joined decimal slice
   *   - output: (id_a < id_b) pairs that share ≥ 1 band key AND have
   *     exact token-set Jaccard ≥ threshold, jaccard rounded to 6 dp
   *
   * Scale shape: identical to the fast path — one pass computes
-  * (doc_id, sig); the candidate shuffle carries only (band, key, id)
-  * rows; token sets are re-attached only to the deduped candidate
-  * pairs for the exact verify. Nothing quadratic. The md5-per-(j,token)
-  * signature pass costs numHashes hashes per token vs the kernel's one,
-  * which is the deliberate portability trade (see class doc).
+  * (doc_id, sig) at ONE md5 per shingle (the affine family replaced
+  * the md5-per-(j,shingle) hex-string mins that cost 12 s at sf0.1);
+  * the candidate shuffle carries only (band, key, id) rows; token sets
+  * are re-attached only to the deduped candidate pairs for the exact
+  * verify. Nothing quadratic.
   */
 object PortableMinHash {
 
@@ -59,10 +61,8 @@ object PortableMinHash {
     df.select(col(idCol).as("doc_id"), tk.as("_tk"))
       .filter(size(col("_tk")) >= shingleWords)
       .select(col("doc_id"), shingles.as("toks"))
-      .withColumn("sig", transform(
-        sequence(lit(0), lit(numHashes - 1)),
-        j => array_min(transform(col("toks"),
-          t => md5(concat(j.cast("string"), lit(":"), t))))))
+      .withColumn("sig", graft.functions.expressions.TextExpressions
+        .portable_minhash_sig(col("toks"), numHashes))
   }
 
   /** Banded candidates + exact-Jaccard verify; see object doc for the
@@ -85,8 +85,9 @@ object PortableMinHash {
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_idx"),
-          concat_ws("|", slice(col("sig"), b * rows + lit(1), lit(rows)))
-            .as("band_key")))).as("bk"))
+          concat_ws("|", transform(
+            slice(col("sig"), b * rows + lit(1), lit(rows)),
+            x => x.cast("string"))).as("band_key")))).as("bk"))
       .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
         col("bk.band_key").as("band_key"))
 

@@ -39,31 +39,23 @@ object PortableSimHash {
   /** (idCol → doc_id, fp): the portable 60-bit fingerprint. Docs with
     * zero tokens are dropped (no fingerprint is defined for them —
     * and the SQL mirror's unnest produces no rows for them either).
+    *
+    * Computed by the compiled
+    * [[graft.functions.expressions.TextExpressions.PortableSimHash60Expr]]
+    * kernel (one JVM md5 + 60 long shifts per distinct token) — the
+    * DEFINITION above is unchanged from the conv/substr column-algebra
+    * formulation it replaces (bit `3 − p%4` of hex digit `p/4` ⇔ bit
+    * `59 − p` of the 15-hex-digit integer), so the SQL oracle and
+    * PortableSimHashSpec's independent reference still pin it
+    * bit-for-bit.
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one md5 per distinct token, reused across all 60 bit positions
-    val hexes = transform(
-      array_distinct(TextFunctions.tokens(lower(col(textCol)))),
-      t => md5(t))
-    // bit p of one token hash h (values ≤ 15 — the floor/pow detour is
-    // integer-exact and mirrors 1:1 into SQL engines without bitops on
-    // column-valued shifts)
-    def tokenBit(h: Column, p: Column): Column = {
-      val nib = conv(h.substr((floor(p / 4) + 1).cast("int"), lit(1)), 16, 10)
-        .cast("int")
-      pmod(floor(nib / pow(lit(2.0), lit(3) - pmod(p, lit(4)))).cast("long"), lit(2L))
-    }
-    val bits = transform(
-      sequence(lit(0), lit(Bits - 1)),
-      p => when(
-        aggregate(col("_hexes"), lit(0L),
-          (acc, h) => acc + tokenBit(h, p) * 2L - 1L) > 0, 1L).otherwise(0L))
-    // fold MSB-first: acc·2 + bit ≡ Σ bit_p·2^p, pure long arithmetic
-    val fp = aggregate(reverse(col("_bits")), lit(0L), (acc, b) => acc * 2 + b)
-    df.select(col(idCol).as("doc_id"), hexes.as("_hexes"))
-      .filter(size(col("_hexes")) > 0)
-      .withColumn("_bits", bits)
-      .select(col("doc_id"), fp.as("fp"))
+    val toks = array_distinct(TextFunctions.tokens(lower(col(textCol))))
+    df.select(col(idCol).as("doc_id"), toks.as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.expressions.TextExpressions
+          .portable_simhash60(col("_toks")).as("fp"))
   }
 
   /** Near-dup pairs (id_a < id_b, hamming ≤ maxHamming) via banded

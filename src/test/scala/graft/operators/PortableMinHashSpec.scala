@@ -5,9 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** The portable signature must match an independent JVM-side
-  * reimplementation (md5 hex strings, lexicographic min per slot), and
-  * the emitted pairs must equal the reference predicate — band
-  * collision AND exact Jaccard — computed exhaustively in plain Scala.
+  * reimplementation (15-hex-digit md5 base, affine family mod 2³¹−1,
+  * min per slot — recomputed here through the HEX-STRING parse the
+  * SQL oracle uses, not the kernel's digest-byte fast path), and the
+  * emitted pairs must equal the reference predicate — band collision
+  * AND exact Jaccard — computed exhaustively in plain Scala.
   */
 class PortableMinHashSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -16,6 +18,7 @@ class PortableMinHashSpec extends AnyFunSuite {
   private val NumHashes = 16
   private val Bands = 8
   private val K = 2 // shingle words
+  private val P = 2147483647L
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -28,10 +31,16 @@ class PortableMinHashSpec extends AnyFunSuite {
     else toks.sliding(K).map(_.mkString(" ")).toSet
   }
 
-  private def refSig(sh: Set[String]): IndexedSeq[String] =
-    (0 until NumHashes).map(j => sh.map(t => md5hex(s"$j:$t")).min)
+  private def refSig(sh: Set[String]): IndexedSeq[Long] =
+    (0 until NumHashes).map { j =>
+      sh.map { t =>
+        // the oracle's formulation: parse the first 15 hex digits
+        val base = java.lang.Long.parseLong(md5hex(t).substring(0, 15), 16) % P
+        (((j + 1) * 2654435761L % P) * base + j * 40503L + 12345L) % P
+      }.min
+    }
 
-  private def refBandCollide(a: IndexedSeq[String], b: IndexedSeq[String]): Boolean = {
+  private def refBandCollide(a: IndexedSeq[Long], b: IndexedSeq[Long]): Boolean = {
     val rows = NumHashes / Bands
     (0 until Bands).exists(band =>
       (0 until rows).forall(r => a(band * rows + r) == b(band * rows + r)))
@@ -51,7 +60,7 @@ class PortableMinHashSpec extends AnyFunSuite {
 
   test("signatures match the independent JVM reference slot-for-slot") {
     val got = PortableMinHash.signatures(docs, "doc_id", "text", NumHashes, K)
-      .select("doc_id", "sig").as[(Long, Seq[String])].collect().toMap
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
     assert(got.keySet == Set(1L, 2L, 3L, 4L)) // 5 and 6 dropped
     for (id <- Seq(1L, 3L, 4L)) {
       val text = Seq(
