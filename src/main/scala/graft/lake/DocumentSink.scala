@@ -54,27 +54,71 @@ final class JsonDirSink(root: String) extends DocumentSink {
 /** Shape of a partition-local bulk HTTP writer (what an online ES sink
   * looks like without the driver bottleneck). The transport is
   * abstract — this environment has no network — but the partition
-  * batching, retry accounting, and error-cap semantics (first 10
-  * logged, reference `src/index_elastic.py:210-216`) are real.
+  * batching and the accounting semantics are the reference's
+  * `bulk(es, actions, raise_on_error=False)` exactly
+  * (`src/index_elastic.py:210-216`): a batch is not all-or-nothing —
+  * the ES bulk API accepts some items and rejects others, so the
+  * transport reports a PER-DOCUMENT split ([[BulkHttpSink.BulkResult]]);
+  * the run never throws on item failures, totals are summed across all
+  * executors (Spark accumulators — the distributed analog of the
+  * reference's driver-side `success, errors` pair), the driver logs
+  * `indexed/errors` totals plus the first `maxLoggedErrors` error
+  * payloads, and the full tally stays queryable via [[report]].
+  * A transport-level failure (connection refused mid-run) counts every
+  * document of that batch as errored — same bookkeeping path.
   */
 final class BulkHttpSink(
-    post: Seq[String] => Either[String, Int], // batch of docs → error | count
+    post: Seq[String] => BulkHttpSink.BulkResult,
     batchSize: Int = 500,
     maxLoggedErrors: Int = 10) extends DocumentSink {
 
+  @volatile private var last: BulkHttpSink.Report =
+    BulkHttpSink.Report(0L, 0L, Nil)
+
+  /** Totals and the capped error sample of the most recent upsert. */
+  def report: BulkHttpSink.Report = last
+
   override def upsert(docs: DataFrame, keyCol: String): Unit = {
+    val sc = docs.sparkSession.sparkContext
+    val okAcc = sc.longAccumulator("bulk-sink.indexed")
+    val errAcc = sc.longAccumulator("bulk-sink.errors")
+    val errSample =
+      sc.collectionAccumulator[String]("bulk-sink.error-sample")
     val postFn = post
     val bs = batchSize
     val maxLog = maxLoggedErrors
     docs.toJSON.foreachPartition { (it: Iterator[String]) =>
-      var logged = 0
+      // cap the per-partition sample contribution so the accumulator
+      // stays bounded however many documents fail
+      var sampled = 0
       it.grouped(bs).foreach { batch =>
-        postFn(batch) match {
-          case Left(err) if logged < maxLog =>
-            System.err.println(s"[bulk-sink] $err"); logged += 1
-          case _ => ()
+        val r = postFn(batch)
+        okAcc.add(r.succeeded.toLong)
+        errAcc.add(r.errors.size.toLong)
+        r.errors.foreach { e =>
+          if (sampled < maxLog) { errSample.add(e); sampled += 1 }
         }
       }
     }
+    import scala.jdk.CollectionConverters._
+    val sample = errSample.value.asScala.take(maxLog).toList
+    last = BulkHttpSink.Report(okAcc.value, errAcc.value, sample)
+    // the reference's post-bulk log line + first-10 error dump
+    System.err.println(
+      s"[bulk-sink] indexed=${okAcc.value} errors=${errAcc.value}")
+    sample.foreach(e => System.err.println(s"[bulk-sink]   error: $e"))
   }
+}
+
+object BulkHttpSink {
+  /** One bulk call's outcome: documents accepted vs per-item error
+    * payloads (the ES `items` array split by `status`).
+    */
+  final case class BulkResult(succeeded: Int, errors: Seq[String])
+
+  /** Whole-upsert accounting: cluster-wide totals plus at most
+    * `maxLoggedErrors` sampled error payloads.
+    */
+  final case class Report(indexed: Long, errors: Long,
+      firstErrors: List[String])
 }
