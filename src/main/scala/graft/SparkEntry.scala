@@ -361,7 +361,13 @@ object SparkEntry {
     // exact Gini of token-mass concentration (two-level rank)
     "q193_gini" -> (X.qGini _),
     // per-group weighted median (cumulative-mass walk, no division)
-    "q194_weighted_median" -> (X.qWeightedMedian _)
+    "q194_weighted_median" -> (X.qWeightedMedian _),
+    // SemDeDup: portable-quantizer cells + within-cell cosine prune
+    "q195_semantic_dedup" -> (X.qSemanticDedup _),
+    // linear quality-classifier logit filter (no transcendentals)
+    "q196_quality_filter" -> (X.qQualityFilter _),
+    // interpolated Kneser-Ney bigram LM over the corpus
+    "q197_kn_bigram" -> (X.qKnBigram _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3256,7 +3262,107 @@ object SparkEntry {
         |  FROM b)
         |SELECT g AS l_returnflag, MIN(v) AS median_value,
         |  CAST(MIN(tot) AS BIGINT) AS total_w
-        |FROM c WHERE cum * 2 >= tot GROUP BY g""".stripMargin
+        |FROM c WHERE cum * 2 >= tot GROUP BY g""".stripMargin,
+    // SemDeDup: the q32 portable-quantizer recipe (different salt)
+    // feeding a within-cell lower-id cosine prune — the oracle replays
+    // cell assignment and the pairwise predicate, so which pairs are
+    // NEVER compared (cross-cell) is part of the checked contract.
+    "q195_semantic_dedup" ->
+      """WITH cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+        |      md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id)
+        |      AS INTEGER) - 1 AS cell,
+        |    embedding AS cvec
+        |  FROM embeddings
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.embedding, c.cvec),
+        |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |             * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
+        |        c.cell ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |pair AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(ea.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(eb.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        |dup AS (
+        |  SELECT id_a AS vec_id, MIN(id_b) AS dup_of,
+        |    ROUND(MAX(sim), 6) AS max_dup_cos
+        |  FROM pair WHERE sim >= 0.4 GROUP BY id_a)
+        |SELECT g.vec_id, g.cell, d.dup_of, d.max_dup_cos,
+        |  d.dup_of IS NULL AS keep
+        |FROM asg g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin,
+    // Linear quality filter: each feature is one integer-count ratio,
+    // the logit accumulates left-to-right — mirrored term for term;
+    // keep decided on the UNROUNDED logit on both sides.
+    "q196_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nchars,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE CAST(len(toks) AS DOUBLE) / CAST(len(toks) + 100 AS DOUBLE) END AS f_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS f_dist,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(toks,
+        |        t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) END AS f_stop,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |      ELSE nchars / CAST(len(toks) AS DOUBLE) END AS f_mean,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS f_punct,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS f_upper
+        |  FROM t)
+        |SELECT doc_id,
+        |  ROUND(-1.2 + 2.0 * f_len + 1.5 * f_dist + 2.5 * f_stop
+        |    + (-0.1) * f_mean + (-3.0) * f_punct + (-2.0) * f_upper, 6)
+        |    AS quality_logit,
+        |  (-1.2 + 2.0 * f_len + 1.5 * f_dist + 2.5 * f_stop
+        |    + (-0.1) * f_mean + (-3.0) * f_punct + (-2.0) * f_upper) >= 0.0
+        |    AS keep
+        |FROM f""".stripMargin,
+    // Interpolated Kneser-Ney: pure count arithmetic in one pinned
+    // IEEE chain — max(c-D,0)/tot + ((D*N1fw)/tot)*(N1pw/Ntypes).
+    "q197_kn_bigram" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT tk[CAST(i AS INTEGER)] AS w1,
+        |    tk[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM tk, UNNEST(range(1, len(tk))) t(i)
+        |  WHERE len(tk) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(n_bigram) AS tot, COUNT(*) AS n1fw
+        |       FROM c12 GROUP BY 1),
+        |cw2 AS (SELECT w2, COUNT(*) AS n1pw FROM c12 GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS ntypes FROM c12)
+        |SELECT c12.w1, c12.w2, c12.n_bigram,
+        |  ROUND(greatest(CAST(c12.n_bigram AS DOUBLE) - 0.75, 0.0)
+        |      / CAST(c1.tot AS DOUBLE)
+        |    + ((0.75 * CAST(c1.n1fw AS DOUBLE)) / CAST(c1.tot AS DOUBLE))
+        |      * (CAST(cw2.n1pw AS DOUBLE) / CAST(nn.ntypes AS DOUBLE)), 6)
+        |    AS p_kn
+        |FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN nn""".stripMargin
   ) ++ tpchShapeSql
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —

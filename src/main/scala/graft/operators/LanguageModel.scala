@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus n-gram language-model estimation with interpolated
+  * Kneser-Ney smoothing (Kneser & Ney 1995; Chen & Goodman 1999) —
+  * the classic data-quality LM a pre-training pipeline trains on its
+  * own corpus to score/filter text (perplexity filtering à la CCNet):
+  *
+  *   P_KN(w₂|w₁) = max(c(w₁w₂) − D, 0) / c(w₁·)
+  *               + (D · N₁₊(w₁·) / c(w₁·)) · (N₁₊(·w₂) / N₁₊(··))
+  *
+  * where c(w₁w₂) is the corpus bigram count, c(w₁·) the total count
+  * of bigrams starting with w₁, N₁₊(w₁·) the number of DISTINCT
+  * continuations of w₁, N₁₊(·w₂) the number of distinct left contexts
+  * of w₂ (the continuation probability — "how novel are the contexts
+  * w₂ appears in", KN's core idea), N₁₊(··) the number of distinct
+  * bigram types, and D the absolute discount.
+  *
+  * Everything is ratios/products of integer counts in ONE fixed IEEE
+  * evaluation order (two divisions, two multiplies, one add — all
+  * correctly rounded ops), so the estimates are bit-identical in any
+  * engine and the operator is hash-checkable end to end. No log/exp
+  * anywhere (scoring can rank on raw probabilities; a perplexity
+  * surface would need the ln-lattice trick q187 uses).
+  *
+  * Scale shape: one narrow bigram explode, then three count
+  * aggregations keyed by (w₁,w₂) / w₁ / w₂ — ordinary shuffled
+  * group-bys with map-side partials; the N₁₊(··) total rides a
+  * one-row broadcast. Nothing driver-side, nothing quadratic.
+  */
+object LanguageModel {
+
+  /** Per observed bigram: (w1, w2, n_bigram, p_kn 6 dp). */
+  def knBigramProbs(df: DataFrame, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1): $discount")
+    val tk = TextFunctions.tokens(lower(col(textCol)))
+    // adjacent token pairs, positionally (NOT distinct — counts
+    // matter), built from two aligned slices rather than element_at
+    // per position (the wordTrigrams O(n²)-inlining caveat)
+    val bigrams = df.select(tk.as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("_tk"), lit(1), size(col("_tk")) - 1),
+        slice(col("_tk"), lit(2), size(col("_tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("n_bigram")).as("_tot"),
+        count(lit(1)).as("_n1_fw"))       // N1+(w1 ·)
+    val cw2 = c12.groupBy(col("w2"))
+      .agg(count(lit(1)).as("_n1_pw"))    // N1+(· w2)
+    val nbi = c12.agg(count(lit(1)).as("_n_types")) // N1+(· ·), one row
+
+    val d = lit(discount)
+    // fixed order: max(c12−D,0)/tot + ((D·n1fw)/tot) · (n1pw/ntypes)
+    val pkn = (greatest(col("n_bigram").cast("double") - d, lit(0.0))
+        / col("_tot").cast("double"))
+      .plus(((d * col("_n1_fw").cast("double")) / col("_tot").cast("double"))
+        * (col("_n1_pw").cast("double") / col("_n_types").cast("double")))
+
+    c12.join(c1, Seq("w1"))
+      .join(cw2, Seq("w2"))
+      .crossJoin(broadcast(nbi))
+      .select(col("w1"), col("w2"), col("n_bigram"),
+        round(pkn, 6).as("p_kn"))
+  }
+}

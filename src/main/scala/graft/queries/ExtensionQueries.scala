@@ -2048,4 +2048,31 @@ object ExtensionQueries {
         when(col("bucket").isNull, lit("*"))
           .otherwise(col("bucket").cast("string")).as("band"),
         col("group_n"), col("anonymous"))
+
+  /** SemDeDup over the embedding corpus: portable md5-rank quantizer
+    * cells, within-cell cosine ≥ 0.4 against lower-id members, keep =
+    * no duplicate found. Cell-bounded pairwise — the scale story —
+    * and every decision SQL-reproducible (see
+    * [[graft.operators.SemanticDedup]]).
+    */
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemanticDedup.semanticDedup(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      nlist = 16, threshold = 0.4)
+
+  /** Linear quality-classifier scoring: pinned-coefficient logit over
+    * ratio features, decision on the raw logit (no transcendentals —
+    * see [[graft.operators.QualityModel]]).
+    */
+  def qQualityFilter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityModel.score(
+      tbl(s, dir, "documents"), "doc_id", "text")
+
+  /** Interpolated Kneser-Ney bigram LM estimated over the corpus —
+    * every observed bigram with its smoothed probability (see
+    * [[graft.operators.LanguageModel]]).
+    */
+  def qKnBigram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.knBigramProbs(
+      tbl(s, dir, "documents"), "text")
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Kneser-Ney bigram estimates must equal hand-computed values on a
+  * corpus small enough to derive every count on paper, and the
+  * smoothed mass over observed continuations must stay below 1
+  * (the held-out mass goes to unseen continuations by construction).
+  */
+class LanguageModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // corpus: "a b a c" + "b a b"
+  // bigram counts: (a,b)=2, (b,a)=2, (a,c)=1
+  // c(a·)=3, c(b·)=2; N1+(a·)=2, N1+(b·)=1
+  // N1+(·a)=1, N1+(·b)=1, N1+(·c)=1; N1+(··)=3; D=0.75
+  // P(b|a) = 1.25/3 + (1.5/3)·(1/3)  = 0.583333
+  // P(c|a) = 0.25/3 + (1.5/3)·(1/3)  = 0.25
+  // P(a|b) = 1.25/2 + (0.75/2)·(1/3) = 0.75
+  private val docs = Seq((1L, "a b a c"), (2L, "b a b"))
+
+  test("hand-computed KN probabilities on the paper corpus") {
+    val got = LanguageModel.knBigramProbs(docs.toDF("doc_id", "text"), "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("a", "c")))
+    assert(got(("a", "b")) == ((2L, 0.583333)))
+    assert(got(("a", "c")) == ((1L, 0.25)))
+    assert(got(("b", "a")) == ((2L, 0.75)))
+  }
+
+  test("observed-continuation mass per prefix stays in (0, 1)") {
+    val rows = LanguageModel.knBigramProbs(
+        docs.toDF("doc_id", "text"), "text")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (w1, ps) =>
+      val mass = ps.map(_._2).sum
+      assert(mass > 0.0 && mass < 1.0, s"prefix $w1 mass $mass")
+    }
+  }
+
+  test("rejects out-of-range discounts") {
+    intercept[IllegalArgumentException] {
+      LanguageModel.knBigramProbs(docs.toDF("doc_id", "text"), "text",
+        discount = 1.0)
+    }
+  }
+}
