@@ -101,6 +101,29 @@ object KibanaSavedObjects {
 /** Result of a saved-objects import. */
 final case class KibanaImportResult(successCount: Int, errors: Seq[String])
 
+/** Airflow-sensor schedule bookkeeping (PythonSensor
+  * poke_interval/timeout semantics, `dags/setup_kibana_dag.py:69-74`:
+  * poke every 30 s, give up after 600 s). Pure arithmetic — the
+  * caller's scheduler drives the clock and re-invokes
+  * [[KibanaProvisioner.pokeKibana]]/[[KibanaProvisioner.pokeIndexData]]
+  * at each due time; nothing here sleeps or holds a slot.
+  */
+final case class SensorPolicy(pokeIntervalMs: Long = 30000L,
+    timeoutMs: Long = 600000L) {
+  require(pokeIntervalMs > 0 && timeoutMs >= 0, "positive interval required")
+
+  /** The next poke time after a false poke at `nowMs`, or None when
+    * the sensor has timed out (Airflow fails the task then).
+    */
+  def nextPokeAt(startMs: Long, nowMs: Long): Option[Long] = {
+    val next = nowMs + pokeIntervalMs
+    if (next - startMs > timeoutMs) None else Some(next)
+  }
+
+  /** Max number of pokes a sensor run can make (first poke at t=0). */
+  def maxPokes: Int = (timeoutMs / pokeIntervalMs).toInt + 1
+}
+
 /** One-shot Kibana provisioning client — the reference's
   * wait-then-import protocol (`src/setup_kibana.py:14-59`) plus the
   * serving-index data sensor (`dags/setup_kibana_dag.py:32-47`) on
@@ -112,6 +135,28 @@ final class KibanaProvisioner(
     retryDelayMs: Long = 10000L) {
 
   private val mapper = new ObjectMapper()
+
+  /** ONE non-blocking poke at `/api/status` — the sensor-style form
+    * (`dags/setup_kibana_dag.py:69-74`, PythonSensor semantics): the
+    * caller's scheduler re-invokes on its own cadence instead of this
+    * object holding a worker slot in a sleep loop. Pair with
+    * [[SensorPolicy]] for the poke_interval/timeout bookkeeping.
+    */
+  def pokeKibana(): Boolean =
+    try { Http.get(s"$kibanaUrl/api/status", timeoutSec = 5L); true }
+    catch { case _: Throwable => false }
+
+  /** ONE non-blocking poke of the serving index's `_count` — true iff
+    * the index answers and holds ≥ 1 document (the reference sensor's
+    * exact predicate: HTTP 200 AND count > 0, anything else including
+    * an unreachable cluster pokes false —
+    * `dags/setup_kibana_dag.py:31-47`).
+    */
+  def pokeIndexData(esUrl: String, index: String): Boolean =
+    try {
+      val body = Http.get(s"$esUrl/$index/_count", timeoutSec = 10L)
+      mapper.readTree(body).path("count").asLong(0L) > 0L
+    } catch { case _: Throwable => false }
 
   /** Polls `/api/status` until Kibana answers 200 (it can take a while
     * to start); false after `maxRetries` attempts.

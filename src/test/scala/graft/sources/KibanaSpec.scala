@@ -109,4 +109,37 @@ class KibanaSpec extends AnyFunSuite {
       assert(counts.get() == 2)
     } finally server.stop(0)
   }
+
+  test("sensor pokes are single-shot and never sleep; policy mirrors the DAG") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val statusHits = new AtomicInteger(0)
+    val countHits = new AtomicInteger(0)
+    server.createContext("/api/status", (ex: HttpExchange) => {
+      if (statusHits.incrementAndGet() == 1) respond(ex, 503, "starting")
+      else respond(ex, 200, """{"status": "ok"}""")
+    })
+    server.createContext("/idx/_count", (ex: HttpExchange) => {
+      if (countHits.incrementAndGet() == 1) respond(ex, 200, """{"count": 0}""")
+      else respond(ex, 200, """{"count": 7}""")
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val prov = new KibanaProvisioner(base, maxRetries = 1, retryDelayMs = 0L)
+      // each poke makes EXACTLY one request and reports that attempt
+      assert(!prov.pokeKibana() && statusHits.get() == 1)
+      assert(prov.pokeKibana() && statusHits.get() == 2)
+      assert(!prov.pokeIndexData(base, "idx") && countHits.get() == 1)
+      assert(prov.pokeIndexData(base, "idx") && countHits.get() == 2)
+      // unreachable cluster pokes false (the sensor's catch-all branch)
+      assert(!prov.pokeIndexData("http://127.0.0.1:1", "idx"))
+    } finally server.stop(0)
+
+    // the DAG's schedule: poke every 30 s, give up after 600 s
+    val policy = SensorPolicy()
+    assert(policy.nextPokeAt(startMs = 0L, nowMs = 0L).contains(30000L))
+    assert(policy.nextPokeAt(startMs = 0L, nowMs = 570000L).contains(600000L))
+    assert(policy.nextPokeAt(startMs = 0L, nowMs = 580000L).isEmpty) // would overrun
+    assert(policy.maxPokes == 21)
+  }
 }
