@@ -367,7 +367,11 @@ object SparkEntry {
     // linear quality-classifier logit filter (no transcendentals)
     "q196_quality_filter" -> (X.qQualityFilter _),
     // interpolated Kneser-Ney bigram LM over the corpus
-    "q197_kn_bigram" -> (X.qKnBigram _)
+    "q197_kn_bigram" -> (X.qKnBigram _),
+    // CCNet-style mean neg-log-prob under the corpus KN model
+    "q198_perplexity" -> (X.qPerplexity _),
+    // MMR diversified re-ranking over a bounded retrieval pool
+    "q199_mmr" -> (X.qMmr _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3362,8 +3366,119 @@ object SparkEntry {
         |    + ((0.75 * CAST(c1.n1fw AS DOUBLE)) / CAST(c1.tot AS DOUBLE))
         |      * (CAST(cw2.n1pw AS DOUBLE) / CAST(nn.ntypes AS DOUBLE)), 6)
         |    AS p_kn
-        |FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN nn""".stripMargin
+        |FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN nn""".stripMargin,
+    // Perplexity filter: the q197 model CTEs verbatim, the 6-dp
+    // rounded probability pushed onto the q187 ln-lattice once per
+    // bigram TYPE, exact integer occurrence sums, one pinned double
+    // chain for the mean.
+    "q198_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[CAST(i AS INTEGER)] AS w1,
+        |    tk[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM tk, UNNEST(range(1, len(tk))) t(i)
+        |  WHERE len(tk) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(n_bigram) AS tot, COUNT(*) AS n1fw
+        |       FROM c12 GROUP BY 1),
+        |cw2 AS (SELECT w2, COUNT(*) AS n1pw FROM c12 GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS ntypes FROM c12),
+        |model AS (
+        |  SELECT c12.w1, c12.w2,
+        |    CAST(ROUND(ln(
+        |      ROUND(greatest(CAST(c12.n_bigram AS DOUBLE) - 0.75, 0.0)
+        |          / CAST(c1.tot AS DOUBLE)
+        |        + ((0.75 * CAST(c1.n1fw AS DOUBLE)) / CAST(c1.tot AS DOUBLE))
+        |          * (CAST(cw2.n1pw AS DOUBLE) / CAST(nn.ntypes AS DOUBLE)), 6)
+        |    ) * 100000000.0) AS BIGINT) AS lt
+        |  FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN nn)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(-((CAST(SUM(m.lt) AS DOUBLE) / 100000000.0)
+        |    / CAST(COUNT(*) AS DOUBLE)), 6) AS avg_neg_logp
+        |FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        |GROUP BY bg.doc_id""".stripMargin,
+    "q199_mmr" -> mmrSql
   ) ++ tpchShapeSql
+
+  /** MMR oracle: the greedy trajectory unrolled — pool = top-30 exact
+    * cosine per query (self excluded), pairwise pool sims oriented
+    * (candidate, selected) like the engine kernel call, then k chained
+    * argmax CTEs with the pinned `λ·rel − (1−λ)·maxsim` chain and the
+    * (score desc, id asc) tie-break. The (1−λ) literal is embedded via
+    * Double.toString so both engines compute with the bit-identical
+    * constant (1.0 − 0.7 is NOT the double nearest 0.3).
+    */
+  private def mmrSql: String = {
+    val k = 5
+    val lam = 0.7
+    val oneMinus = (1.0 - lam).toString
+    val cosQ = "list_sum(list_transform(list_zip(c.embedding, q.qvec), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) " +
+      "/ (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) " +
+      "* sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    val steps = (2 to k).map { i =>
+      s"""pick$i AS (
+         |  SELECT query_id, vec_id, score FROM (
+         |    SELECT p.query_id, p.vec_id,
+         |      $lam * p.rel - $oneMinus * pen.m AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |        ORDER BY $lam * p.rel - $oneMinus * pen.m DESC,
+         |          p.vec_id ASC) AS rn
+         |    FROM pool p
+         |    JOIN (SELECT ps.query_id, ps.id_a, MAX(ps.s) AS m
+         |          FROM ps JOIN sel${i - 1} sl
+         |            ON ps.query_id = sl.query_id AND ps.id_b = sl.vec_id
+         |          GROUP BY 1, 2) pen
+         |      ON pen.query_id = p.query_id AND pen.id_a = p.vec_id
+         |    LEFT JOIN sel${i - 1} x
+         |      ON x.query_id = p.query_id AND x.vec_id = p.vec_id
+         |    WHERE x.vec_id IS NULL)
+         |  WHERE rn = 1),
+         |sel$i AS (
+         |  SELECT query_id, vec_id, mmr_rank, score FROM sel${i - 1}
+         |  UNION ALL
+         |  SELECT query_id, vec_id, $i AS mmr_rank, score FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec
+       |  FROM embeddings WHERE vec_id < 5),
+       |pool AS (
+       |  SELECT query_id, vec_id, rel FROM (
+       |    SELECT q.query_id, c.vec_id, $cosQ AS rel,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY $cosQ DESC, c.vec_id ASC) AS pr
+       |    FROM embeddings c CROSS JOIN qs q
+       |    WHERE c.vec_id <> q.query_id)
+       |  WHERE pr <= 30),
+       |ps AS (
+       |  SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(ea.embedding,
+       |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(eb.embedding,
+       |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS s
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |pick1 AS (
+       |  SELECT query_id, vec_id, score FROM (
+       |    SELECT query_id, vec_id, $lam * rel - $oneMinus * 0.0 AS score,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY $lam * rel - $oneMinus * 0.0 DESC, vec_id ASC) AS rn
+       |    FROM pool)
+       |  WHERE rn = 1),
+       |sel1 AS (
+       |  SELECT query_id, vec_id, 1 AS mmr_rank, score FROM pick1),
+       |$steps
+       |SELECT query_id, vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+       |  ROUND(score, 6) AS mmr_score
+       |FROM sel$k""".stripMargin
+  }
 
   /** DuckDB oracles for the TPC-H planner-stressing shapes q66-q70 —
     * written in the CORRELATED form (scalar subquery / EXISTS / NOT

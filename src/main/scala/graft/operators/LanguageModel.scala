@@ -73,4 +73,44 @@ object LanguageModel {
       .select(col("w1"), col("w2"), col("n_bigram"),
         round(pkn, 6).as("p_kn"))
   }
+
+  /** Per-document LM score from the corpus's own KN bigram model —
+    * CCNet-style perplexity filtering (Wenzek et al. 2020), where a
+    * document's mean negative log-probability under a reference LM is
+    * the quality axis: degenerate/boilerplate text scores low
+    * (predictable), lexical soup scores high.
+    *
+    * avg_neg_logp = −(Σ_positions ln P_KN(w₂|w₁)) / n_bigrams.
+    *
+    * Cross-engine exactness: P_KN arrives 6-dp ROUNDED (identical
+    * doubles everywhere — [[knBigramProbs]]'s hash-checked output),
+    * each ln lands on the q187 integer lattice (`round(ln(p)·10⁸)` as
+    * BIGINT), the per-doc sum is exact long arithmetic, and the final
+    * score is one pinned double chain (sum → /10⁸ → /n → negate).
+    *
+    * Scale shape: the model table is keyed by (w1,w2) and joined to
+    * the per-doc bigram occurrences — an ordinary shuffled equi-join
+    * (broadcastable when the vocab is small); ln is evaluated once per
+    * bigram TYPE, not per occurrence.
+    */
+  def perplexityScore(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val model = knBigramProbs(df, textCol, discount)
+      .select(col("w1"), col("w2"),
+        round(log(col("p_kn")) * 1e8).cast("long").as("_lt"))
+    val tk = TextFunctions.tokens(lower(col(textCol)))
+    val occ = df.select(col(idCol), tk.as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("_tk"), lit(1), size(col("_tk")) - 1),
+        slice(col("_tk"), lit(2), size(col("_tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    occ.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lt")).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-((col("_s").cast("double") / 1e8)
+          / col("n_bigrams").cast("double")), 6).as("avg_neg_logp"))
+  }
 }

@@ -2075,4 +2075,24 @@ object ExtensionQueries {
   def qKnBigram(s: SparkSession, dir: String): DataFrame =
     graft.operators.LanguageModel.knBigramProbs(
       tbl(s, dir, "documents"), "text")
+
+  /** CCNet-style perplexity filtering: per-doc mean negative
+    * log-probability under the corpus's own KN bigram model, on the
+    * q187 ln-lattice (see [[graft.operators.LanguageModel]]).
+    */
+  def qPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.perplexityScore(
+      tbl(s, dir, "documents"), "doc_id", "text")
+
+  /** MMR diversified top-5 over a 30-candidate dense-retrieval pool
+    * (λ = 0.7) for the first five vectors as queries — the whole
+    * greedy trajectory is hash-checked (see [[graft.operators.Mmr]]).
+    */
+  def qMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    graft.operators.Mmr.mmrTopK(emb, queries, "vec_id", "embedding",
+      "query_id", "qvec", k = 5, poolSize = 30, lambda = 0.7)
+  }
 }

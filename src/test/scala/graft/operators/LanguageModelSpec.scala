@@ -49,4 +49,22 @@ class LanguageModelSpec extends AnyFunSuite {
         discount = 1.0)
     }
   }
+
+  test("perplexity score: hand-derived lattice means on the paper corpus") {
+    def lt(p: Double): Long = math.round(math.log(p) * 1e8)
+    def score(lts: Seq[Long]): Double =
+      BigDecimal(-((lts.sum.toDouble / 1e8) / lts.size.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1 "a b a c": (a,b),(b,a),(a,c); doc 2 "b a b": (b,a),(a,b)
+    val expected = Map(
+      1L -> ((3L, score(Seq(lt(0.583333), lt(0.75), lt(0.25))))),
+      2L -> ((2L, score(Seq(lt(0.75), lt(0.583333))))))
+    val got = LanguageModel.perplexityScore(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+    // the repetitive doc 2 must be more predictable than doc 1
+    assert(got(2L)._2 < got(1L)._2)
+  }
 }
