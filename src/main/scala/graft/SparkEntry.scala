@@ -371,7 +371,11 @@ object SparkEntry {
     // CCNet-style mean neg-log-prob under the corpus KN model
     "q198_perplexity" -> (X.qPerplexity _),
     // MMR diversified re-ranking over a bounded retrieval pool
-    "q199_mmr" -> (X.qMmr _)
+    "q199_mmr" -> (X.qMmr _),
+    // entity resolution: blocking -> fuzzy match -> CC -> canonical
+    "q200_entity_resolution" -> (X.qEntityResolution _),
+    // greedy k-center (farthest-point) coreset selection
+    "q201_kcenter_coreset" -> (X.qKCenterCoreset _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3400,8 +3404,81 @@ object SparkEntry {
         |    / CAST(COUNT(*) AS DOUBLE)), 6) AS avg_neg_logp
         |FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
         |GROUP BY bg.doc_id""".stripMargin,
-    "q199_mmr" -> mmrSql
+    "q199_mmr" -> mmrSql,
+    // Entity resolution: the q52 match predicate (length band +
+    // levenshtein <= 2), transitive closure via the q60 recursive-CTE
+    // recipe, min-member entity ids, sizes, canonical flags.
+    "q200_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, p_name FROM part WHERE p_partkey < 1000),
+        |pairs AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |  WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+        |    AND levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |cc AS (
+        |  SELECT d.p_partkey,
+        |    LEAST(d.p_partkey, COALESCE(MIN(r.t), d.p_partkey)) AS entity_id
+        |  FROM p d LEFT JOIN reach r ON r.s = d.p_partkey
+        |  GROUP BY d.p_partkey),
+        |sz AS (SELECT entity_id, COUNT(*) AS n_members FROM cc GROUP BY 1)
+        |SELECT cc.p_partkey, cc.entity_id, sz.n_members,
+        |  cc.p_partkey = cc.entity_id AS is_canonical
+        |FROM cc JOIN sz USING (entity_id)""".stripMargin,
+    "q201_kcenter_coreset" -> kCenterSql
   ) ++ tpchShapeSql
+
+  /** k-center oracle: the farthest-point trajectory unrolled — seed =
+    * MIN(id), each round a `least`-chained running min-distance² (the
+    * same in-order squared-L2 fold and round order as the engine) and
+    * an argmax with the (mind2 desc, id asc) tie-break.
+    */
+  private def kCenterSql: String = {
+    val k = 8
+    val d2 = (v: String, c: String) =>
+      s"list_sum(list_transform(list_zip($v, $c), " +
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) " +
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    val rounds = (2 to k).map { r =>
+      val prevSel = (1 until r).map(i => s"SELECT cid FROM p$i")
+        .mkString(" UNION ALL ")
+      val update =
+        if (r < k)
+          s""",
+             |m$r AS (
+             |  SELECT m.vec_id,
+             |    least(m.mind2, ${d2("e.embedding", "cv.v")}) AS mind2
+             |  FROM m${r - 1} m
+             |  JOIN embeddings e ON e.vec_id = m.vec_id
+             |  CROSS JOIN (SELECT embedding AS v FROM embeddings
+             |              WHERE vec_id = (SELECT cid FROM p$r)) cv)""".stripMargin
+        else ""
+      s"""p$r AS (
+         |  SELECT vec_id AS cid, mind2 AS seld2 FROM m${r - 1}
+         |  WHERE vec_id NOT IN ($prevSel)
+         |  ORDER BY mind2 DESC, vec_id ASC LIMIT 1)$update""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to k).map(r =>
+      s"UNION ALL SELECT $r AS center_rank, cid AS vec_id, " +
+        s"ROUND(seld2, 6) AS sel_d2 FROM p$r").mkString("\n")
+    s"""WITH p1 AS (SELECT MIN(vec_id) AS cid FROM embeddings),
+       |m1 AS (
+       |  SELECT e.vec_id, ${d2("e.embedding", "cv.v")} AS mind2
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT embedding AS v FROM embeddings
+       |              WHERE vec_id = (SELECT cid FROM p1)) cv),
+       |$rounds
+       |SELECT CAST(1 AS INTEGER) AS center_rank, cid AS vec_id,
+       |  CAST(NULL AS DOUBLE) AS sel_d2 FROM p1
+       |$out""".stripMargin
+  }
 
   /** MMR oracle: the greedy trajectory unrolled — pool = top-30 exact
     * cosine per query (self excluded), pairwise pool sims oriented

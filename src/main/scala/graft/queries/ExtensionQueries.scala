@@ -2095,4 +2095,37 @@ object ExtensionQueries {
     graft.operators.Mmr.mmrTopK(emb, queries, "vec_id", "embedding",
       "query_id", "qvec", k = 5, poolSize = 30, lambda = 0.7)
   }
+
+  /** Entity resolution as ONE composed, oracle-checked query:
+    * length-banded edit-distance blocking (q52's operator) → match
+    * edges at levenshtein ≤ 2 → distributed connected components
+    * (q60's operator) → entity id (min member), member count, and the
+    * canonical-row flag. The record-linkage pipeline a data-cleaning
+    * stack runs, with the transitive closure verified against a
+    * recursive-CTE oracle.
+    */
+  def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val parts = tbl(s, dir, "part").filter(col("p_partkey") < 1000)
+    val a = parts.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = parts.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    val edges = graft.operators.FuzzyJoin
+      .editDistanceJoin(a, b, "name_a", "name_b", maxDist = 2)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.duplicateClusters(parts.select(col("p_partkey")), edges,
+      "p_partkey", "id_a", "id_b")
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select(col("p_partkey"), col("cluster_id").as("entity_id"),
+        col("n_members"),
+        (col("p_partkey") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /** Greedy k-center coreset (8 centers) over the embedding corpus —
+    * the full farthest-point trajectory hash-checks (see
+    * [[graft.operators.Coreset]]).
+    */
+  def qKCenterCoreset(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Coreset.kCenterCoreset(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
 }
