@@ -375,7 +375,13 @@ object SparkEntry {
     // entity resolution: blocking -> fuzzy match -> CC -> canonical
     "q200_entity_resolution" -> (X.qEntityResolution _),
     // greedy k-center (farthest-point) coreset selection
-    "q201_kcenter_coreset" -> (X.qKCenterCoreset _)
+    "q201_kcenter_coreset" -> (X.qKCenterCoreset _),
+    // per-dimension PSI drift between even/odd cohorts (lattice ln)
+    "q202_psi_drift" -> (X.qPsiDrift _),
+    // cosine-band hard-negative mining for contrastive pairs
+    "q203_hard_negatives" -> (X.qHardNegatives _),
+    // per-source dataset-card report (docs/tokens/dups/langs/quality)
+    "q204_corpus_report" -> (X.qCorpusReport _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3432,7 +3438,121 @@ object SparkEntry {
         |SELECT cc.p_partkey, cc.entity_id, sz.n_members,
         |  cc.p_partkey = cc.entity_id AS is_canonical
         |FROM cc JOIN sz USING (entity_id)""".stripMargin,
-    "q201_kcenter_coreset" -> kCenterSql
+    "q201_kcenter_coreset" -> kCenterSql,
+    // PSI drift: integer bin counts over a full dim x bin grid,
+    // Laplace-smoothed single-division shares, each term a product of
+    // two integer-lattice roundings summed exactly, one divide back.
+    "q202_psi_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id % 2 = 0 AS a, CAST(i AS INTEGER) AS dim,
+        |    LEAST(GREATEST(CAST(FLOOR(
+        |      (CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) - (-0.8))
+        |        / 0.2) AS INTEGER), 0), 7) AS bin
+        |  FROM embeddings, UNNEST(range(len(embedding))) t(i)),
+        |obs AS (
+        |  SELECT dim, bin,
+        |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+        |  FROM e GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.dim, CAST(b AS INTEGER) AS bin
+        |  FROM (SELECT DISTINCT dim FROM e) d, UNNEST(range(8)) t(b)),
+        |c AS (
+        |  SELECT g.dim, g.bin, COALESCE(o.na, 0) AS na,
+        |    COALESCE(o.nb, 0) AS nb
+        |  FROM grid g LEFT JOIN obs o ON o.dim = g.dim AND o.bin = g.bin),
+        |tot AS (
+        |  SELECT SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS ta,
+        |    SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS tb
+        |  FROM embeddings),
+        |terms AS (
+        |  SELECT dim, na, nb,
+        |    CAST(ROUND((pa - pb) * 100000000.0) AS BIGINT)
+        |      * CAST(ROUND(ln(pa / pb) * 100000000.0) AS BIGINT) AS t
+        |  FROM (
+        |    SELECT c.dim, c.na, c.nb,
+        |      CAST(c.na + 1 AS DOUBLE) / CAST(tot.ta + 8 AS DOUBLE) AS pa,
+        |      CAST(c.nb + 1 AS DOUBLE) / CAST(tot.tb + 8 AS DOUBLE) AS pb
+        |    FROM c, tot))
+        |SELECT dim, ROUND(CAST(SUM(t) AS DOUBLE) / 1e16, 6) AS psi,
+        |  CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b
+        |FROM terms GROUP BY dim""".stripMargin,
+    // Hard negatives: q31's exact ranking restricted to the inclusive
+    // cosine band, band test on the unrounded similarity.
+    "q203_hard_negatives" ->
+      """SELECT query_id, vec_id, ROUND(sim, 6) AS cosine_sim,
+        |  CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    list_sum(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(c.embedding, q.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC,
+        |      c.vec_id ASC) AS rn
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |  WHERE c.vec_id <> q.vec_id
+        |    AND list_sum(list_transform(list_zip(c.embedding, q.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+        |      BETWEEN 0.15 AND 0.35
+        |) WHERE rn <= 10""".stripMargin,
+    // Corpus datasheet: q81's per-doc quality (decimal-summed for an
+    // order-free mean), arithmetic token counts, within-source sha-256
+    // duplicate volume, language spread.
+    "q204_corpus_report" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops
+        |  FROM t),
+        |tq AS (
+        |  SELECT doc_id, ROUND(
+        |      (CASE WHEN len < 20 THEN len/20.0
+        |            WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+        |            ELSE 1.0 END) * 0.3
+        |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+        |    + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+        |    + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+        |    6) AS quality
+        |  FROM r),
+        |d AS (
+        |  SELECT doc.source, doc.lang, tq.quality,
+        |    CAST(CASE WHEN LENGTH(doc.text) = 0 THEN 0
+        |      ELSE LENGTH(doc.text) - LENGTH(REPLACE(doc.text, ' ', '')) + 1
+        |      END AS BIGINT) AS ntok
+        |  FROM documents doc JOIN tq USING (doc_id)),
+        |dup AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS dups FROM (
+        |    SELECT source, sha256(text) AS sha, COUNT(*) AS c
+        |    FROM documents GROUP BY 1, 2)
+        |  WHERE c > 1 GROUP BY source),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS avg_quality
+        |  FROM d GROUP BY 1)
+        |SELECT a.source, a.n_docs, a.total_tokens,
+        |  COALESCE(dup.dups, CAST(0 AS BIGINT)) AS n_dup_docs,
+        |  a.n_langs, a.avg_quality
+        |FROM agg a LEFT JOIN dup ON dup.source = a.source""".stripMargin
   ) ++ tpchShapeSql
 
   /** k-center oracle: the farthest-point trajectory unrolled — seed =

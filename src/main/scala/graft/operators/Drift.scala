@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Population-drift monitoring for embedding pipelines: per-dimension
+  * Population Stability Index between two cohorts (model-serving's
+  * standard "did the input distribution move" alarm):
+  *
+  *   PSI_dim = Σ_bins (p_A − p_B) · ln(p_A / p_B)
+  *
+  * with Laplace-smoothed bin shares p = (n + 1)/(N + nbins) so empty
+  * bins stay finite. PSI < 0.1 is conventionally stable, > 0.25
+  * actionable drift.
+  *
+  * Determinism (hash-checkable across engines despite the ln): the
+  * shares are single integer-ratio divisions; each bin's term is the
+  * product of TWO integer-lattice roundings —
+  * `round((p_A−p_B)·10⁸)` and the q187 lattice `round(ln(p_A/p_B)·10⁸)`
+  * — summed as exact int64 (|term| ≤ 2·10¹⁷, ≤ nbins per dim) and
+  * divided back by 10¹⁶ once. Binning is `floor((x−lo)/w)` clamped —
+  * one IEEE chain, identical everywhere.
+  *
+  * Scale shape: one narrow posexplode of the vector column, one
+  * (dim, bin, cohort) count aggregation, one nbins-row-per-dim final
+  * aggregation. Nothing driver-side; cohort sizes ride a broadcast.
+  */
+object Drift {
+
+  def psiByDimension(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cohortCol: String, // boolean: true = cohort A
+      lo: Double = -0.8,
+      binWidth: Double = 0.2,
+      nBins: Int = 8): DataFrame = {
+    require(nBins >= 2 && binWidth > 0, "need >= 2 bins of positive width")
+    val e = df.select(col(cohortCol).as("_a"),
+        posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .select(col("_a"), col("dim"),
+        least(greatest(floor((col("_x").cast("double") - lo) / binWidth)
+          .cast("int"), lit(0)), lit(nBins - 1)).as("_bin"))
+    val observed = e.groupBy(col("dim"), col("_bin"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_nb"))
+    // full dim × bin grid: bins empty in BOTH cohorts still carry a
+    // (smoothed) term when the cohort sizes differ
+    val counts = e.select(col("dim")).distinct()
+      .withColumn("_bin", explode(sequence(lit(0), lit(nBins - 1))))
+      .join(observed, Seq("dim", "_bin"), "left")
+      .select(col("dim"), col("_bin"),
+        coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+    // per-dim totals = cohort row counts (every row has one value per
+    // dim) — a one-row broadcast
+    val totals = df.agg(
+      sum(when(col(cohortCol), 1L).otherwise(0L)).as("_ta"),
+      sum(when(col(cohortCol), 0L).otherwise(1L)).as("_tb"))
+    val pa = (col("_na") + 1L).cast("double") /
+      (col("_ta") + nBins).cast("double")
+    val pb = (col("_nb") + 1L).cast("double") /
+      (col("_tb") + nBins).cast("double")
+    val term = round((pa - pb) * 1e8).cast("long") *
+      round(log(pa / pb) * 1e8).cast("long")
+    counts.crossJoin(broadcast(totals))
+      .select(col("dim"), term.as("_t"), col("_na"), col("_nb"))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("_t")).cast("double") / 1e16, 6).as("psi"),
+        sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"))
+  }
+}

@@ -2128,4 +2128,63 @@ object ExtensionQueries {
   def qKCenterCoreset(s: SparkSession, dir: String): DataFrame =
     graft.operators.Coreset.kCenterCoreset(
       tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+
+  /** Per-dimension PSI between the even/odd vec_id cohorts — the
+    * serving-side drift alarm (see [[graft.operators.Drift]]).
+    */
+  def qPsiDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.psiByDimension(
+      tbl(s, dir, "embeddings")
+        .withColumn("_cohort", col("vec_id") % 2 === 0),
+      "vec_id", "embedding", "_cohort")
+
+  /** Hard-negative mining for contrastive training: per query, the 10
+    * most-similar candidates inside the cosine band [0.15, 0.35] —
+    * close enough to be informative, far enough to be true negatives
+    * (the complement of q160's ring draws: similarity-targeted rather
+    * than uniform).
+    */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("_cos", VectorFunctions.cosine(col("embedding"), col("qvec")))
+      .filter(col("_cos").between(0.15, 0.35))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"),
+        round(col("_cos"), 6).as("cosine_sim"), col("rank"))
+  }
+
+  /** Corpus datasheet: the per-source report a dataset card quotes —
+    * doc/token totals, exact-duplicate volume (sha-256 within
+    * source), language spread, mean quality (6-dp scores
+    * decimal-summed, so the mean is order-independent). One pass plus
+    * one hash-group side aggregate.
+    */
+  def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .withColumn("_q", TextFunctions.qualityScoreFrom(col("text"), col("_toks")))
+      .withColumn("_ntok", TextFunctions.tokenCountArithmetic(col("text")))
+    val dups = d.groupBy(col("source"), sha2(col("text"), 256).as("_sha"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+      .groupBy(col("source")).agg(sum(col("_c")).as("_dups"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_ntok")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(sum(col("_q").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_quality"))
+      .join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        coalesce(col("_dups"), lit(0L)).as("n_dup_docs"),
+        col("n_langs"), col("avg_quality"))
+  }
 }
