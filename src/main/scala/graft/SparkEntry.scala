@@ -381,7 +381,11 @@ object SparkEntry {
     // cosine-band hard-negative mining for contrastive pairs
     "q203_hard_negatives" -> (X.qHardNegatives _),
     // per-source dataset-card report (docs/tokens/dups/langs/quality)
-    "q204_corpus_report" -> (X.qCorpusReport _)
+    "q204_corpus_report" -> (X.qCorpusReport _),
+    // per-label mean/max embedding pooling (prototype centroids)
+    "q205_embedding_pool" -> (X.qEmbeddingPool _),
+    // deterministic md5-draw random-walk corpus (graph -> sequences)
+    "q206_random_walks" -> (X.qRandomWalks _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3552,8 +3556,60 @@ object SparkEntry {
         |SELECT a.source, a.n_docs, a.total_tokens,
         |  COALESCE(dup.dups, CAST(0 AS BIGINT)) AS n_dup_docs,
         |  a.n_langs, a.avg_quality
-        |FROM agg a LEFT JOIN dup ON dup.source = a.source""".stripMargin
+        |FROM agg a LEFT JOIN dup ON dup.source = a.source""".stripMargin,
+    // Embedding pooling: 6-dp-rounded components carried as DECIMAL
+    // through the mean (order-free), max over identical decimals.
+    "q205_embedding_pool" ->
+      """WITH e AS (
+        |  SELECT label, CAST(i AS INTEGER) AS dim,
+        |    CAST(ROUND(CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE), 6)
+        |      AS DECIMAL(20,6)) AS v
+        |  FROM embeddings, UNNEST(range(len(embedding))) t(i))
+        |SELECT label, dim, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_pool,
+        |  ROUND(CAST(MAX(v) AS DOUBLE), 6) AS max_pool
+        |FROM e GROUP BY label, dim""".stripMargin,
+    "q206_random_walks" -> randomWalksSql
   ) ++ tpchShapeSql
+
+  /** Random-walk oracle: the walk recurrence unrolled — the same
+    * sorted-distinct adjacency lists, the same md5 24-bit draw
+    * (`('0x' || substr(md5(key),1,6))::BIGINT ≡ Spark's conv`), the
+    * same 1-based neighbor indexing.
+    */
+  private def randomWalksSql: String = {
+    val steps = 4
+    val rounds = (1 to steps).map { t =>
+      s"""w$t AS (
+         |  SELECT w.walk_id, w.seed, w.r,
+         |    adj.nbrs[CAST(((('0x' || substr(md5('walk_v1:' ||
+         |      CAST(w.seed AS VARCHAR) || ':' || CAST(w.r AS VARCHAR) ||
+         |      ':$t'), 1, 6))::BIGINT) % adj.deg) AS INTEGER) + 1] AS cur
+         |  FROM w${t - 1} w JOIN adj ON adj.src = w.cur)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to steps).map(t =>
+      s"UNION ALL SELECT walk_id, CAST($t AS INTEGER) AS step, " +
+        s"cur AS node FROM w$t").mkString("\n")
+    s"""WITH b AS (
+       |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+       |    CAST(l_partkey AS BIGINT) + 10000000 AS p FROM lineitem),
+       |e AS (SELECT s AS src, p AS dst FROM b
+       |      UNION ALL SELECT p, s FROM b),
+       |adj AS (
+       |  SELECT src, list_sort(list(DISTINCT dst)) AS nbrs,
+       |    CAST(COUNT(DISTINCT dst) AS BIGINT) AS deg
+       |  FROM e GROUP BY src),
+       |w0 AS (
+       |  SELECT CAST(s AS VARCHAR) || '_' || CAST(r AS VARCHAR) AS walk_id,
+       |    s AS seed, CAST(r AS INTEGER) AS r, s AS cur
+       |  FROM (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s
+       |        FROM lineitem WHERE l_suppkey < 5),
+       |    UNNEST(range(3)) t(r)),
+       |$rounds
+       |SELECT walk_id, CAST(0 AS INTEGER) AS step, cur AS node FROM w0
+       |$outs""".stripMargin
+  }
 
   /** k-center oracle: the farthest-point trajectory unrolled — seed =
     * MIN(id), each round a `least`-chained running min-distance² (the

@@ -2161,6 +2161,42 @@ object ExtensionQueries {
         round(col("_cos"), 6).as("cosine_sim"), col("rank"))
   }
 
+  /** Deterministic random-walk corpus over the supplier-part bipartite
+    * graph (the q109/q157 edge set), 3 walks × 4 steps from suppliers
+    * 0-4 — graph-to-sequence data prep (see
+    * [[graft.operators.RandomWalks]]).
+    */
+  def qRandomWalks(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val b = li.select(col("l_suppkey").cast("long").as("s"),
+        (col("l_partkey").cast("long") + 10000000L).as("p")).distinct()
+    val edges = b.select(col("s").as("src"), col("p").as("dst"))
+      .unionByName(b.select(col("p").as("src"), col("s").as("dst")))
+    val seeds = li.filter(col("l_suppkey") < 5)
+      .select(col("l_suppkey").cast("long").as("seed")).distinct()
+    graft.operators.RandomWalks.walks(edges, "src", "dst",
+      seeds, "seed", walksPerSeed = 3, steps = 4)
+  }
+
+  /** Per-label embedding pooling — the class-centroid/prototype step
+    * retrieval and few-shot pipelines run (mean-pool for prototypes,
+    * max-pool for salient-feature signatures). Order-independent by
+    * the q143 recipe: components round to 6 dp and carry as DECIMAL
+    * through the mean's sum (one division at the end); max-pool is
+    * order-free by nature. One narrow posexplode + one (label, dim)
+    * aggregation — no pairwise anything.
+    */
+  def qEmbeddingPool(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "_x")))
+      .select(col("label"), col("dim"),
+        round(col("_x").cast("double"), 6).cast("decimal(20,6)").as("_v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round((sum(col("_v")).cast("double")
+          / count(lit(1)).cast("double")), 6).as("mean_pool"),
+        round(max(col("_v")).cast("double"), 6).as("max_pool"))
+
   /** Corpus datasheet: the per-source report a dataset card quotes —
     * doc/token totals, exact-duplicate volume (sha-256 within
     * source), language spread, mean quality (6-dp scores
