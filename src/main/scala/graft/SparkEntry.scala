@@ -385,7 +385,11 @@ object SparkEntry {
     // per-label mean/max embedding pooling (prototype centroids)
     "q205_embedding_pool" -> (X.qEmbeddingPool _),
     // deterministic md5-draw random-walk corpus (graph -> sequences)
-    "q206_random_walks" -> (X.qRandomWalks _)
+    "q206_random_walks" -> (X.qRandomWalks _),
+    // rendezvous (HRW) sharding + minimal-movement rebalance diff
+    "q207_rendezvous_shards" -> (X.qRendezvousShards _),
+    // per-user session-gap audit (sizes the sessionization timeout)
+    "q208_session_gap_audit" -> (X.qSessionGapAudit _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3570,7 +3574,46 @@ object SparkEntry {
         |    AS mean_pool,
         |  ROUND(CAST(MAX(v) AS DOUBLE), 6) AS max_pool
         |FROM e GROUP BY label, dim""".stripMargin,
-    "q206_random_walks" -> randomWalksSql
+    "q206_random_walks" -> randomWalksSql,
+    // HRW sharding: argmax over shards of md5(doc ":" shard), ties
+    // (never in practice) to the larger shard id — struct-max parity.
+    "q207_rendezvous_shards" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CAST(j AS INTEGER) AS j,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+        |  FROM documents, UNNEST(range(9)) t(j)),
+        |k8 AS (
+        |  SELECT doc_id, j AS shard_k8 FROM sh WHERE j < 8
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY h DESC, j DESC) = 1),
+        |k9 AS (
+        |  SELECT doc_id, j AS shard_k9 FROM sh
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY h DESC, j DESC) = 1)
+        |SELECT k8.doc_id, k8.shard_k8, k9.shard_k9,
+        |  k8.shard_k8 <> k9.shard_k9 AS moved
+        |FROM k8 JOIN k9 USING (doc_id)""".stripMargin,
+    // Session-gap audit: per-user inter-event gaps, max + the exact
+    // discrete P95 member at ceil(0.95*n) in (gap, event_id) order.
+    "q208_session_gap_audit" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+        |  FROM events),
+        |gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        |st AS (
+        |  SELECT user_id, COUNT(*) AS n_gaps, MAX(gap) AS max_gap_us
+        |  FROM gg GROUP BY 1),
+        |rk AS (
+        |  SELECT user_id, event_id, gap,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY gap ASC, event_id ASC) AS rn
+        |  FROM gg)
+        |SELECT rk.user_id, st.n_gaps, st.max_gap_us,
+        |  rk.gap AS p95_gap_us
+        |FROM rk JOIN st USING (user_id)
+        |WHERE rk.rn = CAST(CEIL(st.n_gaps * 0.95) AS BIGINT)""".stripMargin
   ) ++ tpchShapeSql
 
   /** Random-walk oracle: the walk recurrence unrolled — the same

@@ -2178,6 +2178,57 @@ object ExtensionQueries {
       seeds, "seed", walksPerSeed = 3, steps = 4)
   }
 
+  /** Rendezvous (highest-random-weight) sharding with a rebalance
+    * diff: each doc's shard under k=8 and k=9 is the argmax over
+    * shards of md5(doc_id ":" shard) — the consistent-assignment
+    * scheme whose defining property is MINIMAL MOVEMENT (only docs
+    * whose new shard IS the added shard move; ~1/(k+1) of the corpus).
+    * The moved flag makes that property part of the hash-checked
+    * surface. Pure per-row column algebra — the assignment needs no
+    * ring state, no shuffle, and is identical on any engine.
+    */
+  def qRendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    def shard(k: Int): org.apache.spark.sql.Column = {
+      // argmax over shards of (md5 hex, shard) — lexicographic max on
+      // the 32-hex digest, ties (impossible in practice) to shard id
+      val scored = transform(sequence(lit(0), lit(k - 1)),
+        j => struct(md5(concat(col("doc_id").cast("string"), lit(":"),
+          j.cast("string"))).as("h"), j.as("j")))
+      array_max(scored).getField("j")
+    }
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), shard(8).as("shard_k8"), shard(9).as("shard_k9"))
+      .withColumn("moved", col("shard_k8") =!= col("shard_k9"))
+  }
+
+  /** Session-gap audit: per user, the inter-event gap profile — count
+    * of gaps, the largest gap, and the exact discrete P95 gap (the
+    * member at ⌈0.95·n⌉ in (gap, event_id) order — tie-proof, no
+    * interpolation, the q149 convention). This is the measurement
+    * that SIZES the sessionization timeout (q33/q71's 30-minute gap)
+    * before deploying it: pick the timeout above the P95 of
+    * within-session gaps. One keyed window + one keyed aggregate —
+    * everything partitions by user.
+    */
+  def qSessionGapAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = RelationalQueries.events(s, dir)
+      .withColumn("_gap",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .select(col("user_id"), col("event_id"), col("_gap"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("_gap").asc, col("event_id").asc)
+    val stats = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), max(col("_gap")).as("max_gap_us"))
+    gaps.withColumn("_rn", row_number().over(wRank))
+      .join(stats, Seq("user_id"))
+      .filter(col("_rn") === ceil(col("n_gaps") * 0.95).cast("long"))
+      .select(col("user_id"), col("n_gaps"), col("max_gap_us"),
+        col("_gap").as("p95_gap_us"))
+  }
+
   /** Per-label embedding pooling — the class-centroid/prototype step
     * retrieval and few-shot pipelines run (mean-pool for prototypes,
     * max-pool for salient-feature signatures). Order-independent by
