@@ -389,7 +389,13 @@ object SparkEntry {
     // rendezvous (HRW) sharding + minimal-movement rebalance diff
     "q207_rendezvous_shards" -> (X.qRendezvousShards _),
     // per-user session-gap audit (sizes the sessionization timeout)
-    "q208_session_gap_audit" -> (X.qSessionGapAudit _)
+    "q208_session_gap_audit" -> (X.qSessionGapAudit _),
+    // per-language subword fertility (tokenizer health)
+    "q209_subword_fertility" -> (X.qSubwordFertility _),
+    // quality-gate yield curve (threshold sweep per source)
+    "q210_gate_yield" -> (X.qGateYieldCurve _),
+    // weak-supervision majority vote over heuristic labelers
+    "q211_weak_labels" -> (X.qWeakLabels _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3613,7 +3619,109 @@ object SparkEntry {
         |SELECT rk.user_id, st.n_gaps, st.max_gap_us,
         |  rk.gap AS p95_gap_us
         |FROM rk JOIN st USING (user_id)
-        |WHERE rk.rn = CAST(CEIL(st.n_gaps * 0.95) AS BIGINT)""".stripMargin
+        |WHERE rk.rn = CAST(CEIL(st.n_gaps * 0.95) AS BIGINT)""".stripMargin,
+    // Subword fertility: q22/q24's token + boundary-spacing subword
+    // mirrors, aggregated per language; one division.
+    "q209_subword_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+        |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |      END AS BIGINT) AS nt,
+        |    CAST(len(list_filter(regexp_split_to_array(
+        |      regexp_replace(regexp_replace(text,
+        |        '([a-zA-Z])([^a-zA-Z\s])', '\1 \2', 'g'),
+        |        '([^a-zA-Z\s])([a-zA-Z])', '\1 \2', 'g'),
+        |      '\s+'), x -> len(x) > 0)) AS BIGINT) AS ns
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(ns) AS BIGINT) AS total_subwords,
+        |  ROUND(CAST(SUM(ns) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE), 6)
+        |    AS fertility
+        |FROM t GROUP BY lang""".stripMargin,
+    // Yield curve: q81's per-doc quality, swept over double
+    // thresholds t/10.0 (the same IEEE division both sides).
+    "q210_gate_yield" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops
+        |  FROM t),
+        |tq AS (
+        |  SELECT doc_id, ROUND(
+        |      (CASE WHEN len < 20 THEN len/20.0
+        |            WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+        |            ELSE 1.0 END) * 0.3
+        |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+        |    + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+        |    + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+        |    6) AS quality
+        |  FROM r),
+        |x AS (
+        |  SELECT doc.source, tq.quality, CAST(v AS DOUBLE) / 10.0 AS threshold
+        |  FROM documents doc JOIN tq USING (doc_id),
+        |    UNNEST(range(3, 9)) u(v))
+        |SELECT source, threshold, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN quality >= threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS survivors,
+        |  ROUND(CAST(SUM(CASE WHEN quality >= threshold THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS yield_frac
+        |FROM x GROUP BY source, threshold""".stripMargin,
+    // Weak labels: three integer labeling functions + majority vote;
+    // confidence = agreeing-votes share, one division.
+    "q211_weak_labels" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(toks,
+        |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops
+        |  FROM t),
+        |tq AS (
+        |  SELECT doc_id, ROUND(
+        |      (CASE WHEN len < 20 THEN len/20.0
+        |            WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+        |            ELSE 1.0 END) * 0.3
+        |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+        |    + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+        |    + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+        |    6) AS quality
+        |  FROM r),
+        |b AS (
+        |  SELECT doc.doc_id,
+        |    CASE WHEN doc.lang = 'en' THEN 1 ELSE 0 END AS lf_lang,
+        |    CASE WHEN (CASE WHEN LENGTH(doc.text) = 0 THEN 0
+        |        ELSE LENGTH(doc.text) - LENGTH(REPLACE(doc.text, ' ', '')) + 1
+        |        END) BETWEEN 50 AND 400 THEN 1 ELSE 0 END AS lf_len,
+        |    CASE WHEN tq.quality >= 0.6 THEN 1 ELSE 0 END AS lf_quality
+        |  FROM documents doc JOIN tq USING (doc_id))
+        |SELECT doc_id, lf_lang, lf_len, lf_quality,
+        |  lf_lang + lf_len + lf_quality AS votes,
+        |  CAST(lf_lang + lf_len + lf_quality >= 2 AS INTEGER) AS label,
+        |  ROUND(CASE WHEN lf_lang + lf_len + lf_quality >= 2
+        |    THEN CAST(lf_lang + lf_len + lf_quality AS DOUBLE) / 3.0
+        |    ELSE CAST(3 - (lf_lang + lf_len + lf_quality) AS DOUBLE) / 3.0
+        |    END, 6) AS confidence
+        |FROM b""".stripMargin
   ) ++ tpchShapeSql
 
   /** Random-walk oracle: the walk recurrence unrolled — the same

@@ -2178,6 +2178,68 @@ object ExtensionQueries {
       seeds, "seed", walksPerSeed = 3, steps = 4)
   }
 
+  /** Per-language subword fertility — the tokenizer-health metric a
+    * multilingual pipeline tracks (how many subword pieces per
+    * whitespace token; rising fertility flags a vocabulary that
+    * under-serves a language). Integer sums, one IEEE division per
+    * language.
+    */
+  def qSubwordFertility(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.tokenCountArithmetic(col("text")).as("_nt"),
+        TextFunctions.subwordCount(col("text")).as("_ns"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("total_tokens"),
+        sum(col("_ns")).as("total_subwords"))
+      .withColumn("fertility",
+        round(col("total_subwords").cast("double")
+          / col("total_tokens").cast("double"), 6))
+
+  /** Quality-gate yield curve: survivors and yield at each candidate
+    * threshold, per source — the sweep that picks the gate BEFORE
+    * committing to one (q134 then applies the chosen cut exactly).
+    * Thresholds compare against the 6-dp-rounded score, so the curve
+    * is engine-stable.
+    */
+  def qGateYieldCurve(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .withColumn("_q", TextFunctions.qualityScoreFrom(col("text"), col("_toks")))
+    d.select(col("source"), col("_q"),
+        explode(array((3 to 8).map(t => lit(t / 10.0)): _*)).as("threshold"))
+      .groupBy(col("source"), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_q") >= col("threshold"), 1L).otherwise(0L))
+          .as("survivors"))
+      .withColumn("yield_frac",
+        round(col("survivors").cast("double") / col("n_docs").cast("double"), 6))
+  }
+
+  /** Weak-supervision majority vote (Snorkel-style labeling-function
+    * aggregation): three heuristic labelers — English-language,
+    * in-length-band, above-quality — vote per document; the label
+    * model here is plain majority with an agreement confidence. All
+    * integer votes plus one division; the real pattern is N labeling
+    * functions as columns, aggregated without ever leaving the scan.
+    */
+  def qWeakLabels(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+    val l1 = when(col("lang") === "en", 1).otherwise(0)
+    val l2 = when(TextFunctions.tokenCountArithmetic(col("text"))
+      .between(50, 400), 1).otherwise(0)
+    val l3 = when(TextFunctions.qualityScoreFrom(col("text"), col("_toks"))
+      >= 0.6, 1).otherwise(0)
+    d.select(col("doc_id"), l1.as("lf_lang"), l2.as("lf_len"), l3.as("lf_quality"))
+      .withColumn("votes", col("lf_lang") + col("lf_len") + col("lf_quality"))
+      .withColumn("label", (col("votes") >= 2).cast("int"))
+      .withColumn("confidence", round(
+        when(col("label") === 1, col("votes").cast("double") / 3.0)
+          .otherwise((lit(3) - col("votes")).cast("double") / 3.0), 6))
+  }
+
   /** Rendezvous (highest-random-weight) sharding with a rebalance
     * diff: each doc's shard under k=8 and k=9 is the argmax over
     * shards of md5(doc_id ":" shard) — the consistent-assignment
