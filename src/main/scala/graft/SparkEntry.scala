@@ -395,7 +395,11 @@ object SparkEntry {
     // quality-gate yield curve (threshold sweep per source)
     "q210_gate_yield" -> (X.qGateYieldCurve _),
     // weak-supervision majority vote over heuristic labelers
-    "q211_weak_labels" -> (X.qWeakLabels _)
+    "q211_weak_labels" -> (X.qWeakLabels _),
+    // in-engine LSH recall vs exhaustive ground truth (hash-checked)
+    "q212_lsh_recall" -> (X.qLshRecall _),
+    // streaming windowed top-k via the bounded-heap custom aggregate
+    "q213_stream_topk" -> (X.qStreamTopK _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3721,7 +3725,59 @@ object SparkEntry {
         |    THEN CAST(lf_lang + lf_len + lf_quality AS DOUBLE) / 3.0
         |    ELSE CAST(3 - (lf_lang + lf_len + lf_quality) AS DOUBLE) / 3.0
         |    END, 6) AS confidence
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+    // LSH recall: ground truth = all pairs at cosine >= 0.4; found ⇔
+    // the pair's portable buckets are within Hamming 2 (the q29
+    // blocking predicate in closed form).
+    "q212_lsh_recall" ->
+      """WITH planes AS (
+        |  SELECT h.h AS h, list_transform(range(64), d ->
+        |    CASE WHEN strpos('0123456789abcdef',
+        |        substr(md5(CAST(h.h AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+        |          1, 1)) - 1 >= 8
+        |      THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM (SELECT unnest(range(6)) AS h) h),
+        |proj AS (
+        |  SELECT e.vec_id, p.h,
+        |    list_sum(list_transform(list_zip(e.embedding, p.w),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS s
+        |  FROM embeddings e CROSS JOIN planes p),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN s >= 0
+        |      THEN CAST(1 AS BIGINT) << CAST(h AS INTEGER)
+        |      ELSE 0 END) AS BIGINT) AS b
+        |  FROM proj GROUP BY vec_id),
+        |ex AS (
+        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b2 ON a.vec_id < b2.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b2.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b2.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4)
+        |SELECT COUNT(*) AS n_true_pairs,
+        |  CAST(SUM(CASE WHEN bit_count(xor(ba.b, bb.b)) <= 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        |  ROUND(CAST(SUM(CASE WHEN bit_count(xor(ba.b, bb.b)) <= 2
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+        |FROM ex JOIN bkt ba ON ba.vec_id = ex.id_a
+        |  JOIN bkt bb ON bb.vec_id = ex.id_b""".stripMargin,
+    // Streaming top-k batch parity: the q50 window form per 5-minute
+    // bucket, rank <= 3, (value desc, event_id asc) ties.
+    "q213_stream_topk" ->
+      """SELECT window_start, event_type, CAST(rn AS INTEGER) AS rank,
+        |  event_id, "value" FROM (
+        |  SELECT strftime(make_timestamp(
+        |      (epoch_us(ts) // 300000000) * 300000000),
+        |      '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    event_type, event_id, "value",
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY epoch_us(ts) // 300000000, event_type
+        |      ORDER BY "value" DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin
   ) ++ tpchShapeSql
 
   /** Random-walk oracle: the walk recurrence unrolled — the same

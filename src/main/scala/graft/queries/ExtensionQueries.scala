@@ -2178,6 +2178,56 @@ object ExtensionQueries {
       seeds, "seed", walksPerSeed = 3, steps = 4)
   }
 
+  /** ANN quality measured IN-ENGINE: recall of the portable sign-LSH
+    * blocking against the exhaustive ground truth at the same
+    * threshold — the honesty metric an ANN deployment tracks. Because
+    * both sides are themselves SQL-replayable (q29/q93), the metric
+    * row hash-checks — recall is not just spec-asserted, it is part
+    * of the verified surface. Precision is 1 by construction (the
+    * LSH path re-verifies exact cosine).
+    */
+  def qLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val lsh = graft.operators.PortableSignLsh.nearDupPairs(
+        emb, "vec_id", "embedding", dim = 64, numPlanes = 6, threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+    val exact = Dedup.embeddingVerifyExhaustive(emb, "vec_id", "embedding",
+        threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+    exact.join(lsh.withColumn("_f", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("_f"), lit(0))).cast("long").as("n_found"),
+        round(sum(coalesce(col("_f"), lit(0))).cast("double")
+          / count(lit(1)).cast("double"), 6).as("recall"))
+  }
+
+  /** Streaming windowed top-k: the bounded-heap custom aggregate
+    * (q50's TypedImperativeAggregate) running INSIDE a watermarked
+    * streaming window — per 5-minute window and event type, the top-3
+    * events by value, emitted on window close. k entries per group
+    * survive partial aggregation AND the state-store round-trip (the
+    * buffer serializes into RocksDB state between micro-batches), so
+    * streaming top-k needs no per-window sort anywhere. Batch-parity
+    * oracle: the window row_number form.
+    */
+  def qStreamTopK(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.replayToTable(
+      RelationalQueries.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value")),
+      df => df.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+        .agg(graft.functions.expressions.TopKByAgg
+          .topKBy(col("value"), col("event_id"), 3).as("top"))
+        .select(
+          date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), posexplode(col("top")))
+        .select(col("window_start"), col("event_type"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("event_id"), col("col.score").as("value")),
+      horizonSeconds = 600)
+      .filter(col("event_type") =!= "_sentinel")
+
   /** Per-language subword fertility — the tokenizer-health metric a
     * multilingual pipeline tracks (how many subword pieces per
     * whitespace token; rising fertility flags a vocabulary that
