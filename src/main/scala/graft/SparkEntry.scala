@@ -399,7 +399,11 @@ object SparkEntry {
     // in-engine LSH recall vs exhaustive ground truth (hash-checked)
     "q212_lsh_recall" -> (X.qLshRecall _),
     // streaming windowed top-k via the bounded-heap custom aggregate
-    "q213_stream_topk" -> (X.qStreamTopK _)
+    "q213_stream_topk" -> (X.qStreamTopK _),
+    // right-to-be-forgotten per-table deletion audit
+    "q214_deletion_audit" -> (X.qDeletionAudit _),
+    // Laplace-mechanism noisy count release (deterministic harness)
+    "q215_dp_counts" -> (X.qDpCounts _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3777,7 +3781,38 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (
         |      PARTITION BY epoch_us(ts) // 300000000, event_type
         |      ORDER BY "value" DESC, event_id ASC) AS rn
-        |  FROM events) WHERE rn <= 3""".stripMargin
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    // Deletion audit: per-table conditional counts for the subject
+    // blocklist (user_id < 10), q167's customer-derived user dim.
+    "q214_deletion_audit" ->
+      """SELECT 'events' AS table_name, COUNT(*) AS n_before,
+        |  CAST(SUM(CASE WHEN user_id < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted,
+        |  COUNT(*) - CAST(SUM(CASE WHEN user_id < 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_after
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_dim', COUNT(*),
+        |  CAST(SUM(CASE WHEN c_custkey - 1 < 10 THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) - CAST(SUM(CASE WHEN c_custkey - 1 < 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT)
+        |FROM customer WHERE c_custkey <= 150""".stripMargin,
+    // Laplace release: u = 60-bit md5 integer / 2^60 (exact), inverse
+    // CDF with the lattice ln, integer-rounded noise on the count.
+    "q215_dp_counts" ->
+      """WITH c AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    ('0x' || substr(md5(event_type || ':dp_v1'), 1, 15))::BIGINT
+        |      / power(2.0, 60.0) AS u
+        |  FROM events GROUP BY 1)
+        |SELECT event_type,
+        |  n + CAST(ROUND(
+        |    (-10.0) * sign(u - 0.5)
+        |      * (CAST(CAST(ROUND(ln(1.0 - 2.0 * abs(u - 0.5)) * 100000000.0)
+        |          AS BIGINT) AS DOUBLE) / 100000000.0)
+        |  ) AS BIGINT) AS noisy_count,
+        |  CAST(0.1 AS DOUBLE) AS epsilon
+        |FROM c""".stripMargin
   ) ++ tpchShapeSql
 
   /** Random-walk oracle: the walk recurrence unrolled — the same

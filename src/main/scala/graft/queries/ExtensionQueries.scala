@@ -2178,6 +2178,54 @@ object ExtensionQueries {
       seeds, "seed", walksPerSeed = 3, steps = 4)
   }
 
+  /** Right-to-be-forgotten deletion audit: given a subject blocklist
+    * (users 0-9), the per-table before/deleted/after counts a
+    * compliance run must produce ACROSS every table carrying the
+    * subject key — here the event stream and the user dimension (the
+    * q167 customer-derived dim). Each table is one scan with a
+    * conditional count; the audit is the artifact, the deletes
+    * themselves are the same predicates as anti-joins.
+    */
+  def qDeletionAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, keyCol: String, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_before"),
+          sum(when(col(keyCol) < 10, 1L).otherwise(0L)).as("n_deleted"))
+        .select(lit(name).as("table_name"), col("n_before"), col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"))
+    val ev = RelationalQueries.events(s, dir)
+    val dim = tbl(s, dir, "customer").filter(col("c_custkey") <= 150)
+      .select((col("c_custkey") - 1).as("user_id"))
+    audit(ev, "user_id", "events")
+      .unionByName(audit(dim, "user_id", "user_dim"))
+  }
+
+  /** Laplace-mechanism noisy count release (the DP release SHAPE with
+    * a pluggable noise source): per event type, the true count plus
+    * integer-rounded Laplace(b = 1/ε) noise drawn by inverse CDF from
+    * a uniform derived of md5 — deterministic HERE so the mechanism
+    * itself is hash-checkable end to end (a production run swaps the
+    * md5 uniform for a calibrated RNG; determinism is a test harness
+    * property, NOT a privacy claim). The ln lands on the q187
+    * lattice; u = 60-bit md5 integer / 2⁶⁰ (an exact power-of-two
+    * division), noise = −b·sign(u−½)·ln(1−2|u−½|).
+    */
+  def qDpCounts(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.1
+    val b = 1.0 / eps
+    val u = (conv(substring(md5(concat(col("event_type"), lit(":dp_v1"))),
+        1, 15), 16, 10).cast("double")
+      / lit(Math.pow(2.0, 60.0)))
+    val arg = lit(1.0) - lit(2.0) * abs(u - 0.5)
+    val lt = round(log(arg) * 1e8).cast("long")
+    val noise = lit(-b) * signum(u - 0.5) * (lt.cast("double") / 1e8)
+    RelationalQueries.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("event_type"),
+        (col("_n") + round(noise).cast("long")).as("noisy_count"),
+        lit(eps).as("epsilon"))
+  }
+
   /** ANN quality measured IN-ENGINE: recall of the portable sign-LSH
     * blocking against the exhaustive ground truth at the same
     * threshold — the honesty metric an ANN deployment tracks. Because
