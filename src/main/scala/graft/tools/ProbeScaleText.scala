@@ -80,6 +80,42 @@ object ProbeScaleText {
     }
     println(s"[probe-scale-text] gate kept=$gated expected=${math.ceil(nRows * 0.1).toLong}")
 
+    // ── 4. prefix-filtered containment: growth + stop-word immunity ──
+    // Every doc carries a UNIVERSAL gram (df = n) on top of a
+    // selective tail (mean df ≈ 5). The pre-r8 full-postings self-join
+    // would generate n²/2 candidates from that one element alone
+    // (1.25 B rows at 50 K docs — infeasible); the prefix filter never
+    // selects it (at t = 0.9 a 31-gram set joins only its 4 rarest
+    // elements), so completing in seconds at all IS the df-cap
+    // evidence. Two scales measure the growth exponent: sub-quadratic
+    // means the time ratio tracks the doc ratio, not its square.
+    // Docs [10000, 10000+nCont) replay the first 21 grams of
+    // doc-10000's stream plus one own gram → contained in doc 10000
+    // at 21/22 ≈ 0.955 ≥ 0.9 (and pairwise among themselves).
+    val nCont = 500L
+    def contSets(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      array_distinct(concat(
+        filter(transform(sequence(lit(0), lit(29)), i => {
+          val planted = col("id").between(10000L, 10000L + nCont - 1L)
+          // planted docs carry ONLY the first 21 grams of doc-10000's
+          // stream (a strict subset → containment 22/22 with g_stop)
+          when(planted && i >= 21, lit(null).cast("string"))
+            .when(planted,
+              concat(lit("g"), pmod(xxhash64(lit(10000L) * 30 + i, lit(7)),
+                lit(vocab))))
+            .otherwise(concat(lit("g"), pmod(xxhash64(col("id") * 30 + i,
+              lit(7)), lit(vocab))))
+        }), x => x.isNotNull),
+        array(lit("g_stop")))).as("grams"))
+    for (n <- Seq(25000L, 50000L)) {
+      val found = t(s"containment prefix-filter ($n docs, universal gram, t=0.9)") {
+        Dedup.containmentPairsIndexed(contSets(n), "doc_id", "grams", 0.9)
+          .count()
+      }
+      println(s"[probe-scale-text] containment n=$n pairs=$found")
+    }
+
     spark.stop()
   }
 }
