@@ -403,7 +403,21 @@ object SparkEntry {
     // right-to-be-forgotten per-table deletion audit
     "q214_deletion_audit" -> (X.qDeletionAudit _),
     // Laplace-mechanism noisy count release (deterministic harness)
-    "q215_dp_counts" -> (X.qDpCounts _)
+    "q215_dp_counts" -> (X.qDpCounts _),
+    // cross-document repeated 8-gram spans (Lee et al. span dedup)
+    "q216_repeated_spans" -> (X.qRepeatedSpans _),
+    // per-document repeated-token budget from those spans
+    "q217_repeated_budget" -> (X.qRepeatedBudget _),
+    // DSIR hashed-unigram importance log-weights (target = en slice)
+    "q218_dsir_weights" -> (X.qDsirWeights _),
+    // Gopher-style heuristic rule battery with per-rule verdicts
+    "q219_gopher_rules" -> (X.qGopherRules _),
+    // UniMax epoch-capped token-budget waterfill across sources
+    "q220_unimax_alloc" -> (X.qUnimaxAlloc _),
+    // encoding-hygiene audit over planted mojibake/C1/replacement
+    "q221_encoding_audit" -> (X.qEncodingAudit _),
+    // KMV bottom-k distinct sketch with in-row error contract
+    "q222_kmv_distinct" -> (X.qKmvDistinct _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3812,8 +3826,227 @@ object SparkEntry {
         |          AS BIGINT) AS DOUBLE) / 100000000.0)
         |  ) AS BIGINT) AS noisy_count,
         |  CAST(0.1 AS DOUBLE) AS epsilon
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // Repeated-span detection: the postings/flag/island pipeline
+    // replayed — same md5-prefix gram key, same gap ≤ k merge rule.
+    "q216_repeated_spans" -> repeatedSpanSql(
+      """SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+        |  CAST(MAX(pos) + 8 AS INTEGER) AS span_end,
+        |  CAST(MAX(pos) + 8 - MIN(pos) AS INTEGER) AS span_len,
+        |  COUNT(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island""".stripMargin),
+    "q217_repeated_budget" -> repeatedSpanSql(
+      """SELECT d.doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'),
+        |    t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+        |  COALESCE(sp.repeated_tokens, 0) AS repeated_tokens,
+        |  COALESCE(sp.n_spans, 0) AS n_spans,
+        |  ROUND(CASE WHEN len(list_filter(regexp_split_to_array(d.text,
+        |      '\s+'), t -> len(t) > 0)) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(sp.repeated_tokens, 0) AS DOUBLE)
+        |      / CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'),
+        |          t -> len(t) > 0)) AS DOUBLE) END, 6) AS repeated_frac
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS repeated_tokens,
+        |    COUNT(*) AS n_spans
+        |  FROM (SELECT doc_id, island,
+        |          MAX(pos) + 8 - MIN(pos) AS span_len
+        |        FROM isl GROUP BY doc_id, island)
+        |  GROUP BY doc_id) sp USING (doc_id)""".stripMargin),
+    // DSIR: the hashed model (256 buckets, add-one smoothed, both ln
+    // terms on the 1e-8 lattice) rebuilt bucket-for-bucket; the doc
+    // weight is the exact int64 dot product / 1e8.
+    "q218_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS is_t,
+        |    ('0x' || substr(md5(t.term), 1, 15))::BIGINT % 256 AS b
+        |  FROM (SELECT doc_id, lang, unnest(list_filter(
+        |          regexp_split_to_array(lower(text), '\s+'),
+        |          x -> len(x) > 0)) AS term
+        |        FROM documents) t),
+        |cnt AS (SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+        |          COUNT(*) AS cr
+        |        FROM tok GROUP BY b),
+        |f AS (SELECT r.b, CAST(COALESCE(ct, 0) AS BIGINT) AS ct,
+        |        CAST(COALESCE(cr, 0) AS BIGINT) AS cr
+        |      FROM (SELECT unnest(range(256)) AS b) r
+        |      LEFT JOIN cnt USING (b)),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+        |          CAST(SUM(cr) AS BIGINT) AS nr FROM f),
+        |lat AS (
+        |  SELECT b,
+        |    CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE)
+        |        / CAST(nt + 256 AS DOUBLE)) * 100000000.0) AS BIGINT)
+        |    - CAST(ROUND(ln(CAST(cr + 1 AS DOUBLE)
+        |        / CAST(nr + 256 AS DOUBLE)) * 100000000.0) AS BIGINT) AS dl
+        |  FROM f CROSS JOIN tot),
+        |dw AS (SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(c * dl) AS BIGINT) AS lw
+        |      FROM dw JOIN lat USING (b) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(COALESCE(w.lw, 0) AS DOUBLE) / 100000000.0, 6)
+        |    AS log_weight
+        |FROM documents d LEFT JOIN w USING (doc_id)""".stripMargin,
+    // Gopher battery: every signal a count or one division of counts
+    "q219_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE ROUND(CAST(COALESCE(list_sum(list_transform(tk,
+        |          x -> len(x))), 0) AS DOUBLE)
+        |        / CAST(len(tk) AS DOUBLE), 6) END AS mean_word_len,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE ROUND(CAST(len(list_filter(tk, x ->
+        |          contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+        |        / CAST(len(tk) AS DOUBLE), 6) END AS symbol_ratio,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |      ELSE ROUND(CAST(len(list_filter(tk, x ->
+        |          regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |        / CAST(len(tk) AS DOUBLE), 6) END AS alpha_ratio,
+        |    CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x)))
+        |      AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+        |  n_stopwords,
+        |  (n_words >= 10 AND n_words <= 100000) AS ok_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+        |  (symbol_ratio < 0.1) AS ok_symbols,
+        |  (alpha_ratio >= 0.8) AS ok_alpha,
+        |  (n_stopwords >= 2) AS ok_stopwords,
+        |  ((n_words >= 10 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND symbol_ratio < 0.1 AND alpha_ratio >= 0.8
+        |    AND n_stopwords >= 2) AS keep
+        |FROM s""".stripMargin,
+    // UniMax waterfill: the closed-form level over the n-source frame
+    "q220_unimax_alloc" ->
+      """WITH ps AS (
+        |  SELECT source, CAST(SUM(CASE WHEN LENGTH(text) = 0 THEN 0
+        |    ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END)
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT source, n_tokens, n_tokens * 4 AS cap_tokens FROM ps),
+        |w AS (
+        |  SELECT *,
+        |    CAST(FLOOR(CAST((SELECT SUM(n_tokens) FROM c) AS DOUBLE) * 0.5)
+        |      AS BIGINT) AS budget,
+        |    CAST(COALESCE(SUM(cap_tokens) OVER (
+        |      ORDER BY cap_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS sprev,
+        |    ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS rn,
+        |    COUNT(*) OVER () AS n,
+        |    LAG(cap_tokens) OVER (ORDER BY cap_tokens, source) AS prevcap
+        |  FROM c),
+        |v AS (
+        |  SELECT *,
+        |    CAST(budget - sprev AS DOUBLE)
+        |      / CAST(n - rn + 1 AS DOUBLE) AS t_cand
+        |  FROM w),
+        |lvl AS (SELECT MIN(CASE WHEN
+        |    t_cand <= CAST(cap_tokens AS DOUBLE)
+        |    AND (rn = 1 OR CAST(prevcap AS DOUBLE) <= t_cand)
+        |  THEN t_cand END) AS t FROM v)
+        |SELECT source, n_tokens, cap_tokens,
+        |  CASE WHEN t IS NULL THEN cap_tokens
+        |    ELSE LEAST(cap_tokens, CAST(FLOOR(t) AS BIGINT))
+        |  END AS alloc_tokens,
+        |  ROUND(CAST(CASE WHEN t IS NULL THEN cap_tokens
+        |      ELSE LEAST(cap_tokens, CAST(FLOOR(t) AS BIGINT)) END AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |FROM v CROSS JOIN lvl""".stripMargin,
+    // Encoding audit over the planted corruption; counts via the
+    // length-difference trick, RE2 hex classes ≡ the engine's Java
+    // regex classes on code points
+    "q221_encoding_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN ' caf' || chr(195) || chr(169)
+        |        || ' na' || chr(195) || chr(175) || 've'
+        |      WHEN 1 THEN ' bad' || chr(65533) || 'char' || chr(65533)
+        |      WHEN 2 THEN ' ctl' || chr(133) || 'end'
+        |      ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(text) - len(regexp_replace(text, '\x{FFFD}', '', 'g'))
+        |    AS BIGINT) AS n_replacement,
+        |  CAST(len(text) - len(regexp_replace(text, '[\x{80}-\x{9F}]', '', 'g'))
+        |    AS BIGINT) AS n_c1_controls,
+        |  CAST((len(text) - len(regexp_replace(text,
+        |      '\x{C3}[\x{80}-\x{BF}]', '', 'g'))) / 2 AS BIGINT)
+        |    AS n_mojibake_pairs,
+        |  CASE WHEN len(text) = 0 THEN 1.0
+        |    ELSE ROUND(CAST(len(regexp_replace(text,
+        |        '[^\x{00}-\x{7F}]', '', 'g')) AS DOUBLE)
+        |      / CAST(len(text) AS DOUBLE), 6) END AS ascii_ratio,
+        |  (len(text) = len(regexp_replace(text, '\x{FFFD}', '', 'g'))
+        |   AND len(text) = len(regexp_replace(text, '[\x{80}-\x{9F}]', '', 'g'))
+        |   AND len(text) = len(regexp_replace(text,
+        |     '\x{C3}[\x{80}-\x{BF}]', '', 'g'))) AS clean
+        |FROM p""".stripMargin,
+    // KMV: the bottom-64 order statistic replayed with a window rank
+    "q222_kmv_distinct" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |u AS (SELECT event_type, user_id,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv_v1'),
+        |    1, 15))::BIGINT AS DOUBLE) / power(2.0, 60.0) AS u
+        |  FROM d),
+        |r AS (SELECT event_type, user_id, u,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u, user_id)
+        |    AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+        |  FROM u),
+        |k AS (SELECT event_type, CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+        |        MAX(CASE WHEN rn <= 64 THEN u END) AS v_k,
+        |        SUM(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS kk
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n_exact,
+        |  CASE WHEN kk < 64 THEN CAST(n_exact AS DOUBLE)
+        |    ELSE ROUND(63.0 / v_k, 6) END AS kmv_estimate,
+        |  (abs((CASE WHEN kk < 64 THEN CAST(n_exact AS DOUBLE)
+        |      ELSE ROUND(63.0 / v_k, 6) END)
+        |    / CAST(n_exact AS DOUBLE) - 1.0) <= 3.0 / sqrt(64.0))
+        |    AS within_bound
+        |FROM k""".stripMargin
   ) ++ tpchShapeSql
+
+  /** Repeated-span oracle scaffold (q216/q217): positional 8-gram
+    * postings keyed by the same 16-hex md5 prefix the engine ships,
+    * document frequency ≥ 2 over distinct docs, gap ≤ 8
+    * gaps-and-islands merge — the final SELECT varies per query.
+    */
+  private def repeatedSpanSql(finalSelect: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+       |    t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    substr(md5(array_to_string(list_slice(tk, i, i + 7), ' ')),
+       |      1, 16) AS h
+       |  FROM tk, UNNEST(range(1, len(tk) - 6)) t(i)
+       |  WHERE len(tk) >= 8),
+       |freq AS (SELECT h FROM g GROUP BY h
+       |         HAVING COUNT(DISTINCT doc_id) >= 2),
+       |f AS (SELECT g.doc_id, g.pos FROM g JOIN freq USING (h)),
+       |lg AS (SELECT doc_id, pos,
+       |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |       FROM f),
+       |isl AS (SELECT doc_id, pos,
+       |  SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= 8
+       |      THEN 0 ELSE 1 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM lg)
+       |$finalSelect""".stripMargin
 
   /** Random-walk oracle: the walk recurrence unrolled — the same
     * sorted-distinct adjacency lists, the same md5 24-bit draw

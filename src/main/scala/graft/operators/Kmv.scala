@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.TopKByAgg
+
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+  * 2002; Beyer et al. 2007): hash every value to a uniform in [0,1),
+  * keep the k smallest per group, and estimate the distinct count as
+  * (k−1)/v_k where v_k is the k-th smallest — if n uniform draws
+  * land in [0,1), the k-th order statistic sits near k/n. The
+  * unbiased form divides k−1. Groups with fewer than k distinct
+  * values have seen EVERYTHING, so the sketch returns the exact
+  * count there.
+  *
+  * The hash uniform is md5-derived (60-bit integer / 2⁶⁰ — an exact
+  * power-of-two division), so the whole sketch is deterministic and
+  * the estimate hash-checks against a SQL replay — the q44/q51
+  * error-bound-contract pattern, but here even the ESTIMATE itself
+  * is exactly reproducible, not just bracketed: KMV's randomness
+  * lives entirely in the hash choice.
+  *
+  * Scale shape: one distinct-collapse shuffle keyed (group, value) —
+  * dedup before sketching, map-side combined — then the bounded-heap
+  * top-k aggregate (TopKByAgg): k entries per group survive partial
+  * aggregation, so no per-group sort and no row_number window
+  * anywhere. The error contract |est/n − 1| ≲ 3/√k rides along as a
+  * checked boolean.
+  */
+object Kmv {
+
+  /** Per-group distinct estimate: (group, n_exact, kmv_estimate,
+    * within_bound). `n_exact` is computed alongside for the
+    * contract; a production sketch would drop it.
+    */
+  def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64, salt: String = "kmv_v1"): DataFrame = {
+    require(k >= 8, s"KMV needs a non-trivial k: $k")
+    val u = (conv(substring(md5(concat(col(valueCol).cast("string"),
+        lit(":" + salt))), 1, 15), 16, 10).cast("long").cast("double")
+      / lit(Math.pow(2.0, 60.0)))
+    val sketched = df.select(col(groupCol), col(valueCol)).distinct()
+      .select(col(groupCol), col(valueCol).cast("long").as("_id"),
+        u.as("_u"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_exact"),
+        TopKByAgg.topKBy(negate(col("_u")), col("_id"), k).as("_top"))
+    // v_k = −(last kept score); fewer than k values ⇒ exact count
+    val vk = negate(element_at(col("_top"), size(col("_top"))).getField("score"))
+    val est = when(size(col("_top")) < k, col("n_exact").cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) / vk, 6))
+    sketched.select(col(groupCol), col("n_exact"),
+        est.as("kmv_estimate"))
+      .withColumn("within_bound",
+        abs(col("kmv_estimate") / col("n_exact").cast("double") - 1.0)
+          <= lit(3.0 / math.sqrt(k.toDouble)))
+  }
+}

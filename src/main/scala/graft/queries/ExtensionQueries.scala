@@ -2434,4 +2434,59 @@ object ExtensionQueries {
         coalesce(col("_dups"), lit(0L)).as("n_dup_docs"),
         col("n_langs"), col("avg_quality"))
   }
+
+  /** Cross-document repeated 8-gram spans (Lee et al. 2022 span-dedup
+    * shape) — the maximal boilerplate passages shared by ≥ 2 docs.
+    */
+  def qRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RepeatedSpans.repeatedSpans(
+      tbl(s, dir, "documents"), "doc_id", "text", k = 8, minDocs = 2)
+
+  /** Full-corpus repeated-token budget: what fraction of each
+    * document a span-level dedup cut would remove.
+    */
+  def qRepeatedBudget(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RepeatedSpans.repeatedTokenBudget(
+      tbl(s, dir, "documents"), "doc_id", "text", k = 8, minDocs = 2)
+
+  /** DSIR hashed-unigram importance log-weights, target = English
+    * slice ("select raw documents that look like the en corpus").
+    */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.importanceLogWeights(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      targetPred = col("lang") === "en", buckets = 256)
+
+  /** Gopher-style heuristic rule battery with per-rule verdicts. */
+  def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeuristicFilters.gopherRules(
+      tbl(s, dir, "documents"), "doc_id", "text", minWords = 10)
+
+  /** UniMax epoch-capped token-budget allocation across sources. */
+  def qUnimaxAlloc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unimax.allocate(
+      tbl(s, dir, "documents"), "source", "text",
+      budgetFrac = 0.5, maxEpochs = 4)
+
+  /** Encoding-hygiene audit over deterministically planted corruption
+    * (the corpus itself is clean ASCII — the q97 synthetic-PII
+    * pattern): docs ≡ 0 mod 4 get mojibake digraphs, ≡ 1 replacement
+    * chars, ≡ 2 a C1 control; ≡ 3 stay clean.
+    */
+  def qEncodingAudit(s: SparkSession, dir: String): DataFrame = {
+    val planted = tbl(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(" caf\u00C3\u00A9 na\u00C3\u00AFve"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit(" bad\uFFFDchar\uFFFD"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(" ctl\u0085end"))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.HeuristicFilters.encodingAudit(planted, "doc_id", "text")
+  }
+
+  /** KMV bottom-k distinct-user sketch per event type, with the
+    * relative-error contract checked in-row.
+    */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Kmv.distinctEstimate(
+      RelationalQueries.events(s, dir), "event_type", "user_id", k = 64)
 }
