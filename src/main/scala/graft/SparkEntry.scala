@@ -417,7 +417,21 @@ object SparkEntry {
     // encoding-hygiene audit over planted mojibake/C1/replacement
     "q221_encoding_audit" -> (X.qEncodingAudit _),
     // KMV bottom-k distinct sketch with in-row error contract
-    "q222_kmv_distinct" -> (X.qKmvDistinct _)
+    "q222_kmv_distinct" -> (X.qKmvDistinct _),
+    // winnowing (MOSS) fingerprint selection, k=4 w=4
+    "q223_winnow_fp" -> (X.qWinnowFp _),
+    // winnowing sketch density accounting per document
+    "q224_winnow_profile" -> (X.qWinnowProfile _),
+    // Artetxe-Schwenk margin-based bitext mining over embeddings
+    "q225_bitext_margin" -> (X.qBitextMargin _),
+    // formatting-invariant duplicate groups (planted-dup corpus)
+    "q226_canonical_dups" -> (X.qCanonicalDups _),
+    // cross-source verbatim-contamination matrix
+    "q227_cross_source_dups" -> (X.qCrossSourceDups _),
+    // split-leakage audit: texts straddling hash splits
+    "q228_split_leakage" -> (X.qSplitLeakage _),
+    // mixed-language marker-vote audit
+    "q229_language_mix" -> (X.qLanguageMix _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4015,8 +4029,174 @@ object SparkEntry {
         |      ELSE ROUND(63.0 / v_k, 6) END)
         |    / CAST(n_exact AS DOUBLE) - 1.0) <= 3.0 / sqrt(64.0))
         |    AS within_bound
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+    // Winnowing: per-window struct-min (lexicographic ⇒ leftmost-pos
+    // tie-break, same as the engine's min(struct(hash,pos))), then
+    // DISTINCT over selected positions — the definition replayed.
+    "q223_winnow_fp" -> winnowSql(
+      """SELECT DISTINCT doc_id, m.p AS fp_pos, m.h AS fp_hash
+        |FROM w WHERE pos <= n - 4""".stripMargin),
+    "q224_winnow_profile" -> winnowSql(
+      """SELECT d.doc_id,
+        |  CAST(GREATEST(len(list_filter(regexp_split_to_array(d.text,
+        |    '\s+'), t -> len(t) > 0)) - 3, 0) AS BIGINT) AS n_grams,
+        |  COALESCE(f.nf, 0) AS n_fingerprints,
+        |  ROUND(CASE WHEN GREATEST(len(list_filter(
+        |      regexp_split_to_array(d.text, '\s+'),
+        |      t -> len(t) > 0)) - 3, 0) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(f.nf, 0) AS DOUBLE)
+        |      / CAST(GREATEST(len(list_filter(regexp_split_to_array(d.text,
+        |          '\s+'), t -> len(t) > 0)) - 3, 0) AS DOUBLE)
+        |  END, 6) AS density
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM (
+        |    SELECT DISTINCT doc_id, m.p, m.h
+        |    FROM w WHERE pos <= n - 4)
+        |  GROUP BY doc_id) f USING (doc_id)""".stripMargin),
+    // Bitext margin: cosines 6-dp → DECIMAL, neighbourhood means by
+    // one /k division, margin one fixed chain — q31's cosine mirror.
+    "q225_bitext_margin" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cand_id, embedding AS cv
+        |      FROM embeddings WHERE vec_id >= 8),
+        |p AS (SELECT query_id, cand_id,
+        |  CAST(ROUND(
+        |    list_sum(list_transform(list_zip(cv, qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(cv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(qv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |    AS DECIMAL(12,6)) AS cos
+        |  FROM c CROSS JOIN q),
+        |ta AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY cos DESC, cand_id) AS rn FROM p),
+        |ma AS (SELECT query_id, CAST(SUM(cos) AS DOUBLE) / 4 AS mq
+        |       FROM ta WHERE rn <= 4 GROUP BY 1),
+        |tb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id
+        |         ORDER BY cos DESC, query_id) AS rn FROM p),
+        |mb AS (SELECT cand_id, CAST(SUM(cos) AS DOUBLE) / 4 AS mc
+        |       FROM tb WHERE rn <= 4 GROUP BY 1),
+        |s AS (SELECT ta.query_id, ta.cand_id,
+        |        CAST(ta.cos AS DOUBLE) AS cosine_sim,
+        |        ROUND(CAST(ta.cos AS DOUBLE) / (mq / 2.0 + mc / 2.0), 6)
+        |          AS margin
+        |      FROM ta JOIN ma USING (query_id) JOIN mb USING (cand_id)
+        |      WHERE ta.rn <= 4)
+        |SELECT query_id, cand_id, cosine_sim, margin,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY margin DESC, cand_id) AS INTEGER) AS rank
+        |FROM s""".stripMargin,
+    // Canonical (formatting-invariant) duplicate groups over the
+    // planted-dup corpus; [[:punct:]] ≡ Java \p{Punct} (q24 pairing)
+    "q226_canonical_dups" -> (plantedDupSql + "\n" +
+      """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', '', 'g'), '\s+', ' ', 'g'))) AS canon_sha,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |  COUNT(DISTINCT sha256(text)) AS n_raw_variants
+        |FROM pd GROUP BY 1""".stripMargin),
+    "q227_cross_source_dups" -> (plantedDupSql + ",\n" +
+      """ss AS (SELECT DISTINCT sha256(text) AS sha, source FROM pd),
+        |m AS (SELECT sha FROM ss GROUP BY sha HAVING COUNT(*) >= 2),
+        |sh AS (SELECT ss.sha, ss.source FROM ss JOIN m USING (sha))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(*) AS n_shared_texts
+        |FROM sh a JOIN sh b ON a.sha = b.sha AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin),
+    // Split leakage: q94's md5 hash-split thresholds (cccc / e666)
+    "q228_split_leakage" -> (plantedDupSql + ",\n" +
+      """a AS (SELECT doc_id, sha256(text) AS sha,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split_v1'),
+        |      1, 4) < 'cccc' THEN 'train'
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split_v1'),
+        |      1, 4) < 'e666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM pd),
+        |ps AS (SELECT sha, split, COUNT(*) AS docs FROM a GROUP BY 1, 2)
+        |SELECT a.split AS split_a, b.split AS split_b,
+        |  COUNT(*) AS n_leaked_texts,
+        |  CAST(SUM(a.docs + b.docs) AS BIGINT) AS n_docs_involved
+        |FROM ps a JOIN ps b ON a.sha = b.sha AND a.split < b.split
+        |GROUP BY 1, 2""".stripMargin),
+    // Language-mix votes: marker counts (q24's IN-list mirrors), top
+    // and second by (votes DESC, lang ASC) ≡ the engine's
+    // greatest(struct(v, -idx, lang)) alphabetical tie-break
+    "q229_language_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |v AS (SELECT doc_id,
+        |  CAST(len(list_filter(tk, x -> x IN ('der','die','und','ist')))
+        |    AS BIGINT) AS n_de,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','and','of','is')))
+        |    AS BIGINT) AS n_en,
+        |  CAST(len(list_filter(tk, x -> x IN ('el','la','y','es')))
+        |    AS BIGINT) AS n_es,
+        |  CAST(len(list_filter(tk, x -> x IN ('le','la','et','est')))
+        |    AS BIGINT) AS n_fr,
+        |  CAST(len(list_filter(tk, x -> x IN ('的','是','了','在')))
+        |    AS BIGINT) AS n_zh
+        |  FROM t),
+        |u AS (
+        |  SELECT doc_id, 'de' AS lang, n_de AS votes FROM v
+        |  UNION ALL SELECT doc_id, 'en', n_en FROM v
+        |  UNION ALL SELECT doc_id, 'es', n_es FROM v
+        |  UNION ALL SELECT doc_id, 'fr', n_fr FROM v
+        |  UNION ALL SELECT doc_id, 'zh', n_zh FROM v),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY votes DESC, lang ASC) AS rn FROM u),
+        |tp AS (SELECT doc_id, lang AS t_lang, votes AS top_votes
+        |       FROM r WHERE rn = 1),
+        |sn AS (SELECT doc_id, lang AS s_lang, votes AS s_votes
+        |       FROM r WHERE rn = 2)
+        |SELECT v.doc_id, n_de, n_en, n_es, n_fr, n_zh,
+        |  CASE WHEN top_votes > 0 THEN t_lang ELSE 'und' END AS top_lang,
+        |  top_votes,
+        |  CASE WHEN s_votes > 0 THEN s_lang END AS second_lang,
+        |  GREATEST(s_votes, 0) AS second_votes,
+        |  (s_votes >= 2 AND s_votes * 2 >= top_votes) AS is_mixed
+        |FROM v JOIN tp USING (doc_id) JOIN sn USING (doc_id)""".stripMargin
   ) ++ tpchShapeSql
+
+  /** Planted-duplication corpus shared by q226-q228: verbatim
+    * cross-source mirrors for docs ≡ 0 mod 7 (coprime to the source
+    * cycle — mirrors land in every source), trailing-space
+    * formatting variants for docs ≡ 1 mod 7.
+    */
+  private def plantedDupSql: String =
+    """WITH pd AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, 'src_mirror' FROM documents
+      |  WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' ', source FROM documents
+      |  WHERE doc_id % 7 = 1)""".stripMargin
+
+  /** Winnowing oracle scaffold (q223/q224): positional 4-gram md5
+    * prefixes, per-start struct-min over the 4-row frame, full
+    * windows only — the final SELECT varies per query.
+    */
+  private def winnowSql(finalSelect: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+       |    t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    substr(md5(array_to_string(list_slice(tk, i, i + 3), ' ')),
+       |      1, 16) AS h,
+       |    CAST(len(tk) - 3 AS INTEGER) AS n
+       |  FROM tk, UNNEST(range(1, len(tk) - 2)) t(i)
+       |  WHERE len(tk) >= 7),
+       |w AS (
+       |  SELECT doc_id, pos, n,
+       |    MIN({'h': h, 'p': pos}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+       |  FROM g)
+       |$finalSelect""".stripMargin
 
   /** Repeated-span oracle scaffold (q216/q217): positional 8-gram
     * postings keyed by the same 16-hex md5 prefix the engine ships,

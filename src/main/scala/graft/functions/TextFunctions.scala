@@ -71,6 +71,12 @@ object TextFunctions {
   }
 
   private val stopwordsEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  /** The pinned marker-token sets behind [[langIdFrom]] — public so
+    * composition operators (language-mix detection) vote with the
+    * SAME sets the classifier uses.
+    */
+  def langMarkers: Map[String, Seq[String]] = markers
+
   private val markers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "is"),
     "fr" -> Seq("le", "la", "et", "est"),

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-hygiene audits a pre-training data pipeline runs between
+  * ingestion and training: formatting-invariant duplicate detection,
+  * cross-source contamination accounting, split-leakage checks, and
+  * mixed-language flags. Each is a pure count/hash artifact — no
+  * floats beyond single divisions — so every audit hash-checks.
+  */
+object CorpusHygiene {
+
+  /** Formatting-canonical text: lowercase, punctuation stripped,
+    * whitespace collapsed to single spaces, trimmed — the key under
+    * which "same text, different formatting" collides.
+    */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\p{Punct}]", ""), "\\s+", " "))
+
+  /** Formatting-invariant duplicate groups: documents equal after
+    * canonicalization. `n_raw_variants` counts DISTINCT raw texts in
+    * the group — a group with n_copies > n_raw_variants ≥ 2 contains
+    * both exact copies and formatting variants; n_raw_variants ≥ 2
+    * is what plain sha-dedup (q25) misses.
+    *
+    * Scale shape: one projection computes both hashes, one group-by
+    * on the canonical hash — exactly the q25 plan with a cheaper key.
+    */
+  def canonicalDuplicates(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        sha2(canonicalText(col(textCol)), 256).as("canon_sha"),
+        sha2(col(textCol), 256).as("_raw_sha"))
+      .groupBy(col("canon_sha"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("_raw_sha")).as("n_raw_variants"))
+
+  /** Cross-source contamination matrix: for every pair of sources,
+    * how many distinct texts they share verbatim. The join runs over
+    * (sha, source) pairs that are ALREADY distinct-collapsed and
+    * carries only shas present in ≥ 2 sources, so its volume is
+    * bounded by actual duplication, not corpus size.
+    */
+  def crossSourceDupMatrix(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val ss = df.select(sha2(col(textCol), 256).as("_sha"),
+        col(sourceCol).as("_src")).distinct()
+    val multi = ss.groupBy(col("_sha"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2)
+      .select(col("_sha"))
+    val shared = ss.join(multi, "_sha")
+    shared.as("a").join(shared.as("b"),
+        col("a._sha") === col("b._sha") && col("a._src") < col("b._src"))
+      .groupBy(col("a._src").as("source_a"), col("b._src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+  }
+
+  /** Split-leakage audit: assign the q94 md5 hash split, then count
+    * the verbatim texts that appear in MORE THAN ONE split — the
+    * train→test contamination a row-level split always risks when
+    * duplicates exist (the failure groupSafeSplit exists to prevent;
+    * this audit MEASURES it). Output per ordered split pair:
+    * distinct leaked texts and total documents involved.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      salt: String = "split_v1"): DataFrame = {
+    val assigned = df.select(col(idCol),
+      sha2(col(textCol), 256).as("_sha"),
+      Sampling.splitColumn(col(idCol), salt).as("_split"))
+    val perSplit = assigned.groupBy(col("_sha"), col("_split"))
+      .agg(count(lit(1)).as("_docs"))
+    perSplit.as("a").join(perSplit.as("b"),
+        col("a._sha") === col("b._sha") && col("a._split") < col("b._split"))
+      .groupBy(col("a._split").as("split_a"), col("b._split").as("split_b"))
+      .agg(count(lit(1)).as("n_leaked_texts"),
+        sum(col("a._docs") + col("b._docs")).cast("long")
+          .as("n_docs_involved"))
+  }
+
+  /** Mixed-language detection: marker-token votes per language (the
+    * q22 langId marker sets), emitted as counts plus the top/second
+    * languages and their vote ratio — `is_mixed` flags documents
+    * whose second language polls ≥ half the winner with ≥ 2 votes
+    * (boilerplate-with-embedded-quotes, code-switching, concatenated
+    * crawls). Ties break alphabetically, pinned. Zero-shuffle: the
+    * battery is one projection over the token array.
+    */
+  def languageMix(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df.withColumn("_tk",
+      TextFunctions.tokens(lower(col(textCol))))
+    val votes = TextFunctions.langMarkers.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        (lang, TextFunctions.wordSetCount(col("_tk"), words))
+    }
+    val withVotes = votes.foldLeft(base) { case (d, (lang, c)) =>
+      d.withColumn(s"n_$lang", c.cast("long"))
+    }
+    // top = lexicographically-largest (votes, -lang) — alphabetical
+    // tie-break via greatest over pinned structs (negated lang rank)
+    val ranked = votes.zipWithIndex.map { case ((lang, _), i) =>
+      struct(col(s"n_$lang").as("v"), lit(-i).as("nr"), lit(lang).as("lang"))
+    }
+    val top = greatest(ranked: _*)
+    val second = greatest(ranked.map(s =>
+      when(s.getField("lang") === top.getField("lang"),
+        struct(lit(-1L).as("v"), lit(-99).as("nr"), lit("zz").as("lang")))
+        .otherwise(s)): _*)
+    withVotes
+      .withColumn("_top", top)
+      .withColumn("_snd", second)
+      .select(Seq(col(idCol)) ++
+        votes.map { case (lang, _) => col(s"n_$lang") } ++ Seq(
+        when(col("_top.v") > 0L, col("_top.lang")).otherwise("und")
+          .as("top_lang"), // the q22 "und" convention for no votes
+        col("_top.v").as("top_votes"),
+        when(col("_snd.v") <= 0L, lit(null).cast("string"))
+          .otherwise(col("_snd.lang")).as("second_lang"),
+        greatest(col("_snd.v"), lit(0L)).as("second_votes"),
+        (col("_snd.v") >= 2L &&
+          col("_snd.v") * 2L >= col("_top.v")).as("is_mixed")): _*)
+  }
+}

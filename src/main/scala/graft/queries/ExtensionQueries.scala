@@ -2489,4 +2489,63 @@ object ExtensionQueries {
   def qKmvDistinct(s: SparkSession, dir: String): DataFrame =
     graft.operators.Kmv.distinctEstimate(
       RelationalQueries.events(s, dir), "event_type", "user_id", k = 64)
+
+  /** Winnowing fingerprint selection (MOSS sketch), k=4 w=4. */
+  def qWinnowFp(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnowing.fingerprints(
+      tbl(s, dir, "documents"), "doc_id", "text", k = 4, w = 4)
+
+  /** Winnowing sketch density accounting per document. */
+  def qWinnowProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnowing.sketchProfile(
+      tbl(s, dir, "documents"), "doc_id", "text", k = 4, w = 4)
+
+  /** Margin-based bitext mining: the 8 probe vectors against the
+    * remainder corpus, re-ranked by the Artetxe-Schwenk margin.
+    */
+  def qBitextMargin(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    graft.operators.BitextMining.marginMine(
+      emb.filter(col("vec_id") < 8), emb.filter(col("vec_id") >= 8),
+      "vec_id", "embedding", k = 4)
+  }
+
+  /** The hygiene-audit corpus: documents plus deterministically
+    * planted duplication (the corpus itself has none — the q97/q221
+    * planting pattern): docs ≡ 0 mod 7 gain a verbatim cross-source
+    * mirror copy (mod 7 is coprime to the source cycle, so mirrors
+    * spray across every source), docs ≡ 1 mod 7 a formatting variant (trailing
+    * space — canonical-equal, raw-sha-distinct).
+    */
+  private def plantedDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val mirror = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        lit("src_mirror").as("source"))
+    val variant = base.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" ")).as("text"), col("source"))
+    base.unionByName(mirror).unionByName(variant)
+  }
+
+  /** Formatting-invariant duplicate groups over the planted corpus. */
+  def qCanonicalDups(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusHygiene.canonicalDuplicates(
+      plantedDupDocs(s, dir), "doc_id", "text")
+
+  /** Cross-source verbatim-contamination matrix. */
+  def qCrossSourceDups(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusHygiene.crossSourceDupMatrix(
+      plantedDupDocs(s, dir), "text", "source")
+
+  /** Split-leakage audit: verbatim texts straddling hash splits. */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusHygiene.splitLeakage(
+      plantedDupDocs(s, dir), "doc_id", "text")
+
+  /** Mixed-language marker-vote audit over the raw corpus. */
+  def qLanguageMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusHygiene.languageMix(
+      tbl(s, dir, "documents"), "doc_id", "text")
 }
