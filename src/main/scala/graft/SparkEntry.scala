@@ -431,7 +431,13 @@ object SparkEntry {
     // split-leakage audit: texts straddling hash splits
     "q228_split_leakage" -> (X.qSplitLeakage _),
     // mixed-language marker-vote audit
-    "q229_language_mix" -> (X.qLanguageMix _)
+    "q229_language_mix" -> (X.qLanguageMix _),
+    // A-ES weighted reservoir sample through the bounded-heap top-k
+    "q230_weighted_reservoir" -> (X.qWeightedReservoir _),
+    // degree assortativity of the co-supply graph (exact moments)
+    "q231_assortativity" -> (X.qAssortativity _),
+    // streaming per-window event-type PSI vs the corpus reference
+    "q232_stream_psi" -> (X.qStreamPsi _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4157,7 +4163,81 @@ object SparkEntry {
         |  CASE WHEN s_votes > 0 THEN s_lang END AS second_lang,
         |  GREATEST(s_votes, 0) AS second_votes,
         |  (s_votes >= 2 AND s_votes * 2 >= top_votes) AS is_mixed
-        |FROM v JOIN tp USING (doc_id) JOIN sn USING (doc_id)""".stripMargin
+        |FROM v JOIN tp USING (doc_id) JOIN sn USING (doc_id)""".stripMargin,
+    // A-ES weighted reservoir: the ln(u)/w key replayed on the
+    // lattice, rank by (key DESC, id) — the heap's pinned order
+    "q230_weighted_reservoir" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wres_v1'),
+        |      1, 15))::BIGINT AS hv
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(ROUND(ln(CAST(hv + 1 AS DOUBLE) / power(2.0, 60.0))
+        |        * 100000000.0) AS BIGINT) AS DOUBLE) / 100000000.0
+        |      / CAST(n_chars AS DOUBLE) AS key
+        |  FROM h),
+        |r AS (SELECT doc_id, key,
+        |        ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rn
+        |      FROM k)
+        |SELECT doc_id, CAST(rn AS INTEGER) AS rank,
+        |  ROUND(key, 6) AS sample_key
+        |FROM r WHERE rn <= 50""".stripMargin,
+    // Assortativity: HUGEINT moments ≡ the engine's DECIMAL(38,0)
+    "q231_assortativity" ->
+      """WITH b AS (SELECT DISTINCT l_suppkey AS s,
+        |             l_partkey + 10000000 AS p FROM lineitem),
+        |e AS (SELECT s AS src, p AS dst FROM b
+        |      UNION SELECT p, s FROM b),
+        |deg AS (SELECT src AS n, COUNT(*) AS d FROM e GROUP BY 1),
+        |wd AS (SELECT da.d AS dx, db.d AS dy
+        |       FROM e JOIN deg da ON da.n = e.src
+        |         JOIN deg db ON db.n = e.dst),
+        |agg AS (SELECT COUNT(*) AS m, SUM(dx) AS sx, SUM(dy) AS sy,
+        |          SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx,
+        |          SUM(dy * dy) AS syy
+        |        FROM wd),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges,
+        |  ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+        |     * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+        |FROM agg CROSS JOIN nn""".stripMargin,
+    // Streaming PSI: q78's 5-minute bucket mirror feeds the same
+    // lattice-product PSI; category count and totals via subqueries
+    "q232_stream_psi" ->
+      """WITH wc AS (
+        |  SELECT strftime(make_timestamp(
+        |      (epoch_us(ts) // 300000000) * 300000000),
+        |      '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ref AS (SELECT event_type, COUNT(*) AS nr FROM events GROUP BY 1),
+        |rt AS (SELECT CAST(SUM(nr) AS BIGINT) AS tr,
+        |         CAST(COUNT(*) AS BIGINT) AS ncats FROM ref),
+        |gt AS (SELECT window_start, CAST(SUM(n) AS BIGINT) AS tg
+        |       FROM wc GROUP BY 1),
+        |grid AS (
+        |  SELECT g.window_start, g.tg, r.event_type, r.nr,
+        |    COALESCE(w.n, 0) AS ng, rt.tr, rt.ncats
+        |  FROM gt g CROSS JOIN ref r CROSS JOIN rt
+        |  LEFT JOIN wc w ON w.window_start = g.window_start
+        |    AND w.event_type = r.event_type),
+        |t AS (
+        |  SELECT window_start, ng,
+        |    CAST(ROUND((CAST(ng + 1 AS DOUBLE) / CAST(tg + ncats AS DOUBLE)
+        |        - CAST(nr + 1 AS DOUBLE) / CAST(tr + ncats AS DOUBLE))
+        |      * 100000000.0) AS BIGINT)
+        |    * CAST(ROUND(ln(
+        |        (CAST(ng + 1 AS DOUBLE) / CAST(tg + ncats AS DOUBLE))
+        |        / (CAST(nr + 1 AS DOUBLE) / CAST(tr + ncats AS DOUBLE)))
+        |      * 100000000.0) AS BIGINT) AS term
+        |  FROM grid)
+        |SELECT window_start,
+        |  ROUND(CAST(SUM(term) AS DOUBLE) / 10000000000000000.0, 6) AS psi,
+        |  CAST(SUM(ng) AS BIGINT) AS n_events
+        |FROM t GROUP BY 1""".stripMargin
   ) ++ tpchShapeSql
 
   /** Planted-duplication corpus shared by q226-q228: verbatim

@@ -69,4 +69,51 @@ object Drift {
       .agg(round(sum(col("_t")).cast("double") / 1e16, 6).as("psi"),
         sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"))
   }
+
+  /** Categorical PSI of per-group count distributions against one
+    * reference distribution — the monitoring shape for STREAMING
+    * drift: the windowed-count stage (a watermarked streaming
+    * aggregate) hands its (group, category, n) table here, and each
+    * group (= window) gets a PSI against the reference's category
+    * shares. Same lattice-product exactness discipline as
+    * [[psiByDimension]]; the category domain is the REFERENCE's
+    * (a group never invents categories the reference lacks — counts
+    * for reference-absent categories would need a domain authority
+    * anyway).
+    *
+    * Scale shape: reference is |categories| rows (broadcast); the
+    * grid completion is groups × categories via one broadcast cross
+    * join; one aggregate keyed by group. Stream-compatible: nothing
+    * here looks across groups.
+    */
+  def psiCategorical(counts: DataFrame, groupCol: String,
+      catCol: String, nCol: String, reference: DataFrame): DataFrame = {
+    val ref = reference.select(col(catCol), col(nCol).cast("long").as("_nr"))
+    val nCats = ref.count().toInt // |categories|: bounded, one job
+    require(nCats >= 2, s"need >= 2 reference categories: $nCats")
+    val refTot = ref.agg(sum(col("_nr")).as("_tr"))
+    val grpTot = counts.groupBy(col(groupCol))
+      .agg(sum(col(nCol).cast("long")).as("_tg"))
+    // fresh aliases on the probe side: grpTot derives from `counts`,
+    // so a direct self-join would carry conflicting attribute ids
+    val probe = counts.select(col(groupCol).as("_gk"),
+      col(catCol).as("_ck"), col(nCol).cast("long").as("_ng"))
+    val grid = grpTot.select(col(groupCol), col("_tg"))
+      .crossJoin(broadcast(ref))
+      .join(probe,
+        col(groupCol) === col("_gk") && col(catCol) === col("_ck"), "left")
+      .select(col(groupCol), col("_tg"), col("_nr"),
+        coalesce(col("_ng"), lit(0L)).as("_ng"))
+    val pg = (col("_ng") + 1L).cast("double") /
+      (col("_tg") + nCats).cast("double")
+    val pr = (col("_nr") + 1L).cast("double") /
+      (col("_tr") + nCats).cast("double")
+    val term = round((pg - pr) * 1e8).cast("long") *
+      round(log(pg / pr) * 1e8).cast("long")
+    grid.crossJoin(broadcast(refTot))
+      .select(col(groupCol), term.as("_t"), col("_ng"))
+      .groupBy(col(groupCol))
+      .agg(round(sum(col("_t")).cast("double") / 1e16, 6).as("psi"),
+        sum(col("_ng")).as("n_events"))
+  }
 }

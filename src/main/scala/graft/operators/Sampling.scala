@@ -480,4 +480,51 @@ object Sampling {
       .orderBy(col(idCol).asc).limit(m)
     above.unionByName(boundary)
   }
+
+  /** Weighted reservoir sample without replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): every row draws a uniform u and
+    * scores key = u^(1/w); the k largest keys are a weight-correct
+    * sample without replacement — the standard one-pass weighted
+    * sampler. Ranking by key is equivalent to ranking by
+    * ln(u)/w (ln is monotone), which is what travels here: ln(u)
+    * lands on the q187 1e-8 lattice ONCE per row, then one IEEE
+    * division by the weight — deterministic in any engine, no pow().
+    *
+    * The uniform is md5-derived ((h+1)/2⁶⁰, never 0 — ln(0) is null
+    * in Spark but −inf in other engines; the +1 shift closes that
+    * divergence). Weights must be strictly positive.
+    *
+    * Scale shape: one projection computes keys, then the bounded-heap
+    * top-k aggregate (TopKByAgg) — k entries per group survive
+    * partial aggregation, so the "top-k keys" step is one map-side-
+    * combined shuffle, never a global sort. Grouped variant: one
+    * reservoir per `groupCol` value.
+    */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wres_v1",
+      groupCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"sample size must be positive: $k")
+    val h = conv(substring(hashUniform(col(idCol), salt), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h + 1L).cast("double") / lit(Math.pow(2.0, 60.0))
+    val lnLat = round(log(u) * 1e8).cast("long")
+    val key = lnLat.cast("double") / 1e8 / col(weightCol).cast("double")
+    val keyed = df
+      .filter(col(weightCol).cast("double") > 0.0)
+      .select(groupCol.map(col).toSeq :+ col(idCol).cast("long").as("_id")
+        :+ key.as("_key"): _*)
+    val grouped = groupCol match {
+      case Some(g) => keyed.groupBy(col(g))
+      case None => keyed.groupBy(lit(1).as("_g"))
+    }
+    val heap = grouped
+      .agg(graft.functions.expressions.TopKByAgg
+        .topKBy(col("_key"), col("_id"), k).as("_top"))
+      .select(groupCol.map(col).toSeq
+        :+ posexplode(col("_top")).as(Seq("_pos", "_e")): _*)
+    heap.select(groupCol.map(col).toSeq ++ Seq(
+      col("_e.id").as(idCol),
+      (col("_pos") + 1).cast("int").as("rank"),
+      round(col("_e.score"), 6).as("sample_key")): _*)
+  }
 }

@@ -2548,4 +2548,49 @@ object ExtensionQueries {
   def qLanguageMix(s: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusHygiene.languageMix(
       tbl(s, dir, "documents"), "doc_id", "text")
+
+  /** A-ES weighted reservoir: 50 docs sampled ∝ n_chars without
+    * replacement, through the bounded-heap top-k aggregate.
+    */
+  def qWeightedReservoir(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedReservoir(
+      tbl(s, dir, "documents"), "doc_id", "n_chars", k = 50)
+
+  /** Degree assortativity of the supplier–part co-supply graph (the
+    * q109 edge construction — strongly disassortative, as any
+    * bipartite incidence graph must be).
+    */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val b = tbl(s, dir, "lineitem").select(
+      col("l_suppkey").cast("long").as("s"),
+      (col("l_partkey").cast("long") + 10000000L).as("p"))
+    val edges = b.select(col("s").as("src"), col("p").as("dst"))
+      .union(b.select(col("p").as("src"), col("s").as("dst")))
+    graft.operators.GraphStats.degreeAssortativity(edges, "src", "dst")
+  }
+
+  /** STREAMING drift monitor: per-5-minute-window event-type PSI
+    * against the whole-corpus reference shares — the windowed counts
+    * come from a real watermarked streaming aggregate (the q78
+    * replay harness); the PSI lattice math runs downstream of the
+    * stream, exactly where a monitoring job would put it.
+    */
+  def qStreamPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val winCounts = graft.streaming.EventStreams.replayToTable(
+      ev,
+      df => df.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n")),
+      horizonSeconds = 600)
+      .filter(col("event_type") =!= "_sentinel")
+    val ref = RelationalQueries.events(s, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    graft.operators.Drift.psiCategorical(
+      winCounts, "window_start", "event_type", "n", ref)
+  }
 }

@@ -198,4 +198,41 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // ...and no round resolves the argmin with a row_number window
     assert(!plan.contains("Window,"), plan)
   }
+
+  test("q219: the gopher battery is a zero-shuffle projection") {
+    val plan = planOf("q219_gopher_rules")
+    assert(!plan.contains("Exchange"),
+      "per-row rule battery must not shuffle:\n" + plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q218: the DSIR bucket-model joins arrive by broadcast") {
+    val plan = planOf("q218_dsir_weights")
+    // the B-row lattice/domain joins (_b keys) must be broadcast; the
+    // corpus-sized doc-reattach left join is allowed to sort-merge
+    assert(plan.contains("BroadcastHashJoin [_b"), plan)
+    val smj = "SortMergeJoin \\[([a-z_]+)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSet
+    assert(smj.subsetOf(Set("doc_id")),
+      s"only the doc-level reattach may shuffle-join, got $smj:\n$plan")
+  }
+
+  test("q216: repeated spans — no join wider than the frequent-gram hash join") {
+    val plan = planOf("q216_repeated_spans")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q230: the reservoir is the bounded-heap aggregate, not a global sort") {
+    val plan = planOf("q230_weighted_reservoir")
+    assert(plan.contains("topkby"), plan) // TopKByAgg partial+final
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), "no global sort for top-k:\n" + plan)
+  }
+
+  test("q222: KMV sketches through partial aggregation (map-side heaps)") {
+    val plan = planOf("q222_kmv_distinct")
+    assert(plan.contains("topkby"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
