@@ -437,7 +437,13 @@ object SparkEntry {
     // degree assortativity of the co-supply graph (exact moments)
     "q231_assortativity" -> (X.qAssortativity _),
     // streaming per-window event-type PSI vs the corpus reference
-    "q232_stream_psi" -> (X.qStreamPsi _)
+    "q232_stream_psi" -> (X.qStreamPsi _),
+    // sentence stats + Flesch reading ease (planted sentence tails)
+    "q233_sentence_stats" -> (X.qSentenceStats _),
+    // shared-header template clusters (planted prefix variants)
+    "q234_template_clusters" -> (X.qTemplateClusters _),
+    // Goh-Barabási inter-arrival burstiness per user
+    "q235_arrival_burstiness" -> (X.qArrivalBurstiness _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4237,7 +4243,86 @@ object SparkEntry {
         |SELECT window_start,
         |  ROUND(CAST(SUM(term) AS DOUBLE) / 10000000000000000.0, 6) AS psi,
         |  CAST(SUM(ng) AS BIGINT) AS n_events
-        |FROM t GROUP BY 1""".stripMargin
+        |FROM t GROUP BY 1""".stripMargin,
+    // Sentence stats + Flesch: run counts via length differences;
+    // boundary = [.!?]+ then whitespace (terminal punctuation closes
+    // the last sentence with no lookbehind needed)
+    "q233_sentence_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN '. A short tail follows here. Done now!'
+        |      WHEN 1 THEN '. Only one more tail?'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+        |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |      END AS BIGINT) AS n_tokens,
+        |    CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+        |      ELSE (LENGTH(regexp_replace(text, '[.!?]+\s+', 'V', 'g'))
+        |        - LENGTH(regexp_replace(text, '[.!?]+\s+', '', 'g'))) + 1
+        |      END AS BIGINT) AS n_sentences,
+        |    CAST(LENGTH(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+        |      - LENGTH(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM p)
+        |SELECT doc_id, n_tokens, n_sentences, n_syllables,
+        |  CASE WHEN n_tokens = 0 OR n_sentences = 0 THEN NULL
+        |    ELSE ROUND(206.835
+        |      - 1.015 * (CAST(n_tokens AS DOUBLE)
+        |          / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |          / CAST(n_tokens AS DOUBLE)), 6) END AS flesch
+        |FROM s""".stripMargin,
+    // Template clusters: the 8-token-prefix md5 key replayed; the
+    // planted variant's trailing id is the ORIGINAL doc_id (aliases
+    // are not visible to sibling select items in either engine)
+    "q234_template_clusters" ->
+      """WITH hv AS (
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    array_to_string(list_slice(list_filter(
+        |      regexp_split_to_array(text, '\s+'), t -> len(t) > 0),
+        |      1, 8), ' ')
+        |      || ' entirely different continuation body '
+        |      || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 2),
+        |pd AS (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id, text FROM hv),
+        |g AS (
+        |  SELECT doc_id,
+        |    substr(md5(array_to_string(list_slice(list_filter(
+        |      regexp_split_to_array(text, '\s+'), t -> len(t) > 0),
+        |      1, 8), ' ')), 1, 16) AS prefix_hash,
+        |    sha256(text) AS body
+        |  FROM pd)
+        |SELECT prefix_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT body) AS n_distinct_bodies
+        |FROM g GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+    // Burstiness: HUGEINT gap moments ≡ the engine's DECIMAL(38,0)
+    "q235_arrival_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gp
+        |  FROM events),
+        |a AS (SELECT user_id, COUNT(*) AS n,
+        |        SUM(CAST(gp AS HUGEINT)) AS sg,
+        |        SUM(CAST(gp AS HUGEINT) * CAST(gp AS HUGEINT)) AS sg2
+        |      FROM g WHERE gp IS NOT NULL GROUP BY 1
+        |      HAVING COUNT(*) >= 2)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+        |  ROUND(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000.0, 6) AS mean_gap_s,
+        |  ROUND(CAST(CAST(n AS HUGEINT) * sg2 - sg * sg AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sg AS DOUBLE)
+        |    / 1000000.0, 6) AS dispersion_s,
+        |  ROUND((sqrt(CAST(CAST(n AS HUGEINT) * sg2 - sg * sg AS DOUBLE))
+        |      - CAST(sg AS DOUBLE))
+        |    / (sqrt(CAST(CAST(n AS HUGEINT) * sg2 - sg * sg AS DOUBLE))
+        |      + CAST(sg AS DOUBLE)), 6) AS burstiness
+        |FROM a""".stripMargin
   ) ++ tpchShapeSql
 
   /** Planted-duplication corpus shared by q226-q228: verbatim

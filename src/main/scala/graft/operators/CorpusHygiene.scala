@@ -82,6 +82,32 @@ object CorpusHygiene {
           .as("n_docs_involved"))
   }
 
+  /** Template (shared-header) clusters: documents grouped by their
+    * first `prefixTokens` whitespace tokens — the boilerplate
+    * detector that catches "same header, different body" families
+    * (scraped article templates, license preambles) which neither
+    * sha-dedup nor canonical-dedup sees. `n_distinct_bodies ≥ 2`
+    * distinguishes a true template family from verbatim copies.
+    *
+    * Scale shape: one projection (prefix hash + body hash) and one
+    * group-by on the 16-hex md5 prefix key. Documents shorter than
+    * the prefix window key on their full token prefix.
+    */
+  def templateClusters(df: DataFrame, idCol: String, textCol: String,
+      prefixTokens: Int = 8): DataFrame = {
+    require(prefixTokens >= 2, s"prefix too short to be a template: $prefixTokens")
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol),
+        substring(md5(concat_ws(" ",
+          slice(toks, 1, prefixTokens))), 1, 16).as("prefix_hash"),
+        sha2(col(textCol), 256).as("_body"))
+      .groupBy(col("prefix_hash"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("_body")).as("n_distinct_bodies"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Mixed-language detection: marker-token votes per language (the
     * q22 langId marker sets), emitted as counts plus the top/second
     * languages and their vote ratio — `is_mixed` flags documents

@@ -291,4 +291,55 @@ object TimeSeries {
       .select(col("key"), col("n_events"),
         round(col("_s").cast("double"), 6).as("decayed_value"))
   }
+
+  /** Per-key inter-arrival burstiness (Goh & Barabási 2008): with
+    * gap moments Σg and Σg² over a key's n inter-event microsecond
+    * gaps, population variance gives
+    *
+    *   B = (σ − μ)/(σ + μ) = (√(n·Σg² − (Σg)²) − Σg) / (√(n·Σg² − (Σg)²) + Σg)
+    *
+    * (the per-n normalizations CANCEL, so the statistic is one sqrt
+    * of an exact integer and two exact-integer operands — a single
+    * pinned IEEE chain). B → −1: metronome; 0: Poisson; → +1: bursty.
+    * The index of dispersion σ²/μ = (n·Σg² − (Σg)²)/(n·Σg) rides
+    * along, also exact-until-one-division. Keys need ≥ 2 gaps.
+    *
+    * Scale shape: one per-key ordered window for the lag (partition
+    * bounded by a user's event count), one aggregate with
+    * DECIMAL(38,0) moments — µs² products overflow int64 on
+    * month-long gaps, the assortativity lesson applied here.
+    */
+  def arrivalBurstiness(events: DataFrame, keyCol: String, idCol: String,
+      tsCol: String): DataFrame = {
+    // order by the microsecond value itself: equivalent to ts order
+    // (unix_micros is monotone) and resolvable after the projection
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_us"), col(idCol))
+    val dec = "decimal(38,0)"
+    events
+      .select(col(keyCol), col(idCol), unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_g", col("_us") - lag(col("_us"), 1).over(w))
+      .filter(col("_g").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_g").cast(dec)).as("_sg"),
+        sum((col("_g").cast(dec) * col("_g").cast(dec))).as("_sg2"))
+      .filter(col("n_gaps") >= 2)
+      .select({
+        val x = (col("n_gaps").cast(dec) * col("_sg2")
+          - col("_sg") * col("_sg")).cast("double")
+        Seq(col(keyCol), col("n_gaps"),
+          // SECONDS, not µs: a 6-dp round at µs magnitudes (~10¹⁰)
+          // needs ~10¹⁶ intermediate precision and the two engines'
+          // round() implementations disagree in the last ulp there;
+          // at second magnitudes the rounded lattice is exactly
+          // representable in both
+          round(col("_sg").cast("double") / col("n_gaps").cast("double")
+            / 1e6, 6).as("mean_gap_s"),
+          round(x / (col("n_gaps").cast(dec) * col("_sg")).cast("double")
+            / 1e6, 6).as("dispersion_s"),
+          round((sqrt(x) - col("_sg").cast("double"))
+            / (sqrt(x) + col("_sg").cast("double")), 6).as("burstiness"))
+      }: _*)
+  }
 }

@@ -2593,4 +2593,43 @@ object ExtensionQueries {
     graft.operators.Drift.psiCategorical(
       winCounts, "window_start", "event_type", "n", ref)
   }
+
+  /** Sentence stats + Flesch reading ease over sentence-punctuated
+    * text (the corpus is punctuation-free — the q97 planting pattern
+    * appends doc_id-varying sentence tails so segmentation is
+    * non-vacuous).
+    */
+  def qSentenceStats(s: SparkSession, dir: String): DataFrame = {
+    val planted = tbl(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(". A short tail follows here. Done now!"))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            lit(". Only one more tail?"))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.Readability.sentenceStats(planted, "doc_id", "text")
+  }
+
+  /** Template (shared-header) clusters: docs ≡ 2 mod 7 gain a
+    * prefix-sharing variant (same first 8 tokens, synthetic body) —
+    * the family neither sha- nor canonical-dedup catches.
+    */
+  def qTemplateClusters(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val headerVariant = base.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat(
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)),
+          lit(" entirely different continuation body "),
+          col("doc_id").cast("string")).as("text"))
+    graft.operators.CorpusHygiene.templateClusters(
+      base.unionByName(headerVariant), "doc_id", "text", prefixTokens = 8)
+  }
+
+  /** Per-user inter-arrival burstiness (Goh-Barabási B) + index of
+    * dispersion over the event stream.
+    */
+  def qArrivalBurstiness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.arrivalBurstiness(
+      RelationalQueries.events(s, dir), "user_id", "event_id", "ts")
 }
