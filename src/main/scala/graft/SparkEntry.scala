@@ -443,7 +443,13 @@ object SparkEntry {
     // shared-header template clusters (planted prefix variants)
     "q234_template_clusters" -> (X.qTemplateClusters _),
     // Goh-Barabási inter-arrival burstiness per user
-    "q235_arrival_burstiness" -> (X.qArrivalBurstiness _)
+    "q235_arrival_burstiness" -> (X.qArrivalBurstiness _),
+    // leave-one-source-out influence on mean quality
+    "q236_source_influence" -> (X.qSourceInfluence _),
+    // Benford first-digit conformance audit of event values
+    "q237_benford_audit" -> (X.qBenfordAudit _),
+    // lead-lag daily cross-correlation (clicks vs purchases)
+    "q238_leadlag_xcorr" -> (X.qLeadLag _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4322,8 +4328,113 @@ object SparkEntry {
         |      - CAST(sg AS DOUBLE))
         |    / (sqrt(CAST(CAST(n AS HUGEINT) * sg2 - sg * sg AS DOUBLE))
         |      + CAST(sg AS DOUBLE)), 6) AS burstiness
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // Leave-one-out influence: q24's quality algebra feeds per-source
+    // decimal sums; every leave-one-out mean is algebra on the sums
+    "q236_source_influence" -> (qualityCteSql + ",\n" +
+      """d AS (SELECT doc.source, CAST(tq.quality AS DECIMAL(18,6)) AS s
+        |      FROM documents doc JOIN tq USING (doc_id)),
+        |ps AS (SELECT source, SUM(s) AS si, COUNT(*) AS n_rows
+        |       FROM d GROUP BY 1),
+        |tot AS (SELECT SUM(si) AS st, CAST(SUM(n_rows) AS BIGINT) AS nt
+        |        FROM ps)
+        |SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+        |  ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mean_all,
+        |  ROUND(CAST(st - si AS DOUBLE)
+        |    / CAST(nt - n_rows AS DOUBLE), 6) AS mean_without,
+        |  ROUND(ROUND(CAST(st - si AS DOUBLE)
+        |      / CAST(nt - n_rows AS DOUBLE), 6)
+        |    - ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6), 6)
+        |    AS influence
+        |FROM ps CROSS JOIN tot""".stripMargin),
+    // Benford: integer-hundredths leading digit; expectations are
+    // the same Double.toString literals the engine pins
+    "q237_benford_audit" -> benfordSql,
+    // Lead-lag: exact daily counts, per-lag HUGEINT moments, the
+    // assortativity chain per lag
+    "q238_leadlag_xcorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    event_type AS t, COUNT(*) AS n
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |a AS (SELECT day, n AS na FROM daily WHERE t = 'click'),
+        |b AS (SELECT day AS dayb, n AS nb FROM daily WHERE t = 'purchase'),
+        |lags AS (SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS lag),
+        |j AS (SELECT l.lag, a.na, b.nb
+        |      FROM a CROSS JOIN lags l
+        |      JOIN b ON b.dayb = a.day + l.lag),
+        |m AS (SELECT lag, COUNT(*) AS m,
+        |        SUM(CAST(na AS HUGEINT)) AS sx,
+        |        SUM(CAST(nb AS HUGEINT)) AS sy,
+        |        SUM(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS sxy,
+        |        SUM(CAST(na AS HUGEINT) * CAST(na AS HUGEINT)) AS sxx,
+        |        SUM(CAST(nb AS HUGEINT) * CAST(nb AS HUGEINT)) AS syy
+        |      FROM j GROUP BY 1 HAVING COUNT(*) >= 3)
+        |SELECT lag, CAST(m AS BIGINT) AS n_days,
+        |  ROUND(CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+        |     * sqrt(CAST(CAST(m AS HUGEINT) * syy - sy * sy AS DOUBLE))),
+        |    6) AS corr
+        |FROM m""".stripMargin
   ) ++ tpchShapeSql
+
+  /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —
+    * shared by the influence audit so the score can never desync
+    * from the declared quality surface.
+    */
+  private def qualityCteSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(LENGTH(text) AS DOUBLE) AS len,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, len,
+      |    CASE WHEN len = 0 THEN 0.0 ELSE npunct / len END AS punct_ratio,
+      |    CASE WHEN len = 0 THEN 0.0 ELSE nupper / len END AS upper_ratio,
+      |    CAST(len(toks) AS DOUBLE) AS n,
+      |    CAST(len(list_filter(toks,
+      |      t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE) AS stops
+      |  FROM t),
+      |tq AS (
+      |  SELECT doc_id, ROUND(
+      |      (CASE WHEN len < 20 THEN len/20.0
+      |            WHEN len > 5000 THEN greatest(0.0, 1.0 - (len-5000)/20000.0)
+      |            ELSE 1.0 END) * 0.3
+      |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.25
+      |    + greatest(0.0, 1.0 - upper_ratio * 3.0) * 0.2
+      |    + least(1.0, (CASE WHEN n = 0 THEN 0.0 ELSE stops/n END) * 5.0 + 0.4) * 0.25,
+      |    6) AS quality
+      |  FROM r)""".stripMargin
+
+  /** Benford oracle with expectations pinned to the engine's exact
+    * Double.toString literals (log10(1 + 1/d) rounded at 6 dp).
+    */
+  private def benfordSql: String = {
+    val cases = (1 to 9).map { d =>
+      val v = math.log10(1.0 + 1.0 / d)
+      s"WHEN $d THEN ROUND(CAST(${v} AS DOUBLE), 6)"
+    }.mkString("\n        ")
+    s"""WITH c AS (
+       |  SELECT CAST(substr(CAST(CAST(ROUND("value" * 100.0) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM events WHERE "value" > 0.0),
+       |g AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g)
+       |SELECT digit, CAST(n AS BIGINT) AS n,
+       |  ROUND(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS share,
+       |  CASE digit
+       |        $cases
+       |        ELSE 0.0 END AS benford_share,
+       |  ROUND(ROUND(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+       |    - (CASE digit
+       |        $cases
+       |        ELSE 0.0 END), 6) AS deviation
+       |FROM g CROSS JOIN tot""".stripMargin
+  }
 
   /** Planted-duplication corpus shared by q226-q228: verbatim
     * cross-source mirrors for docs ≡ 0 mod 7 (coprime to the source

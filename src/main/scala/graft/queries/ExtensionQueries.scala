@@ -2632,4 +2632,26 @@ object ExtensionQueries {
   def qArrivalBurstiness(s: SparkSession, dir: String): DataFrame =
     graft.operators.TimeSeries.arrivalBurstiness(
       RelationalQueries.events(s, dir), "user_id", "event_id", "ts")
+
+  /** Leave-one-source-out influence on mean document quality. */
+  def qSourceInfluence(s: SparkSession, dir: String): DataFrame = {
+    val scored = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .withColumn("_q",
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks")))
+    graft.operators.Auditing.sourceInfluence(scored, "source", "_q")
+  }
+
+  /** Benford first-digit audit of event values (integer-hundredths
+    * digit extraction — engine-portable by construction).
+    */
+  def qBenfordAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Auditing.benfordAudit(
+      RelationalQueries.events(s, dir), "value")
+
+  /** Lead-lag daily cross-correlation: do clicks lead purchases. */
+  def qLeadLag(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Auditing.leadLagCorr(
+      RelationalQueries.events(s, dir), "ts", "event_type",
+      typeA = "click", typeB = "purchase", maxLag = 3)
 }
