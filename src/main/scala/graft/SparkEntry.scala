@@ -449,7 +449,11 @@ object SparkEntry {
     // Benford first-digit conformance audit of event values
     "q237_benford_audit" -> (X.qBenfordAudit _),
     // lead-lag daily cross-correlation (clicks vs purchases)
-    "q238_leadlag_xcorr" -> (X.qLeadLag _)
+    "q238_leadlag_xcorr" -> (X.qLeadLag _),
+    // incremental LSH near-dup: new batch vs base, base×base excluded
+    "q239_incremental_neardup" -> (X.qIncrementalNearDup _),
+    // KMV sketch set algebra: union/intersection estimates
+    "q240_kmv_setops" -> (X.qKmvSetOps _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4376,7 +4380,9 @@ object SparkEntry {
         |    / (sqrt(CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE))
         |     * sqrt(CAST(CAST(m AS HUGEINT) * syy - sy * sy AS DOUBLE))),
         |    6) AS corr
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "q239_incremental_neardup" -> incrementalNearDupSql,
+    "q240_kmv_setops" -> kmvSetOpsSql
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —
@@ -4435,6 +4441,102 @@ object SparkEntry {
        |        ELSE 0.0 END), 6) AS deviation
        |FROM g CROSS JOIN tot""".stripMargin
   }
+
+  /** Incremental near-dup oracle: the q125 portable-banding recipe
+    * over the planted base∪batch with newness flags — the band
+    * predicate, the at-least-one-new restriction, and the exact
+    * verify all replayed.
+    */
+  private def incrementalNearDupSql: String =
+    """WITH pd AS (
+      |  SELECT doc_id, text, FALSE AS neu FROM documents
+      |  UNION ALL SELECT 600003, text, FALSE FROM documents WHERE doc_id = 3
+      |  UNION ALL SELECT doc_id + 500000, text, TRUE FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |tk AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM pd),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i + 1])) AS toks
+      |  FROM tk WHERE len(tk) >= 2),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM sh),
+      |mh AS (
+      |  SELECT doc_id, j.j AS j,
+      |    MIN((((j.j + 1) * 2654435761 % 2147483647)
+      |         * (('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647)
+      |         + j.j * 40503 + 12345) % 2147483647) AS mh
+      |  FROM tok CROSS JOIN (SELECT unnest(range(16)) AS j) j
+      |  GROUP BY doc_id, j.j),
+      |bands AS (
+      |  SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
+      |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
+      |  FROM mh GROUP BY doc_id, j // 2),
+      |fl AS (SELECT doc_id, neu FROM pd),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id
+      |  JOIN fl fa ON fa.doc_id = a.doc_id
+      |  JOIN fl fb ON fb.doc_id = b.doc_id
+      |  WHERE fa.neu OR fb.neu)
+      |SELECT id_a, id_b,
+      |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6)
+      |    AS jaccard_sim,
+      |  CASE WHEN fa.neu AND fb.neu THEN 'batch_internal'
+      |    ELSE 'batch_vs_base' END AS pair_kind
+      |FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+      |  JOIN fl fa ON fa.doc_id = id_a JOIN fl fb ON fb.doc_id = id_b
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |  / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5""".stripMargin
+
+  /** KMV set-algebra oracle: per-cohort bottom-64 order statistics,
+    * merged bottom-64 over the sketch-value union, ρ·union.
+    */
+  private def kmvSetOpsSql: String =
+    """WITH ua AS (SELECT DISTINCT user_id FROM events
+      |            WHERE event_type = 'click'),
+      |ub AS (SELECT DISTINCT user_id FROM events
+      |       WHERE event_type = 'purchase'),
+      |ka AS (SELECT user_id,
+      |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+      |           || ':kmv_v1'), 1, 15))::BIGINT AS DOUBLE)
+      |           / power(2.0, 60.0) AS u
+      |       FROM ua),
+      |kb AS (SELECT user_id,
+      |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+      |           || ':kmv_v1'), 1, 15))::BIGINT AS DOUBLE)
+      |           / power(2.0, 60.0) AS u
+      |       FROM ub),
+      |sa AS (SELECT u FROM (SELECT u,
+      |         ROW_NUMBER() OVER (ORDER BY u, user_id) AS rn FROM ka)
+      |       WHERE rn <= 64),
+      |sb AS (SELECT u FROM (SELECT u,
+      |         ROW_NUMBER() OVER (ORDER BY u, user_id) AS rn FROM kb)
+      |       WHERE rn <= 64),
+      |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_a FROM ua),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_b FROM ub),
+      |mu AS (SELECT DISTINCT u FROM (SELECT u FROM sa
+      |       UNION ALL SELECT u FROM sb)),
+      |m AS (SELECT u FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn
+      |        FROM mu) WHERE rn <= 64),
+      |msz AS (SELECT COUNT(*) AS mk, MAX(u) AS vk FROM m),
+      |mall AS (SELECT COUNT(*) AS nall FROM mu),
+      |bo AS (SELECT COUNT(*) AS nboth FROM m
+      |       WHERE u IN (SELECT u FROM sa) AND u IN (SELECT u FROM sb))
+      |SELECT 'click' AS cohort_a, 'purchase' AS cohort_b,
+      |  n_exact_a, n_exact_b,
+      |  CASE WHEN n_exact_a <= 64 AND n_exact_b <= 64
+      |    THEN CAST(nall AS DOUBLE)
+      |    ELSE ROUND(63.0 / vk, 6) END AS union_est,
+      |  ROUND((CAST(nboth AS DOUBLE) / CAST(mk AS DOUBLE))
+      |    * (CASE WHEN n_exact_a <= 64 AND n_exact_b <= 64
+      |        THEN CAST(nall AS DOUBLE)
+      |        ELSE ROUND(63.0 / vk, 6) END), 6) AS intersect_est
+      |FROM na CROSS JOIN nb CROSS JOIN msz CROSS JOIN mall CROSS JOIN bo""".stripMargin
 
   /** Planted-duplication corpus shared by q226-q228: verbatim
     * cross-source mirrors for docs ≡ 0 mod 7 (coprime to the source

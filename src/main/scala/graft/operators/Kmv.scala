@@ -56,4 +56,63 @@ object Kmv {
         abs(col("kmv_estimate") / col("n_exact").cast("double") - 1.0)
           <= lit(3.0 / math.sqrt(k.toDouble)))
   }
+
+  /** KMV set algebra (Beyer et al. 2007): union and intersection
+    * distinct estimates for two cohorts from their bottom-k sketches
+    * ALONE — the sketch-level answer to "how many new users does B
+    * add" that never rescans either side. The merged sketch is the
+    * bottom-k of the two sketches' value union; ρ = the fraction of
+    * merged survivors present in BOTH input sketches estimates the
+    * Jaccard, and intersection = ρ · union.
+    *
+    * Everything after the two per-cohort sketches happens on two
+    * k-value arrays in ONE row (a k-bounded cross join) — array
+    * algebra, no data-scale work. Exact counts ride along for the
+    * error contract (a production use drops them). Degenerate small
+    * cohorts (< k values) make the sketch exact, so the estimates
+    * collapse to exact values there too.
+    */
+  def setOperations(df: DataFrame, cohortCol: String, valueCol: String,
+      cohortA: String, cohortB: String, k: Int = 64,
+      salt: String = "kmv_v1"): DataFrame = {
+    require(k >= 8, s"KMV needs a non-trivial k: $k")
+    val u = (conv(substring(md5(concat(col(valueCol).cast("string"),
+        lit(":" + salt))), 1, 15), 16, 10).cast("long").cast("double")
+      / lit(Math.pow(2.0, 60.0)))
+    def sketch(cohort: String, as: String) = df
+      .filter(col(cohortCol) === cohort)
+      .select(col(valueCol)).distinct()
+      .select(col(valueCol).cast("long").as("_id"), u.as("_u"))
+      .groupBy(lit(1).as("_g"))
+      .agg(graft.functions.expressions.TopKByAgg
+        .topKBy(negate(col("_u")), col("_id"), k).as("_top"),
+        count(lit(1)).as(s"n_exact_${as}"))
+      .select(col(s"n_exact_${as}"),
+        // ascending-u value array (scores are −u, sorted desc)
+        transform(col("_top"), e => negate(e.getField("score")))
+          .as(s"_sk_${as}"))
+
+    val joined = sketch(cohortA, "a").crossJoin(sketch(cohortB, "b"))
+    val mergedAll = array_sort(array_union(col("_sk_a"), col("_sk_b")))
+    val merged = slice(mergedAll, 1, k)
+    val vk = element_at(col("_merged"), size(col("_merged")))
+    // exact only when BOTH sides sketched exactly (≤ k distinct each);
+    // a merged size of k with one side overflowing must NOT claim
+    // exactness (sketch_b ⊆ sketch_a hides true union size)
+    val unionEst = when(col("n_exact_a") <= k && col("n_exact_b") <= k,
+        size(col("_mergedAll")).cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) / vk, 6))
+    val inBoth = size(array_intersect(col("_merged"),
+      array_intersect(col("_sk_a"), col("_sk_b"))))
+    joined
+      .withColumn("_mergedAll", mergedAll)
+      .withColumn("_merged", merged)
+      .withColumn("union_est", unionEst)
+      .withColumn("intersect_est",
+        round((inBoth.cast("double") / size(col("_merged")).cast("double"))
+          * col("union_est"), 6))
+      .select(lit(cohortA).as("cohort_a"), lit(cohortB).as("cohort_b"),
+        col("n_exact_a"), col("n_exact_b"),
+        col("union_est"), col("intersect_est"))
+  }
 }

@@ -114,4 +114,75 @@ object PortableMinHash {
     sigs.unpersist()
     out
   }
+
+  /** INCREMENTAL near-dup: a new batch against an existing base —
+    * the production ingest shape. Recomputing all-pairs LSH per
+    * ingest is O(corpus) per day; the incremental contract is
+    * "emit exactly the qualifying pairs that involve at least one
+    * NEW document" — base×base pairs are yesterday's output and are
+    * structurally excluded from candidate generation (the flag
+    * rides the banded rows, so excluded pairs never join, not just
+    * never verify).
+    *
+    * Same signature family, banding, and verify as [[nearDupPairs]];
+    * `pair_kind` labels batch_vs_base vs batch_internal. In
+    * production the base side's signatures would load from the lake
+    * instead of recomputing — the operator takes whatever frames it
+    * is given.
+    */
+  def incrementalNearDupPairs(
+      base: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleWords: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val all = base.select(col(idCol), col(textCol), lit(false).as("_new"))
+      .unionByName(
+        batch.select(col(idCol), col(textCol), lit(true).as("_new")))
+    val flags = all.select(col(idCol).as("doc_id"), col("_new"))
+    val sigs = signatures(all, idCol, textCol, numHashes, shingleWords)
+      .join(flags, "doc_id").persist()
+
+    val banded = sigs.select(
+      col("doc_id"), col("_new"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_idx"),
+          concat_ws("|", transform(
+            slice(col("sig"), b * rows + lit(1), lit(rows)),
+            x => x.cast("string"))).as("band_key")))).as("bk"))
+      .select(col("doc_id"), col("_new"),
+        col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
+
+    val candidates = banded.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("id_a"), col("_new").as("_new_a"))
+      .join(banded.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("id_b"), col("_new").as("_new_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("_new_a") || col("_new_b")) // base×base never joins on
+      .select(col("id_a"), col("id_b"), col("_new_a"), col("_new_b"))
+      .distinct()
+
+    val lookup = sigs.select(col("doc_id"), col("toks"))
+    val verified = candidates
+      .join(lookup.select(col("doc_id").as("id_a"), col("toks").as("t_a")),
+        Seq("id_a"))
+      .join(lookup.select(col("doc_id").as("id_b"), col("toks").as("t_b")),
+        Seq("id_b"))
+      .withColumn("jaccard_sim", TextFunctions.jaccard(col("t_a"), col("t_b")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard_sim"), 6).as("jaccard_sim"),
+        when(col("_new_a") && col("_new_b"), "batch_internal")
+          .otherwise("batch_vs_base").as("pair_kind"))
+
+    val out = verified.localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
 }

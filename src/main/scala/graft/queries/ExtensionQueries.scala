@@ -2654,4 +2654,27 @@ object ExtensionQueries {
     graft.operators.Auditing.leadLagCorr(
       RelationalQueries.events(s, dir), "ts", "event_type",
       typeA = "click", typeB = "purchase", maxLag = 3)
+
+  /** Incremental near-dup: a planted ingest batch (mirrors of docs
+    * ≡ 0 mod 7, ids +500000) against the base corpus — which itself
+    * contains a planted internal duplicate (doc 3 ↔ 600003) that
+    * must NOT appear (base×base is yesterday's output).
+    */
+  def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = docs.unionByName(docs.filter(col("doc_id") === 3)
+      .select(lit(600003L).as("doc_id"), col("text")))
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    graft.operators.PortableMinHash.incrementalNearDupPairs(
+      base, batch, "doc_id", "text")
+  }
+
+  /** KMV set algebra: union/intersection distinct-user estimates for
+    * the click vs purchase cohorts from their bottom-64 sketches.
+    */
+  def qKmvSetOps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Kmv.setOperations(
+      RelationalQueries.events(s, dir), "event_type", "user_id",
+      cohortA = "click", cohortB = "purchase", k = 64)
 }
