@@ -453,7 +453,11 @@ object SparkEntry {
     // incremental LSH near-dup: new batch vs base, base×base excluded
     "q239_incremental_neardup" -> (X.qIncrementalNearDup _),
     // KMV sketch set algebra: union/intersection estimates
-    "q240_kmv_setops" -> (X.qKmvSetOps _)
+    "q240_kmv_setops" -> (X.qKmvSetOps _),
+    // functional-dependency audit (held + violated dependencies)
+    "q241_fd_audit" -> (X.qFdAudit _),
+    // FK orphan audit against under-covering and full dimensions
+    "q242_fk_orphans" -> (X.qFkOrphans _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4382,7 +4386,58 @@ object SparkEntry {
         |    6) AS corr
         |FROM m""".stripMargin,
     "q239_incremental_neardup" -> incrementalNearDupSql,
-    "q240_kmv_setops" -> kmvSetOpsSql
+    "q240_kmv_setops" -> kmvSetOpsSql,
+    // FD audit: one count-distinct collapse per dependency pair
+    "q241_fd_audit" ->
+      """WITH li AS (
+        |  SELECT l.*, o.o_orderstatus
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |p1 AS (SELECT l_orderkey AS lk, COUNT(DISTINCT o_orderstatus) AS nr
+        |       FROM li GROUP BY 1),
+        |p2 AS (SELECT l_partkey AS lk, COUNT(DISTINCT l_suppkey) AS nr
+        |       FROM li GROUP BY 1),
+        |p3 AS (SELECT l_orderkey AS lk, COUNT(DISTINCT l_returnflag) AS nr
+        |       FROM li GROUP BY 1)
+        |SELECT 'l_orderkey' AS lhs, 'o_orderstatus' AS rhs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lhs,
+        |  CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  (SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0) AS fd_holds
+        |FROM p1
+        |UNION ALL
+        |SELECT 'l_partkey', 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  (SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0)
+        |FROM p2
+        |UNION ALL
+        |SELECT 'l_orderkey', 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  (SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0)
+        |FROM p3""".stripMargin,
+    // FK orphans: anti-join counts vs partial and full dimensions
+    "q242_fk_orphans" ->
+      """WITH d100 AS (SELECT DISTINCT c_custkey - 1 AS k FROM customer
+        |              WHERE c_custkey <= 100),
+        |d150 AS (SELECT DISTINCT c_custkey - 1 AS k FROM customer
+        |         WHERE c_custkey <= 150),
+        |e AS (SELECT user_id FROM events)
+        |SELECT 'user_id' AS child_key, 'user_id' AS parent_key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+        |  CAST(SUM(CASE WHEN d100.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphan_rows,
+        |  CAST(COUNT(DISTINCT CASE WHEN d100.k IS NULL THEN user_id END)
+        |    AS BIGINT) AS n_orphan_keys,
+        |  (SUM(CASE WHEN d100.k IS NULL THEN 1 ELSE 0 END) = 0)
+        |    AS integrity_holds
+        |FROM e LEFT JOIN d100 ON e.user_id = d100.k
+        |UNION ALL
+        |SELECT 'user_id_full', 'user_id',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN d150.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT CASE WHEN d150.k IS NULL THEN user_id END)
+        |    AS BIGINT),
+        |  (SUM(CASE WHEN d150.k IS NULL THEN 1 ELSE 0 END) = 0)
+        |FROM e LEFT JOIN d150 ON e.user_id = d150.k""".stripMargin
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

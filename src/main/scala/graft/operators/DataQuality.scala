@@ -71,4 +71,47 @@ object DataQuality {
     }
     one.select(explode(array(items: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Functional-dependency audit (the discovery-tool primitive, à la
+    * Metanome): for each candidate LHS → RHS pair, how many LHS
+    * values map to MORE THAN ONE distinct RHS — zero means the
+    * dependency holds exactly. One (lhs)-keyed count-distinct
+    * aggregate per pair (different grouping keys can't share a
+    * pass); each collapses the table to |distinct lhs| rows before
+    * the violation count, which is itself a one-row aggregate.
+    */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "no dependency pairs given")
+    pairs.map { case (lhs, rhs) =>
+      df.groupBy(col(lhs).as("_l"))
+        .agg(countDistinct(col(rhs)).as("_nr"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("_nr") > 1L, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs"), col("n_violating"),
+          (col("n_violating") === 0L).as("fd_holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Foreign-key orphan audit: child rows whose key has no match in
+    * the parent's key set — the referential-integrity check a lake
+    * runs before publishing a join-dependent table. One distinct
+    * collapse of each side and one left-anti-shaped aggregate; the
+    * parent key set arrives as a join, never a collect.
+    */
+  def fkOrphans(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val pk = parent.select(col(parentKey).as("_k")).distinct()
+      .withColumn("_present", lit(1))
+    child.select(col(childKey).as("_k"))
+      .join(pk, Seq("_k"), "left")
+      .agg(count(lit(1)).as("n_child_rows"),
+        sum(when(col("_present").isNull, 1L).otherwise(0L))
+          .as("n_orphan_rows"),
+        countDistinct(when(col("_present").isNull, col("_k")))
+          .as("n_orphan_keys"))
+      .select(lit(childKey).as("child_key"), lit(parentKey).as("parent_key"),
+        col("n_child_rows"), col("n_orphan_rows"), col("n_orphan_keys"),
+        (col("n_orphan_rows") === 0L).as("integrity_holds"))
+  }
 }

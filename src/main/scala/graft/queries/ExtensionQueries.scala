@@ -2677,4 +2677,35 @@ object ExtensionQueries {
     graft.operators.Kmv.setOperations(
       RelationalQueries.events(s, dir), "event_type", "user_id",
       cohortA = "click", cohortB = "purchase", k = 64)
+
+  /** Functional-dependency audit over lineitem: orderkey→orderstatus
+    * via orders holds; partkey→suppkey genuinely fails (multi-sourced
+    * parts) — a held and a violated dependency in one report.
+    */
+  def qFdAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus")), col("l_orderkey") === col("o_orderkey"))
+    graft.operators.DataQuality.fdAudit(li,
+      Seq("l_orderkey" -> "o_orderstatus", "l_partkey" -> "l_suppkey",
+        "l_orderkey" -> "l_returnflag"))
+  }
+
+  /** FK orphan audit: events.user_id against a deliberately
+    * UNDER-COVERING user dimension (c_custkey ≤ 100 of 150 mapped
+    * users) — users 100-149 surface as orphans; the full-dim row
+    * shows integrity holding.
+    */
+  def qFkOrphans(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+    def dim(maxKey: Int) = tbl(s, dir, "customer")
+      .filter(col("c_custkey") <= maxKey)
+      .select((col("c_custkey") - 1).as("user_id"))
+    graft.operators.DataQuality.fkOrphans(ev, "user_id", dim(100), "user_id")
+      .unionByName(graft.operators.DataQuality.fkOrphans(
+        ev, "user_id", dim(150), "user_id")
+        .select(lit("user_id_full").as("child_key"), col("parent_key"),
+          col("n_child_rows"), col("n_orphan_rows"), col("n_orphan_keys"),
+          col("integrity_holds")))
+  }
 }
