@@ -457,7 +457,11 @@ object SparkEntry {
     // functional-dependency audit (held + violated dependencies)
     "q241_fd_audit" -> (X.qFdAudit _),
     // FK orphan audit against under-covering and full dimensions
-    "q242_fk_orphans" -> (X.qFkOrphans _)
+    "q242_fk_orphans" -> (X.qFkOrphans _),
+    // Dunning G² collocation significance (lattice-ln 2×2 cells)
+    "q243_llr_collocations" -> (X.qLlrCollocations _),
+    // discrete survival curve with lattice-ln Kaplan-Meier
+    "q244_survival_curve" -> (X.qSurvivalCurve _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4437,7 +4441,87 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT CASE WHEN d150.k IS NULL THEN user_id END)
         |    AS BIGINT),
         |  (SUM(CASE WHEN d150.k IS NULL THEN 1 ELSE 0 END) = 0)
-        |FROM e LEFT JOIN d150 ON e.user_id = d150.k""".stripMargin
+        |FROM e LEFT JOIN d150 ON e.user_id = d150.k""".stripMargin,
+    // G²: the q146 pair pipeline + four lattice-ln cell terms in
+    // HUGEINT ≡ the engine's DECIMAL(38,0) accumulation
+    "q243_llr_collocations" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id AS _doc, x AS tok
+        |  FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS t(x)),
+        |n AS (SELECT COUNT(DISTINCT _doc) AS n_docs FROM toks),
+        |n2 AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents),
+        |dfreq AS (
+        |  SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1
+        |  HAVING COUNT(*) * 10 >= (SELECT n_docs FROM n)),
+        |kept AS (SELECT _doc, tok FROM toks JOIN dfreq USING (tok)),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+        |  FROM kept a JOIN kept b ON a._doc = b._doc AND a.tok < b.tok
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) * 25 >= (SELECT n_docs FROM n)),
+        |base AS (
+        |  SELECT tok_a, tok_b, c_ab, da.df AS c_a, db.df AS c_b, n2.nn
+        |  FROM pairs JOIN dfreq da ON pairs.tok_a = da.tok
+        |    JOIN dfreq db ON pairs.tok_b = db.tok CROSS JOIN n2),
+        |g AS (SELECT *, c_a - c_ab AS k12, c_b - c_ab AS k21,
+        |        nn - c_a - c_b + c_ab AS k22,
+        |        nn - c_a AS r2, nn - c_b AS cc2
+        |      FROM base)
+        |SELECT tok_a, tok_b, c_ab, c_a, c_b,
+        |  ROUND(2.0 * (CAST(
+        |      (CASE WHEN c_ab > 0 THEN CAST(c_ab AS HUGEINT)
+        |        * CAST(ROUND(ln((CAST(c_ab AS DOUBLE) * CAST(nn AS DOUBLE))
+        |            / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)))
+        |          * 100000000.0) AS BIGINT) ELSE 0 END)
+        |    + (CASE WHEN k12 > 0 THEN CAST(k12 AS HUGEINT)
+        |        * CAST(ROUND(ln((CAST(k12 AS DOUBLE) * CAST(nn AS DOUBLE))
+        |            / (CAST(c_a AS DOUBLE) * CAST(cc2 AS DOUBLE)))
+        |          * 100000000.0) AS BIGINT) ELSE 0 END)
+        |    + (CASE WHEN k21 > 0 THEN CAST(k21 AS HUGEINT)
+        |        * CAST(ROUND(ln((CAST(k21 AS DOUBLE) * CAST(nn AS DOUBLE))
+        |            / (CAST(r2 AS DOUBLE) * CAST(c_b AS DOUBLE)))
+        |          * 100000000.0) AS BIGINT) ELSE 0 END)
+        |    + (CASE WHEN k22 > 0 THEN CAST(k22 AS HUGEINT)
+        |        * CAST(ROUND(ln((CAST(k22 AS DOUBLE) * CAST(nn AS DOUBLE))
+        |            / (CAST(r2 AS DOUBLE) * CAST(cc2 AS DOUBLE)))
+        |          * 100000000.0) AS BIGINT) ELSE 0 END)
+        |    AS DOUBLE) / 100000000.0), 6) AS g2
+        |FROM g""".stripMargin,
+    // Survival: day floor-division parity, descending cumulative
+    // at-risk, lattice ln(1−h) cumulative; terminal row NULL
+    "q244_survival_curve" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MAX(epoch_us(ts) // 86400000000)
+        |      - MIN(epoch_us(ts) // 86400000000) AS lt
+        |  FROM events GROUP BY 1),
+        |de AS (SELECT lt AS t_days, COUNT(*) AS deaths FROM pu GROUP BY 1),
+        |w AS (SELECT t_days, deaths,
+        |        SUM(deaths) OVER (ORDER BY t_days
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |          AS at_risk
+        |      FROM de),
+        |l AS (SELECT *, CASE WHEN deaths < at_risk
+        |        THEN CAST(ROUND(ln(1.0 - CAST(deaths AS DOUBLE)
+        |            / CAST(at_risk AS DOUBLE)) * 100000000.0) AS BIGINT)
+        |        END AS lat
+        |      FROM w),
+        |c AS (SELECT *,
+        |        SUM(lat) OVER (ORDER BY t_days
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        MAX(CASE WHEN lat IS NULL THEN t_days END) OVER () AS term
+        |      FROM l)
+        |SELECT CAST(t_days AS BIGINT) AS t_days,
+        |  CAST(at_risk AS BIGINT) AS at_risk,
+        |  CAST(deaths AS BIGINT) AS deaths,
+        |  ROUND(CAST(deaths AS DOUBLE) / CAST(at_risk AS DOUBLE), 6)
+        |    AS hazard,
+        |  CASE WHEN t_days >= term THEN NULL
+        |    ELSE ROUND(CAST(cum AS DOUBLE) / 100000000.0, 6)
+        |  END AS ln_survival
+        |FROM c""".stripMargin
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

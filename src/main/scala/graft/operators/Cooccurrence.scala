@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Token co-occurrence statistics with a PMI-style association score —
@@ -71,5 +71,45 @@ object Cooccurrence {
       .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
         ((col("c_ab") * col("n_docs")).cast("double") /
           (col("c_a") * col("c_b")).cast("double")).as("pmi_ratio"))
+  }
+
+  /** Dunning's log-likelihood ratio G² (Dunning 1993) over the same
+    * document-presence pair pipeline as [[pmiPairs]] — the
+    * collocation significance test that, unlike PMI, does not blow
+    * up on rare pairs. With the 2×2 presence table
+    * (k11 = c_ab, k12 = c_a − c_ab, k21 = c_b − c_ab,
+    * k22 = N − c_a − c_b + c_ab),
+    *
+    *   G² = 2 · Σ_cells k · ln( k·N / (row·col) ),   0·ln(·) = 0
+    *
+    * Each cell's ln lands on the 1e-8 lattice once; the four
+    * k·lattice products accumulate in DECIMAL(38,0) (k·|ln|·10⁸
+    * overflows int64 at 100-TB document counts), and one division
+    * by 1e8 closes the chain — hash-checkable end to end.
+    */
+  def llrPairs(docs: DataFrame, idCol: String, tokCol: String,
+      dfTimes: Int = 10, pairTimes: Int = 25): DataFrame = {
+    val base = pmiPairs(docs, idCol, tokCol, dfTimes, pairTimes)
+    val n = docs.select(countDistinct(col(idCol)).as("_n"))
+    val dec = "decimal(38,0)"
+    def term(k: Column, row: Column, colm: Column): Column = {
+      val lat = round(log((k.cast("double") * col("_n").cast("double"))
+        / (row.cast("double") * colm.cast("double"))) * 1e8).cast("long")
+      when(k > 0, k.cast(dec) * lat.cast(dec)).otherwise(lit(0).cast(dec))
+    }
+    val k11 = col("c_ab")
+    val k12 = col("c_a") - col("c_ab")
+    val k21 = col("c_b") - col("c_ab")
+    val k22 = col("_n") - col("c_a") - col("c_b") + col("c_ab")
+    val row2 = col("_n") - col("c_a")
+    val col2 = col("_n") - col("c_b")
+    // pinned 4-term order: k11 + k12 + k21 + k22 (exact decimal adds)
+    val g2lat = term(k11, col("c_a"), col("c_b"))
+      .plus(term(k12, col("c_a"), col2))
+      .plus(term(k21, row2, col("c_b")))
+      .plus(term(k22, row2, col2))
+    base.crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
+        round(lit(2.0) * (g2lat.cast("double") / 1e8), 6).as("g2"))
   }
 }

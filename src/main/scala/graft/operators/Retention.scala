@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort retention matrix: users grouped by the week of their FIRST
@@ -75,5 +76,52 @@ object Retention {
     Intervals.concurrencyTimeline(runs, "sd", "ed")
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n_active"))
+  }
+
+  /** Discrete survival curve over user lifetimes (observed-lifetime
+    * life table): lifetime = last active day − first active day;
+    * deaths(t) = users whose lifetime is exactly t, at_risk(t) =
+    * users with lifetime ≥ t, hazard = deaths/at_risk, and the
+    * Kaplan-Meier survivor function carried as
+    * ln S(t) = Σ_{s ≤ t} ln(1 − hazard(s)) — each ln on the 1e-8
+    * lattice ONCE per lifetime value, the cumulative an exact int64
+    * sum, so the curve hash-checks without ever exponentiating
+    * (exp() would reopen the cross-engine gap the lattice closes).
+    * The terminal row (hazard = 1, survival 0) reports a NULL
+    * ln-survival rather than −∞.
+    *
+    * Scale shape: one per-user min/max aggregate collapses the
+    * stream to |users| rows, then a lifetime-keyed count collapses
+    * those to |distinct lifetimes| rows — every window after that
+    * runs over the bounded lifetime frame.
+    */
+  def survivalCurve(events: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val perUser = events
+      .select(col(keyCol).as("u"),
+        (unix_micros(col(tsCol)) / lit(86400000000L)).cast("long").as("d"))
+      .groupBy(col("u"))
+      .agg((max(col("d")) - min(col("d"))).as("_lt"))
+    val deaths = perUser.groupBy(col("_lt").as("t_days"))
+      .agg(count(lit(1)).as("deaths"))
+    val ord = Window.partitionBy(lit(1)).orderBy(col("t_days"))
+    val atRisk = sum(col("deaths")).over(
+      ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    deaths
+      .withColumn("at_risk", atRisk)
+      .withColumn("_lat",
+        when(col("deaths") < col("at_risk"),
+          round(log(lit(1.0) - col("deaths").cast("double")
+            / col("at_risk").cast("double")) * 1e8).cast("long")))
+      .withColumn("_cum", sum(col("_lat")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_terminal", max(when(col("_lat").isNull, col("t_days")))
+        .over(Window.partitionBy(lit(1))))
+      .select(col("t_days"), col("at_risk"), col("deaths"),
+        round(col("deaths").cast("double") / col("at_risk").cast("double"), 6)
+          .as("hazard"),
+        when(col("t_days") >= col("_terminal"), lit(null).cast("double"))
+          .otherwise(round(col("_cum").cast("double") / 1e8, 6))
+          .as("ln_survival"))
   }
 }

@@ -2691,6 +2691,21 @@ object ExtensionQueries {
         "l_orderkey" -> "l_returnflag"))
   }
 
+  /** Dunning G² collocation significance over the q146 pair pipeline. */
+  def qLlrCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cooccurrence.llrPairs(
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("toks")),
+      "doc_id", "toks", dfTimes = 10, pairTimes = 25)
+
+  /** Discrete survival curve over user lifetimes in the event
+    * stream (life table + lattice-ln Kaplan-Meier).
+    */
+  def qSurvivalCurve(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retention.survivalCurve(
+      RelationalQueries.events(s, dir), "user_id", "ts")
+
   /** FK orphan audit: events.user_id against a deliberately
     * UNDER-COVERING user dimension (c_custkey ≤ 100 of 150 mapped
     * users) — users 100-149 surface as orphans; the full-dim row
