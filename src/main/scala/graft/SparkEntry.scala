@@ -461,7 +461,13 @@ object SparkEntry {
     // Dunning G² collocation significance (lattice-ln 2×2 cells)
     "q243_llr_collocations" -> (X.qLlrCollocations _),
     // discrete survival curve with lattice-ln Kaplan-Meier
-    "q244_survival_curve" -> (X.qSurvivalCurve _)
+    "q244_survival_curve" -> (X.qSurvivalCurve _),
+    // tokenizer-sizing vocabulary coverage curve (top-30 ranks)
+    "q245_vocab_coverage" -> (X.qVocabCoverage _),
+    // sorted-neighborhood dedup (two-level rank, w=3 neighbor scan)
+    "q246_sorted_neighborhood" -> (X.qSortedNeighborhood _),
+    // association rules over (user, day) event-type baskets
+    "q247_assoc_rules" -> (X.qAssocRules _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4521,7 +4527,76 @@ object SparkEntry {
         |  CASE WHEN t_days >= term THEN NULL
         |    ELSE ROUND(CAST(cum AS DOUBLE) / 100000000.0, 6)
         |  END AS ln_survival
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // Vocabulary coverage: rank by (freq DESC, term), HUGEINT
+    // cumulative ≡ DECIMAL(38,0)
+    "q245_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT x AS term, COUNT(*) AS f
+        |  FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS t(x)
+        |  GROUP BY 1),
+        |r AS (SELECT term, f,
+        |        ROW_NUMBER() OVER (ORDER BY f DESC, term ASC) AS rk,
+        |        SUM(f) OVER () AS tot,
+        |        SUM(f) OVER (ORDER BY f DESC, term ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM tf)
+        |SELECT CAST(rk AS INTEGER) AS rank, term,
+        |  CAST(f AS BIGINT) AS n_occurrences,
+        |  ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+        |FROM r WHERE rk <= 30""".stripMargin,
+    // Sorted-neighborhood: the (canonical-24-prefix, id) sort rank
+    // replayed with one ROW_NUMBER; neighbor join = rank arithmetic
+    "q246_sorted_neighborhood" -> (plantedDupSql + ",\n" +
+      """k AS (SELECT doc_id AS id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM pd),
+        |r AS (SELECT id, tk,
+        |    substr(trim(regexp_replace(regexp_replace(
+        |      array_to_string(tk, ' '), '[[:punct:]]', '', 'g'),
+        |      '\s+', ' ', 'g')), 1, 24) AS key
+        |  FROM k),
+        |rk AS (SELECT id, tk,
+        |         ROW_NUMBER() OVER (ORDER BY key, id) AS rank
+        |       FROM r)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(b.rank - a.rank AS INTEGER) AS rank_dist,
+        |  ROUND(CAST(len(list_intersect(list_distinct(a.tk),
+        |      list_distinct(b.tk))) AS DOUBLE)
+        |    / CAST(len(list_distinct(a.tk || b.tk)) AS DOUBLE), 6)
+        |    AS jaccard_sim
+        |FROM rk a JOIN rk b
+        |  ON b.rank BETWEEN a.rank + 1 AND a.rank + 3
+        |WHERE CAST(len(list_intersect(list_distinct(a.tk),
+        |    list_distinct(b.tk))) AS DOUBLE)
+        |  / CAST(len(list_distinct(a.tk || b.tk)) AS DOUBLE) >= 0.5""".stripMargin),
+    // Association rules: presence baskets, integer-ratio statistics
+    "q247_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT CAST(user_id AS VARCHAR) || ':'
+        |      || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS bk,
+        |    event_type AS i
+        |  FROM events),
+        |n AS (SELECT COUNT(DISTINCT bk) AS nb FROM b),
+        |it AS (SELECT i, COUNT(*) AS ni FROM b GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_ab
+        |      FROM b a JOIN b c ON a.bk = c.bk AND a.i < c.i
+        |      GROUP BY 1, 2)
+        |SELECT item_a, item_b, CAST(nb AS BIGINT) AS n_baskets,
+        |  CAST(ia.ni AS BIGINT) AS n_a, CAST(ib.ni AS BIGINT) AS n_b,
+        |  CAST(n_ab AS BIGINT) AS n_ab,
+        |  ROUND(CAST(n_ab AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS support,
+        |  ROUND(CAST(n_ab AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6)
+        |    AS conf_a_to_b,
+        |  ROUND(CAST(n_ab AS DOUBLE) / CAST(ib.ni AS DOUBLE), 6)
+        |    AS conf_b_to_a,
+        |  ROUND(CAST(n_ab * nb AS DOUBLE)
+        |    / CAST(ia.ni * ib.ni AS DOUBLE), 6) AS lift
+        |FROM p JOIN it ia ON p.item_a = ia.i
+        |  JOIN it ib ON p.item_b = ib.i CROSS JOIN n""".stripMargin
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

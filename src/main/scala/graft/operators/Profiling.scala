@@ -108,6 +108,33 @@ object Profiling {
     latticeOls(pts, "n_terms")
   }
 
+  /** Tokenizer-sizing coverage curve: the top-k vocabulary's share
+    * of total token mass at every rank up to `topK` — "how big must
+    * the vocabulary be to cover 95 % of the corpus", the practical
+    * complement to [[zipfFit]]'s exponent. Cumulative mass rides
+    * DECIMAL-exact sums over the rank window; the window runs over
+    * the VOCABULARY frame (Zipf-bounded — the zipfFit argument), and
+    * the output caps at topK rows regardless of corpus size.
+    */
+  def vocabCoverage(terms: DataFrame, termCol: String, freqCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"need at least 1 rank: $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(freqCol).desc, col(termCol).asc)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    terms
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_tot", sum(col(freqCol).cast("decimal(38,0)")).over(whole))
+      .withColumn("_cum", sum(col(freqCol).cast("decimal(38,0)")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .filter(col("_rk") <= topK)
+      .select(col("_rk").as("rank"), col(termCol).as("term"),
+        col(freqCol).cast("long").as("n_occurrences"),
+        round(col("_cum").cast("double") / col("_tot").cast("double"), 6)
+          .as("cum_share"))
+  }
+
   /** Heaps-law fit: vocabulary size V against token count N over
     * growing doc-id prefixes of the corpus, as the log-log OLS slope
     * (the Heaps β, with intercept = ln K) — the companion statistic

@@ -2691,6 +2691,33 @@ object ExtensionQueries {
         "l_orderkey" -> "l_returnflag"))
   }
 
+  /** Tokenizer-sizing vocabulary coverage curve (top-30 ranks). */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tf = tbl(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    graft.operators.Profiling.vocabCoverage(tf, "term", "f", topK = 30)
+  }
+
+  /** Sorted-neighborhood dedup over the planted-dup corpus: verbatim
+    * copies sort adjacent under the canonical-prefix key, so the
+    * w=3 neighbor scan recovers them with O(n·w) candidates.
+    */
+  def qSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SortedNeighborhood.nearDupPairs(
+      plantedDupDocs(s, dir), "doc_id", "text",
+      window = 3, threshold = 0.5)
+
+  /** Pairwise association rules over (user, day) event-type baskets. */
+  def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+    graft.operators.AssociationRules.pairRules(
+      ev.withColumn("_day",
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long")),
+      basketCol = concat_ws(":", col("user_id"), col("_day")),
+      itemCol = "event_type")
+  }
+
   /** Dunning G² collocation significance over the q146 pair pipeline. */
   def qLlrCollocations(s: SparkSession, dir: String): DataFrame =
     graft.operators.Cooccurrence.llrPairs(
