@@ -63,10 +63,17 @@ object SortedNeighborhood {
 
       val right = ranked.select(col("_rank").as("_rank_b"),
         col("_id").as("id_b"), col("_toks").as("t_b"))
-      ranked
+      // the neighbor key MUST be a plain attribute before the join:
+      // joining on `_rank_b === _rank + _j` lets the optimizer fold
+      // the jaccard verify into a nested-loop join condition (no
+      // equi-key extraction through the arithmetic after the cross
+      // join) — measured 171 s vs 2 s at sf0.1 for the same result
+      val probes = ranked
         .select(col("_rank"), col("_id").as("id_a"), col("_toks").as("t_a"))
         .crossJoin(spark.range(1, window + 1L).select(col("id").as("_j")))
-        .join(right, col("_rank_b") === col("_rank") + col("_j"))
+        .withColumn("_rank_target", col("_rank") + col("_j"))
+      probes
+        .join(right, col("_rank_b") === col("_rank_target"))
         .withColumn("jaccard_sim",
           TextFunctions.jaccard(array_distinct(col("t_a")),
             array_distinct(col("t_b"))))
