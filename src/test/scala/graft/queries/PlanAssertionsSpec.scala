@@ -235,4 +235,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("topkby"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("q246: the neighbor join is hash-based; jaccard never joins a loop") {
+    val plan = planOf("q246_sorted_neighborhood")
+    // the only nested-loop allowed is the 3-row window-offset cross
+    // join; the rank join must extract equi keys and the verify must
+    // run post-join (the 171s regression this guards against put
+    // jaccardsimexpr inside a BroadcastNestedLoopJoin condition)
+    val loopConds = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toSeq
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!loopConds.exists(_.contains("jaccard")),
+      s"jaccard inside a loop join:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
 }
