@@ -1109,7 +1109,12 @@ object ExtensionQueries {
     * keeps the wedge join O(|E|^1.5) at scale.
     */
   def qTriangleCount(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Triangles.perNode(nearDupPairs(s, dir))
+    // checkpoint the quadratic pair generator ONCE: perNode references
+    // its edge input ~7 times (degree union, orientation joins, wedge
+    // probes) and Catalyst re-inlines an un-pinned generator into
+    // every reference — the r8 plan audit counted 35 jaccard-kernel
+    // sites in the un-pinned plan
+    graft.operators.Triangles.perNode(nearDupPairs(s, dir).localCheckpoint())
 
   /** Stride-overlapped context-window chunking (size 512, stride 384)
     * — shuffle-free generate + codegen'd substring.
