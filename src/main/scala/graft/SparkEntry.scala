@@ -467,7 +467,11 @@ object SparkEntry {
     // sorted-neighborhood dedup (two-level rank, w=3 neighbor scan)
     "q246_sorted_neighborhood" -> (X.qSortedNeighborhood _),
     // association rules over (user, day) event-type baskets
-    "q247_assoc_rules" -> (X.qAssocRules _)
+    "q247_assoc_rules" -> (X.qAssocRules _),
+    // per-source distinctive-bigram keywords (group TF-IDF)
+    "q248_keywords" -> (X.qKeywords _),
+    // one-pass numeric column profiler (exact describe)
+    "q249_column_profile" -> (X.qColumnProfile _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4596,7 +4600,77 @@ object SparkEntry {
         |  ROUND(CAST(n_ab * nb AS DOUBLE)
         |    / CAST(ia.ni * ib.ni AS DOUBLE), 6) AS lift
         |FROM p JOIN it ia ON p.item_a = ia.i
-        |  JOIN it ib ON p.item_b = ib.i CROSS JOIN n""".stripMargin
+        |  JOIN it ib ON p.item_b = ib.i CROSS JOIN n""".stripMargin,
+    // Keywords: distinct doc bigrams (q125's shingle mirror), group
+    // presence-tf, lattice idf, (score DESC, term) top-3
+    "q248_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i + 1]))) AS term
+        |  FROM tk WHERE len(tk) >= 2),
+        |tf AS (SELECT source, term, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+        |gf AS (SELECT term, COUNT(*) AS gf FROM tf GROUP BY 1),
+        |g AS (SELECT COUNT(DISTINCT source) AS ng FROM documents),
+        |sc AS (
+        |  SELECT tf.source, tf.term, tf.tf, gf.gf,
+        |    ROUND(CAST(tf.tf * CAST(ROUND(ln(CAST(ng AS DOUBLE)
+        |        / CAST(gf.gf AS DOUBLE)) * 100000000.0) AS BIGINT)
+        |      AS DOUBLE) / 100000000.0, 6) AS score
+        |  FROM tf JOIN gf USING (term) CROSS JOIN g),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY score DESC, term ASC) AS rank
+        |      FROM sc)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(gf AS BIGINT) AS gf, score
+        |FROM r WHERE rank <= 3 AND score > 0.0""".stripMargin,
+    // Column profiler: one aggregate, DECIMAL-carried means
+    "q249_column_profile" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS z1,
+        |    COUNT(DISTINCT l_quantity) AS d1,
+        |    MIN(CAST(l_quantity AS DOUBLE)) AS mn1,
+        |    MAX(CAST(l_quantity AS DOUBLE)) AS mx1,
+        |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS s1,
+        |    SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS z2,
+        |    COUNT(DISTINCT l_extendedprice) AS d2,
+        |    MIN(CAST(l_extendedprice AS DOUBLE)) AS mn2,
+        |    MAX(CAST(l_extendedprice AS DOUBLE)) AS mx2,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS s2,
+        |    SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS z3,
+        |    COUNT(DISTINCT l_discount) AS d3,
+        |    MIN(CAST(l_discount AS DOUBLE)) AS mn3,
+        |    MAX(CAST(l_discount AS DOUBLE)) AS mx3,
+        |    SUM(CAST(l_discount AS DECIMAL(28,6))) AS s3,
+        |    SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS z4,
+        |    COUNT(DISTINCT l_tax) AS d4,
+        |    MIN(CAST(l_tax AS DOUBLE)) AS mn4,
+        |    MAX(CAST(l_tax AS DOUBLE)) AS mx4,
+        |    SUM(CAST(l_tax AS DECIMAL(28,6))) AS s4
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS column_name, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(z1 AS BIGINT) AS n_null, CAST(d1 AS BIGINT) AS n_distinct,
+        |  mn1 AS min_value, mx1 AS max_value,
+        |  CASE WHEN n > z1 THEN ROUND(CAST(s1 AS DOUBLE)
+        |    / CAST(n - z1 AS DOUBLE), 6) END AS mean_value
+        |FROM a
+        |UNION ALL SELECT 'l_extendedprice', CAST(n AS BIGINT),
+        |  CAST(z2 AS BIGINT), CAST(d2 AS BIGINT), mn2, mx2,
+        |  CASE WHEN n > z2 THEN ROUND(CAST(s2 AS DOUBLE)
+        |    / CAST(n - z2 AS DOUBLE), 6) END FROM a
+        |UNION ALL SELECT 'l_discount', CAST(n AS BIGINT),
+        |  CAST(z3 AS BIGINT), CAST(d3 AS BIGINT), mn3, mx3,
+        |  CASE WHEN n > z3 THEN ROUND(CAST(s3 AS DOUBLE)
+        |    / CAST(n - z3 AS DOUBLE), 6) END FROM a
+        |UNION ALL SELECT 'l_tax', CAST(n AS BIGINT),
+        |  CAST(z4 AS BIGINT), CAST(d4 AS BIGINT), mn4, mx4,
+        |  CASE WHEN n > z4 THEN ROUND(CAST(s4 AS DOUBLE)
+        |    / CAST(n - z4 AS DOUBLE), 6) END FROM a""".stripMargin
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

@@ -108,6 +108,39 @@ object Profiling {
     latticeOls(pts, "n_terms")
   }
 
+  /** One-pass numeric column profiler (the `describe` shape made
+    * exact and oracle-checkable): per column, row/null/distinct
+    * counts, min, max, and a DECIMAL-carried mean — every statistic
+    * from ONE aggregate over the table (the multi-distinct Expand
+    * plan: one extra shuffle of (value, gid) rows, still a single
+    * scan; the DataQuality.check argument).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"_n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        countDistinct(col(c)).as(s"_d_$c"),
+        min(col(c).cast("double")).as(s"_min_$c"),
+        max(col(c).cast("double")).as(s"_max_$c"),
+        sum(col(c).cast("decimal(28,6)")).as(s"_s_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"_n_$c").as("n_rows"),
+        col(s"_null_$c").as("n_null"),
+        col(s"_d_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_value"),
+        col(s"_max_$c").as("max_value"),
+        when(col(s"_n_$c") > col(s"_null_$c"),
+          round(col(s"_s_$c").cast("double")
+            / (col(s"_n_$c") - col(s"_null_$c")).cast("double"), 6))
+          .as("mean_value"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Tokenizer-sizing coverage curve: the top-k vocabulary's share
     * of total token mass at every rank up to `topK` — "how big must
     * the vocabulary be to cover 95 % of the corpus", the practical

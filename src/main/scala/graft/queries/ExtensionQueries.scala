@@ -2696,6 +2696,17 @@ object ExtensionQueries {
         "l_orderkey" -> "l_returnflag"))
   }
 
+  /** Per-source distinctive-bigram keywords (group TF-IDF top-3). */
+  def qKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KeywordExtraction.topTerms(
+      tbl(s, dir, "documents"), "source", "text", k = 3)
+
+  /** One-pass numeric column profiler over lineitem. */
+  def qColumnProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.columnProfile(
+      tbl(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   /** Tokenizer-sizing vocabulary coverage curve (top-30 ranks). */
   def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val tf = tbl(s, dir, "documents")
