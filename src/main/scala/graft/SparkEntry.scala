@@ -471,7 +471,9 @@ object SparkEntry {
     // per-source distinctive-bigram keywords (group TF-IDF)
     "q248_keywords" -> (X.qKeywords _),
     // one-pass numeric column profiler (exact describe)
-    "q249_column_profile" -> (X.qColumnProfile _)
+    "q249_column_profile" -> (X.qColumnProfile _),
+    // r8 filter chain end to end: gopher → span budget → split
+    "q250_train_filter_v2" -> (X.qTrainFilterV2 _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4670,7 +4672,49 @@ object SparkEntry {
         |UNION ALL SELECT 'l_tax', CAST(n AS BIGINT),
         |  CAST(z4 AS BIGINT), CAST(d4 AS BIGINT), mn4, mx4,
         |  CASE WHEN n > z4 THEN ROUND(CAST(s4 AS DOUBLE)
-        |    / CAST(n - z4 AS DOUBLE), 6) END FROM a""".stripMargin
+        |    / CAST(n - z4 AS DOUBLE), 6) END FROM a""".stripMargin,
+    // The r8 filter chain: the repeated-span scaffold feeds the
+    // budget gate; the gopher battery and the q94 split are inline
+    // derived tables — every stage the same mirror as its own query
+    "q250_train_filter_v2" -> repeatedSpanSql(
+      """SELECT d.doc_id, gp.n_words, bd.repeated_frac
+        |FROM documents d
+        |JOIN (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+        |          lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |        FROM documents) tt
+        |  WHERE len(tk) >= 10 AND len(tk) <= 100000
+        |    AND len(tk) > 0
+        |    AND ROUND(CAST(COALESCE(list_sum(list_transform(tk,
+        |        x -> len(x))), 0) AS DOUBLE)
+        |      / CAST(len(tk) AS DOUBLE), 6) BETWEEN 3.0 AND 10.0
+        |    AND ROUND(CAST(len(list_filter(tk, x ->
+        |        contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+        |      / CAST(len(tk) AS DOUBLE), 6) < 0.1
+        |    AND ROUND(CAST(len(list_filter(tk, x ->
+        |        regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |      / CAST(len(tk) AS DOUBLE), 6) >= 0.8
+        |    AND len(list_filter(tk, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x))) >= 2
+        |  ) gp ON gp.doc_id = d.doc_id
+        |JOIN (
+        |  SELECT d2.doc_id,
+        |    ROUND(CASE WHEN len(list_filter(regexp_split_to_array(d2.text,
+        |        '\s+'), t -> len(t) > 0)) = 0 THEN 0.0
+        |      ELSE CAST(COALESCE(sp.rt, 0) AS DOUBLE)
+        |        / CAST(len(list_filter(regexp_split_to_array(d2.text,
+        |            '\s+'), t -> len(t) > 0)) AS DOUBLE) END, 6)
+        |      AS repeated_frac
+        |  FROM documents d2 LEFT JOIN (
+        |    SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS rt FROM (
+        |      SELECT doc_id, island, MAX(pos) + 8 - MIN(pos) AS span_len
+        |      FROM isl GROUP BY doc_id, island)
+        |    GROUP BY doc_id) sp USING (doc_id)
+        |  ) bd ON bd.doc_id = d.doc_id
+        |WHERE bd.repeated_frac <= 0.3
+        |  AND substr(md5(CAST(d.doc_id AS VARCHAR) || ':split_v1'),
+        |    1, 4) < 'cccc'""".stripMargin)
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

@@ -2696,6 +2696,28 @@ object ExtensionQueries {
         "l_orderkey" -> "l_returnflag"))
   }
 
+  /** The round-8 training-data filter chain END TO END: Gopher rule
+    * battery → repeated-span budget gate (≤ 30 % boilerplate) →
+    * deterministic train-split — one declared query proving the new
+    * operators COMPOSE, not just pass in isolation (the q190
+    * precedent extended to the r8 surface).
+    */
+  def qTrainFilterV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val kept = graft.operators.HeuristicFilters
+      .gopherRules(docs, "doc_id", "text", minWords = 10)
+      .filter(col("keep")).select(col("doc_id"), col("n_words"))
+    val budget = graft.operators.RepeatedSpans
+      .repeatedTokenBudget(docs, "doc_id", "text", k = 8, minDocs = 2)
+      .select(col("doc_id"), col("repeated_frac"))
+    kept.join(budget, "doc_id")
+      .filter(col("repeated_frac") <= 0.3)
+      .filter(substring(graft.operators.Sampling.hashUniform(
+          col("doc_id"), "split_v1"), 1, 4)
+        < graft.operators.Sampling.hexThreshold(0.8))
+      .select(col("doc_id"), col("n_words"), col("repeated_frac"))
+  }
+
   /** Per-source distinctive-bigram keywords (group TF-IDF top-3). */
   def qKeywords(s: SparkSession, dir: String): DataFrame =
     graft.operators.KeywordExtraction.topTerms(
