@@ -473,7 +473,11 @@ object SparkEntry {
     // one-pass numeric column profiler (exact describe)
     "q249_column_profile" -> (X.qColumnProfile _),
     // r8 filter chain end to end: gopher → span budget → split
-    "q250_train_filter_v2" -> (X.qTrainFilterV2 _)
+    "q250_train_filter_v2" -> (X.qTrainFilterV2 _),
+    // distribution-matched rejection sampling (length → en slice)
+    "q251_dist_match" -> (X.qDistMatch _),
+    // Unicode script-mix audit (Latin/Han/Cyrillic letter counts)
+    "q252_script_mix" -> (X.qScriptMix _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4714,7 +4718,66 @@ object SparkEntry {
         |  ) bd ON bd.doc_id = d.doc_id
         |WHERE bd.repeated_frac <= 0.3
         |  AND substr(md5(CAST(d.doc_id AS VARCHAR) || ':split_v1'),
-        |    1, 4) < 'cccc'""".stripMargin)
+        |    1, 4) < 'cccc'""".stripMargin),
+    // Distribution match: per-bin acceptance replayed over the
+    // source-joined frame (totals computed exactly as the engine's
+    // windows over the joined bins)
+    "q251_dist_match" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    LEAST((CASE WHEN LENGTH(text) = 0 THEN 0
+        |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |      END) // 20, 5) AS bin
+        |  FROM documents),
+        |tgt AS (
+        |  SELECT LEAST((CASE WHEN LENGTH(text) = 0 THEN 0
+        |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |      END) // 20, 5) AS bin
+        |  FROM documents WHERE lang = 'en'),
+        |sb AS (SELECT bin, COUNT(*) AS ns FROM src GROUP BY 1),
+        |tb AS (SELECT bin, COUNT(*) AS nt FROM tgt GROUP BY 1),
+        |j AS (SELECT sb.bin, sb.ns, COALESCE(tb.nt, 0) AS nt
+        |      FROM sb LEFT JOIN tb USING (bin)),
+        |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS S,
+        |          CAST(SUM(nt) AS BIGINT) AS T FROM j),
+        |pr0 AS (SELECT bin,
+        |          CAST(nt * S AS DOUBLE) / CAST(ns * T AS DOUBLE) AS ratio
+        |        FROM j CROSS JOIN tot),
+        |pr AS (SELECT bin, ratio / (SELECT MAX(ratio) FROM pr0) AS p
+        |       FROM pr0)
+        |SELECT s.doc_id, CAST(s.bin AS BIGINT) AS bin,
+        |  ROUND(pr.p, 6) AS accept_p
+        |FROM src s JOIN pr USING (bin)
+        |WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)
+        |    || ':distmatch_v1'), 1, 15))::BIGINT AS DOUBLE)
+        |  / power(2.0, 60.0) < pr.p""".stripMargin,
+    // Script mix: RE2 spellings of the same Unicode script classes
+    // the engine names with Java's Is-prefix; rank by (count DESC,
+    // pinned order latin < han < cyrillic)
+    "q252_script_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(text) - len(regexp_replace(text, '\p{L}', '', 'g'))
+        |      AS BIGINT) AS n_letters,
+        |    CAST(len(text) - len(regexp_replace(text, '\p{Latin}', '', 'g'))
+        |      AS BIGINT) AS n_latin,
+        |    CAST(len(text) - len(regexp_replace(text, '\p{Han}', '', 'g'))
+        |      AS BIGINT) AS n_han,
+        |    CAST(len(text) - len(regexp_replace(text, '\p{Cyrillic}', '',
+        |      'g')) AS BIGINT) AS n_cyrillic
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, 'latin' AS s, n_latin AS v, 0 AS idx FROM c
+        |  UNION ALL SELECT doc_id, 'han', n_han, 1 FROM c
+        |  UNION ALL SELECT doc_id, 'cyrillic', n_cyrillic, 2 FROM c),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY v DESC, idx ASC) AS rn FROM u),
+        |tp AS (SELECT doc_id, s AS t_s, v AS t_v FROM r WHERE rn = 1),
+        |sn AS (SELECT doc_id, v AS s_v FROM r WHERE rn = 2)
+        |SELECT c.doc_id, n_letters, n_latin, n_han, n_cyrillic,
+        |  CASE WHEN t_v > 0 THEN t_s ELSE 'other' END AS dominant_script,
+        |  (s_v * 5 >= n_letters AND s_v > 0) AS is_mixed_script
+        |FROM c JOIN tp USING (doc_id) JOIN sn USING (doc_id)""".stripMargin
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

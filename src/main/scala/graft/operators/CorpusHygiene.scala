@@ -108,6 +108,48 @@ object CorpusHygiene {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Unicode script-mix detection: per-document LETTER counts by
+    * script (Latin / Han / Cyrillic / other letters) via the
+    * length-difference trick with Unicode script classes — the
+    * complement to marker-vote language ID for scripts the marker
+    * sets can't see, and the flag for CJK-inside-Latin boilerplate.
+    * Java's `\p{IsHan}` and RE2's `\p{Han}` name the same property —
+    * the oracle uses the RE2 spelling of the SAME class. Dominant
+    * script by (count, pinned order); `is_mixed_script` when the
+    * runner-up holds ≥ 20 % of letters. Zero-shuffle projection.
+    */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def cnt(pat: String): Column =
+      (length(col(textCol))
+        - length(regexp_replace(col(textCol), pat, ""))).cast("long")
+    val scripts = Seq( // pinned tie-break order
+      ("latin", "\\p{IsLatin}"), ("han", "\\p{IsHan}"),
+      ("cyrillic", "\\p{IsCyrillic}"))
+    val base = scripts.foldLeft(
+        df.select(col(idCol), col(textCol),
+          cnt("\\p{L}").as("n_letters"))) {
+      case (d, (name, pat)) => d.withColumn(s"n_$name", cnt(pat))
+    }
+    val ranked = scripts.zipWithIndex.map { case ((name, _), i) =>
+      struct(col(s"n_$name").as("v"), lit(-i).as("nr"), lit(name).as("s"))
+    }
+    val top = greatest(ranked: _*)
+    val second = greatest(ranked.map(s =>
+      when(s.getField("s") === top.getField("s"),
+        struct(lit(-1L).as("v"), lit(-99).as("nr"), lit("zz").as("s")))
+        .otherwise(s)): _*)
+    base
+      .withColumn("_top", top)
+      .withColumn("_snd", second)
+      .select(col(idCol), col("n_letters"),
+        col("n_latin"), col("n_han"), col("n_cyrillic"),
+        when(col("_top.v") > 0L, col("_top.s")).otherwise("other")
+          .as("dominant_script"),
+        (col("_snd.v") * 5L >= col("n_letters") && col("_snd.v") > 0L)
+          .as("is_mixed_script"))
+  }
+
   /** Mixed-language detection: marker-token votes per language (the
     * q22 langId marker sets), emitted as counts plus the top/second
     * languages and their vote ratio — `is_mixed` flags documents

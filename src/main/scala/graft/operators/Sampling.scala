@@ -481,6 +481,54 @@ object Sampling {
     above.unionByName(boundary)
   }
 
+  /** Distribution-matched rejection sampling: thin a source corpus so
+    * a binned feature (length here, quality elsewhere) matches a
+    * TARGET corpus's distribution — the CCNet/DSIR-adjacent move
+    * "make the web slice look like the reference slice" executed as
+    * per-bin deterministic rejection. Per bin b with source share
+    * s_b and target share t_b, acceptance probability
+    *
+    *   p_b = (t_b/s_b) / max_c(t_c/s_c)
+    *
+    * (normalized so the tightest bin keeps everything; ratios formed
+    * from exact integer counts, two divisions and one bounded max).
+    * A row is kept iff its md5 uniform < p_b — deterministic, so the
+    * SAMPLE ITSELF hash-checks, not just its histogram. Bins with
+    * zero target mass reject everything; bins missing from the
+    * source cannot appear by construction.
+    *
+    * Scale shape: two bin-count aggregates (bin domain is fixed and
+    * tiny), a broadcast of the per-bin probabilities, one filter
+    * pass. Nothing driver-side, nothing quadratic.
+    */
+  def distributionMatch(source: DataFrame, target: DataFrame,
+      idCol: String, binExpr: Column, salt: String = "distmatch_v1")
+      : DataFrame = {
+    val sBins = source.select(binExpr.as("_bin"))
+      .groupBy(col("_bin")).agg(count(lit(1)).as("_ns"))
+    val tBins = target.select(binExpr.as("_bin"))
+      .groupBy(col("_bin")).agg(count(lit(1)).as("_nt"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // ratio_b = (t_b·S)/(s_b·T); p_b = ratio_b / max(ratio)
+    val probs = sBins.join(tBins, Seq("_bin"), "left")
+      .select(col("_bin"), col("_ns"),
+        coalesce(col("_nt"), lit(0L)).as("_nt"))
+      .withColumn("_S", sum(col("_ns")).over(whole))
+      .withColumn("_T", sum(col("_nt")).over(whole))
+      .withColumn("_ratio",
+        (col("_nt") * col("_S")).cast("double")
+          / (col("_ns") * col("_T")).cast("double"))
+      .withColumn("_p", col("_ratio") / max(col("_ratio")).over(whole))
+      .select(col("_bin"), col("_p"))
+    val u = (conv(substring(hashUniform(col(idCol), salt), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(Math.pow(2.0, 60.0)))
+    source.withColumn("_bin", binExpr)
+      .join(broadcast(probs), Seq("_bin"))
+      .filter(u < col("_p"))
+      .select(col(idCol), col("_bin").as("bin"),
+        round(col("_p"), 6).as("accept_p"))
+  }
+
   /** Weighted reservoir sample without replacement (Efraimidis &
     * Spirakis 2006, algorithm A-ES): every row draws a uniform u and
     * scores key = u^(1/w); the k largest keys are a weight-correct

@@ -2718,6 +2718,22 @@ object ExtensionQueries {
       .select(col("doc_id"), col("n_words"), col("repeated_frac"))
   }
 
+  /** Distribution-matched rejection sampling: thin the full corpus
+    * so its token-length-bucket distribution matches the en slice.
+    */
+  def qDistMatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val bin = least((TextFunctions.tokenCountArithmetic(col("text"))
+      .cast("long") / lit(20L)).cast("long"), lit(5L))
+    graft.operators.Sampling.distributionMatch(
+      docs, docs.filter(col("lang") === "en"), "doc_id", bin)
+  }
+
+  /** Unicode script-mix audit (Latin / Han / Cyrillic letters). */
+  def qScriptMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusHygiene.scriptMix(
+      tbl(s, dir, "documents"), "doc_id", "text")
+
   /** Per-source distinctive-bigram keywords (group TF-IDF top-3). */
   def qKeywords(s: SparkSession, dir: String): DataFrame =
     graft.operators.KeywordExtraction.topTerms(
