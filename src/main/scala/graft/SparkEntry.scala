@@ -477,7 +477,13 @@ object SparkEntry {
     // distribution-matched rejection sampling (length → en slice)
     "q251_dist_match" -> (X.qDistMatch _),
     // Unicode script-mix audit (Latin/Han/Cyrillic letter counts)
-    "q252_script_mix" -> (X.qScriptMix _)
+    "q252_script_mix" -> (X.qScriptMix _),
+    // effective-dataset-size accounting (dedup + span removal)
+    "q253_effective_tokens" -> (X.qEffectiveTokens _),
+    // watermark-sizing disorder audit (planted lateness)
+    "q254_disorder_audit" -> (X.qDisorderAudit _),
+    // token-balanced snake sharding over the two-level rank
+    "q255_snake_shards" -> (X.qSnakeShards _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4777,7 +4783,85 @@ object SparkEntry {
         |SELECT c.doc_id, n_letters, n_latin, n_han, n_cyrillic,
         |  CASE WHEN t_v > 0 THEN t_s ELSE 'other' END AS dominant_script,
         |  (s_v * 5 >= n_letters AND s_v > 0) AS is_mixed_script
-        |FROM c JOIN tp USING (doc_id) JOIN sn USING (doc_id)""".stripMargin
+        |FROM c JOIN tp USING (doc_id) JOIN sn USING (doc_id)""".stripMargin,
+    // Effective tokens: sha keep-min + the span pipeline over the
+    // SURVIVORS (the q216 scaffold re-rooted on keep)
+    "q253_effective_tokens" -> (plantedDupSql + ",\n" +
+      """ps AS (SELECT doc_id, text, sha256(text) AS sha,
+        |  CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+        |    ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |    END AS BIGINT) AS tok
+        |  FROM pd),
+        |ki AS (SELECT sha, MIN(doc_id) AS doc_id FROM ps GROUP BY 1),
+        |keep AS (SELECT ps.* FROM ps
+        |         JOIN ki ON ps.sha = ki.sha AND ps.doc_id = ki.doc_id),
+        |tkk AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM keep),
+        |g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    substr(md5(array_to_string(list_slice(tk, i, i + 7), ' ')),
+        |      1, 16) AS h
+        |  FROM tkk, UNNEST(range(1, len(tk) - 6)) t(i)
+        |  WHERE len(tk) >= 8),
+        |freq AS (SELECT h FROM g GROUP BY h
+        |         HAVING COUNT(DISTINCT doc_id) >= 2),
+        |f AS (SELECT g.doc_id, g.pos FROM g JOIN freq USING (h)),
+        |lg AS (SELECT doc_id, pos,
+        |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM f),
+        |isl AS (SELECT doc_id, pos,
+        |  SUM(CASE WHEN prev IS NOT NULL AND pos - prev <= 8
+        |      THEN 0 ELSE 1 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS island
+        |  FROM lg),
+        |sp AS (SELECT CAST(SUM(span_len) AS BIGINT) AS span_tokens FROM (
+        |  SELECT doc_id, island, MAX(pos) + 8 - MIN(pos) AS span_len
+        |  FROM isl GROUP BY 1, 2)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+        |          CAST(SUM(tok) AS BIGINT) AS total_tokens FROM ps),
+        |kp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+        |         CAST(SUM(tok) AS BIGINT) AS kept_tokens FROM keep)
+        |SELECT n_docs_total, total_tokens,
+        |  n_docs_total - n_docs_kept AS n_dup_docs,
+        |  total_tokens - kept_tokens AS dup_tokens_removed,
+        |  COALESCE(span_tokens, 0) AS span_tokens_removed,
+        |  kept_tokens - COALESCE(span_tokens, 0) AS effective_tokens
+        |FROM tot CROSS JOIN kp CROSS JOIN sp""".stripMargin),
+    // Disorder audit over the planted lateness
+    "q254_disorder_audit" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 17 = 0
+        |      THEN epoch_us(ts) - (event_id % 7 + 1) * 60000000
+        |      ELSE epoch_us(ts) END AS us
+        |  FROM events),
+        |r AS (SELECT user_id, us,
+        |        MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |      FROM p)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN rm IS NOT NULL AND us < rm
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  ROUND(CAST(MAX(CASE WHEN rm IS NOT NULL AND us < rm
+        |      THEN rm - us ELSE 0 END) AS DOUBLE) / 1000000.0, 6)
+        |    AS max_lateness_s
+        |FROM r GROUP BY 1""".stripMargin,
+    // Snake sharding: rank by (tokens DESC, id), boustrophedon stripe
+    "q255_snake_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+        |    ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |    END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+        |      FROM d)
+        |SELECT doc_id, n_tokens, CAST(rank AS BIGINT) AS rank,
+        |  CAST(CASE WHEN (rank - 1) % 16 < 8 THEN (rank - 1) % 16
+        |    ELSE 15 - ((rank - 1) % 16) END AS INTEGER) AS shard
+        |FROM r""".stripMargin
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

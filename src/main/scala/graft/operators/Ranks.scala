@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global rank 1..N by an arbitrary key — the two-level rank
+  * (range-partition by the key so partitions tile the total order,
+  * rank within partitions, add per-partition offsets from a P-row
+  * driver cumsum) generalized from Sampling.globalOrderRank's
+  * hash-order special case to any (keys..., idCol) order. The
+  * boundary-invariance argument is unchanged: ranges are contiguous
+  * in the full sort key, so offset + local rank is the exact global
+  * rank wherever repartitionByRange's sampled cuts land. The frame
+  * is pinned with persist() between the count and rank passes and
+  * the result is localCheckpoint()ed before release.
+  */
+object Ranks {
+
+  /** Returns the input columns plus `rankCol` (long, 1..N). The total
+    * order is (keys..., idCol) — idCol makes it total, so the rank is
+    * deterministic under any partitioning.
+    */
+  def globalRankBy(df: DataFrame, idCol: String, rankCol: String,
+      keys: Seq[Column], partitions: Int = 32): DataFrame = {
+    require(partitions >= 1, s"partitions must be positive: $partitions")
+    val orderCols = keys :+ col(idCol)
+    val ranged = df
+      .repartitionByRange(partitions, orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    try {
+      val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var cum = 0L
+      val offsets = counts.map { case (pid, c) =>
+        val off = cum; cum += c; (pid, off)
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      val offDf = offsets.toSeq.toDF("_pid", "_off")
+      val w = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+      ranged.withColumn("_rn", row_number().over(w))
+        .join(broadcast(offDf), Seq("_pid"))
+        .withColumn(rankCol, col("_off") + col("_rn"))
+        .drop("_pid", "_off", "_rn")
+        .localCheckpoint()
+    } finally ranged.unpersist()
+  }
+
+  /** Token-balanced shard assignment by snake (boustrophedon) order:
+    * rank rows by weight DESC, then stripe rank r to shard
+    * `r mod 2S < S ? r mod S : S−1−(r mod S)` — the classic LPT
+    * approximation without any sequential state: consecutive heavy
+    * rows land on DIFFERENT shards and each 2S-block hands every
+    * shard one heavy and one light row. Returns per-row assignments;
+    * aggregate for the balance report.
+    */
+  def snakeShards(df: DataFrame, idCol: String, weightCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 2, s"need at least 2 shards: $shards")
+    val ranked = globalRankBy(df.select(col(idCol), col(weightCol)),
+      idCol, "_rank", Seq(col(weightCol).desc))
+    val r0 = ranked.col("_rank") - 1L // 0-based
+    val m = r0 % (2L * shards)
+    ranked.withColumn("shard",
+        when(m < shards, m).otherwise(lit(2L * shards) - 1L - m)
+          .cast("int"))
+      .select(col(idCol), col(weightCol), col("_rank").as("rank"),
+        col("shard"))
+  }
+}

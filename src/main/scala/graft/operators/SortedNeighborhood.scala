@@ -38,48 +38,28 @@ object SortedNeighborhood {
         substring(graft.operators.CorpusHygiene.canonicalText(
           concat_ws(" ", col("_toks"))), 1, 24))
 
-    // two-level global rank by (_key, _id): range-partition so the
-    // partitions tile the (key, id) order, rank within, add offsets
-    val ranged = keyed
-      .repartitionByRange(partitions, col("_key"), col("_id"))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
-    try {
-      val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var cum = 0L
-      val offsets = counts.map { case (pid, c) =>
-        val off = cum; cum += c; (pid, off)
-      }
-      val spark = df.sparkSession
-      import spark.implicits._
-      val offDf = offsets.toSeq.toDF("_pid", "_off")
-      val w = Window.partitionBy(col("_pid")).orderBy(col("_key"), col("_id"))
-      val ranked = ranged.withColumn("_rn", row_number().over(w))
-        .join(broadcast(offDf), Seq("_pid"))
-        .select(col("_id"), col("_toks"),
-          (col("_off") + col("_rn")).as("_rank"))
-        .localCheckpoint()
-
-      val right = ranked.select(col("_rank").as("_rank_b"),
-        col("_id").as("id_b"), col("_toks").as("t_b"))
-      // the neighbor key MUST be a plain attribute before the join:
-      // joining on `_rank_b === _rank + _j` lets the optimizer fold
-      // the jaccard verify into a nested-loop join condition (no
-      // equi-key extraction through the arithmetic after the cross
-      // join) — measured 171 s vs 2 s at sf0.1 for the same result
-      val probes = ranked
-        .select(col("_rank"), col("_id").as("id_a"), col("_toks").as("t_a"))
-        .crossJoin(spark.range(1, window + 1L).select(col("id").as("_j")))
-        .withColumn("_rank_target", col("_rank") + col("_j"))
-      probes
-        .join(right, col("_rank_b") === col("_rank_target"))
-        .withColumn("jaccard_sim",
-          TextFunctions.jaccard(array_distinct(col("t_a")),
-            array_distinct(col("t_b"))))
-        .filter(col("jaccard_sim") >= threshold)
-        .select(col("id_a"), col("id_b"), col("_j").cast("int").as("rank_dist"),
-          round(col("jaccard_sim"), 6).as("jaccard_sim"))
-    } finally ranged.unpersist()
+    // two-level global rank by (_key, _id) — the shared Ranks helper
+    val ranked = Ranks.globalRankBy(keyed, "_id", "_rank",
+      Seq(col("_key")), partitions)
+    val spark = df.sparkSession
+    val right = ranked.select(col("_rank").as("_rank_b"),
+      col("_id").as("id_b"), col("_toks").as("t_b"))
+    // the neighbor key MUST be a plain attribute before the join:
+    // joining on `_rank_b === _rank + _j` lets the optimizer fold
+    // the jaccard verify into a nested-loop join condition (no
+    // equi-key extraction through the arithmetic after the cross
+    // join) — measured 171 s vs 2 s at sf0.1 for the same result
+    val probes = ranked
+      .select(col("_rank"), col("_id").as("id_a"), col("_toks").as("t_a"))
+      .crossJoin(spark.range(1, window + 1L).select(col("id").as("_j")))
+      .withColumn("_rank_target", col("_rank") + col("_j"))
+    probes
+      .join(right, col("_rank_b") === col("_rank_target"))
+      .withColumn("jaccard_sim",
+        TextFunctions.jaccard(array_distinct(col("t_a")),
+          array_distinct(col("t_b"))))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("_j").cast("int").as("rank_dist"),
+        round(col("jaccard_sim"), 6).as("jaccard_sim"))
   }
 }

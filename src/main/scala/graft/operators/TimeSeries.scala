@@ -292,6 +292,36 @@ object TimeSeries {
         round(col("_s").cast("double"), 6).as("decayed_value"))
   }
 
+  /** Watermark-sizing disorder audit: per key, how far events arrive
+    * BEHIND the running event-time maximum when scanned in ARRIVAL
+    * order (`idCol`) — exactly the lateness a Structured Streaming
+    * watermark must absorb; `max_lateness_s` per key is the number
+    * `withWatermark` gets sized from, and `n_late` prices how much
+    * data a tighter bound would drop. One per-key ordered window
+    * (partition bounded by a key's event count), integer microsecond
+    * arithmetic, one division at the end.
+    */
+  def disorderAudit(events: DataFrame, keyCol: String, idCol: String,
+      tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(idCol))
+    val runMaxPrev = max(col("_us")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    events
+      .select(col(keyCol), col(idCol), unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_late",
+        when(runMaxPrev.isNotNull && col("_us") < runMaxPrev, 1L)
+          .otherwise(0L))
+      .withColumn("_lateness",
+        when(runMaxPrev.isNotNull && col("_us") < runMaxPrev,
+          runMaxPrev - col("_us")).otherwise(0L))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_late")).as("n_late"),
+        round(max(col("_lateness")).cast("double") / 1e6, 6)
+          .as("max_lateness_s"))
+  }
+
   /** Per-key inter-arrival burstiness (Goh & Barabási 2008): with
     * gap moments Σg and Σg² over a key's n inter-event microsecond
     * gaps, population variance gives

@@ -2718,6 +2718,60 @@ object ExtensionQueries {
       .select(col("doc_id"), col("n_words"), col("repeated_frac"))
   }
 
+  /** Effective-dataset-size accounting over the planted-dup corpus:
+    * exact-dup removal (keep-min per sha), then repeated-span tokens
+    * over the SURVIVORS — the one-row headline a dataset card leads
+    * with ("N tokens, M effective after dedup and span removal").
+    */
+  def qEffectiveTokens(s: SparkSession, dir: String): DataFrame = {
+    val pd = plantedDupDocs(s, dir)
+      .withColumn("_sha", sha2(col("text"), 256))
+      .withColumn("_tok",
+        TextFunctions.tokenCountArithmetic(col("text")).cast("long"))
+    val keepIds = pd.groupBy(col("_sha")).agg(min(col("doc_id")).as("doc_id"))
+    val keep = pd.join(keepIds, Seq("_sha", "doc_id"))
+    val total = pd.agg(count(lit(1)).as("n_docs_total"),
+      sum(col("_tok")).as("total_tokens"))
+    val kept = keep.agg(count(lit(1)).as("n_docs_kept"),
+      sum(col("_tok")).as("kept_tokens"))
+    val spans = graft.operators.RepeatedSpans
+      .repeatedTokenBudget(keep.select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8, minDocs = 2)
+      .agg(sum(col("repeated_tokens")).as("span_tokens"))
+    total.crossJoin(kept).crossJoin(spans)
+      .select(col("n_docs_total"), col("total_tokens"),
+        (col("n_docs_total") - col("n_docs_kept")).as("n_dup_docs"),
+        (col("total_tokens") - col("kept_tokens")).as("dup_tokens_removed"),
+        coalesce(col("span_tokens"), lit(0L)).as("span_tokens_removed"),
+        (col("kept_tokens") - coalesce(col("span_tokens"), lit(0L)))
+          .as("effective_tokens"))
+  }
+
+  /** Watermark-sizing disorder audit over deterministically planted
+    * lateness (the stream arrives in event_id order and is perfectly
+    * sorted — the q97 planting pattern shifts every 17th event back
+    * by 1-7 minutes so the audit is non-vacuous).
+    */
+  def qDisorderAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+    val us = unix_micros(col("ts"))
+    val perturbed = ev.select(col("user_id"), col("event_id"),
+      timestamp_micros(
+        when(pmod(col("event_id"), lit(17)) === 0,
+          us - (pmod(col("event_id"), lit(7)) + 1L) * 60000000L)
+          .otherwise(us)).as("ts"))
+    graft.operators.TimeSeries.disorderAudit(
+      perturbed, "user_id", "event_id", "ts")
+  }
+
+  /** Token-balanced snake sharding of documents into 8 shards. */
+  def qSnakeShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.tokenCountArithmetic(col("text")).cast("long")
+        .as("n_tokens"))
+    graft.operators.Ranks.snakeShards(docs, "doc_id", "n_tokens", shards = 8)
+  }
+
   /** Distribution-matched rejection sampling: thin the full corpus
     * so its token-length-bucket distribution matches the en slice.
     */
