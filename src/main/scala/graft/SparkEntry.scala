@@ -483,7 +483,11 @@ object SparkEntry {
     // watermark-sizing disorder audit (planted lateness)
     "q254_disorder_audit" -> (X.qDisorderAudit _),
     // token-balanced snake sharding over the two-level rank
-    "q255_snake_shards" -> (X.qSnakeShards _)
+    "q255_snake_shards" -> (X.qSnakeShards _),
+    // per-source quantile normalization (histogram percentiles)
+    "q256_quantile_norm" -> (X.qQuantileNorm _),
+    // tie-broken Spearman: quality vs length ranks
+    "q257_spearman" -> (X.qSpearman _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4861,7 +4865,41 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, CAST(rank AS BIGINT) AS rank,
         |  CAST(CASE WHEN (rank - 1) % 16 < 8 THEN (rank - 1) % 16
         |    ELSE 15 - ((rank - 1) % 16) END AS INTEGER) AS shard
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    // Quantile normalization: q24's quality feeds the histogram
+    // percentile (strictly-below mass / group size)
+    "q256_quantile_norm" -> (qualityCteSql + ",\n" +
+      """j AS (SELECT d.doc_id, d.source, tq.quality AS s
+        |      FROM documents d JOIN tq USING (doc_id)),
+        |h AS (SELECT source, s, COUNT(*) AS c FROM j GROUP BY 1, 2),
+        |p AS (SELECT source, s,
+        |        COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS below,
+        |        SUM(c) OVER (PARTITION BY source) AS n
+        |      FROM h)
+        |SELECT j.doc_id, j.source, j.s AS score,
+        |  ROUND(CAST(below AS DOUBLE) / CAST(n AS DOUBLE), 6) AS percentile
+        |FROM j JOIN p ON p.source = j.source AND p.s = j.s""".stripMargin),
+    // Spearman (permutation convention): both ranks replayed with
+    // ROW_NUMBER over (value, id); exact Σd² in HUGEINT
+    "q257_spearman" -> (qualityCteSql + ",\n" +
+      """d AS (SELECT doc.doc_id, tq.quality AS q, doc.n_chars
+        |      FROM documents doc JOIN tq USING (doc_id)),
+        |rx AS (SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rxv FROM d),
+        |ry AS (SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS ryv FROM d),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(CAST(rxv - ryv AS HUGEINT)
+        |          * CAST(rxv - ryv AS HUGEINT)) AS sd2
+        |      FROM rx JOIN ry USING (doc_id))
+        |SELECT n, CAST(sd2 AS BIGINT) AS sum_d2,
+        |  ROUND(1.0 - (6.0 * CAST(sd2 AS DOUBLE))
+        |    / CAST(CAST(n AS HUGEINT)
+        |      * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - 1) AS DOUBLE),
+        |    6) AS spearman_rho
+        |FROM a""".stripMargin)
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

@@ -154,4 +154,37 @@ object Quantiles {
         max(col("mad")).as("mad"),
         count(when(col("dev") > lit(k) * col("mad"), lit(1))).as("n_out"))
   }
+
+  /** Per-group quantile normalization WITHOUT a per-row rank window:
+    * percentile(x) = (#rows in the group strictly below x) / n_group,
+    * computed on the (group, 6-dp score) HISTOGRAM — the window runs
+    * over distinct score values per group (≤ ~10⁶ for 6-dp scores in
+    * [0,1] at ANY corpus size, the topFractionByScore argument), and
+    * rows re-attach by an equi join on (group, score). Cross-source
+    * score calibration: a 0.7 from a lenient source and a 0.5 from a
+    * strict one land on comparable percentiles.
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val s6 = round(col(scoreCol).cast("double"), 6)
+    val hist = df.select(col(groupCol), s6.as("_s"))
+      .groupBy(col(groupCol), col("_s"))
+      .agg(count(lit(1)).as("_c"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_s"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val pct = hist
+      .withColumn("_below", coalesce(sum(col("_c")).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(whole))
+      .select(col(groupCol), col("_s"),
+        round(col("_below").cast("double") / col("_n").cast("double"), 6)
+          .as("percentile"))
+    df.select(col(idCol), col(groupCol), s6.as("_s"))
+      .join(pct, Seq(groupCol, "_s"))
+      .select(col(idCol), col(groupCol), col("_s").as("score"),
+        col("percentile"))
+  }
 }

@@ -48,6 +48,35 @@ object Ranks {
     } finally ranged.unpersist()
   }
 
+  /** Spearman rank correlation between two columns, permutation
+    * convention: each column ranks by (value, id) — a TOTAL order, so
+    * there are no ties and the classic closed form
+    *
+    *   ρ = 1 − 6·Σd² / (n·(n²−1))
+    *
+    * is exact. Σd² accumulates in DECIMAL(38,0) (d² ≤ n², summed n
+    * times ⇒ n³ — past int64 at ~2 M rows) and ONE division closes
+    * the chain. Two two-level global ranks (no one-partition
+    * window), one join on id, one aggregate.
+    */
+  def spearman(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      partitions: Int = 32): DataFrame = {
+    val rx = globalRankBy(df.select(col(idCol), col(xCol)), idCol, "_rx",
+      Seq(col(xCol)), partitions).select(col(idCol), col("_rx"))
+    val ry = globalRankBy(df.select(col(idCol), col(yCol)), idCol, "_ry",
+      Seq(col(yCol)), partitions).select(col(idCol), col("_ry"))
+    val dec = "decimal(38,0)"
+    rx.join(ry, Seq(idCol))
+      .agg(count(lit(1)).as("n"),
+        sum(((col("_rx") - col("_ry")) * (col("_rx") - col("_ry")))
+          .cast(dec)).as("_sd2"))
+      .select(col("n"), col("_sd2").cast("long").as("sum_d2"),
+        round(lit(1.0) - (lit(6.0) * col("_sd2").cast("double"))
+          / (col("n").cast(dec)
+            * (col("n").cast(dec) * col("n").cast(dec) - lit(1)))
+            .cast("double"), 6).as("spearman_rho"))
+  }
+
   /** Token-balanced shard assignment by snake (boustrophedon) order:
     * rank rows by weight DESC, then stripe rank r to shard
     * `r mod 2S < S ? r mod S : S−1−(r mod S)` — the classic LPT

@@ -2718,6 +2718,26 @@ object ExtensionQueries {
       .select(col("doc_id"), col("n_words"), col("repeated_frac"))
   }
 
+  /** Per-source quantile normalization of quality scores. */
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val scored = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .withColumn("_q",
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks")))
+    graft.operators.Quantiles.quantileNormalize(
+      scored, "doc_id", "source", "_q")
+  }
+
+  /** Tie-broken Spearman between document quality and length. */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    val scored = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks")).as("q"),
+        col("n_chars"))
+    graft.operators.Ranks.spearman(scored, "doc_id", "q", "n_chars")
+  }
+
   /** Effective-dataset-size accounting over the planted-dup corpus:
     * exact-dup removal (keep-min per sha), then repeated-span tokens
     * over the SURVIVORS — the one-row headline a dataset card leads
