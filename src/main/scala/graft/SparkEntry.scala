@@ -487,7 +487,9 @@ object SparkEntry {
     // per-source quantile normalization (histogram percentiles)
     "q256_quantile_norm" -> (X.qQuantileNorm _),
     // tie-broken Spearman: quality vs length ranks
-    "q257_spearman" -> (X.qSpearman _)
+    "q257_spearman" -> (X.qSpearman _),
+    // cumulative distinct-user growth at KMV sketch cost
+    "q258_kmv_timeline" -> (X.qKmvTimeline _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4899,7 +4901,35 @@ object SparkEntry {
         |    / CAST(CAST(n AS HUGEINT)
         |      * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - 1) AS DOUBLE),
         |    6) AS spearman_rho
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin),
+    // KMV growth timeline: per-day bottom-64 order statistic over
+    // the first-day banded join, replayed with a window rank
+    "q258_kmv_timeline" ->
+      """WITH f AS (SELECT user_id AS v,
+        |    MIN(epoch_us(ts) // 86400000000) AS fd
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT DISTINCT fd AS day FROM f),
+        |j AS (SELECT d.day, f.v,
+        |    CAST(('0x' || substr(md5(CAST(f.v AS VARCHAR) || ':kmv_v1'),
+        |      1, 15))::BIGINT AS DOUBLE) / power(2.0, 60.0) AS u
+        |  FROM d JOIN f ON f.fd <= d.day),
+        |r AS (SELECT day, v, u,
+        |        ROW_NUMBER() OVER (PARTITION BY day ORDER BY u, v) AS rn,
+        |        COUNT(*) OVER (PARTITION BY day) AS ne
+        |      FROM j),
+        |a AS (SELECT day, MAX(ne) AS ne,
+        |        MAX(CASE WHEN rn <= 64 THEN u END) AS vk,
+        |        SUM(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS kk
+        |      FROM r GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(ne AS BIGINT) AS n_exact_to_date,
+        |  CASE WHEN kk < 64 THEN CAST(ne AS DOUBLE)
+        |    ELSE ROUND(63.0 / vk, 6) END AS kmv_estimate,
+        |  (abs((CASE WHEN kk < 64 THEN CAST(ne AS DOUBLE)
+        |      ELSE ROUND(63.0 / vk, 6) END)
+        |    / CAST(ne AS DOUBLE) - 1.0) <= 3.0 / sqrt(64.0))
+        |    AS within_bound
+        |FROM a""".stripMargin
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

@@ -57,6 +57,45 @@ object Kmv {
           <= lit(3.0 / math.sqrt(k.toDouble)))
   }
 
+  /** Cumulative distinct-count timeline at sketch cost: for every
+    * day, the KMV estimate of "distinct values seen SO FAR" — the
+    * growth curve a dashboard draws without ever re-scanning history.
+    * Each value contributes from its FIRST day (one aggregate), the
+    * day domain is calendar-bounded, and each day's bottom-k runs
+    * through the bounded-heap aggregate over the (day ≥ first_day)
+    * banded join — at any corpus size the join volume is
+    * |days| · |distinct values|, linear in the value domain with a
+    * calendar constant, never quadratic. Exact to-date counts ride
+    * along for the error contract.
+    */
+  def distinctTimeline(df: DataFrame, valueCol: String, tsCol: String,
+      k: Int = 64, salt: String = "kmv_v1"): DataFrame = {
+    require(k >= 8, s"KMV needs a non-trivial k: $k")
+    val day = (unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
+    val firsts = df.select(col(valueCol).cast("long").as("_v"),
+        day.as("_d"))
+      .groupBy(col("_v")).agg(min(col("_d")).as("_fd"))
+    val u = (conv(substring(md5(concat(col("_v").cast("string"),
+        lit(":" + salt))), 1, 15), 16, 10).cast("long").cast("double")
+      / lit(Math.pow(2.0, 60.0)))
+    val days = firsts.select(col("_fd").as("day")).distinct()
+    val est = days.join(firsts.select(col("_v"), col("_fd"), u.as("_u")),
+        col("_fd") <= col("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_exact_to_date"),
+        graft.functions.expressions.TopKByAgg
+          .topKBy(negate(col("_u")), col("_v"), k).as("_top"))
+    val vk = negate(element_at(col("_top"), size(col("_top")))
+      .getField("score"))
+    est.select(col("day"), col("n_exact_to_date"),
+        when(size(col("_top")) < k, col("n_exact_to_date").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) / vk, 6))
+          .as("kmv_estimate"))
+      .withColumn("within_bound",
+        abs(col("kmv_estimate") / col("n_exact_to_date").cast("double")
+          - 1.0) <= lit(3.0 / math.sqrt(k.toDouble)))
+  }
+
   /** KMV set algebra (Beyer et al. 2007): union and intersection
     * distinct estimates for two cohorts from their bottom-k sketches
     * ALONE — the sketch-level answer to "how many new users does B

@@ -2718,6 +2718,11 @@ object ExtensionQueries {
       .select(col("doc_id"), col("n_words"), col("repeated_frac"))
   }
 
+  /** Cumulative distinct-user growth timeline at KMV sketch cost. */
+  def qKmvTimeline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Kmv.distinctTimeline(
+      RelationalQueries.events(s, dir), "user_id", "ts", k = 64)
+
   /** Per-source quantile normalization of quality scores. */
   def qQuantileNorm(s: SparkSession, dir: String): DataFrame = {
     val scored = tbl(s, dir, "documents")

@@ -54,6 +54,19 @@ class IncrementalDedupKmvSpec extends AnyFunSuite {
     assert(out.getDouble(5) === 10.0, s"exact intersection: $out")
   }
 
+  test("kmv timeline: growth curve is exact below k, monotone always") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L + 1000L)
+    // 10 new values on each of 5 days → exact counts 10,20,...,50
+    val rows = (0L until 50L).map(v => (v, ts(v / 10)))
+    val out = Kmv.distinctTimeline(rows.toDF("user_id", "ts"),
+        "user_id", "ts", k = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq(10L, 20L, 30L, 40L, 50L))
+    assert(out.map(_._3).toSeq === Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+      "below k the sketch is exact")
+  }
+
   test("kmv set ops: large cohorts estimate within the k=64 error band") {
     val rows = (0L until 3000L).map(u => ("a", u)) ++
       (1000L until 4000L).map(u => ("b", u))
