@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's two scale disciplines as EXECUTABLE rules, not prose:
+  *
+  *  1. No `udf(...)` anywhere in main source — per-row logic is
+  *     either `org.apache.spark.sql.functions` algebra or a compiled
+  *     Catalyst Expression (codegen-able, prunable, no serialization
+  *     tax).
+  *  2. Driver-side `.collect()` only in files that carry a documented
+  *     BOUNDED collect (k-row cluster tables, partition-count
+  *     offsets, histogram/threshold frames) — a new unbounded
+  *     collect in any other operator fails this suite before it
+  *     fails a 100-TB run.
+  */
+class SourceDisciplineSpec extends AnyFunSuite {
+  private val mainRoot = Paths.get("src/main/scala/graft")
+
+  private def scalaFiles =
+    Files.walk(mainRoot).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala")).toSeq
+
+  // files with documented bounded collects (see their scaladocs);
+  // tools/ probes are iteration aids, not the declared surface
+  private val collectAllowlist = Set(
+    "lake/StatsManifest.scala",      // per-file min/max manifest rows
+    "operators/Experiments.scala",   // k-bounded assignment tables
+    "operators/Ranks.scala",         // P-row partition-count offsets
+    "operators/Sampling.scala",      // histogram/threshold/offset rows
+    "operators/SemanticDedup.scala", // k-row sampled quantizer
+    "operators/Similarity.scala",    // k-row sampled centroids
+    "pipeline/PhaseClassifier.scala",// ≤k cluster rows (reference A1)
+    "streaming/EventStreams.scala")  // 1-row min/max bounds
+
+  test("no udf() anywhere in main source") {
+    val offenders = scalaFiles.filter { p =>
+      Files.readString(p).linesIterator.exists(l =>
+        !l.trim.startsWith("*") && !l.trim.startsWith("//") &&
+          l.matches(".*\\budf\\s*\\(.*"))
+    }
+    assert(offenders.isEmpty, s"udf() found in: $offenders")
+  }
+
+  test("collect() only in the documented bounded-collect files") {
+    val offenders = scalaFiles.filter { p =>
+      val rel = mainRoot.relativize(p).toString
+      !rel.startsWith("tools/") && !collectAllowlist(rel) &&
+        Files.readString(p).contains(".collect()")
+    }
+    assert(offenders.isEmpty,
+      s"undocumented .collect() in: ${offenders.map(mainRoot.relativize)}")
+  }
+}
