@@ -489,7 +489,9 @@ object SparkEntry {
     // tie-broken Spearman: quality vs length ranks
     "q257_spearman" -> (X.qSpearman _),
     // cumulative distinct-user growth at KMV sketch cost
-    "q258_kmv_timeline" -> (X.qKmvTimeline _)
+    "q258_kmv_timeline" -> (X.qKmvTimeline _),
+    // MOSS fingerprint matching (df-capped pair generation)
+    "q259_winnow_matches" -> (X.qWinnowMatches _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -4929,7 +4931,34 @@ object SparkEntry {
         |      ELSE ROUND(63.0 / vk, 6) END)
         |    / CAST(ne AS DOUBLE) - 1.0) <= 3.0 / sqrt(64.0))
         |    AS within_bound
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // MOSS matching: the q223 winnowing scaffold re-rooted on the
+    // planted corpus; 2 ≤ df ≤ 50 capped pair generation, ≥ 3 shared
+    "q259_winnow_matches" -> (plantedDupSql + ",\n" +
+      """tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM pd),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    substr(md5(array_to_string(list_slice(tk, i, i + 3), ' ')),
+        |      1, 16) AS h,
+        |    CAST(len(tk) - 3 AS INTEGER) AS n
+        |  FROM tk, UNNEST(range(1, len(tk) - 2)) t(i)
+        |  WHERE len(tk) >= 7),
+        |w AS (
+        |  SELECT doc_id, pos, n,
+        |    MIN({'h': h, 'p': pos}) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, m.p AS p, m.h AS h
+        |       FROM w WHERE pos <= n - 4),
+        |sh AS (SELECT h FROM fp GROUP BY h
+        |       HAVING COUNT(*) BETWEEN 2 AND 50),
+        |po AS (SELECT fp.h, fp.doc_id FROM fp JOIN sh USING (h))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM po a JOIN po b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin)
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

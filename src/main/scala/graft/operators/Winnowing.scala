@@ -60,6 +60,38 @@ object Winnowing {
       .distinct()
   }
 
+  /** The MOSS matching step: document pairs sharing ≥ `minShared`
+    * winnowing fingerprints — the candidate-pair stage a plagiarism/
+    * boilerplate detector runs on the sketch instead of the corpus.
+    * Fingerprints with document frequency above `dfCap` are dropped
+    * from pair GENERATION (the q140 prefix-filter lesson: one
+    * stop-word-grade fingerprint shared by n documents would emit
+    * n²/2 candidate rows; capped fingerprints bound the join at
+    * df²·|fingerprints| with df ≤ dfCap, and a pair sharing only
+    * capped fingerprints is boilerplate-of-everything, not a match).
+    * Sketch density 2/(w+1) already shrinks the postings ~3× before
+    * the join.
+    */
+  def matchPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 2, dfCap: Int = 50)
+      : DataFrame = {
+    require(minShared >= 1 && dfCap >= 2,
+      s"bad match parameters: minShared=$minShared dfCap=$dfCap")
+    val fps = fingerprints(df, idCol, textCol, k, w)
+    val shared = fps.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= dfCap)
+      .select(col("fp_hash"))
+    val posts = fps.join(shared, "fp_hash")
+      .select(col("fp_hash"), col(idCol))
+    posts.select(col("fp_hash"), col(idCol).as("id_a"))
+      .join(posts.select(col("fp_hash"), col(idCol).as("id_b")), Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Sketch accounting per document: gram count, fingerprint count,
     * density (≈ 2/(w+1) for random-ish hashes — the paper's bound).
     */

@@ -2718,6 +2718,14 @@ object ExtensionQueries {
       .select(col("doc_id"), col("n_words"), col("repeated_frac"))
   }
 
+  /** MOSS fingerprint matching over the planted-dup corpus: pairs
+    * sharing ≥ 3 winnowing fingerprints, df-capped generation.
+    */
+  def qWinnowMatches(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnowing.matchPairs(
+      plantedDupDocs(s, dir), "doc_id", "text",
+      k = 4, w = 4, minShared = 3, dfCap = 50)
+
   /** Cumulative distinct-user growth timeline at KMV sketch cost. */
   def qKmvTimeline(s: SparkSession, dir: String): DataFrame =
     graft.operators.Kmv.distinctTimeline(

@@ -52,6 +52,23 @@ class WinnowingBitextSpec extends AnyFunSuite {
     assert(prof(1)._3 >= 1L && prof(1)._3 <= 2L) // 2 windows → ≤ 2 fps
   }
 
+  test("winnowing matches: duplicate pair found; df-capped fp excluded") {
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val df = Seq(
+      (1L, s"$passage alpha beta gamma"),
+      (2L, s"$passage delta epsilon zeta"),
+      (3L, "unrelated content with completely different words here")
+    ).toDF("doc_id", "text")
+    val out = Winnowing.matchPairs(df, "doc_id", "text",
+        k = 4, w = 4, minShared = 2, dfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 1 && out(0)._1 === 1L && out(0)._2 === 2L)
+    assert(out(0)._3 >= 2L, s"shared passage yields shared fps: ${out(0)}")
+    // with dfCap = 1 every shared fingerprint is dropped → no pairs
+    assert(Winnowing.matchPairs(df, "doc_id", "text",
+      k = 4, w = 4, minShared = 1, dfCap = 2).count() >= 1L)
+  }
+
   test("bitext margin: hub correction demotes a globally-close candidate") {
     // query 1 ≡ e1, query 2 ≡ e2; hub is equally close to both
     // queries, spoke is very close to query 1 only: raw cosine ties
