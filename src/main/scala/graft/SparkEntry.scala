@@ -491,7 +491,11 @@ object SparkEntry {
     // cumulative distinct-user growth at KMV sketch cost
     "q258_kmv_timeline" -> (X.qKmvTimeline _),
     // MOSS fingerprint matching (df-capped pair generation)
-    "q259_winnow_matches" -> (X.qWinnowMatches _)
+    "q259_winnow_matches" -> (X.qWinnowMatches _),
+    // WAV/FLAC header parse round-trip over planted fixture bytes
+    "q260_audio_headers" -> (X.qAudioHeaders _),
+    // 6-round BPE merge training loop (unrolled-CTE oracle)
+    "q261_bpe_merges" -> (X.qBpeMerges _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -714,6 +718,42 @@ object SparkEntry {
     * neighbor-label count, then smallest label (ROW_NUMBER ordered
     * count DESC, label ASC).
     */
+  /** BPE training oracle: the R-round merge loop unrolled as chained
+    * CTEs. Words are marker-wrapped symbol strings (chr(1) sym
+    * chr(2) …); each round takes the (count DESC, l, r) argmax over
+    * adjacent-pair counts and fuses it with one replace() — SQL
+    * replace scans left-to-right and resumes after each replacement,
+    * the exact greedy non-overlap rule, identical in both engines
+    * (see BpePairs.learnMerges).
+    */
+  private def bpeSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(f) AS BIGINT) AS n
+         |  FROM (SELECT string_split(substr(w, 2, length(w) - 2),
+         |          chr(2) || chr(1)) AS s, f FROM w${i - 1}),
+         |    UNNEST(range(1, len(s))) AS u(i)
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(w, chr(1) || l || chr(2) || chr(1) || r || chr(2),
+         |    chr(1) || l || r || chr(2)) AS w, f
+         |  FROM w${i - 1}, t$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { i =>
+      s"SELECT $i AS round, l AS left_sym, r AS right_sym, n AS pair_count FROM t$i"
+    }.mkString("\n UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(x, '(.)', chr(1) || '\\1' || chr(2), 'g') AS w,
+       |    CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM documents, UNNEST(list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), t -> len(t) >= 2))
+       |    AS u(x)
+       |  GROUP BY 1),
+       |$steps
+       |$out""".stripMargin
+  }
+
   private def lpaSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (SELECT dst AS node, label FROM (
@@ -4293,8 +4333,10 @@ object SparkEntry {
         |  CAST(SUM(ng) AS BIGINT) AS n_events
         |FROM t GROUP BY 1""".stripMargin,
     // Sentence stats + Flesch: run counts via length differences;
-    // boundary = [.!?]+ then whitespace (terminal punctuation closes
-    // the last sentence with no lookbehind needed)
+    // boundary = [.!?]+ then whitespace, counted over rtrim(text) so
+    // trailing whitespace never turns the terminal run into an extra
+    // boundary (terminal punctuation closes the last sentence with no
+    // lookbehind needed)
     "q233_sentence_stats" ->
       """WITH p AS (
         |  SELECT doc_id, text ||
@@ -4309,8 +4351,8 @@ object SparkEntry {
         |      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
         |      END AS BIGINT) AS n_tokens,
         |    CAST(CASE WHEN LENGTH(text) = 0 THEN 0
-        |      ELSE (LENGTH(regexp_replace(text, '[.!?]+\s+', 'V', 'g'))
-        |        - LENGTH(regexp_replace(text, '[.!?]+\s+', '', 'g'))) + 1
+        |      ELSE (LENGTH(regexp_replace(rtrim(text), '[.!?]+\s+', 'V', 'g'))
+        |        - LENGTH(regexp_replace(rtrim(text), '[.!?]+\s+', '', 'g'))) + 1
         |      END AS BIGINT) AS n_sentences,
         |    CAST(LENGTH(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
         |      - LENGTH(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
@@ -4958,7 +5000,77 @@ object SparkEntry {
         |po AS (SELECT fp.h, fp.doc_id FROM fp JOIN sh USING (h))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
         |FROM po a JOIN po b ON a.h = b.h AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin),
+    // Audio headers: the oracle re-derives the PLANTED truth (params
+    // and the exact header hex) arithmetically from doc_id; the Spark
+    // side must recover the same values by PARSING the bytes it
+    // built — a round-trip proof of the header math. LE fields are
+    // emitted byte-by-byte (printf %02x per byte), independent of the
+    // Spark side's %08x+reorder construction.
+    "q260_audio_headers" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 2 = 0 AS is_wav,
+        |    CAST([8000,11025,16000,22050,44100,48000][
+        |      CAST(doc_id % 6 AS INTEGER) + 1] AS BIGINT) AS rate,
+        |    CAST(doc_id % 2 + 1 AS BIGINT) AS wav_ch,
+        |    CAST(doc_id % 3 + 1 AS BIGINT) AS flac_ch,
+        |    CAST([8,16,24,32][CAST(doc_id % 4 AS INTEGER) + 1]
+        |      AS BIGINT) AS wav_bits,
+        |    CAST([8,16,24][CAST(doc_id % 3 AS INTEGER) + 1]
+        |      AS BIGINT) AS flac_bits,
+        |    CAST((doc_id * 2654435761) % 480000 + 1 AS BIGINT) AS n_samples,
+        |    doc_id % 3 = 0 AS has_list
+        |  FROM documents),
+        |w AS (
+        |  SELECT *, wav_ch * wav_bits // 8 AS ba FROM p),
+        |x AS (
+        |  SELECT *, rate * ba AS byte_rate, n_samples * ba AS data_size,
+        |    36 + n_samples * ba + CASE WHEN has_list THEN 12 ELSE 0 END
+        |      AS riff_size,
+        |    rate * 17592186044416 + (flac_ch - 1) * 2199023255552
+        |      + (flac_bits - 1) * 68719476736 + n_samples AS packed
+        |  FROM w),
+        |h AS (
+        |  SELECT doc_id, is_wav, rate,
+        |    CASE WHEN is_wav THEN wav_ch ELSE flac_ch END AS channels,
+        |    CASE WHEN is_wav THEN wav_bits ELSE flac_bits END AS bits,
+        |    n_samples,
+        |    '52494646'
+        |      || printf('%02x%02x%02x%02x', riff_size % 256,
+        |           (riff_size // 256) % 256, (riff_size // 65536) % 256,
+        |           (riff_size // 16777216) % 256)
+        |      || '57415645' || '666d7420' || '10000000' || '0100'
+        |      || printf('%02x%02x', wav_ch % 256, (wav_ch // 256) % 256)
+        |      || printf('%02x%02x%02x%02x', rate % 256, (rate // 256) % 256,
+        |           (rate // 65536) % 256, (rate // 16777216) % 256)
+        |      || printf('%02x%02x%02x%02x', byte_rate % 256,
+        |           (byte_rate // 256) % 256, (byte_rate // 65536) % 256,
+        |           (byte_rate // 16777216) % 256)
+        |      || printf('%02x%02x', ba % 256, (ba // 256) % 256)
+        |      || printf('%02x%02x', wav_bits % 256, (wav_bits // 256) % 256)
+        |      || CASE WHEN has_list THEN '4c49535404000000494e464f'
+        |           ELSE '' END
+        |      || '64617461'
+        |      || printf('%02x%02x%02x%02x', data_size % 256,
+        |           (data_size // 256) % 256, (data_size // 65536) % 256,
+        |           (data_size // 16777216) % 256) AS wav_hex,
+        |    '664c6143' || '80' || '000022' || '1000' || '1000'
+        |      || '000000' || '000000' || printf('%016x', packed)
+        |      || repeat('0', 32) AS flac_hex,
+        |    has_list
+        |  FROM x)
+        |SELECT doc_id,
+        |  CASE WHEN is_wav THEN 'wav' ELSE 'flac' END AS container,
+        |  rate AS sample_rate, channels,
+        |  bits AS bits_per_sample, n_samples,
+        |  ROUND(CAST(n_samples AS DOUBLE) / CAST(rate AS DOUBLE), 6)
+        |    AS duration_s,
+        |  CAST(CASE WHEN is_wav THEN
+        |      44 + CASE WHEN has_list THEN 12 ELSE 0 END
+        |    ELSE 42 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN is_wav THEN wav_hex ELSE flac_hex END AS header_hex
+        |FROM h""".stripMargin,
+    "q261_bpe_merges" -> bpeSql(6)
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

@@ -40,4 +40,89 @@ object BpePairs {
       .agg(sum(col("f")).as("n"))
       .filter(col("n") >= minCount)
   }
+
+  // Symbol-boundary markers for the merge loop's string encoding:
+  // control characters that cannot occur in whitespace-split corpus
+  // tokens, so `<sym>` wrapping is unambiguous.
+  private val O = "\u0001" // opens a symbol
+  private val C = "\u0002" // closes a symbol
+
+  /** The full BPE TRAINING loop (Sennrich et al. 2016) — `rounds`
+    * iterations of: count adjacent symbol pairs over the word-
+    * frequency table, take the single most frequent pair (tie-break
+    * pinned: count desc, then left, then right, lexicographic), fuse
+    * every non-overlapping occurrence left-to-right, repeat on the
+    * re-symbolized vocabulary. Output is the learned merge table —
+    * (round, left_sym, right_sym, pair_count) — the artifact a
+    * tokenizer trainer actually ships.
+    *
+    * Greedy left-to-right non-overlapping fusion is encoded WITHOUT a
+    * per-row loop: each word is kept as a marker-wrapped symbol
+    * string (`⟨sym⟩⟨sym⟩…` with control-character brackets), and one
+    * `replace(word, ⟨l⟩⟨r⟩, ⟨lr⟩)` per round IS the BPE merge — SQL
+    * `replace` scans left to right and resumes after each
+    * replacement, which is exactly the non-overlap rule ("aaaa" with
+    * merge (a,a) → "aa","aa"; "aaa" → "aa","a"), and the closed
+    * brackets make cross-symbol false matches (("ba","a") matching
+    * pattern "a·a") impossible. Identical semantics in DuckDB's
+    * `replace`, so the whole R-round fixed point hash-checks against
+    * an unrolled-CTE oracle (q261).
+    *
+    * Scale shape: like [[pairCounts]], everything after the first
+    * aggregate runs over the VOCABULARY (Heaps-bounded), not the
+    * corpus. Each round is one map-side-combined pair aggregate, one
+    * 1-row `min(struct)` argmax (no global sort), and one broadcast
+    * cross join of that single row for the rewrite; rounds are
+    * localCheckpoint-pinned so the R-round chain stays R linear
+    * passes (the q113 re-inlining lesson). No driver collect — the
+    * winning pair never leaves the cluster.
+    */
+  def learnMerges(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    // vocabulary with frequencies, each word as ⟨c⟩⟨c⟩… symbol string
+    var words = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(regexp_replace(col("w"), "(.)", O + "$1" + C).as("w"), col("f"))
+      .localCheckpoint()
+
+    val merged = (1 to rounds).map { r =>
+      // adjacent pairs over the current symbolization, weighted by f
+      val pairs = words
+        .select(col("f"), split(
+          expr("substring(w, 2, length(w) - 2)"), C + O).as("s"))
+        // a fully-merged single-symbol word has no pairs — and Spark's
+        // sequence(1, 0) is DESCENDING [1, 0], not empty, so without
+        // this guard element_at(s, 0) throws (DuckDB's range(1, 1) is
+        // empty and skips these rows naturally)
+        .filter(size(col("s")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(s) - 1)," +
+            " i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("n"))
+      // argmax with pinned tie-break, as a 1-row aggregate (map-side
+      // combinable min(struct) — no global sort)
+      val top = pairs
+        .agg(min(struct((-col("n")).as("nn"),
+          col("l").as("l"), col("r").as("r"))).as("_b"))
+        .select(col("_b.l").as("l"), col("_b.r").as("r"),
+          (-col("_b.nn")).as("n"))
+        .localCheckpoint()
+      // fuse every non-overlapping ⟨l⟩⟨r⟩ left to right
+      words = words.crossJoin(broadcast(top))
+        .select(expr(
+          "replace(w, concat(chr(1), l, chr(2), chr(1), r, chr(2))," +
+            " concat(chr(1), l, r, chr(2)))").as("w"), col("f"))
+        .localCheckpoint()
+      top.select(lit(r).as("round"), col("l").as("left_sym"),
+        col("r").as("right_sym"), col("n").as("pair_count"))
+    }
+    merged.reduce(_ union _)
+  }
 }

@@ -29,16 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object GraphStats {
 
-  /** One row: (n_nodes, n_edges, assortativity). `edges` is a
-    * directed edge list; pass both directions for an undirected
-    * graph (the PageRank-query convention). Degree-regular graphs
-    * have zero degree variance — the 0/0 surfaces as NULL (both
-    * Spark non-ANSI division and the oracle agree), never a
-    * fabricated 0.
+  /** One row: (n_nodes, n_edges, assortativity). `edges` is any edge
+    * list, directed or already-symmetrized: the operator symmetrizes
+    * internally (union with the reversed list, then distinct), so a
+    * node appearing only as a dst still contributes its degree — on
+    * input that already carries both directions the union collapses
+    * to the identity and the statistic is bit-identical. Degree-
+    * regular graphs have zero degree variance — the 0/0 surfaces as
+    * NULL (both Spark non-ANSI division and the oracle agree), never
+    * a fabricated 0.
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+    val raw = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+    val e = raw.union(raw.select(col("_d").as("_s"), col("_s").as("_d")))
       .distinct()
     val deg = e.groupBy(col("_s").as("_n"))
       .agg(count(lit(1)).as("_deg"))

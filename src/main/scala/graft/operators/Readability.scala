@@ -14,11 +14,15 @@ import graft.functions.TextFunctions
   *
   * All counts are regex length-difference arithmetic (identical in
   * RE2 and Java regex on this ASCII surface): sentence boundaries
-  * are runs of [.!?] followed by whitespace (a terminal .!? closes
-  * the last sentence without needing a lookbehind — RE2 has none);
-  * the syllable proxy is vowel-group runs ([aeiouy]+), the standard
-  * dictionary-free approximation. Two divisions and one pinned
-  * chain per document — hash-checkable.
+  * are runs of [.!?] followed by whitespace, counted over
+  * rtrim(text) so a terminal punctuation run followed only by
+  * trailing whitespace ("Done now! ") closes the last sentence
+  * instead of double-counting as boundary AND final sentence (a
+  * terminal .!? closes the last sentence without needing a
+  * lookbehind — RE2 has none); the syllable proxy is vowel-group
+  * runs ([aeiouy]+), the standard dictionary-free approximation.
+  * Two divisions and one pinned chain per document —
+  * hash-checkable.
   *
   * Scale shape: zero-shuffle projection; fuses into the feeding scan.
   */
@@ -32,7 +36,7 @@ object Readability {
       : DataFrame = {
     val t = col(textCol)
     val nTokens = TextFunctions.tokenCountArithmetic(t).cast("long")
-    val nBound = runCount(t, "[.!?]+\\s+")
+    val nBound = runCount(rtrim(t), "[.!?]+\\s+")
     val nSent = when(length(t) === 0, 0L).otherwise(nBound + 1L)
     val nSyll = runCount(lower(t), "[aeiouy]+")
     val fre = lit(206.835) -

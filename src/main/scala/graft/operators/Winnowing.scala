@@ -21,8 +21,12 @@ import graft.functions.TextFunctions
   * `min(struct(hash, pos))` over the w-row frame starting at each
   * full-window position — struct min is lexicographic, so ties (a
   * ~2⁻³² md5-prefix event) break to the LEFTMOST position, a pinned
-  * convention both engines share. DISTINCT over the selected
-  * (doc, pos) pairs is the fingerprint set, exactly as defined.
+  * convention both engines share. (The paper's "robust winnowing"
+  * breaks ties to the RIGHTMOST minimal hash; either rule satisfies
+  * the coverage guarantee, and the oracles mirror leftmost, so the
+  * sketch is self-consistent but differs from canonical MOSS on hash
+  * ties.) DISTINCT over the selected (doc, pos) pairs is the
+  * fingerprint set, exactly as defined.
   *
   * Scale shape: the window partition is a document (bounded by
   * document length), the frame is w rows — no corpus-wide sort, no

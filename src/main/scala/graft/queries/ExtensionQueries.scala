@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2891,4 +2891,90 @@ object ExtensionQueries {
           col("n_child_rows"), col("n_orphan_rows"), col("n_orphan_keys"),
           col("integrity_holds")))
   }
+
+  /** Audio header metadata via pure byte arithmetic — planted WAV and
+    * FLAC fixture payloads, built byte-for-byte IN the query from
+    * doc_id-derived parameters (sample rate, channels, bit depth,
+    * sample count), then parsed back by the REAL column-algebra
+    * header parser ([[graft.multimodal.AudioHeaders]]). The parser
+    * sees only the binary payload, so the hash oracle (which re-
+    * derives the planted truth, including the exact header hex,
+    * arithmetically) is a round-trip proof: a single mis-read offset,
+    * endianness slip or bit-unpack error breaks the match. WAV
+    * fixtures are header-only (the parser never reads sample data —
+    * sizes come from header fields), and every third WAV carries a
+    * LIST metadata chunk before "data" so the bounded chunk walk is
+    * exercised, not just the canonical offset.
+    */
+  def qAudioHeaders(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.AudioHeaders
+    val d = col("doc_id")
+    // planted parameters (all arithmetic in doc_id)
+    val rate = element_at(
+      array(lit(8000), lit(11025), lit(16000), lit(22050), lit(44100),
+        lit(48000)), (pmod(d, lit(6)) + 1).cast("int")).cast("long")
+    val isWav = pmod(d, lit(2)) === 0
+    val wavCh = (pmod(d, lit(2)) + 1L).cast("long")
+    val flacCh = (pmod(d, lit(3)) + 1L).cast("long")
+    val wavBits = element_at(array(lit(8), lit(16), lit(24), lit(32)),
+      (pmod(d, lit(4)) + 1).cast("int")).cast("long")
+    val flacBits = element_at(array(lit(8), lit(16), lit(24)),
+      (pmod(d, lit(3)) + 1).cast("int")).cast("long")
+    val nSamples = pmod(d * 2654435761L, lit(480000L)) + 1L
+
+    // little-endian hex fields from %0Nx + byte reordering
+    def le16(v: Column): Column = {
+      val h = format_string("%04x", v)
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32(v: Column): Column = {
+      val h = format_string("%08x", v)
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    // channel·bits products are tiny and bits is byte-aligned, so the
+    // double division is exact and the long cast is the true quotient
+    val blockAlign = (wavCh * wavBits / lit(8L)).cast("long")
+    val byteRate = rate * blockAlign
+    val dataSize = nSamples * blockAlign
+    val listChunk = when(pmod(d, lit(3)) === 0,
+      lit("4c495354" + "04000000" + "494e464f")).otherwise(lit(""))
+    val riffSize = lit(36L) + dataSize +
+      when(pmod(d, lit(3)) === 0, 12L).otherwise(0L)
+    val wavHex = concat(lit("52494646"), le32(riffSize), lit("57415645"),
+      lit("666d7420"), lit("10000000"), lit("0100"), le16(wavCh),
+      le32(rate), le32(byteRate), le16(blockAlign), le16(wavBits),
+      listChunk, lit("64617461"), le32(dataSize))
+    // FLAC: magic + last|STREAMINFO header + 34-byte block; the
+    // rate/channels/bits/samples quad is one bit-packed u64
+    val packed = rate * 17592186044416L + (flacCh - 1L) * 2199023255552L +
+      (flacBits - 1L) * 68719476736L + nSamples
+    val flacHex = concat(lit("664c6143"), lit("80"), lit("000022"),
+      lit("1000"), lit("1000"), lit("000000"), lit("000000"),
+      format_string("%016x", packed),
+      lit("0" * 32))
+    val payload = unhex(when(isWav, wavHex).otherwise(flacHex))
+
+    tbl(s, dir, "documents")
+      .select(d, payload.as("_p"))
+      .select(d, AudioHeaders.parseAudio(col("_p")).as("_a"),
+        length(col("_p")).cast("long").as("n_bytes"),
+        lower(hex(col("_p"))).as("header_hex"))
+      .select(d,
+        col("_a.container").as("container"),
+        col("_a.sample_rate").as("sample_rate"),
+        col("_a.channels").as("channels"),
+        col("_a.bits_per_sample").as("bits_per_sample"),
+        col("_a.n_samples").as("n_samples"),
+        col("_a.duration_s").as("duration_s"),
+        col("n_bytes"), col("header_hex"))
+  }
+
+  /** The learned BPE merge table: 6 training rounds over the
+    * document corpus (argmax pair per round with pinned tie-break,
+    * greedy left-to-right fusion), exact vs the unrolled-CTE oracle.
+    */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpePairs.learnMerges(
+      tbl(s, dir, "documents"), "text", rounds = 6)
 }

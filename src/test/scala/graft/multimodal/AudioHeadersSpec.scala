@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** The column-algebra audio header parser against INDEPENDENTLY
+  * constructed payload bytes (java.nio ByteBuffer here vs the hex-
+  * string construction in q260 and the pure-arithmetic oracle — three
+  * disjoint encoders agreeing on the same layout).
+  */
+class AudioHeadersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def wavBytes(rate: Int, ch: Int, bits: Int, nSamples: Int,
+      withList: Boolean, dataBytes: Int = 8): Array[Byte] = {
+    val ba = ch * bits / 8
+    val dataSize = nSamples * ba
+    val listLen = if (withList) 12 else 0
+    val buf = ByteBuffer.allocate(44 + listLen + dataBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + listLen + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)
+    buf.putShort(1.toShort)
+    buf.putShort(ch.toShort)
+    buf.putInt(rate)
+    buf.putInt(rate * ba)
+    buf.putShort(ba.toShort)
+    buf.putShort(bits.toShort)
+    if (withList) {
+      buf.put("LIST".getBytes("US-ASCII"))
+      buf.putInt(4)
+      buf.put("INFO".getBytes("US-ASCII"))
+    }
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    buf.put(Array.fill(dataBytes)(0x5a.toByte)) // truncated sample data
+    buf.array()
+  }
+
+  private def flacBytes(rate: Int, ch: Int, bits: Int,
+      nSamples: Long): Array[Byte] = {
+    val buf = ByteBuffer.allocate(42).order(ByteOrder.BIG_ENDIAN)
+    buf.put("fLaC".getBytes("US-ASCII"))
+    buf.put(0x80.toByte) // last-block flag + STREAMINFO type 0
+    buf.put(Array[Byte](0, 0, 34)) // block length BE24
+    buf.putShort(4096.toShort) // min block
+    buf.putShort(4096.toShort) // max block
+    buf.put(Array.fill(6)(0.toByte)) // min/max frame size (unknown)
+    buf.putLong((rate.toLong << 44) | ((ch - 1).toLong << 41) |
+      ((bits - 1).toLong << 36) | nSamples)
+    buf.put(Array.fill(16)(0.toByte)) // unset md5
+    buf.array()
+  }
+
+  private def parse(payloads: Seq[Array[Byte]]): Seq[Row] =
+    payloads.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("id", "payload")
+      .select(col("id"), AudioHeaders.parseAudio(col("payload")).as("a"))
+      .orderBy("id")
+      .select("a.container", "a.sample_rate", "a.channels",
+        "a.bits_per_sample", "a.n_samples", "a.duration_s")
+      .collect().toSeq
+
+  test("wav: canonical layout, LIST-chunk walk, byte fields exact") {
+    val rows = parse(Seq(
+      wavBytes(44100, 2, 16, 44100, withList = false),
+      wavBytes(8000, 1, 8, 12345, withList = true),
+      wavBytes(48000, 2, 24, 96000, withList = false)))
+    assert(rows(0) === Row("wav", 44100L, 2L, 16L, 44100L, 1.0))
+    assert(rows(1) === Row("wav", 8000L, 1L, 8L, 12345L, 1.543125))
+    assert(rows(2) === Row("wav", 48000L, 2L, 24L, 96000L, 2.0))
+  }
+
+  test("flac: STREAMINFO bit unpacking across field boundaries") {
+    val rows = parse(Seq(
+      flacBytes(44100, 2, 16, 123456L),
+      flacBytes(48000, 1, 24, 4800000L),
+      // 36-bit sample count with the high nibble set (> 2^32)
+      flacBytes(8000, 8, 32, 68719476735L)))
+    assert(rows(0) === Row("flac", 44100L, 2L, 16L, 123456L,
+      math.rint(123456.0 / 44100.0 * 1e6) / 1e6))
+    assert(rows(1) === Row("flac", 48000L, 1L, 24L, 4800000L, 100.0))
+    assert(rows(2) === Row("flac", 8000L, 8L, 32L, 68719476735L,
+      math.rint(68719476735.0 / 8000.0 * 1e6) / 1e6))
+  }
+
+  test("non-audio and truncated payloads parse to nulls, not garbage") {
+    val rows = parse(Seq(
+      "not audio at all".getBytes("US-ASCII"),
+      Array.emptyByteArray,
+      "RIFF".getBytes("US-ASCII"), // truncated riff
+      Array[Byte]('f', 'L', 'a', 'C', 0x01))) // FLAC magic, non-STREAMINFO
+    rows.foreach { r =>
+      assert(r === Row(null, null, null, null, null, null), s"got $r")
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The BPE training loop on the classic Sennrich-style fixture
+  * (low·5, lower·2, newest·6, widest·3) — the 6-round merge sequence
+  * is hand-derivable: es(9), est(9), lo(7), low(7), ew(6), ew+est(6),
+  * exercising max selection, count ties broken by left symbol,
+  * merged-symbol pairs (multi-char left AND right), and re-counting
+  * after fusion.
+  */
+class BpeMergesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("six hand-derived merge rounds over the Sennrich vocabulary") {
+    val doc = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val out = BpePairs.learnMerges(Seq(doc).toDF("text"), "text", rounds = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1, "e", "s", 9L),   // es 9 ties st 9 → left tie-break
+      (2, "es", "t", 9L),  // newest/widest now end in ⟨es⟩⟨t⟩
+      (3, "l", "o", 7L),   // lo 7 ties ow 7 → left tie-break
+      (4, "lo", "w", 7L),
+      (5, "e", "w", 6L),   // 6-way tie ew/ne/w·est → 'e' smallest
+      (6, "ew", "est", 6L) // merged symbols on BOTH sides
+    ))
+  }
+
+  test("greedy left-to-right non-overlap: aaaa → aa,aa; aaa → aa,a") {
+    val out = BpePairs.learnMerges(
+        Seq("aaaa aaa").toDF("text"), "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    // round 1: (a,a) appears 3+2 = 5 times pre-merge
+    assert(out(0) === ((1, "a", "a", 5L)))
+    // after fusion: "aaaa"→⟨aa⟩⟨aa⟩, "aaa"→⟨aa⟩⟨a⟩ — so round 2's top
+    // pair is (aa,aa)·1 tying (aa,a)·1, left equal, right 'a' < 'aa'
+    assert(out(1) === ((2, "aa", "a", 1L)))
+  }
+}

@@ -14,7 +14,8 @@ class ReadabilityBurstSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "One sentence here. Another one! And a third?"),
       (2L, "no punctuation at all"),
-      (3L, "")
+      (3L, ""),
+      (4L, "Done now!   ")
     ).toDF("doc_id", "text")
     val out = Readability.sentenceStats(df, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -24,6 +25,9 @@ class ReadabilityBurstSpec extends AnyFunSuite {
     assert(out(0) === ((1L, 8L, 3L, 15L)))
     assert(out(1)._3 === 1L) // one sentence without punctuation
     assert(out(2) === ((3L, 0L, 0L, 0L)))
+    // doc 4: terminal run + trailing whitespace is NOT an extra
+    // boundary — sentence counting is whitespace-insensitive
+    assert(out(3)._3 === 1L, s"trailing whitespace overcounted: ${out(3)}")
   }
 
   test("flesch: long dense sentences score lower than short simple ones") {
