@@ -11,9 +11,20 @@ import org.apache.spark.sql.functions._
   * hash-order special case to any (keys..., idCol) order. The
   * boundary-invariance argument is unchanged: ranges are contiguous
   * in the full sort key, so offset + local rank is the exact global
-  * rank wherever repartitionByRange's sampled cuts land. The frame
-  * is pinned with persist() between the count and rank passes and
-  * the result is localCheckpoint()ed before release.
+  * rank wherever repartitionByRange's sampled cuts land.
+  *
+  * The LOCAL rank is monotonically_increasing_id arithmetic over the
+  * partition-sorted frame (`_mid − min(_mid per partition)`), NOT a
+  * `Window.partitionBy(_pid)`: Catalyst cannot know that `_pid` rows
+  * are already co-located (it is the partition id!), so the window
+  * form inserts a second full `Exchange hashpartitioning(_pid)` on
+  * the data — a redundant 100-TB-scale shuffle. The mid ids are
+  * consecutive within a partition in row order, the sort pins that
+  * order, and the per-partition min rides the SAME bounded P-row
+  * aggregate as the counts, so the rewrite costs nothing and drops
+  * the big side to exactly ONE exchange (the range partition). The
+  * frame is pinned with persist() between the stats and rank passes
+  * and the result is localCheckpoint()ed before release.
   */
 object Ranks {
 
@@ -23,29 +34,43 @@ object Ranks {
     */
   def globalRankBy(df: DataFrame, idCol: String, rankCol: String,
       keys: Seq[Column], partitions: Int = 32): DataFrame = {
+    val (out, ranged) = rankedUnpinned(df, idCol, rankCol, keys, partitions)
+    try out.localCheckpoint() finally ranged.unpersist()
+  }
+
+  /** The pre-checkpoint rank frame plus the pinned intermediate (so
+    * the caller controls unpersist) — package-private so the plan
+    * suite can assert the single-exchange shape directly.
+    */
+  private[graft] def rankedUnpinned(df: DataFrame, idCol: String,
+      rankCol: String, keys: Seq[Column], partitions: Int)
+      : (DataFrame, DataFrame) = {
     require(partitions >= 1, s"partitions must be positive: $partitions")
     val orderCols = keys :+ col(idCol)
     val ranged = df
       .repartitionByRange(partitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      // both ids are nondeterministic expressions, so Catalyst keeps
+      // them ABOVE the sort: _mid is assigned in sorted row order
       .withColumn("_pid", spark_partition_id())
+      .withColumn("_mid", monotonically_increasing_id())
       .persist()
-    try {
-      val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var cum = 0L
-      val offsets = counts.map { case (pid, c) =>
-        val off = cum; cum += c; (pid, off)
-      }
-      val spark = df.sparkSession
-      import spark.implicits._
-      val offDf = offsets.toSeq.toDF("_pid", "_off")
-      val w = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
-      ranged.withColumn("_rn", row_number().over(w))
-        .join(broadcast(offDf), Seq("_pid"))
-        .withColumn(rankCol, col("_off") + col("_rn"))
-        .drop("_pid", "_off", "_rn")
-        .localCheckpoint()
-    } finally ranged.unpersist()
+    val stats = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_m0"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var cum = 0L
+    val offsets = stats.map { case (pid, c, m0) =>
+      val off = cum; cum += c; (pid, off, m0)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off", "_m0")
+    val out = ranged
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn(rankCol, col("_off") + (col("_mid") - col("_m0")) + 1L)
+      .drop("_pid", "_off", "_m0", "_mid")
+    (out, ranged)
   }
 
   /** Spearman rank correlation between two columns, permutation

@@ -325,38 +325,46 @@ object Sampling {
     * placement by repartitionByRange's sampler does NOT affect the
     * result: ranges are contiguous in (u, id), so offset + local rank
     * is the exact global rank wherever the cuts land. The frame is
-    * pinned with persist() between the count and rank passes —
+    * pinned with persist() between the stats and rank passes —
     * unpinned lineage could resample different boundaries per pass,
     * corrupting offsets.
     *
-    * The within-partition window shuffles by partition id (Catalyst
-    * can't see the layout already satisfies it) — two distributed
-    * exchanges total, versus the naive plan's one-partition funnel.
+    * The local rank is monotonically_increasing_id arithmetic over
+    * the partition-sorted frame (ids are consecutive within a
+    * partition in row order), so the big side sees exactly ONE
+    * exchange — the range partition. A Window.partitionBy(_pid)
+    * would re-shuffle everything by partition id, because Catalyst
+    * cannot see that the layout already satisfies it.
     */
   def globalOrderRank(df: DataFrame, idCol: String, salt: String,
       partitions: Int = 32): DataFrame = {
     require(partitions >= 1, s"partitions must be positive: $partitions")
+    // the local rank is mid-arithmetic over the partition-sorted
+    // frame, not a Window.partitionBy(_pid) — the window form would
+    // re-shuffle the whole frame by _pid (see Ranks scaladoc)
     val ranged = df.select(col(idCol))
       .withColumn("_u", hashUniform(col(idCol), salt))
       .repartitionByRange(partitions, col("_u"), col(idCol))
+      .sortWithinPartitions(col("_u"), col(idCol))
       .withColumn("_pid", spark_partition_id())
+      .withColumn("_mid", monotonically_increasing_id())
       .persist()
     try {
-      val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val stats = ranged.groupBy(col("_pid"))
+        .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_m0"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
       var cum = 0L
-      val offsets = counts.map { case (pid, c) =>
-        val off = cum; cum += c; (pid, off)
+      val offsets = stats.map { case (pid, c, m0) =>
+        val off = cum; cum += c; (pid, off, m0)
       }
       val spark = df.sparkSession
       import spark.implicits._
-      val offDf = offsets.toSeq.toDF("_pid", "_off")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("_pid")).orderBy(col("_u"), col(idCol))
-      ranged.withColumn("_rn", row_number().over(w))
+      val offDf = offsets.toSeq.toDF("_pid", "_off", "_m0")
+      ranged
         .join(broadcast(offDf), Seq("_pid"))
         .select(col(idCol),
-          (col("_off") + col("_rn")).as("train_order"))
+          (col("_off") + (col("_mid") - col("_m0")) + 1L).as("train_order"))
         // materialize before releasing the pinned partitioning
         .localCheckpoint()
     } finally ranged.unpersist()

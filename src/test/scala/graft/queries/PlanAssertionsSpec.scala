@@ -236,6 +236,70 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q249: the profiler is ONE pass — single scan, single Expand, no joins") {
+    val plan = planOf("q249_column_profile")
+    val expands = "Expand".r.findAllIn(plan).size
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(expands == 1, s"expected exactly 1 Expand (multi-distinct):\n$plan")
+    assert(scans == 1, s"expected exactly 1 lineitem scan:\n$plan")
+    assert(!plan.contains("Join"), "profiler must not join:\n" + plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q255/rank core: the big side sees exactly ONE exchange (the range partition)") {
+    // the rank kernel under q255/q257/q246/q137/q160: local rank is
+    // monotonically_increasing_id arithmetic over the partition-sorted
+    // frame — a Window.partitionBy(_pid) here would re-shuffle
+    // everything by partition id (Catalyst can't see the layout
+    // already satisfies it); this guards the single-exchange shape
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+    val (out, ranged) = graft.operators.Ranks.rankedUnpinned(
+      docs, "doc_id", "rank", Seq(col("w").desc), 8)
+    try {
+      val plan = out.queryExecution.executedPlan.toString()
+      assert(plan.contains("rangepartitioning"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "rank re-shuffles by _pid — the redundant second exchange is back:\n" + plan)
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally ranged.unpersist()
+  }
+
+  test("q259: df-cap filter runs BELOW the pair join; no loop joins anywhere") {
+    val plan = planOf("q259_winnow_matches")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the 2 ≤ df ≤ 50 band filter must gate pair GENERATION (render
+    // order is top-down: the filter sits under the topmost pair join)
+    assert(plan.contains("_df"), "df-cap filter missing:\n" + plan)
+    assert(plan.indexOf("_df") > plan.indexOf("BroadcastHashJoin"),
+      "df-cap filter must be a descendant of the pair join:\n" + plan)
+  }
+
+  test("q176: resample join is hash-based; the CI window runs over the aggregated frame") {
+    val plan = planOf("q176_bootstrap_ci")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // top-down rendering: the B-row quantile Window must sit ABOVE
+    // the replicate aggregate pair that shrinks draws to B rows
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, plan)
+    assert(plan.indexOf("Exchange", winIdx) > winIdx,
+      "no aggregate exchange below the CI window:\n" + plan)
+  }
+
+  test("q260: audio header parse is a zero-shuffle projection over one scan") {
+    val plan = planOf("q260_audio_headers")
+    assert(!plan.contains("Exchange"),
+      "byte-arithmetic parse must not shuffle:\n" + plan)
+    assert(!plan.contains("Join"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected a single documents scan:\n$plan")
+  }
+
   test("q246: the neighbor join is hash-based; jaccard never joins a loop") {
     val plan = planOf("q246_sorted_neighborhood")
     // the only nested-loop allowed is the 3-row window-offset cross
