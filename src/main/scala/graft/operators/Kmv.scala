@@ -60,13 +60,23 @@ object Kmv {
   /** Cumulative distinct-count timeline at sketch cost: for every
     * day, the KMV estimate of "distinct values seen SO FAR" — the
     * growth curve a dashboard draws without ever re-scanning history.
-    * Each value contributes from its FIRST day (one aggregate), the
-    * day domain is calendar-bounded, and each day's bottom-k runs
-    * through the bounded-heap aggregate over the (day ≥ first_day)
-    * banded join — at any corpus size the join volume is
-    * |days| · |distinct values|, linear in the value domain with a
-    * calendar constant, never quadratic. Exact to-date counts ride
-    * along for the error contract.
+    *
+    * Scale shape (the r9 rewrite): the corpus-sized work is TWO
+    * hash aggregates — first-seen day per value (V rows), then ONE
+    * bottom-k heap per day over its first-seen values (D sketch
+    * rows). The cumulative sketch is assembled by merging the
+    * per-day sketches, NOT by joining values against days: the k
+    * smallest hashes overall are each among their own day's k
+    * smallest, so the bottom-k of the unioned per-day sketches IS
+    * the bottom-k of the full to-date value set (the classic KMV
+    * merge property) — bit-identical output to the direct form. The
+    * merge's banded join is (D days) × (D·k sketch entries),
+    * k-bounded and CALENDAR-bounded — independent of the value
+    * count, where the former (day ≥ first_day) value join was
+    * O(D·V) and replicated every distinct value into every later
+    * day. Exact to-date counts ride along for the error contract
+    * via a cumsum window over the D-row day table (bounded, like
+    * Packing's partition-totals window).
     */
   def distinctTimeline(df: DataFrame, valueCol: String, tsCol: String,
       k: Int = 64, salt: String = "kmv_v1"): DataFrame = {
@@ -78,13 +88,33 @@ object Kmv {
     val u = (conv(substring(md5(concat(col("_v").cast("string"),
         lit(":" + salt))), 1, 15), 16, 10).cast("long").cast("double")
       / lit(Math.pow(2.0, 60.0)))
-    val days = firsts.select(col("_fd").as("day")).distinct()
-    val est = days.join(firsts.select(col("_v"), col("_fd"), u.as("_u")),
-        col("_fd") <= col("day"))
-      .groupBy(col("day"))
-      .agg(count(lit(1)).as("n_exact_to_date"),
+    // one bottom-k heap + first-seen count per day: D rows, pinned so
+    // the cumsum and the merge don't recompute the corpus aggregate
+    val perDay = firsts
+      .select(col("_fd"), col("_v"), u.as("_u"))
+      .groupBy(col("_fd"))
+      .agg(count(lit(1)).as("_n_new"),
         graft.functions.expressions.TopKByAgg
-          .topKBy(negate(col("_u")), col("_v"), k).as("_top"))
+          .topKBy(negate(col("_u")), col("_v"), k).as("_day_top"))
+      .localCheckpoint()
+    val cum = perDay.select(col("_fd").as("day"), col("_n_new"))
+      .withColumn("n_exact_to_date",
+        sum(col("_n_new")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("day"))))
+      .select(col("day"), col("n_exact_to_date"))
+      // the cumsum window leaves ONE partition; spread the D day rows
+      // so the banded sketch-merge join parallelizes across days
+      .repartition(col("day"))
+    val entries = perDay.select(col("_fd"),
+        explode(col("_day_top")).as("_e"))
+      .select(col("_fd"), col("_e.score").as("_negu"),
+        col("_e.id").as("_v"))
+    val est = cum
+      .join(entries, col("_fd") <= col("day"))
+      .groupBy(col("day"))
+      .agg(max(col("n_exact_to_date")).as("n_exact_to_date"),
+        graft.functions.expressions.TopKByAgg
+          .topKBy(col("_negu"), col("_v"), k).as("_top"))
     val vk = negate(element_at(col("_top"), size(col("_top")))
       .getField("score"))
     est.select(col("day"), col("n_exact_to_date"),
