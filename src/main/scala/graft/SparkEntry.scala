@@ -495,7 +495,9 @@ object SparkEntry {
     // WAV/FLAC header parse round-trip over planted fixture bytes
     "q260_audio_headers" -> (X.qAudioHeaders _),
     // 6-round BPE merge training loop (unrolled-CTE oracle)
-    "q261_bpe_merges" -> (X.qBpeMerges _)
+    "q261_bpe_merges" -> (X.qBpeMerges _),
+    // corpus token counts under the learned BPE vocab
+    "q262_bpe_encode" -> (X.qBpeEncode _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -726,7 +728,7 @@ object SparkEntry {
     * the exact greedy non-overlap rule, identical in both engines
     * (see BpePairs.learnMerges).
     */
-  private def bpeSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""p$i AS (
          |  SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(f) AS BIGINT) AS n
@@ -740,18 +742,51 @@ object SparkEntry {
          |    chr(1) || l || r || chr(2)) AS w, f
          |  FROM w${i - 1}, t$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map { i =>
-      s"SELECT $i AS round, l AS left_sym, r AS right_sym, n AS pair_count FROM t$i"
-    }.mkString("\n UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT regexp_replace(x, '(.)', chr(1) || '\\1' || chr(2), 'g') AS w,
        |    CAST(COUNT(*) AS BIGINT) AS f
        |  FROM documents, UNNEST(list_filter(
        |    regexp_split_to_array(lower(text), '\\s+'), t -> len(t) >= 2))
        |    AS u(x)
        |  GROUP BY 1),
-       |$steps
-       |$out""".stripMargin
+       |$steps""".stripMargin
+  }
+
+  private def bpeSql(rounds: Int): String = {
+    val out = (1 to rounds).map { i =>
+      s"SELECT $i AS round, l AS left_sym, r AS right_sym, n AS pair_count FROM t$i"
+    }.mkString("\n UNION ALL ")
+    s"WITH ${bpeCtes(rounds)}\n$out"
+  }
+
+  /** q262 oracle: replay the learned merges over every document —
+    * wrap each non-space char (whitespace stays between symbols, so
+    * merges cannot cross word boundaries), apply the R replaces in
+    * training order, count closing markers.
+    */
+  private def bpeEncodeSql(rounds: Int): String = {
+    val wrapped =
+      "regexp_replace(lower(text), '(\\S)', chr(1) || '\\1' || chr(2), 'g')"
+    val encoded = (1 to rounds).foldLeft(wrapped) { (acc, i) =>
+      s"replace($acc,\n      chr(1) || m$i.l || chr(2) || chr(1) || m$i.r || chr(2)," +
+        s" chr(1) || m$i.l || m$i.r || chr(2))"
+    }
+    val froms = (1 to rounds).map(i => s"t$i m$i").mkString(", ")
+    s"""WITH ${bpeCtes(rounds)},
+       |enc AS (
+       |  SELECT doc_id, $encoded AS w,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+       |      AS n_chars
+       |  FROM documents, $froms)
+       |SELECT doc_id,
+       |  CAST(length(w) - length(replace(w, chr(2), '')) AS BIGINT)
+       |    AS n_tokens_bpe,
+       |  n_chars,
+       |  CASE WHEN length(w) - length(replace(w, chr(2), '')) = 0 THEN NULL
+       |    ELSE ROUND(CAST(n_chars AS DOUBLE)
+       |      / CAST(length(w) - length(replace(w, chr(2), '')) AS DOUBLE), 6)
+       |    END AS chars_per_token
+       |FROM enc""".stripMargin
   }
 
   private def lpaSql(iters: Int): String = {
@@ -5070,7 +5105,8 @@ object SparkEntry {
         |    ELSE 42 END AS BIGINT) AS n_bytes,
         |  CASE WHEN is_wav THEN wav_hex ELSE flac_hex END AS header_hex
         |FROM h""".stripMargin,
-    "q261_bpe_merges" -> bpeSql(6)
+    "q261_bpe_merges" -> bpeSql(6),
+    "q262_bpe_encode" -> bpeEncodeSql(6)
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

@@ -80,7 +80,17 @@ object BpePairs {
   def learnMerges(
       docs: DataFrame,
       textCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    mergeRounds(docs, textCol, rounds).reduce(_ union _)
+
+  /** The per-round 1-row merge frames (round, left_sym, right_sym,
+    * pair_count), checkpointed — [[learnMerges]] unions them;
+    * [[encodeTokenCounts]] replays them over the corpus.
+    */
+  private def mergeRounds(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int): Seq[DataFrame] = {
     require(rounds >= 1, s"rounds must be positive: $rounds")
     // vocabulary with frequencies, each word as ⟨c⟩⟨c⟩… symbol string
     var words = docs
@@ -123,6 +133,53 @@ object BpePairs {
       top.select(lit(r).as("round"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("n").as("pair_count"))
     }
-    merged.reduce(_ union _)
+    merged
+  }
+
+  /** APPLY the learned tokenizer: re-derive the `rounds` merges, then
+    * encode every document by replaying them over the marker-wrapped
+    * text and count the resulting tokens — the "how many tokens is
+    * this corpus under our tokenizer" pass every training-data budget
+    * starts from, plus the chars-per-token compression ratio (the
+    * fertility-style quality signal for the learned vocab).
+    *
+    * Encoding wraps every NON-SPACE character of the lowercased text
+    * (`regexp_replace(lower(text), (\S), ⟨$1⟩)`), so whitespace
+    * remains between wrapped symbols and a merge pattern ⟨l⟩⟨r⟩ can
+    * never span a word boundary — the training-side word split is
+    * enforced structurally, with no per-word explode. Each merge
+    * arrives as a broadcast 1-row frame (no driver collect) and is
+    * one corpus-wide replace(); token count = the closing-marker
+    * count (one ⟨sym⟩ per token). Scale shape: R linear string
+    * passes over the corpus, zero shuffles beyond the training
+    * aggregates themselves.
+    */
+  def encodeTokenCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int): DataFrame = {
+    val tops = mergeRounds(docs, textCol, rounds)
+    var cur = docs.select(col(idCol),
+      regexp_replace(lower(col(textCol)), "(\\S)", O + "$1" + C).as("_w"),
+      length(regexp_replace(col(textCol), "\\s", "")).cast("long")
+        .as("n_chars"))
+    tops.zipWithIndex.foreach { case (top, i) =>
+      cur = cur
+        .crossJoin(broadcast(top.select(
+          col("left_sym").as(s"_l$i"), col("right_sym").as(s"_r$i"))))
+        .withColumn("_w", expr(
+          s"replace(_w, concat(chr(1), _l$i, chr(2), chr(1), _r$i, chr(2))," +
+            s" concat(chr(1), _l$i, _r$i, chr(2)))"))
+        .drop(s"_l$i", s"_r$i")
+    }
+    cur.select(col(idCol),
+        expr("length(_w) - length(replace(_w, chr(2), ''))").cast("long")
+          .as("n_tokens_bpe"),
+        col("n_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens_bpe") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_chars").cast("double")
+            / col("n_tokens_bpe").cast("double"), 6)))
   }
 }

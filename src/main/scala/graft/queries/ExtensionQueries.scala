@@ -2977,4 +2977,11 @@ object ExtensionQueries {
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.operators.BpePairs.learnMerges(
       tbl(s, dir, "documents"), "text", rounds = 6)
+
+  /** Corpus token counts + compression under the learned 6-merge BPE
+    * vocab — training and application in one declared pass.
+    */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpePairs.encodeTokenCounts(
+      tbl(s, dir, "documents"), "doc_id", "text", rounds = 6)
 }

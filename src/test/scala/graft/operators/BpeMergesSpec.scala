@@ -31,6 +31,20 @@ class BpeMergesSpec extends AnyFunSuite {
     ))
   }
 
+  test("encode: token counts under the learned merges, hand-computed") {
+    val doc = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val out = BpePairs.encodeTokenCounts(
+        Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text", rounds = 6)
+      .collect()(0)
+    // per word: low→⟨low⟩ (1), lower→⟨low⟩⟨e⟩⟨r⟩ (3),
+    // newest→⟨n⟩⟨ewest⟩ (2), widest→⟨w⟩⟨i⟩⟨d⟩⟨est⟩ (4)
+    // doc: 5·1 + 2·3 + 6·2 + 3·4 = 35 tokens over 79 non-space chars
+    assert(out.getLong(1) === 35L, s"token count: $out")
+    assert(out.getLong(2) === 79L, s"char count: $out")
+    assert(out.getDouble(3) === 2.257143, s"compression: $out")
+  }
+
   test("greedy left-to-right non-overlap: aaaa → aa,aa; aaa → aa,a") {
     val out = BpePairs.learnMerges(
         Seq("aaaa aaa").toDF("text"), "text", rounds = 2)
