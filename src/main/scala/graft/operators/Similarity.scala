@@ -292,10 +292,14 @@ object Similarity {
     */
   def labelCentroidMargin(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
+    // pinned: the exploded decimal frame feeds BOTH the centroid
+    // aggregate and the distance join — unpinned it would scan and
+    // re-explode the corpus twice (the q113 re-inlining lesson)
     val e = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("dim", "_x")))
       .select(col("vec_id"), col("label"), col("dim"),
         round(col("_x").cast("double"), 6).cast("decimal(20,6)").as("v"))
+      .localCheckpoint()
     val cents = e.groupBy(col("label").as("clabel"), col("dim"))
       .agg((sum(col("v")).cast("double") / count(lit(1)).cast("double"))
         .as("cc"))
