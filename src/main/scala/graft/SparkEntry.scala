@@ -497,7 +497,11 @@ object SparkEntry {
     // 6-round BPE merge training loop (unrolled-CTE oracle)
     "q261_bpe_merges" -> (X.qBpeMerges _),
     // corpus token counts under the learned BPE vocab
-    "q262_bpe_encode" -> (X.qBpeEncode _)
+    "q262_bpe_encode" -> (X.qBpeEncode _),
+    // CCNet-style sentence-level dedup accounting (planted tails)
+    "q263_sentence_dedup" -> (X.qSentenceDedup _),
+    // exact Levenshtein verify over the SNM candidate pairs
+    "q264_edit_verify" -> (X.qEditVerify _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5106,7 +5110,67 @@ object SparkEntry {
         |  CASE WHEN is_wav THEN wav_hex ELSE flac_hex END AS header_hex
         |FROM h""".stripMargin,
     "q261_bpe_merges" -> bpeSql(6),
-    "q262_bpe_encode" -> bpeEncodeSql(6)
+    "q262_bpe_encode" -> bpeEncodeSql(6),
+    // Sentence dedup: the Readability boundary convention, terminal
+    // punctuation stripped, md5-keyed corpus frequencies
+    "q263_sentence_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN ' Subscribe to the newsletter today. All rights reserved.'
+        |    WHEN 1 THEN ' All rights reserved.'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, trim(regexp_replace(x, '[.!?]+$', '')) AS sent
+        |  FROM p, UNNEST(regexp_split_to_array(rtrim(text), '[.!?]+\s+'))
+        |    AS t(x)),
+        |s AS (SELECT doc_id, substr(md5(sent), 1, 16) AS h
+        |      FROM s0 WHERE len(sent) > 0),
+        |f AS (SELECT h, COUNT(*) AS f FROM s GROUP BY 1),
+        |d AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+        |    CAST(SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_sentences
+        |  FROM s JOIN f USING (h) GROUP BY doc_id)
+        |SELECT doc_id, n_sentences, n_dup_sentences,
+        |  ROUND(CAST(n_dup_sentences AS DOUBLE)
+        |    / CAST(n_sentences AS DOUBLE), 6) AS dup_frac,
+        |  (ROUND(CAST(n_dup_sentences AS DOUBLE)
+        |    / CAST(n_sentences AS DOUBLE), 6) <= 0.5) AS keep
+        |FROM d""".stripMargin,
+    // Edit verify: the q246 SNM candidate CTEs re-rooted, then one
+    // levenshtein per candidate (identical unit-cost DP both engines)
+    "q264_edit_verify" -> (plantedDupSql + ",\n" +
+      """k AS (SELECT doc_id AS id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM pd),
+        |r AS (SELECT id, tk,
+        |    substr(trim(regexp_replace(regexp_replace(
+        |      array_to_string(tk, ' '), '[[:punct:]]', '', 'g'),
+        |      '\s+', ' ', 'g')), 1, 24) AS key
+        |  FROM k),
+        |rk AS (SELECT id, tk,
+        |         ROW_NUMBER() OVER (ORDER BY key, id) AS rank
+        |       FROM r),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM rk a JOIN rk b
+        |    ON b.rank BETWEEN a.rank + 1 AND a.rank + 3
+        |  WHERE CAST(len(list_intersect(list_distinct(a.tk),
+        |      list_distinct(b.tk))) AS DOUBLE)
+        |    / CAST(len(list_distinct(a.tk || b.tk)) AS DOUBLE) >= 0.5)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+        |  CAST(length(ta.text) AS BIGINT) AS n_chars_a,
+        |  CAST(length(tb.text) AS BIGINT) AS n_chars_b,
+        |  CASE WHEN greatest(length(ta.text), length(tb.text)) = 0 THEN 1.0
+        |    ELSE ROUND(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+        |      / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE),
+        |      6) END AS edit_sim
+        |FROM cand
+        |JOIN pd ta ON cand.id_a = ta.doc_id
+        |JOIN pd tb ON cand.id_b = tb.doc_id""".stripMargin)
   ) ++ tpchShapeSql
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —

@@ -193,4 +193,43 @@ object CorpusHygiene {
         (col("_snd.v") >= 2L &&
           col("_snd.v") * 2L >= col("_top.v")).as("is_mixed")): _*)
   }
+
+  /** SENTENCE-level dedup accounting (the CCNet/C4 pipeline stage
+    * between exact doc dedup and span removal): segment each document
+    * into sentences (the Readability boundary convention — runs of
+    * [.!?] followed by whitespace, counted over rtrim'd text),
+    * normalize each sentence (strip the terminal punctuation run,
+    * trim), and flag every sentence whose normalized form occurs ≥ 2
+    * times ACROSS THE CORPUS (including twice in one document). Per
+    * document: sentence count, duplicated-sentence count, the
+    * duplicated fraction, and a keep flag at `maxDupFrac` — the
+    * boilerplate-page filter ("subscribe", "all rights reserved"
+    * pages are mostly corpus-duplicated sentences).
+    *
+    * Scale shape: one explode to sentence rows, frequencies by a
+    * 16-hex md5 key (narrow shuffle — the key, not the sentence,
+    * moves), one hash join back on the key, one per-doc aggregate.
+    * The frequency table is corpus-sized, so the join is a plain
+    * shuffled hash join, never a broadcast.
+    */
+  def sentenceDedup(df: DataFrame, idCol: String, textCol: String,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    val sents = df
+      .select(col(idCol),
+        explode(split(rtrim(col(textCol)), "[.!?]+\\s+")).as("_raw"))
+      .select(col(idCol),
+        trim(regexp_replace(col("_raw"), "[.!?]+$", "")).as("_sent"))
+      .filter(length(col("_sent")) > 0)
+      .select(col(idCol), substring(md5(col("_sent")), 1, 16).as("_h"))
+    val freq = sents.groupBy(col("_h")).agg(count(lit(1)).as("_f"))
+    sents.join(freq, "_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("_f") >= 2L, 1L).otherwise(0L))
+          .as("n_dup_sentences"))
+      .select(col(idCol), col("n_sentences"), col("n_dup_sentences"),
+        round(col("n_dup_sentences").cast("double")
+          / col("n_sentences").cast("double"), 6).as("dup_frac"))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+  }
 }

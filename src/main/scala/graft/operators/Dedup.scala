@@ -619,4 +619,35 @@ object Dedup {
     pinned.foreach(_.unpersist())
     out
   }
+
+  /** Exact edit-distance verification of CANDIDATE pairs — the
+    * final, strongest verify a dedup pipeline applies after a cheap
+    * generator (SNM / LSH / banding) has bounded the pair set:
+    * Levenshtein distance (unit insert/delete/substitute — Spark's
+    * codegen'd built-in, byte-identical to the oracle's) plus the
+    * normalized similarity 1 − d/max(|a|, |b|).
+    *
+    * Scale shape: two hash joins to attach the texts, then a pure
+    * projection. The O(|a|·|b|) DP runs ONCE PER CANDIDATE — the
+    * operator deliberately takes a pair frame, not a corpus, so the
+    * quadratic kernel can never meet a quadratic pair set (the
+    * bounded-verify discipline of the q246/q140 generators).
+    */
+  def editVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, aCol: String = "id_a", bCol: String = "id_b")
+      : DataFrame = {
+    val withTexts = pairs.select(col(aCol), col(bCol))
+      .join(docs.select(col(idCol).as(aCol), col(textCol).as("_ta")), aCol)
+      .join(docs.select(col(idCol).as(bCol), col(textCol).as("_tb")), bCol)
+    withTexts.select(col(aCol), col(bCol),
+        levenshtein(col("_ta"), col("_tb")).cast("long")
+          .as("edit_distance"),
+        length(col("_ta")).cast("long").as("n_chars_a"),
+        length(col("_tb")).cast("long").as("n_chars_b"))
+      .withColumn("edit_sim",
+        when(greatest(col("n_chars_a"), col("n_chars_b")) === 0L, 1.0)
+          .otherwise(round(lit(1.0) - col("edit_distance").cast("double")
+            / greatest(col("n_chars_a"), col("n_chars_b")).cast("double"),
+            6)))
+  }
 }

@@ -2984,4 +2984,34 @@ object ExtensionQueries {
   def qBpeEncode(s: SparkSession, dir: String): DataFrame =
     graft.operators.BpePairs.encodeTokenCounts(
       tbl(s, dir, "documents"), "doc_id", "text", rounds = 6)
+
+  /** Sentence-level dedup accounting with planted boilerplate tails:
+    * two shared closing sentences ("subscribe" / "all rights
+    * reserved") are appended to 2/3 of the corpus so corpus-frequency
+    * ≥ 2 sentences exist by construction (the q97/q233 planting
+    * pattern keeps the audit non-vacuous on synthetic text).
+    */
+  def qSentenceDedup(s: SparkSession, dir: String): DataFrame = {
+    val planted = tbl(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" Subscribe to the newsletter today. All rights reserved."))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            lit(" All rights reserved."))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.CorpusHygiene.sentenceDedup(
+      planted, "doc_id", "text", maxDupFrac = 0.5)
+  }
+
+  /** Edit-distance verification of the q246 SNM candidates over the
+    * planted-dup corpus — the exact final verify on a generator-
+    * bounded pair set (the Levenshtein kernel never meets a
+    * quadratic candidate volume).
+    */
+  def qEditVerify(s: SparkSession, dir: String): DataFrame = {
+    val pd = plantedDupDocs(s, dir)
+    val pairs = graft.operators.SortedNeighborhood.nearDupPairs(
+      pd, "doc_id", "text", window = 3, threshold = 0.5)
+    graft.operators.Dedup.editVerify(pairs, pd, "doc_id", "text")
+  }
 }

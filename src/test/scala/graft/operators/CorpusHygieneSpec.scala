@@ -61,4 +61,25 @@ class CorpusHygieneSpec extends AnyFunSuite {
     assert(out(1)._5, s"code-switched doc must flag mixed: ${out(1)}")
     assert(out(2)._2 === "und" && out(2)._4 === null && !out(2)._5)
   }
+
+  test("sentence dedup: corpus-frequency >= 2 flags, within-doc repeats count") {
+    val df = Seq(
+      // doc 1: unique sentence + shared boilerplate
+      (1L, "A truly unique observation. All rights reserved."),
+      // doc 2: different unique sentence + the same boilerplate
+      (2L, "Another novel remark! All rights reserved."),
+      // doc 3: repeats its own sentence twice (within-doc dup)
+      (3L, "Echo echo echo. Echo echo echo. Fresh ending here"),
+      // doc 4: all unique, no terminal punctuation on the last
+      (4L, "One thing. Two thing")
+    ).toDF("doc_id", "text")
+    val out = CorpusHygiene.sentenceDedup(df, "doc_id", "text",
+        maxDupFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(out(0) === ((1L, 2L, 1L, true)))   // 1/2 dup → keep at 0.5
+    assert(out(1) === ((2L, 2L, 1L, true)))
+    assert(out(2) === ((3L, 3L, 2L, false)))  // 2/3 dup → drop
+    assert(out(3) === ((4L, 2L, 0L, true)))
+  }
 }

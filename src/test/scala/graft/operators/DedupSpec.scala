@@ -259,4 +259,19 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getSeq[Long](0))
     assert(sig1.zip(sig2).forall { case (a, b) => a == b })
   }
+
+  test("editVerify: exact Levenshtein + normalized similarity on a pair frame") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, "")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 4L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.editVerify(pairs, docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(5)))).toMap
+    assert(out((1L, 2L)) === ((3L, 0.571429))) // the textbook pair
+    assert(out((1L, 3L)) === ((0L, 1.0)))      // verbatim copy
+    assert(out((1L, 4L)) === ((6L, 0.0)))      // vs empty: all deletes
+    assert(out((4L, 4L)) === ((0L, 1.0)))      // both empty pinned to 1
+  }
 }
