@@ -501,7 +501,11 @@ object SparkEntry {
     // CCNet-style sentence-level dedup accounting (planted tails)
     "q263_sentence_dedup" -> (X.qSentenceDedup _),
     // exact Levenshtein verify over the SNM candidate pairs
-    "q264_edit_verify" -> (X.qEditVerify _)
+    "q264_edit_verify" -> (X.qEditVerify _),
+    // JL sign projection 64 -> 16 (exact integer-lattice transform)
+    "q265_jl_project" -> (X.qJlProject _),
+    // deterministic JL distance-distortion audit (100 pairs)
+    "q266_jl_distortion" -> (X.qJlDistortion _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5170,8 +5174,65 @@ object SparkEntry {
         |      6) END AS edit_sim
         |FROM cand
         |JOIN pd ta ON cand.id_a = ta.doc_id
-        |JOIN pd tb ON cand.id_b = tb.doc_id""".stripMargin)
+        |JOIN pd tb ON cand.id_b = tb.doc_id""".stripMargin),
+    // JL projection: 1e-6-lattice int64 carry, md5-sign matrix, one
+    // pinned double chain (/1e6, /4, round 6) per output
+    "q265_jl_project" -> (jlECte("embeddings") + "\n" +
+      """SELECT vec_id, CAST(j AS INTEGER) AS out_dim,
+        |  CAST(CASE WHEN SUM(v6 * s) >= 0
+        |      THEN (CAST(SUM(v6 * s) AS BIGINT) + 2) // 4
+        |      ELSE -((-CAST(SUM(v6 * s) AS BIGINT) + 2) // 4) END
+        |    AS DOUBLE) / 1000000.0 AS value
+        |FROM e JOIN s USING (i) GROUP BY vec_id, j""".stripMargin),
+    "q266_jl_distortion" -> (jlECte(
+      "(SELECT * FROM embeddings WHERE vec_id < 200)") + ",\n" +
+      """o AS (
+        |  SELECT vec_id // 2 AS m, i,
+        |    SUM(CASE WHEN vec_id % 2 = 0 THEN v6 ELSE -v6 END) AS d6,
+        |    COUNT(*) AS nd
+        |  FROM e GROUP BY 1, 2),
+        |o2 AS (SELECT m, SUM(d6 * d6) AS o12 FROM o WHERE nd = 2
+        |       GROUP BY m),
+        |py AS (
+        |  SELECT vec_id // 2 AS m, vec_id % 2 AS side, j,
+        |    CASE WHEN SUM(v6 * s) >= 0
+        |      THEN (CAST(SUM(v6 * s) AS BIGINT) + 2) // 4
+        |      ELSE -((-CAST(SUM(v6 * s) AS BIGINT) + 2) // 4) END AS y6
+        |  FROM e JOIN s USING (i) GROUP BY vec_id, j),
+        |pd2 AS (
+        |  SELECT m, j,
+        |    SUM(CASE WHEN side = 0 THEN y6 ELSE -y6 END) AS d6,
+        |    COUNT(*) AS np
+        |  FROM py GROUP BY 1, 2),
+        |p2 AS (SELECT m, SUM(d6 * d6) AS p12 FROM pd2 WHERE np = 2
+        |       GROUP BY m)
+        |SELECT CAST(m * 2 AS BIGINT) AS id_a,
+        |  CAST(m * 2 + 1 AS BIGINT) AS id_b,
+        |  ROUND(CAST(o12 AS DOUBLE) / 1000000000000.0, 6) AS d2_orig,
+        |  ROUND(CAST(p12 AS DOUBLE) / 1000000000000.0, 6) AS d2_proj,
+        |  CASE WHEN o12 = 0 THEN NULL
+        |    ELSE ROUND(CAST(p12 AS DOUBLE) / CAST(o12 AS DOUBLE), 6)
+        |    END AS distortion
+        |FROM o2 JOIN p2 USING (m)""".stripMargin)
   ) ++ tpchShapeSql
+
+  /** Shared JL CTE prefix: the exploded 1e-6-lattice components `e`
+    * (0-based dim i) and the md5 sign matrix `s` over i × 16 output
+    * dims, rooted on `from` (a table name or parenthesized subquery).
+    */
+  private def jlECte(from: String): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+       |    CAST(ROUND(ROUND(CAST(embedding[i] AS DOUBLE), 6) * 1000000, 0)
+       |      AS BIGINT) AS v6
+       |  FROM $from, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+       |s AS (
+       |  SELECT di.i, dj.j,
+       |    CASE WHEN substr(md5('jl_v1:' || CAST(di.i AS VARCHAR) || ':'
+       |        || CAST(dj.j AS VARCHAR)), 1, 1)
+       |      IN ('8','9','a','b','c','d','e','f') THEN -1 ELSE 1 END AS s
+       |  FROM (SELECT DISTINCT i FROM e) di,
+       |    (SELECT UNNEST(range(0, 16)) AS j) dj)""".stripMargin
 
   /** q24's quality-score algebra as a reusable CTE chain (t, r, tq) —
     * shared by the influence audit so the score can never desync

@@ -3014,4 +3014,16 @@ object ExtensionQueries {
       pd, "doc_id", "text", window = 3, threshold = 0.5)
     graft.operators.Dedup.editVerify(pairs, pd, "doc_id", "text")
   }
+
+  /** JL sign projection of the embedding corpus 64 → 16 dims. */
+  def qJlProject(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RandomProjection.project(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      inDims = 64, outDims = 16)
+
+  /** Deterministic JL distortion audit over the first 100 id pairs. */
+  def qJlDistortion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RandomProjection.distortionPairs(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      inDims = 64, outDims = 16, maxId = 200L)
 }
