@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Kmv, Quantiles, Winnowing}
+import graft.operators.{Kmv, Quantiles, RandomProjection, Winnowing}
 
 /** Scale probes for the r8 sketch/fingerprint newcomers that shipped
   * with argued (not measured) scale claims — planted-truth assertions
@@ -137,6 +137,23 @@ object ProbeScaleSketch {
       s"constant-score group must land at percentile 0: $qn")
     println(s"[probe-scale-sketch] quantileNormalize: $nRows rows, " +
       s"percentiles [${qn.getDouble(1)}, ${qn.getDouble(2)}] — PASS")
+
+    // ── 4. JL projection at 100 K × 64-dim vectors ─────────────────
+    val nVecs = 100000L
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (pmod(xxhash64(col("id") * 64L + i, lit(31)), lit(2000001L))
+          .cast("double") / 1000000.0 - 1.0).cast("float")).as("embedding"))
+      .localCheckpoint()
+    val jl = t(s"JL project ($nVecs vecs, 64 → 16 dims)") {
+      RandomProjection.project(vecs, "vec_id", "embedding",
+          inDims = 64, outDims = 16)
+        .agg(count(lit(1)), countDistinct(col("vec_id"))).collect()(0)
+    }
+    assert(jl.getLong(0) == nVecs * 16 && jl.getLong(1) == nVecs,
+      s"expected ${nVecs * 16} projected components: $jl")
+    println(s"[probe-scale-sketch] JL: ${jl.getLong(0)} components " +
+      s"over ${jl.getLong(1)} vectors — PASS")
 
     spark.stop()
   }
