@@ -505,7 +505,9 @@ object SparkEntry {
     // JL sign projection 64 -> 16 (exact integer-lattice transform)
     "q265_jl_project" -> (X.qJlProject _),
     // deterministic JL distance-distortion audit (100 pairs)
-    "q266_jl_distortion" -> (X.qJlDistortion _)
+    "q266_jl_distortion" -> (X.qJlDistortion _),
+    // SFT chat-structure gates + loss-masking token ledger
+    "q267_chat_stats" -> (X.qChatStats _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5213,7 +5215,72 @@ object SparkEntry {
         |  CASE WHEN o12 = 0 THEN NULL
         |    ELSE ROUND(CAST(p12 AS DOUBLE) / CAST(o12 AS DOUBLE), 6)
         |    END AS distortion
-        |FROM o2 JOIN p2 USING (m)""".stripMargin)
+        |FROM o2 JOIN p2 USING (m)""".stripMargin),
+    // Chat structure: conversations planted from token quarters;
+    // whitespace token arithmetic mirrors tokenCountArithmetic
+    "q267_chat_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id, len(tk) AS n, len(tk) // 4 AS q, tk FROM tk),
+        |m AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 0 THEN
+        |      [struct_pack(role := 'system',
+        |         content := 'You are a concise assistant')]
+        |     ELSE CAST([] AS STRUCT(role VARCHAR, content VARCHAR)[]) END)
+        |    || [struct_pack(role := 'user',
+        |          content := array_to_string(list_slice(tk, 1, q), ' ')),
+        |        struct_pack(role := CASE WHEN doc_id % 5 = 0 THEN 'user'
+        |            ELSE 'assistant' END,
+        |          content := array_to_string(list_slice(tk, q + 1, 2*q), ' ')),
+        |        struct_pack(role := 'user',
+        |          content := array_to_string(list_slice(tk, 2*q + 1, 3*q), ' ')),
+        |        struct_pack(role := CASE WHEN doc_id % 7 = 0 THEN 'user'
+        |            ELSE 'assistant' END,
+        |          content := array_to_string(list_slice(tk, 3*q + 1, n), ' '))]
+        |      AS msgs
+        |  FROM p),
+        |t AS (
+        |  SELECT doc_id, msgs,
+        |    COALESCE(list_sum(list_transform(
+        |      list_filter(msgs, x -> x.role = 'assistant'),
+        |      x -> CASE WHEN len(x.content) = 0 THEN 0
+        |        ELSE len(x.content) - len(replace(x.content, ' ', '')) + 1
+        |        END)), 0) AS a_tok,
+        |    COALESCE(list_sum(list_transform(
+        |      list_filter(msgs, x -> x.role = 'user'),
+        |      x -> CASE WHEN len(x.content) = 0 THEN 0
+        |        ELSE len(x.content) - len(replace(x.content, ' ', '')) + 1
+        |        END)), 0) AS u_tok,
+        |    COALESCE(list_sum(list_transform(
+        |      list_filter(msgs, x -> x.role = 'system'),
+        |      x -> CASE WHEN len(x.content) = 0 THEN 0
+        |        ELSE len(x.content) - len(replace(x.content, ' ', '')) + 1
+        |        END)), 0) AS s_tok
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(len(msgs) AS BIGINT) AS n_turns,
+        |  CAST(len(list_filter(msgs, x -> x.role = 'system')) AS BIGINT)
+        |    AS n_system,
+        |  CAST(len(list_filter(msgs, x -> x.role = 'user')) AS BIGINT)
+        |    AS n_user,
+        |  CAST(len(list_filter(msgs, x -> x.role = 'assistant')) AS BIGINT)
+        |    AS n_assistant,
+        |  CAST(a_tok AS BIGINT) AS assistant_tokens,
+        |  CAST(u_tok AS BIGINT) AS user_tokens,
+        |  CASE WHEN a_tok + u_tok + s_tok = 0 THEN NULL
+        |    ELSE ROUND(CAST(a_tok AS DOUBLE)
+        |      / CAST(a_tok + u_tok + s_tok AS DOUBLE), 6) END
+        |    AS assistant_frac,
+        |  CASE WHEN len(msgs) <= 1 THEN true
+        |    ELSE NOT list_contains(list_transform(range(1, len(msgs)),
+        |      i -> msgs[i].role = msgs[i+1].role), true) END AS alternates,
+        |  (len(msgs) > 0 AND msgs[len(msgs)].role = 'assistant')
+        |    AS ends_with_assistant
+        |FROM t""".stripMargin
   ) ++ tpchShapeSql
 
   /** Shared JL CTE prefix: the exploded 1e-6-lattice components `e`

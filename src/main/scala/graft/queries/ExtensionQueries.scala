@@ -3026,4 +3026,33 @@ object ExtensionQueries {
     graft.operators.RandomProjection.distortionPairs(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       inDims = 64, outDims = 16, maxId = 200L)
+
+  /** Chat-structure stats over conversations PLANTED from document
+    * text (token quarters as user/assistant turns; every 4th doc
+    * gains a system turn, every 5th a broken alternation, every 7th
+    * a trailing user turn — so all three structural gates fire both
+    * ways).
+    */
+  def qChatStats(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val tk = TextFunctions.tokens(col("text"))
+    val n = size(tk)
+    val q = (n / lit(4)).cast("int")
+    def part(start: Column, len: Column): Column =
+      concat_ws(" ", slice(tk, start, len))
+    def turn(role: Column, content: Column): Column =
+      struct(role.as("role"), content.as("content"))
+    val sys = turn(lit("system"), lit("You are a concise assistant"))
+    val u1 = turn(lit("user"), part(lit(1), q))
+    val a1 = turn(when(pmod(d, lit(5)) === 0, "user").otherwise("assistant"),
+      part(q + 1, q))
+    val u2 = turn(lit("user"), part(q * 2 + 1, q))
+    val a2 = turn(when(pmod(d, lit(7)) === 0, "user").otherwise("assistant"),
+      part(q * 3 + 1, n - q * 3))
+    val msgs = when(pmod(d, lit(4)) === 0, array(sys, u1, a1, u2, a2))
+      .otherwise(array(u1, a1, u2, a2))
+    graft.operators.ChatStructure.turnStats(
+      tbl(s, dir, "documents").select(d, msgs.as("messages")),
+      "doc_id", "messages")
+  }
 }

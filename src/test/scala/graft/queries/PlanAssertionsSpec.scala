@@ -300,6 +300,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(scans == 1, s"expected a single documents scan:\n$plan")
   }
 
+  test("q264: the Levenshtein kernel is a projection, never a join condition") {
+    val plan = planOf("q264_edit_verify")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the text-attach joins must extract equi keys; a levenshtein
+    // inside a loop-join condition would evaluate the O(len²) DP per
+    // probed pair candidate instead of once per emitted pair
+    val loopConds = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toSeq
+    assert(!loopConds.exists(_.contains("levenshtein")),
+      s"levenshtein inside a loop join:\n$plan")
+  }
+
+  test("q265: JL projection — sign matrix broadcast, one data shuffle") {
+    val plan = planOf("q265_jl_project")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exactly one exchange of corpus-derived rows (the vector-keyed
+    // aggregate); everything else is broadcast-side
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly 1 data exchange, got $exchanges:\n$plan")
+  }
+
   test("q246: the neighbor join is hash-based; jaccard never joins a loop") {
     val plan = planOf("q246_sorted_neighborhood")
     // the only nested-loop allowed is the 3-row window-offset cross
