@@ -507,7 +507,9 @@ object SparkEntry {
     // deterministic JL distance-distortion audit (100 pairs)
     "q266_jl_distortion" -> (X.qJlDistortion _),
     // SFT chat-structure gates + loss-masking token ledger
-    "q267_chat_stats" -> (X.qChatStats _)
+    "q267_chat_stats" -> (X.qChatStats _),
+    // tf-capped weighted MinHash Jaccard (estimate + exact)
+    "q268_weighted_minhash" -> (X.qWeightedMinhash _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5280,7 +5282,57 @@ object SparkEntry {
         |      i -> msgs[i].role = msgs[i+1].role), true) END AS alternates,
         |  (len(msgs) > 0 AND msgs[len(msgs)].role = 'assistant')
         |    AS ends_with_assistant
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    // Weighted MinHash: integer-weight expansion over tf capped at 4,
+    // 16 portable md5 seeds; estimate AND exact weighted Jaccard
+    "q268_weighted_minhash" -> (plantedDupSql + ",\n" +
+      """pairs AS (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 200000 FROM documents
+        |  WHERE doc_id % 7 = 1
+        |  UNION ALL SELECT doc_id, doc_id + 7 FROM documents
+        |  WHERE doc_id % 7 = 3
+        |    AND doc_id + 7 <= (SELECT MAX(doc_id) FROM documents)),
+        |tf AS (
+        |  SELECT id, t, CAST(LEAST(COUNT(*), 4) AS INTEGER) AS c
+        |  FROM (SELECT doc_id AS id, x AS t
+        |        FROM pd, UNNEST(list_filter(
+        |          regexp_split_to_array(lower(text), '\s+'),
+        |          y -> len(y) > 0)) AS u(x)
+        |        WHERE doc_id IN (SELECT id_a FROM pairs
+        |                         UNION SELECT id_b FROM pairs))
+        |  GROUP BY 1, 2),
+        |sg AS (
+        |  SELECT id, s, MIN(md5('wmh_v1:' || CAST(s AS VARCHAR) || ':'
+        |    || t || ':' || CAST(j AS VARCHAR))) AS mh
+        |  FROM tf, UNNEST(range(1, c + 1)) AS v(j),
+        |    UNNEST(range(1, 17)) AS w(s)
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT p.id_a, p.id_b,
+        |    ROUND(CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / 16.0, 6) AS est_jaccard
+        |  FROM pairs p
+        |  JOIN sg a ON a.id = p.id_a
+        |  JOIN sg b ON b.id = p.id_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |tta AS (SELECT p.id_a, p.id_b, tf.t, tf.c
+        |        FROM pairs p JOIN tf ON tf.id = p.id_a),
+        |ttb AS (SELECT p.id_a, p.id_b, tf.t, tf.c
+        |        FROM pairs p JOIN tf ON tf.id = p.id_b),
+        |x AS (
+        |  SELECT id_a, id_b,
+        |    SUM(LEAST(COALESCE(tta.c, 0), COALESCE(ttb.c, 0))) AS smin,
+        |    SUM(GREATEST(COALESCE(tta.c, 0), COALESCE(ttb.c, 0))) AS smax,
+        |    CAST(COUNT(*) AS BIGINT) AS n_union_tokens
+        |  FROM tta FULL OUTER JOIN ttb USING (id_a, id_b, t)
+        |  GROUP BY 1, 2)
+        |SELECT e.id_a, e.id_b, est_jaccard,
+        |  ROUND(CAST(smin AS DOUBLE) / CAST(smax AS DOUBLE), 6)
+        |    AS exact_jaccard,
+        |  n_union_tokens
+        |FROM e JOIN x ON e.id_a = x.id_a AND e.id_b = x.id_b""".stripMargin)
   ) ++ tpchShapeSql
 
   /** Shared JL CTE prefix: the exploded 1e-6-lattice components `e`

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Weighted MinHash by integer-weight expansion — near-dup similarity
+  * where term FREQUENCY matters (the plain MinHash families q26/q125
+  * see sets, so "spam spam spam" ≡ "spam"): each token contributes
+  * min(tf, cap) copies (token, 1), (token, 2), …, and the per-seed
+  * minimum of a portable md5 over (seed, token, copy) estimates the
+  * WEIGHTED Jaccard Σ min(tfₐ, tf_b)/Σ max(tfₐ, tf_b) (capped) —
+  * the standard reduction of weighted sets to plain MinHash over the
+  * expanded multiset. Deterministic md5 draws make the estimate
+  * itself hash-checkable, and the exact weighted Jaccard rides along
+  * (full-outer tf join) for the quality readout.
+  *
+  * Scale shape: tf is one corpus aggregate; the expansion is ≤ cap
+  * copies × seeds rows per distinct (doc, token) — a constant-factor
+  * explode, shuffled once by (doc, seed) with map-side min; the
+  * exact verify runs only over the CALLER'S pair frame (generator-
+  * bounded, the q264 discipline).
+  */
+object WeightedMinHash {
+
+  private def tfFrame(df: DataFrame, idCol: String, textCol: String,
+      cap: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("_t"))
+      .groupBy(col("_id"), col("_t"))
+      .agg(least(count(lit(1)), lit(cap.toLong)).cast("int").as("_c"))
+
+  /** Per-(doc, seed) weighted-minhash values: (_id, _s, _mh). */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+      seeds: Int = 16, cap: Int = 4, salt: String = "wmh_v1"): DataFrame = {
+    require(seeds >= 1 && cap >= 1, s"bad parameters: seeds=$seeds cap=$cap")
+    val spark = df.sparkSession
+    val seedFrame = spark.range(1, seeds + 1L)
+      .select(col("id").cast("int").as("_s"))
+    tfFrame(df, idCol, textCol, cap)
+      .select(col("_id"), col("_t"),
+        explode(sequence(lit(1), col("_c"))).as("_j"))
+      .crossJoin(broadcast(seedFrame))
+      .groupBy(col("_id"), col("_s"))
+      .agg(min(md5(concat_ws(":", lit(salt), col("_s").cast("string"),
+        col("_t"), col("_j").cast("string")))).as("_mh"))
+  }
+
+  /** Estimated AND exact capped weighted Jaccard for a bounded pair
+    * frame (`id_a`, `id_b`): (id_a, id_b, est_jaccard, exact_jaccard,
+    * n_union_tokens). Pairs where either side has no tokens drop out
+    * (no signature exists for an empty multiset).
+    */
+  def pairJaccard(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, seeds: Int = 16, cap: Int = 4,
+      salt: String = "wmh_v1"): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val ids = p.select(col("id_a").as("_id"))
+      .union(p.select(col("id_b").as("_id"))).distinct()
+    val sub = df.join(ids, df(idCol) === ids("_id")).drop("_id")
+    val sig = signatures(sub, idCol, textCol, seeds, cap, salt)
+    val est = p
+      .join(sig.select(col("_id").as("id_a"), col("_s"),
+        col("_mh").as("_ma")), "id_a")
+      .join(sig.select(col("_id").as("id_b"), col("_s"),
+        col("_mh").as("_mb")), Seq("id_b", "_s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(sum(when(col("_ma") === col("_mb"), 1L).otherwise(0L))
+        .cast("double") / lit(seeds.toDouble), 6).as("est_jaccard"))
+    val t = tfFrame(sub, idCol, textCol, cap)
+    val ta = p.join(t.select(col("_id").as("id_a"), col("_t"),
+      col("_c").as("_ca")), "id_a")
+    val tb = p.join(t.select(col("_id").as("id_b"), col("_t"),
+      col("_c").as("_cb")), "id_b")
+    val exact = ta.join(tb, Seq("id_a", "id_b", "_t"), "full_outer")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        sum(least(coalesce(col("_ca"), lit(0)),
+          coalesce(col("_cb"), lit(0))).cast("long")).as("_smin"),
+        sum(greatest(coalesce(col("_ca"), lit(0)),
+          coalesce(col("_cb"), lit(0))).cast("long")).as("_smax"),
+        count(lit(1)).as("n_union_tokens"))
+    est.join(exact, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        round(col("_smin").cast("double") / col("_smax").cast("double"), 6)
+          .as("exact_jaccard"),
+        col("n_union_tokens"))
+  }
+}

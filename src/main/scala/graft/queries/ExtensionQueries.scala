@@ -3055,4 +3055,25 @@ object ExtensionQueries {
       tbl(s, dir, "documents").select(d, msgs.as("messages")),
       "doc_id", "messages")
   }
+
+  /** Weighted (tf-capped) MinHash Jaccard over planted pairs: the
+    * verbatim mirrors and trailing-space variants land at 1.0, the
+    * unrelated (d, d+7) controls near 0 — estimate and exact both
+    * hash-check (deterministic md5 draws).
+    */
+  def qWeightedMinhash(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "documents")
+    val mx = base.agg(max(col("doc_id")).as("_mx"))
+    val p1 = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
+    val p2 = base.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 200000L).as("id_b"))
+    val p3 = base.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .crossJoin(broadcast(mx))
+      .filter(col("doc_id") + 7L <= col("_mx"))
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 7L).as("id_b"))
+    graft.operators.WeightedMinHash.pairJaccard(
+      plantedDupDocs(s, dir), "doc_id", "text",
+      p1.union(p2).union(p3))
+  }
 }
