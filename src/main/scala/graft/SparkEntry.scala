@@ -509,7 +509,9 @@ object SparkEntry {
     // SFT chat-structure gates + loss-masking token ledger
     "q267_chat_stats" -> (X.qChatStats _),
     // tf-capped weighted MinHash Jaccard (estimate + exact)
-    "q268_weighted_minhash" -> (X.qWeightedMinhash _)
+    "q268_weighted_minhash" -> (X.qWeightedMinhash _),
+    // per-source boilerplate header detection (modal k-prefix scan)
+    "q269_boilerplate_prefix" -> (X.qBoilerplatePrefix _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5332,7 +5334,50 @@ object SparkEntry {
         |  ROUND(CAST(smin AS DOUBLE) / CAST(smax AS DOUBLE), 6)
         |    AS exact_jaccard,
         |  n_union_tokens
-        |FROM e JOIN x ON e.id_a = x.id_a AND e.id_b = x.id_b""".stripMargin)
+        |FROM e JOIN x ON e.id_a = x.id_a AND e.id_b = x.id_b""".stripMargin),
+    // Boilerplate prefix: modal k-prefix per source, largest k whose
+    // modal share clears 0.5; ties (count desc, prefix asc)
+    "q269_boilerplate_prefix" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'breaking news update from the wire desk :: ' || text
+        |      ELSE text END AS text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'src_hdr' ELSE source END
+        |      AS source
+        |  FROM documents),
+        |n AS (SELECT source, COUNT(*) AS n FROM p GROUP BY 1),
+        |tk AS (SELECT source, list_filter(
+        |    regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM p),
+        |pref AS (
+        |  SELECT source, k, array_to_string(list_slice(tk, 1, k), ' ') AS pr
+        |  FROM tk, UNNEST(range(1, LEAST(len(tk), 12) + 1)) AS u(k)
+        |  WHERE len(tk) >= 1),
+        |cnt AS (SELECT source, k, pr, COUNT(*) AS c FROM pref
+        |        GROUP BY 1, 2, 3),
+        |modal AS (
+        |  SELECT source, k, c, pr FROM (
+        |    SELECT source, k, c, pr, ROW_NUMBER() OVER (
+        |      PARTITION BY source, k ORDER BY c DESC, pr) AS rn
+        |    FROM cnt) WHERE rn = 1),
+        |sh AS (SELECT m.source, k, pr, c,
+        |    ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+        |  FROM modal m JOIN n ON m.source = n.source),
+        |best AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN share >= 0.5 AND c >= 2 THEN k ELSE 0 END)
+        |      AS prefix_len
+        |  FROM sh GROUP BY 1)
+        |SELECT b.source, CAST(n.n AS BIGINT) AS n_docs,
+        |  CAST(b.prefix_len AS INTEGER) AS prefix_len,
+        |  CASE WHEN b.prefix_len = 0 THEN NULL ELSE s2.pr END
+        |    AS modal_prefix,
+        |  CASE WHEN b.prefix_len = 0 THEN NULL ELSE s2.share END
+        |    AS modal_share
+        |FROM best b
+        |JOIN n ON b.source = n.source
+        |LEFT JOIN sh s2 ON s2.source = b.source AND s2.k = b.prefix_len""".stripMargin
   ) ++ tpchShapeSql
 
   /** Shared JL CTE prefix: the exploded 1e-6-lattice components `e`

@@ -212,6 +212,67 @@ object CorpusHygiene {
     * The frequency table is corpus-sized, so the join is a plain
     * shuffled hash join, never a broadcast.
     */
+  /** Per-source boilerplate HEADER detection — the strip-the-shared-
+    * prefix pass a crawl-cleaning pipeline runs per site: for every
+    * prefix length k ≤ `maxK`, find the source's modal k-token
+    * prefix and its share of the source's documents; the boilerplate
+    * prefix length is the LARGEST k whose modal share clears
+    * `minShare` AND whose modal count is ≥ 2 (0 when no k does —
+    * without the count gate a 2-doc source would qualify EVERY
+    * unique prefix at share 1/2: a "shared" header must actually be
+    * shared). Documents shorter than k simply don't carry a
+    * k-prefix (the share denominator stays the full source size, so
+    * short-doc sources can't fake a header).
+    *
+    * Modal tie-break pinned: (count desc, prefix asc) via
+    * min(struct(−count, prefix)).
+    *
+    * Scale shape: one explode of ≤ maxK prefix rows per document
+    * (constant factor), two map-side-combined aggregates keyed by
+    * (source, k[, prefix]), and a |sources|-row reduce — nothing
+    * corpus-pairwise, no windows.
+    */
+  def boilerplatePrefix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, maxK: Int = 12, minShare: Double = 0.5)
+      : DataFrame = {
+    require(maxK >= 1 && minShare > 0.0 && minShare <= 1.0,
+      s"bad parameters: maxK=$maxK minShare=$minShare")
+    val tk = TextFunctions.tokens(col(textCol))
+    val nDocs = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val prefixes = df
+      .select(col(sourceCol), tk.as("_tk"))
+      // BEFORE the explode: sequence(1, 0) is descending [1, 0], not
+      // empty, so a token-less doc would emit a k = 0 prefix row
+      .filter(size(col("_tk")) >= 1)
+      .select(col(sourceCol),
+        explode(sequence(lit(1), least(size(col("_tk")), lit(maxK))))
+          .as("_k"), col("_tk"))
+      .select(col(sourceCol), col("_k"),
+        concat_ws(" ", slice(col("_tk"), lit(1), col("_k"))).as("_p"))
+    val modal = prefixes
+      .groupBy(col(sourceCol), col("_k"), col("_p"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(sourceCol), col("_k"))
+      .agg(min(struct((-col("_c")).as("nc"), col("_p").as("p"))).as("_m"))
+      .select(col(sourceCol), col("_k"), (-col("_m.nc")).as("_c"),
+        col("_m.p").as("_p"))
+    modal.join(nDocs, sourceCol :: Nil)
+      .withColumn("_share",
+        round(col("_c").cast("double") / col("_n").cast("double"), 6))
+      .withColumn("_q", col("_share") >= minShare && col("_c") >= 2L)
+      .groupBy(col(sourceCol))
+      .agg(max(col("_n")).as("n_docs"),
+        max(when(col("_q"), col("_k")).otherwise(0)).as("prefix_len"),
+        min(struct((-when(col("_q"), col("_k")).otherwise(0)).as("nk"),
+          col("_p").as("p"), col("_share").as("s"))).as("_best"))
+      .select(col(sourceCol), col("n_docs"),
+        col("prefix_len").cast("int").as("prefix_len"),
+        when(col("prefix_len") === 0, lit(null).cast("string"))
+          .otherwise(col("_best.p")).as("modal_prefix"),
+        when(col("prefix_len") === 0, lit(null).cast("double"))
+          .otherwise(col("_best.s")).as("modal_share"))
+  }
+
   def sentenceDedup(df: DataFrame, idCol: String, textCol: String,
       maxDupFrac: Double = 0.5): DataFrame = {
     val sents = df

@@ -3076,4 +3076,19 @@ object ExtensionQueries {
       plantedDupDocs(s, dir), "doc_id", "text",
       p1.union(p2).union(p3))
   }
+
+  /** Per-source boilerplate header detection: every third doc moves
+    * to a planted source carrying an 8-token wire header, which the
+    * operator must recover at exactly prefix_len 8 while the natural
+    * sources stay header-free.
+    */
+  def qBoilerplatePrefix(s: SparkSession, dir: String): DataFrame = {
+    val hdr = pmod(col("doc_id"), lit(3)) === 0
+    val planted = tbl(s, dir, "documents").select(col("doc_id"),
+      when(hdr, concat(lit("breaking news update from the wire desk :: "),
+        col("text"))).otherwise(col("text")).as("text"),
+      when(hdr, lit("src_hdr")).otherwise(col("source")).as("source"))
+    graft.operators.CorpusHygiene.boilerplatePrefix(
+      planted, "doc_id", "text", "source", maxK = 12, minShare = 0.5)
+  }
 }

@@ -62,6 +62,30 @@ class CorpusHygieneSpec extends AnyFunSuite {
     assert(out(2)._2 === "und" && out(2)._4 === null && !out(2)._5)
   }
 
+  test("boilerplate prefix: recovers the shared header length per source") {
+    val df = Seq(
+      (1L, "daily brief :: markets rallied strongly today", "wire"),
+      (2L, "daily brief :: storms battered the coast", "wire"),
+      (3L, "daily brief :: election results are in", "wire"),
+      (4L, "no shared header on this one", "blog"),
+      (5L, "a different opening over here", "blog"),
+      // a 50/50 split source: k=1 modal share exactly 0.5 qualifies
+      (6L, "alpha one two", "split"),
+      (7L, "alpha three four", "split"),
+      (8L, "beta five six", "split"),
+      (9L, "gamma seven eight", "split")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusHygiene.boilerplatePrefix(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getInt(2),
+        r.getAs[String](3), if (r.isNullAt(4)) -1.0 else r.getDouble(4))))
+      .toMap
+    // the wire header is 3 tokens; k=4 modal share drops to 1/3
+    assert(out("wire") === ((3L, 3, "daily brief ::", 1.0)))
+    assert(out("blog") === ((2L, 0, null, -1.0)))
+    // alpha leads half the split source — exactly at the threshold
+    assert(out("split") === ((4L, 1, "alpha", 0.5)))
+  }
+
   test("sentence dedup: corpus-frequency >= 2 flags, within-doc repeats count") {
     val df = Seq(
       // doc 1: unique sentence + shared boilerplate
