@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Kmv, Quantiles, RandomProjection, Winnowing}
+import graft.operators.{Kmv, Quantiles, RandomProjection, WeightedMinHash, Winnowing}
 
 /** Scale probes for the r8 sketch/fingerprint newcomers that shipped
   * with argued (not measured) scale claims — planted-truth assertions
@@ -154,6 +154,37 @@ object ProbeScaleSketch {
       s"expected ${nVecs * 16} projected components: $jl")
     println(s"[probe-scale-sketch] JL: ${jl.getLong(0)} components " +
       s"over ${jl.getLong(1)} vectors — PASS")
+
+    // ── 5. Weighted MinHash pair verify at 50 K → 100 K docs ──────
+    // every doc pairs with its sibling (2m, 2m+1); even m siblings
+    // are identical multisets (exact = est = 1.0), odd m siblings
+    // share nothing (exact = 0.0) — both asserted, cost ~linear
+    for (nDocs <- Seq(50000L, 100000L)) {
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(39)), i =>
+          when((col("id") / 2L).cast("long") % 2L === 0L,
+            concat(lit("tok"), (col("id") / 2L).cast("long"), lit("_"),
+              pmod(i, lit(10)))) // 10 distinct tokens, tf 4 each
+            .otherwise(concat(lit("u"),
+              xxhash64(col("id") * 40L + i, lit(41)))))).as("text"))
+        .localCheckpoint()
+      val pairs = spark.range(nDocs / 2).select(
+        (col("id") * 2L).as("id_a"), (col("id") * 2L + 1L).as("id_b"))
+      val agg = t(s"weighted minhash pair verify ($nDocs docs, " +
+          s"${nDocs / 2} pairs)") {
+        WeightedMinHash.pairJaccard(docs, "doc_id", "text", pairs)
+          .agg(count(lit(1)),
+            sum(when(col("exact_jaccard") === 1.0 &&
+              col("est_jaccard") === 1.0, 1L).otherwise(0L)),
+            sum(when(col("exact_jaccard") === 0.0, 1L).otherwise(0L)))
+          .collect()(0)
+      }
+      assert(agg.getLong(0) == nDocs / 2, s"pair count: $agg")
+      assert(agg.getLong(1) == nDocs / 4 && agg.getLong(2) == nDocs / 4,
+        s"expected ${nDocs / 4} identical + ${nDocs / 4} disjoint: $agg")
+      println(s"[probe-scale-sketch] $nDocs docs: ${agg.getLong(1)} " +
+        s"identical + ${agg.getLong(2)} disjoint pairs exact — PASS")
+    }
 
     spark.stop()
   }
