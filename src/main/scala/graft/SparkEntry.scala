@@ -511,7 +511,9 @@ object SparkEntry {
     // tf-capped weighted MinHash Jaccard (estimate + exact)
     "q268_weighted_minhash" -> (X.qWeightedMinhash _),
     // per-source boilerplate header detection (modal k-prefix scan)
-    "q269_boilerplate_prefix" -> (X.qBoilerplatePrefix _)
+    "q269_boilerplate_prefix" -> (X.qBoilerplatePrefix _),
+    // DPO preference-pair hygiene (length bias / ties / overlap)
+    "q270_preference_audit" -> (X.qPreferenceAudit _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5377,7 +5379,59 @@ object SparkEntry {
         |    AS modal_share
         |FROM best b
         |JOIN n ON b.source = n.source
-        |LEFT JOIN sh s2 ON s2.source = b.source AND s2.k = b.prefix_len""".stripMargin
+        |LEFT JOIN sh s2 ON s2.source = b.source AND s2.k = b.prefix_len""".stripMargin,
+    // Preference audit: whitespace token arithmetic, per-pair 6-dp
+    // Jaccard carried on the 1e-6 lattice, exact integer means
+    "q270_preference_audit" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, list_filter(
+        |    regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT doc_id, source,
+        |    COALESCE(array_to_string(list_slice(tk, 11, 40), ' '), '') AS c0,
+        |    COALESCE(array_to_string(list_slice(tk, 41, 60), ' '), '') AS r0
+        |  FROM tk),
+        |pr AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 0 THEN r0 ELSE c0 END AS chosen,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |        (CASE WHEN doc_id % 3 = 0 THEN r0 ELSE c0 END)
+        |      WHEN doc_id % 3 = 0 THEN c0 ELSE r0 END AS rejected
+        |  FROM p0),
+        |t AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN LENGTH(chosen) = 0 THEN 0
+        |      ELSE LENGTH(chosen) - LENGTH(REPLACE(chosen, ' ', '')) + 1
+        |      END AS BIGINT) AS ct,
+        |    CAST(CASE WHEN LENGTH(rejected) = 0 THEN 0
+        |      ELSE LENGTH(rejected) - LENGTH(REPLACE(rejected, ' ', '')) + 1
+        |      END AS BIGINT) AS rt,
+        |    chosen = rejected AS tie,
+        |    list_distinct(list_filter(
+        |      regexp_split_to_array(lower(chosen), '\s+'),
+        |      x -> len(x) > 0)) AS cs,
+        |    list_distinct(list_filter(
+        |      regexp_split_to_array(lower(rejected), '\s+'),
+        |      x -> len(x) > 0)) AS rs
+        |  FROM pr),
+        |j AS (
+        |  SELECT source, ct, rt, tie,
+        |    CAST(ROUND((CASE WHEN len(list_distinct(cs || rs)) = 0 THEN 1.0
+        |      ELSE ROUND(CAST(len(list_intersect(cs, rs)) AS DOUBLE)
+        |        / CAST(len(list_distinct(cs || rs)) AS DOUBLE), 6) END)
+        |      * 1000000, 0) AS BIGINT) AS j6
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  ROUND(CAST(SUM(CASE WHEN ct > rt THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS chosen_longer_frac,
+        |  ROUND(CAST(SUM(CASE WHEN tie THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS tie_frac,
+        |  ROUND(CAST(SUM(ct - rt) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_len_delta,
+        |  ROUND(CAST(SUM(j6) AS DOUBLE) / 1000000.0
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_overlap
+        |FROM j GROUP BY 1""".stripMargin
   ) ++ tpchShapeSql
 
   /** Shared JL CTE prefix: the exploded 1e-6-lattice components `e`

@@ -3091,4 +3091,24 @@ object ExtensionQueries {
     graft.operators.CorpusHygiene.boilerplatePrefix(
       planted, "doc_id", "text", "source", maxK = 12, minShare = 0.5)
   }
+
+  /** DPO-pair hygiene over planted (chosen, rejected) triples: token
+    * slices of each document act as the two responses (chosen 30
+    * tokens vs rejected 20 by default, lengths swapped for every
+    * third doc, exact ties planted on every fifth) — so the length-
+    * bias, tie and overlap readouts all take non-trivial values.
+    */
+  def qPreferenceAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val tk = TextFunctions.tokens(col("text"))
+    val c0 = concat_ws(" ", slice(tk, lit(11), lit(30)))
+    val r0 = concat_ws(" ", slice(tk, lit(41), lit(20)))
+    val chosen = when(pmod(d, lit(3)) === 0, r0).otherwise(c0)
+    val rejected = when(pmod(d, lit(5)) === 0, chosen)
+      .when(pmod(d, lit(3)) === 0, c0).otherwise(r0)
+    graft.operators.PreferenceAudit.audit(
+      tbl(s, dir, "documents").select(col("source"),
+        chosen.as("chosen"), rejected.as("rejected")),
+      "source", "chosen", "rejected")
+  }
 }
