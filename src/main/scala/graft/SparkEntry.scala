@@ -513,7 +513,9 @@ object SparkEntry {
     // per-source boilerplate header detection (modal k-prefix scan)
     "q269_boilerplate_prefix" -> (X.qBoilerplatePrefix _),
     // DPO preference-pair hygiene (length bias / ties / overlap)
-    "q270_preference_audit" -> (X.qPreferenceAudit _)
+    "q270_preference_audit" -> (X.qPreferenceAudit _),
+    // sharded-profile merge vs the direct whole-table profile
+    "q271_profile_merge" -> (X.qProfileMerge _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5431,8 +5433,53 @@ object SparkEntry {
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_len_delta,
         |  ROUND(CAST(SUM(j6) AS DOUBLE) / 1000000.0
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_overlap
-        |FROM j GROUP BY 1""".stripMargin
+        |FROM j GROUP BY 1""".stripMargin,
+    // Profile merge: the oracle computes the WHOLE-TABLE profile
+    // directly (stats + bottom-64 KMV over '%.6f' value keys); the
+    // engine must reach identical numbers via two shard profiles and
+    // a merge — the KMV merge property makes the sketches equal
+    "q271_profile_merge" -> profileMergeSql(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
   ) ++ tpchShapeSql
+
+  private def profileMergeSql(cols: Seq[String]): String = {
+    val ctes = cols.map { c =>
+      s"""st_$c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_null,
+         |    MIN(CAST($c AS DOUBLE)) AS min_value,
+         |    MAX(CAST($c AS DOUBLE)) AS max_value,
+         |    CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) AS sumd
+         |  FROM lineitem),
+         |dv_$c AS (SELECT DISTINCT printf('%.6f', CAST($c AS DOUBLE)) AS s
+         |          FROM lineitem WHERE $c IS NOT NULL),
+         |kv_$c AS (
+         |  SELECT MAX(n_exact) AS n_exact,
+         |    MAX(CASE WHEN rn <= 64 THEN u END) AS v_k,
+         |    SUM(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS kk
+         |  FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY u, s) AS rn,
+         |          COUNT(*) OVER () AS n_exact
+         |        FROM (SELECT s, CAST(('0x' || substr(md5(s || ':prof_v1'),
+         |            1, 15))::BIGINT AS DOUBLE) / power(2.0, 60.0) AS u
+         |          FROM dv_$c)))""".stripMargin
+    }.mkString(",\n")
+    val sel = cols.map { c =>
+      s"""SELECT '$c' AS column_name, n_rows, n_null, min_value, max_value,
+         |  CASE WHEN n_rows > n_null THEN
+         |    ROUND(sumd / CAST(n_rows - n_null AS DOUBLE), 6)
+         |    END AS mean_value,
+         |  CASE WHEN kk < 64 THEN CAST(n_exact AS DOUBLE)
+         |    ELSE ROUND(63.0 / v_k, 6) END AS distinct_est,
+         |  CAST(n_exact AS BIGINT) AS n_distinct_exact,
+         |  (abs((CASE WHEN kk < 64 THEN CAST(n_exact AS DOUBLE)
+         |      ELSE ROUND(63.0 / v_k, 6) END)
+         |    / CAST(n_exact AS DOUBLE) - 1.0) <= 3.0 / sqrt(64.0))
+         |    AS within_bound
+         |FROM st_$c, kv_$c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$sel"
+  }
 
   /** Shared JL CTE prefix: the exploded 1e-6-lattice components `e`
     * (0-based dim i) and the md5 sign matrix `s` over i × 16 output

@@ -141,6 +141,86 @@ object Profiling {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** MERGEABLE per-shard column profile — the incremental form a
+    * 100-TB profiler actually runs: profile each shard/partition
+    * once, then combine profiles without rescanning. Every statistic
+    * is a mergeable sufficient stat: counts and null counts add,
+    * min/max fold, the mean's numerator rides an exact
+    * DECIMAL(28,6) sum, and the DISTINCT count — the one statistic
+    * with no exact mergeable form — is carried as a KMV bottom-k
+    * array over portable md5 draws of the value's pinned '%.6f'
+    * rendering (the k smallest draws overall each survive their own
+    * shard's bottom-k, so merged sketch ≡ whole-corpus sketch — the
+    * q258 merge property). The '%.6f' key is cross-engine safe: a
+    * binary double can never sit exactly on a 1e-7 decimal half
+    * (odd/(2·10⁶) has 5⁶ in the denominator), so Java HALF_UP and C
+    * half-even printf render identically.
+    *
+    * One stats aggregate (single scan) + one melted distinct-values
+    * aggregate per call; output one row per column with the sketch
+    * attached.
+    */
+  def mergeableProfile(df: DataFrame, cols: Seq[String], k: Int = 64,
+      salt: String = "prof_v1"): DataFrame = {
+    require(cols.nonEmpty && k >= 8, s"cols=$cols k=$k")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"_n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+        min(col(c).cast("double")).as(s"_min_$c"),
+        max(col(c).cast("double")).as(s"_max_$c"),
+        sum(col(c).cast("decimal(28,6)")).as(s"_s_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val statRows = one.select(explode(array(cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"_n_$c").as("n_rows"),
+        col(s"_null_$c").as("n_null"),
+        col(s"_min_$c").as("min_value"),
+        col(s"_max_$c").as("max_value"),
+        col(s"_s_$c").as("sum6"))
+    }: _*)).as("r")).select(col("r.*"))
+    val melted = df.select(explode(array(cols.map { c =>
+        struct(lit(c).as("c"),
+          when(col(c).isNotNull,
+            format_string("%.6f", col(c).cast("double"))).as("s"))
+      }: _*)).as("m"))
+      .select(col("m.c").as("column_name"), col("m.s").as("_s"))
+      .filter(col("_s").isNotNull)
+      .distinct()
+    val u = (conv(substring(md5(concat(col("_s"), lit(":" + salt))),
+      1, 15), 16, 10).cast("long").cast("double")
+      / lit(Math.pow(2.0, 60.0)))
+    // the heap's id slot is a LONG tie-break; only the u values are
+    // kept, and u ties are 2^-60 md5-prefix events, so a stable hash
+    // of the value string is all the id needs to be
+    val sketch = melted.select(col("column_name"),
+        xxhash64(col("_s")).as("_sid"), u.as("_u"))
+      .groupBy(col("column_name"))
+      .agg(transform(
+        graft.functions.expressions.TopKByAgg
+          .topKBy(negate(col("_u")), col("_sid"), k),
+        e => negate(e.getField("score"))).as("kmv"))
+    statRows.join(sketch, Seq("column_name"), "left")
+      .withColumn("kmv", coalesce(col("kmv"),
+        array().cast("array<double>")))
+  }
+
+  /** Combine any number of [[mergeableProfile]] outputs (pass their
+    * UNION): adds counts, folds min/max, adds the decimal mean
+    * numerators, and merges the KMV arrays (distinct-union then
+    * bottom-k — exact per the merge property). The collect_list is
+    * bounded by shards × k.
+    */
+  def mergeProfiles(profiles: DataFrame, k: Int = 64): DataFrame =
+    profiles.groupBy(col("column_name"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_null")).as("n_null"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"),
+        sum(col("sum6")).as("sum6"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, k).as("kmv"))
+
   /** Tokenizer-sizing coverage curve: the top-k vocabulary's share
     * of total token mass at every rank up to `topK` — "how big must
     * the vocabulary be to cover 95 % of the corpus", the practical

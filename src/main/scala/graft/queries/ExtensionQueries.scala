@@ -3111,4 +3111,40 @@ object ExtensionQueries {
         chosen.as("chosen"), rejected.as("rejected")),
       "source", "chosen", "rejected")
   }
+
+  /** Sharded-profile merge equivalence: lineitem profiled in two
+    * l_orderkey-parity shards, profiles MERGED, and the result
+    * checked against the direct whole-table computation — the same
+    * delta-decomposition proof q111/q121 give aggregates, here for
+    * the profiler's sufficient stats + KMV distinct sketch.
+    */
+  def qProfileMerge(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val k = 64
+    val even = graft.operators.Profiling.mergeableProfile(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0), cols, k)
+    val odd = graft.operators.Profiling.mergeableProfile(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 1), cols, k)
+    val merged = graft.operators.Profiling.mergeProfiles(
+      even.unionByName(odd), k)
+    val exAggs = cols.map(c => countDistinct(col(c)).as(s"_d_$c"))
+    val exact = li.agg(exAggs.head, exAggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(lit(c).as("column_name"),
+        col(s"_d_$c").as("n_distinct_exact"))): _*)).as("r"))
+      .select(col("r.*"))
+    val est = when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+      .otherwise(round(lit((k - 1).toDouble)
+        / element_at(col("kmv"), k), 6))
+    merged.join(exact, "column_name")
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("min_value"), col("max_value"),
+        when(col("n_rows") > col("n_null"),
+          round(col("sum6").cast("double")
+            / (col("n_rows") - col("n_null")).cast("double"), 6))
+          .as("mean_value"),
+        est.as("distinct_est"), col("n_distinct_exact"),
+        (abs(est / col("n_distinct_exact").cast("double") - 1.0)
+          <= lit(3.0 / math.sqrt(k.toDouble))).as("within_bound"))
+  }
 }

@@ -41,4 +41,27 @@ class KeywordProfileSpec extends AnyFunSuite {
 
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("mergeable profile: merge of shard profiles == direct whole profile") {
+    import org.apache.spark.sql.functions.{col, pmod, when, lit}
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 200L).map { i =>
+      (i, if (i % 7 == 0) None else Some((i % 13).toDouble * 1.5))
+    }.toDF("id", "v")
+    val whole = Profiling.mergeableProfile(df, Seq("v"), k = 64)
+    val shards = Profiling.mergeableProfile(
+        df.filter(pmod(col("id"), lit(2)) === 0), Seq("v"), k = 64)
+      .unionByName(Profiling.mergeableProfile(
+        df.filter(pmod(col("id"), lit(2)) === 1), Seq("v"), k = 64))
+    val a = whole.collect()(0)
+    val b = Profiling.mergeProfiles(shards, k = 64).collect()(0)
+    // every sufficient stat AND the KMV array must match exactly
+    for (f <- Seq("n_rows", "n_null", "min_value", "max_value", "sum6"))
+      assert(a.getAs[Any](f) === b.getAs[Any](f), f)
+    val ka = a.getSeq[Double](a.fieldIndex("kmv")).toList
+    val kb = b.getSeq[Double](b.fieldIndex("kmv")).toList
+    assert(ka === kb, "merged KMV sketch must equal the whole-corpus sketch")
+    assert(ka.size === 13) // exact below k
+  }
 }
