@@ -515,7 +515,10 @@ object SparkEntry {
     // DPO preference-pair hygiene (length bias / ties / overlap)
     "q270_preference_audit" -> (X.qPreferenceAudit _),
     // sharded-profile merge vs the direct whole-table profile
-    "q271_profile_merge" -> (X.qProfileMerge _)
+    "q271_profile_merge" -> (X.qProfileMerge _),
+    // token-budget quality selection (histogram threshold + greedy
+    // boundary fill)
+    "q272_budget_select" -> (X.qBudgetSelect _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5439,7 +5442,40 @@ object SparkEntry {
     // engine must reach identical numbers via two shard profiles and
     // a merge — the KMV merge property makes the sketches equal
     "q271_profile_merge" -> profileMergeSql(
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    // Budget selection: histogram threshold over score-desc token
+    // cumsums; boundary bin filled greedily in id order (exclusive
+    // prefix < remaining budget)
+    "q272_budget_select" -> (qualityCteSql + ",\n" +
+      """sc AS (
+        |  SELECT d.doc_id, tq.quality AS quality,
+        |    CAST(CASE WHEN LENGTH(d.text) = 0 THEN 0
+        |      ELSE LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1
+        |      END AS BIGINT) AS n_tokens
+        |  FROM documents d JOIN tq USING (doc_id)),
+        |h AS (SELECT quality AS q, SUM(n_tokens) AS bt FROM sc GROUP BY 1),
+        |c AS (SELECT q, bt,
+        |    COALESCE(SUM(bt) OVER (ORDER BY q DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumbefore
+        |  FROM h),
+        |th AS (SELECT q AS tq_, cumbefore FROM c
+        |       WHERE cumbefore < 20000 AND cumbefore + bt >= 20000),
+        |pre AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY quality
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM sc)
+        |SELECT sc.doc_id, sc.quality, sc.n_tokens
+        |FROM sc, th WHERE sc.quality > th.tq_
+        |UNION ALL
+        |SELECT pre.doc_id, pre.quality, pre.n_tokens
+        |FROM pre JOIN th ON pre.quality = th.tq_
+        |WHERE pre.p < 20000 - th.cumbefore
+        |UNION ALL
+        |SELECT doc_id, quality, n_tokens FROM sc
+        |WHERE (SELECT COUNT(*) FROM th) = 0""".stripMargin)
   ) ++ tpchShapeSql
 
   private def profileMergeSql(cols: Seq[String]): String = {

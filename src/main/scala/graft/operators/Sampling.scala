@@ -465,6 +465,52 @@ object Sampling {
       .select(col(idCol), col("j"), col("neg_id"))
   }
 
+  /** TOKEN-BUDGET-constrained quality selection — the curation move
+    * "take the best documents until the budget is spent" (fractions
+    * select rows; training budgets are tokens): every document whose
+    * score clears the budget threshold is kept, and at the boundary
+    * score documents are taken in id order, a document included iff
+    * its EXCLUSIVE prefix of boundary tokens still fits the
+    * remaining budget (greedy whole-document fill; the last taken
+    * document may overshoot — pinned, and what a corpus builder
+    * actually does). If the whole corpus fits, everything is kept.
+    *
+    * Scale shape: the threshold comes from the same bounded
+    * score-histogram collect as [[topFractionByScore]] (≤ 10⁶ 6-dp
+    * bins at any corpus size), now carrying token sums; the boundary
+    * bin's prefix sums ride Packing's two-level recipe (range
+    * partition + partition offsets) — no one-partition window over
+    * data-scale rows anywhere.
+    */
+  def budgetByScore(df: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val scored = df
+      .filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
+      .select(col(idCol), col(scoreCol).cast("double").as("quality"),
+        col(tokensCol).cast("long").as("n_tokens"))
+    val hist = scored.groupBy(col("quality").as("_s"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (s, _) => -s }
+    var cum = 0L
+    var i = 0
+    while (i < hist.length && cum + hist(i)._2 < budget) {
+      cum += hist(i)._2; i += 1
+    }
+    if (i == hist.length) return scored // the whole corpus fits
+    val t = hist(i)._1
+    val r = budget - cum // tokens still owed from the boundary bin
+    val above = scored.filter(col("quality") > t)
+    val boundary = Packing.packByTokenBudget(
+        scored.filter(col("quality") === t)
+          .select(col(idCol), col("n_tokens")),
+        idCol, "n_tokens", budget = r)
+      .filter(col("start_offset") < r)
+      .select(col(idCol), lit(t).as("quality"), col("n_tokens"))
+    above.unionByName(boundary)
+  }
+
   def topFractionByScore(df: DataFrame, idCol: String, scoreCol: String,
       fraction: Double): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,

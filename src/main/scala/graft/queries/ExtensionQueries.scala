@@ -3147,4 +3147,20 @@ object ExtensionQueries {
         (abs(est / col("n_distinct_exact").cast("double") - 1.0)
           <= lit(3.0 / math.sqrt(k.toDouble))).as("within_bound"))
   }
+
+  /** Token-budget quality selection: the 20 000 highest-quality
+    * tokens of the corpus as whole documents (threshold from the
+    * score histogram; boundary bin greedily filled in id order).
+    */
+  def qBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val scored = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks"))
+          .as("quality"),
+        TextFunctions.tokenCountArithmetic(col("text")).cast("long")
+          .as("n_tokens"))
+    graft.operators.Sampling.budgetByScore(
+      scored, "doc_id", "quality", "n_tokens", budget = 20000L)
+  }
 }

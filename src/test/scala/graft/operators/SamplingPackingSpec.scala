@@ -246,4 +246,22 @@ class SamplingPackingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(!negs.sorted.sameElements(other.sorted))
   }
+
+  test("budgetByScore: threshold bins, greedy boundary fill, all-fits case") {
+    // scores 0.9 (30 tokens), 0.5 (4 docs × 10), 0.1 (100)
+    val df = Seq(
+      (1L, 0.9, 30L),
+      (2L, 0.5, 10L), (3L, 0.5, 10L), (4L, 0.5, 10L), (5L, 0.5, 10L),
+      (6L, 0.1, 100L)
+    ).toDF("doc_id", "score", "tok")
+    // budget 55: all of 0.9 (30), then boundary 0.5 in id order —
+    // doc 2 (start 0 < 25), doc 3 (start 10 < 25), doc 4 (start 20
+    // < 25 — greedy overshoot), doc 5 (start 30 ≥ 25) excluded
+    val sel = Sampling.budgetByScore(df, "doc_id", "score", "tok", 55L)
+      .collect().map(_.getLong(0)).sorted
+    assert(sel.toSeq === Seq(1L, 2L, 3L, 4L))
+    // a budget beyond the corpus keeps everything
+    val all = Sampling.budgetByScore(df, "doc_id", "score", "tok", 1000L)
+    assert(all.count() === 6L)
+  }
 }
