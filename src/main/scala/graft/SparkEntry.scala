@@ -5067,10 +5067,10 @@ object SparkEntry {
       """WITH p AS (
         |  SELECT doc_id, doc_id % 2 = 0 AS is_wav,
         |    CAST([8000,11025,16000,22050,44100,48000][
-        |      CAST(doc_id % 6 AS INTEGER) + 1] AS BIGINT) AS rate,
-        |    CAST(doc_id % 2 + 1 AS BIGINT) AS wav_ch,
+        |      CAST((doc_id // 2) % 6 AS INTEGER) + 1] AS BIGINT) AS rate,
+        |    CAST((doc_id // 2) % 2 + 1 AS BIGINT) AS wav_ch,
         |    CAST(doc_id % 3 + 1 AS BIGINT) AS flac_ch,
-        |    CAST([8,16,24,32][CAST(doc_id % 4 AS INTEGER) + 1]
+        |    CAST([8,16,24,32][CAST((doc_id // 2) % 4 AS INTEGER) + 1]
         |      AS BIGINT) AS wav_bits,
         |    CAST([8,16,24][CAST(doc_id % 3 AS INTEGER) + 1]
         |      AS BIGINT) AS flac_bits,
@@ -5119,8 +5119,8 @@ object SparkEntry {
         |  CASE WHEN is_wav THEN 'wav' ELSE 'flac' END AS container,
         |  rate AS sample_rate, channels,
         |  bits AS bits_per_sample, n_samples,
-        |  ROUND(CAST(n_samples AS DOUBLE) / CAST(rate AS DOUBLE), 6)
-        |    AS duration_s,
+        |  CAST((2 * n_samples * 1000000 + rate) // (2 * rate) AS DOUBLE)
+        |    / 1000000.0 AS duration_s,
         |  CAST(CASE WHEN is_wav THEN
         |      44 + CASE WHEN has_list THEN 12 ELSE 0 END
         |    ELSE 42 END AS BIGINT) AS n_bytes,
@@ -5505,10 +5505,12 @@ object SparkEntry {
          |  CASE WHEN n_rows > n_null THEN
          |    ROUND(sumd / CAST(n_rows - n_null AS DOUBLE), 6)
          |    END AS mean_value,
-         |  CASE WHEN kk < 64 THEN CAST(n_exact AS DOUBLE)
+         |  CASE WHEN COALESCE(kk, 0) < 64 THEN CAST(COALESCE(n_exact, 0)
+         |      AS DOUBLE)
          |    ELSE ROUND(63.0 / v_k, 6) END AS distinct_est,
-         |  CAST(n_exact AS BIGINT) AS n_distinct_exact,
-         |  (abs((CASE WHEN kk < 64 THEN CAST(n_exact AS DOUBLE)
+         |  CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_distinct_exact,
+         |  (abs((CASE WHEN COALESCE(kk, 0) < 64
+         |        THEN CAST(COALESCE(n_exact, 0) AS DOUBLE)
          |      ELSE ROUND(63.0 / v_k, 6) END)
          |    / CAST(n_exact AS DOUBLE) - 1.0) <= 3.0 / sqrt(64.0))
          |    AS within_bound

@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   * Byte access is `substr(payload, pos, 1)` → `hex` → `conv(_,16,10)`
   * — each an existing codegen'd expression; multi-byte fields are
   * little/big-endian polynomials over those byte values. Duration is
-  * the one IEEE step: `round(n_samples / sample_rate, 6)`, pinned
-  * last, so the whole parse hash-checks cross-engine (q260).
+  * half-up integer division on the 1e-6 lattice (see [[dur6]]), so
+  * the whole parse hash-checks cross-engine (q260).
   */
 object AudioHeaders {
 
@@ -54,6 +54,17 @@ object AudioHeaders {
     */
   private def divFloor(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
+
+  /** 6-dp duration as EXACT integer arithmetic: half-up on the 1e-6
+    * lattice via `(2·n·10⁶ + rate) div (2·rate)`, then ONE int→double
+    * conversion and ONE division by 10⁶ — both single IEEE ops any
+    * engine performs identically. A plain `round(n/rate, 6)` lands on
+    * .0000005 boundaries where Spark's BigDecimal HALF_UP and
+    * DuckDB's multiply-based round flip the last digit (n = 260477 at
+    * 16 kHz is exactly 16.2798125 s).
+    */
+  private def dur6(n: Column, rate: Column): Column =
+    divFloor(n * 2000000L + rate, rate * 2L).cast("double") / 1000000.0
 
   private val WavMagic = "52494646"  // "RIFF"
   private val WaveId = "57415645"    // "WAVE"
@@ -87,8 +98,7 @@ object AudioHeaders {
         channels.as("channels"),
         bits.as("bits_per_sample"),
         nSamples.as("n_samples"),
-        round(nSamples.cast("double") / rate.cast("double"), 6)
-          .as("duration_s")))
+        dur6(nSamples, rate).as("duration_s")))
   }
 
   /** Parse a FLAC STREAMINFO header (the spec-mandated first metadata
@@ -116,8 +126,7 @@ object AudioHeaders {
         channels.as("channels"),
         bits.as("bits_per_sample"),
         nSamples.as("n_samples"),
-        round(nSamples.cast("double") / rate.cast("double"), 6)
-          .as("duration_s")))
+        dur6(nSamples, rate).as("duration_s")))
   }
 
   /** Magic-dispatched parse: struct(container, sample_rate, channels,

@@ -81,7 +81,11 @@ object BpePairs {
       docs: DataFrame,
       textCol: String,
       rounds: Int): DataFrame =
+    // a round whose pair set was empty (vocabulary fully merged
+    // before `rounds` rounds) carries a NULL argmax row — drop it,
+    // matching the oracle's LIMIT 1 over an empty CTE emitting nothing
     mergeRounds(docs, textCol, rounds).reduce(_ union _)
+      .filter(col("left_sym").isNotNull)
 
   /** The per-round 1-row merge frames (round, left_sym, right_sym,
     * pair_count), checkpointed — [[learnMerges]] unions them;
@@ -124,11 +128,17 @@ object BpePairs {
         .select(col("_b.l").as("l"), col("_b.r").as("r"),
           (-col("_b.nn")).as("n"))
         .localCheckpoint()
-      // fuse every non-overlapping ⟨l⟩⟨r⟩ left to right
+      // fuse every non-overlapping ⟨l⟩⟨r⟩ left to right; when the
+      // round was degenerate (empty pair set → NULL argmax row) the
+      // coalesce to chr(3) — a marker that never occurs inside a
+      // symbol string — turns the replace into a no-op instead of
+      // null-poisoning the whole words frame
       words = words.crossJoin(broadcast(top))
         .select(expr(
-          "replace(w, concat(chr(1), l, chr(2), chr(1), r, chr(2))," +
-            " concat(chr(1), l, r, chr(2)))").as("w"), col("f"))
+          "replace(w, concat(chr(1), coalesce(l, chr(3)), chr(2)," +
+            " chr(1), coalesce(r, chr(3)), chr(2))," +
+            " concat(chr(1), coalesce(l, chr(3)), coalesce(r, chr(3))," +
+            " chr(2)))").as("w"), col("f"))
         .localCheckpoint()
       top.select(lit(r).as("round"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("n").as("pair_count"))
@@ -168,9 +178,13 @@ object BpePairs {
       cur = cur
         .crossJoin(broadcast(top.select(
           col("left_sym").as(s"_l$i"), col("right_sym").as(s"_r$i"))))
+        // same degenerate-round guard as the training loop: a NULL
+        // merge row must be a no-op on the corpus, not a null poison
         .withColumn("_w", expr(
-          s"replace(_w, concat(chr(1), _l$i, chr(2), chr(1), _r$i, chr(2))," +
-            s" concat(chr(1), _l$i, _r$i, chr(2)))"))
+          s"replace(_w, concat(chr(1), coalesce(_l$i, chr(3)), chr(2)," +
+            s" chr(1), coalesce(_r$i, chr(3)), chr(2))," +
+            s" concat(chr(1), coalesce(_l$i, chr(3))," +
+            s" coalesce(_r$i, chr(3)), chr(2)))"))
         .drop(s"_l$i", s"_r$i")
     }
     cur.select(col(idCol),

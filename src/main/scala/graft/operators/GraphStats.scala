@@ -29,21 +29,35 @@ import org.apache.spark.sql.functions._
   */
 object GraphStats {
 
-  /** One row: (n_nodes, n_edges, assortativity). `edges` is any edge
-    * list, directed or already-symmetrized: the operator symmetrizes
-    * internally (union with the reversed list, then distinct), so a
-    * node appearing only as a dst still contributes its degree — on
-    * input that already carries both directions the union collapses
-    * to the identity and the statistic is bit-identical. Degree-
-    * regular graphs have zero degree variance — the 0/0 surfaces as
-    * NULL (both Spark non-ANSI division and the oracle agree), never
-    * a fabricated 0.
+  /** One row: (n_nodes, n_edges, assortativity).
+    *
+    * With `symmetrize = true` (the default, the UNDIRECTED
+    * statistic): the operator unions the reversed list and collapses
+    * duplicates, so a node appearing only as a dst still contributes
+    * its degree — on input that already carries both directions the
+    * union collapses to the identity and the statistic is
+    * bit-identical. `n_edges` counts undirected edges, self-loops
+    * included exactly once (a self-loop survives reversal as one
+    * directed row, so the count is (m + self_loops) / 2, never a
+    * truncating m / 2).
+    *
+    * With `symmetrize = false` (DIRECTED): the edge list is taken
+    * as-is, `n_edges` is the directed count, degrees are out-degrees
+    * on both endpoints — Newman's out–out directed assortativity
+    * variant.
+    *
+    * Degree-regular graphs have zero degree variance — the 0/0
+    * surfaces as NULL (both Spark non-ANSI division and the oracle
+    * agree), never a fabricated 0.
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, symmetrize: Boolean = true): DataFrame = {
     val raw = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
-    val e = raw.union(raw.select(col("_d").as("_s"), col("_s").as("_d")))
-      .distinct()
+    val e =
+      if (symmetrize)
+        raw.union(raw.select(col("_d").as("_s"), col("_s").as("_d")))
+          .distinct()
+      else raw
     val deg = e.groupBy(col("_s").as("_n"))
       .agg(count(lit(1)).as("_deg"))
     val withDeg = e
@@ -53,6 +67,7 @@ object GraphStats {
     val dec = "decimal(38,0)"
     val agg = withDeg.agg(
       count(lit(1)).as("_m"),
+      sum(when(col("_s") === col("_d"), 1L).otherwise(0L)).as("_sl"),
       sum(col("_dx").cast(dec)).as("_sx"),
       sum(col("_dy").cast(dec)).as("_sy"),
       sum((col("_dx") * col("_dy")).cast(dec)).as("_sxy"),
@@ -65,9 +80,12 @@ object GraphStats {
     val num = (m * col("_sxy") - col("_sx") * col("_sy")).cast("double")
     val radX = (m * col("_sxx") - col("_sx") * col("_sx")).cast("double")
     val radY = (m * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    val nEdges =
+      if (symmetrize) ((col("_m") + col("_sl")) / 2).cast("long")
+      else col("_m").cast("long")
     agg.crossJoin(nodes).select(
       col("n_nodes"),
-      (col("_m") / 2).cast("long").as("n_edges"), // undirected count
+      nEdges.as("n_edges"),
       round(num / (sqrt(radX) * sqrt(radY)), 6).as("assortativity"))
   }
 }

@@ -2909,15 +2909,19 @@ object ExtensionQueries {
   def qAudioHeaders(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.AudioHeaders
     val d = col("doc_id")
-    // planted parameters (all arithmetic in doc_id)
+    // planted parameters — WAV-path params (and the shared rate) are
+    // derived from e = d/2, NOT d, so the even-doc_id WAV population
+    // sweeps the FULL channel/bit/rate grids instead of the residues
+    // is_wav forces (d%2==0 would pin wav_ch=1 and halve the tables)
+    val e = floor(d / lit(2)).cast("long")
     val rate = element_at(
       array(lit(8000), lit(11025), lit(16000), lit(22050), lit(44100),
-        lit(48000)), (pmod(d, lit(6)) + 1).cast("int")).cast("long")
+        lit(48000)), (pmod(e, lit(6)) + 1).cast("int")).cast("long")
     val isWav = pmod(d, lit(2)) === 0
-    val wavCh = (pmod(d, lit(2)) + 1L).cast("long")
+    val wavCh = (pmod(e, lit(2)) + 1L).cast("long")
     val flacCh = (pmod(d, lit(3)) + 1L).cast("long")
     val wavBits = element_at(array(lit(8), lit(16), lit(24), lit(32)),
-      (pmod(d, lit(4)) + 1).cast("int")).cast("long")
+      (pmod(e, lit(4)) + 1).cast("int")).cast("long")
     val flacBits = element_at(array(lit(8), lit(16), lit(24)),
       (pmod(d, lit(3)) + 1).cast("int")).cast("long")
     val nSamples = pmod(d * 2654435761L, lit(480000L)) + 1L

@@ -45,6 +45,22 @@ class BpeMergesSpec extends AnyFunSuite {
     assert(out.getDouble(3) === 2.257143, s"compression: $out")
   }
 
+  test("degenerate corpus: rounds past full merge emit nothing, no nulls") {
+    // vocabulary {ab, ab ab} fully merges in round 1; rounds 2-3 have
+    // an EMPTY pair set — the guard must skip them (no (round, null,
+    // null) rows) and must NOT null-poison the words frame
+    val docs = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = BpePairs.learnMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(merges.toSeq === Seq((1, "a", "b", 3L)), s"got: ${merges.toSeq}")
+    val enc = BpePairs.encodeTokenCounts(docs, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // doc 1: two ⟨ab⟩ tokens over 4 chars; doc 2: one token, 2 chars
+    assert(enc.toSeq === Seq((1L, 2L, 4L), (2L, 1L, 2L)), s"enc: ${enc.toSeq}")
+  }
+
   test("greedy left-to-right non-overlap: aaaa → aa,aa; aaa → aa,a") {
     val out = BpePairs.learnMerges(
         Seq("aaaa aaa").toDF("text"), "text", rounds = 2)
