@@ -518,7 +518,9 @@ object SparkEntry {
     "q271_profile_merge" -> (X.qProfileMerge _),
     // token-budget quality selection (histogram threshold + greedy
     // boundary fill)
-    "q272_budget_select" -> (X.qBudgetSelect _)
+    "q272_budget_select" -> (X.qBudgetSelect _),
+    // model-based char-n-gram language ID (pinned integer weights)
+    "q273_language_id" -> (X.qLanguageId _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5475,8 +5477,37 @@ object SparkEntry {
         |WHERE pre.p < 20000 - th.cumbefore
         |UNION ALL
         |SELECT doc_id, quality, n_tokens FROM sc
-        |WHERE (SELECT COUNT(*) FROM th) = 0""".stripMargin)
+        |WHERE (SELECT COUNT(*) FROM th) = 0""".stripMargin),
+    // Model-based LID: the oracle rebuilds the planted multilingual
+    // strings and replays the integer score algebra generated from
+    // the SAME LanguageId.Model constants (round-trip proof)
+    "q273_language_id" -> languageIdSql
   ) ++ tpchShapeSql
+
+  /** q273 oracle: planted multilingual construction (language from
+    * doc_id % 6; repetitions and English contamination from the
+    * decoupled doc_id/6 residues) + the LID scoring CTEs generated
+    * from the pinned model.
+    */
+  private def languageIdSql: String = {
+    val sents = graft.queries.ExtensionQueries.LidSentences
+      .map(s => s"'$s'").mkString(",\n      ")
+    val langs = graft.operators.LanguageId.Model
+      .map(m => s"'${m._1}'").mkString(",")
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    [$langs][CAST(doc_id % 6 AS INTEGER) + 1] AS lang_true,
+       |    repeat([$sents][CAST(doc_id % 6 AS INTEGER) + 1] || ' ',
+       |      CAST((doc_id // 6) % 4 + 1 AS INTEGER)) ||
+       |    CASE WHEN (doc_id // 6) % 5 = 0 AND doc_id % 6 <> 1
+       |      THEN '${graft.queries.ExtensionQueries.LidNoise}'
+       |      ELSE '' END AS txt
+       |  FROM documents),
+       |${graft.operators.LanguageId.oracleSelect("planted", "doc_id", "txt")}
+       |SELECT p.doc_id, p.lang_true, o.lang_pred, o.score_points,
+       |  o.margin_points, o.rel_score
+       |FROM planted p JOIN lid_out o USING (doc_id)""".stripMargin
+  }
 
   private def profileMergeSql(cols: Seq[String]): String = {
     val ctes = cols.map { c =>

@@ -3167,4 +3167,52 @@ object ExtensionQueries {
     graft.operators.Sampling.budgetByScore(
       scored, "doc_id", "quality", "n_tokens", budget = 20000L)
   }
+
+  /** The six planted sentences for the model-based LID round trip —
+    * one per language in code-ascending order, ASCII-only, each
+    * carrying its language's pinned feature grams (and junction
+    * words chosen so sentence repetition only reinforces the true
+    * language).
+    */
+  private[graft] val LidSentences: Seq[String] = Seq(
+    "der schnelle braune fuchs springt und die katze ist nicht langsam",
+    "the quick brown fox jumps over the lazy dog and runs to the old mill",
+    "el zorro marron salta por el bosque y los perros son una manada con el lobo",
+    "le renard brun saute dans la foret et les chiens sont une meute qui est grande",
+    "il gatto che corre di notte per la stazione e di giorno con attenzione",
+    "uma raposa salta para os campos e corre com as outras das matas")
+
+  /** English contamination appended to 1/5 of the non-English docs —
+    * the classifier must still call the majority language.
+    */
+  private[graft] val LidNoise = "the cat and the dog"
+
+  /** Model-based language ID (q273): planted multilingual fixtures —
+    * language from doc_id % 6, repetition count and English-noise
+    * contamination from DECOUPLED doc_id/6 residues (the q260
+    * lesson) — classified by the pinned-coefficient char-n-gram
+    * linear model ([[graft.operators.LanguageId]]). The oracle
+    * rebuilds the same planted strings and replays the same integer
+    * score algebra from the SAME Model constants, so prediction,
+    * points and margins are a full round-trip proof.
+    */
+  def qLanguageId(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LanguageId
+    val d = col("doc_id")
+    val li = pmod(d, lit(6)).cast("int")
+    val r = floor(d / lit(6)).cast("long")
+    val planted = tbl(s, dir, "documents")
+      .select(d,
+        element_at(array(LanguageId.Model.map(m => lit(m._1)): _*),
+          li + 1).as("lang_true"),
+        element_at(array(LidSentences.map(lit): _*), li + 1).as("_sent"),
+        (pmod(r, lit(4)) + 1).cast("int").as("_reps"),
+        (pmod(r, lit(5)) === 0 && li =!= 1).as("_noisy"))
+      .withColumn("txt", concat(
+        expr("repeat(concat(_sent, ' '), _reps)"),
+        when(col("_noisy"), lit(LidNoise)).otherwise(lit(""))))
+    LanguageId.classify(planted, "doc_id", "txt")
+      .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+        col("score_points"), col("margin_points"), col("rel_score"))
+  }
 }
