@@ -520,7 +520,9 @@ object SparkEntry {
     // boundary fill)
     "q272_budget_select" -> (X.qBudgetSelect _),
     // model-based char-n-gram language ID (pinned integer weights)
-    "q273_language_id" -> (X.qLanguageId _)
+    "q273_language_id" -> (X.qLanguageId _),
+    // MP4/ISO-BMFF mvhd metadata via pure byte arithmetic
+    "q274_video_headers" -> (X.qVideoHeaders _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5481,7 +5483,61 @@ object SparkEntry {
     // Model-based LID: the oracle rebuilds the planted multilingual
     // strings and replays the integer score algebra generated from
     // the SAME LanguageId.Model constants (round-trip proof)
-    "q273_language_id" -> languageIdSql
+    "q273_language_id" -> languageIdSql,
+    // MP4 mvhd metadata: oracle re-derives the planted truth AND the
+    // exact header hex arithmetically; the Spark side must recover
+    // the same values by parsing the bytes it built (q260 pattern)
+    "q274_video_headers" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 2 AS version, doc_id // 2 AS h
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, version,
+        |    CAST([600,1000,12288,24000,44100,90000][
+        |      CAST(h % 6 AS INTEGER) + 1] AS BIGINT) AS ts,
+        |    CAST(h % 3 + 1 AS BIGINT) AS n_tracks,
+        |    (doc_id * 2654435761) % 4 = 0 AS has_free,
+        |    ['69736f6d','6d703432','61766331','64617368'][
+        |      CAST(h % 4 AS INTEGER) + 1] AS brand_hex,
+        |    ['isom','mp42','avc1','dash'][
+        |      CAST(h % 4 AS INTEGER) + 1] AS brand,
+        |    (doc_id * 48271) % 1000000 + 1 AS creation,
+        |    CAST((doc_id * 2654435761) % 100000000 + 1
+        |      + CASE WHEN doc_id % 2 = 1 THEN 4294967296 ELSE 0 END
+        |      AS BIGINT) AS duration
+        |  FROM p),
+        |x AS (
+        |  SELECT *, creation + 7 AS modif,
+        |    CASE WHEN version = 0 THEN 108 ELSE 120 END AS mvhd_size
+        |  FROM q),
+        |hx AS (
+        |  SELECT doc_id, version, ts, n_tracks, duration, brand,
+        |    brand_hex, has_free, mvhd_size,
+        |    CASE WHEN version = 0 THEN
+        |      '0000006c6d76686400000000' || printf('%08x', creation)
+        |        || printf('%08x', modif) || printf('%08x', ts)
+        |        || printf('%08x', duration) || repeat('0', 160)
+        |    ELSE
+        |      '000000786d76686401000000' || printf('%016x', creation)
+        |        || printf('%016x', modif) || printf('%08x', ts)
+        |        || printf('%016x', duration) || repeat('0', 160)
+        |    END AS mvhd_hex,
+        |    repeat('000000107472616b0000000000000000',
+        |      CAST(n_tracks AS INTEGER)) AS trak_hex
+        |  FROM x)
+        |SELECT doc_id, brand AS major_brand,
+        |  CAST(version AS BIGINT) AS version, ts AS timescale, duration,
+        |  n_tracks,
+        |  CAST((2 * duration * 1000000 + ts) // (2 * ts) AS DOUBLE)
+        |    / 1000000.0 AS duration_s,
+        |  CAST(16 + CASE WHEN has_free THEN 12 ELSE 0 END + 8 + mvhd_size
+        |    + 16 * n_tracks AS BIGINT) AS n_bytes,
+        |  '0000001066747970' || brand_hex || '00000200'
+        |    || CASE WHEN has_free THEN '0000000c6672656500000000'
+        |         ELSE '' END
+        |    || printf('%08x', 8 + mvhd_size + 16 * n_tracks) || '6d6f6f76'
+        |    || mvhd_hex || trak_hex AS header_hex
+        |FROM hx""".stripMargin
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from

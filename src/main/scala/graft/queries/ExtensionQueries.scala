@@ -3187,6 +3187,67 @@ object ExtensionQueries {
     */
   private[graft] val LidNoise = "the cat and the dog"
 
+  /** Video container metadata (q274): planted MP4/ISO-BMFF fixture
+    * payloads built byte-for-byte IN the query from doc_id-derived
+    * parameters (mvhd version, timescale, duration, track count,
+    * brand, optional free-box padding — all on DECOUPLED residues),
+    * then parsed back by the REAL column-algebra box walker
+    * ([[graft.multimodal.VideoHeaders]]). The oracle re-derives the
+    * planted truth including the exact header hex, so a mis-read
+    * offset, endianness slip or version-dispatch error breaks the
+    * match — the q260 round-trip pattern. Odd doc_ids carry version-1
+    * headers with durations past 2^32 to force the BE64 path.
+    */
+  def qVideoHeaders(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.VideoHeaders
+    val d = col("doc_id")
+    val h = floor(d / lit(2)).cast("long")
+    val version = pmod(d, lit(2))
+    val ts = element_at(
+      array(lit(600), lit(1000), lit(12288), lit(24000), lit(44100),
+        lit(90000)), (pmod(h, lit(6)) + 1).cast("int")).cast("long")
+    val nTr = (pmod(h, lit(3)) + 1L).cast("long")
+    val hasFree = pmod(d * 2654435761L, lit(4)) === 0
+    val brandHex = element_at(array(lit("69736f6d"), lit("6d703432"),
+      lit("61766331"), lit("64617368")), (pmod(h, lit(4)) + 1).cast("int"))
+    val creation = pmod(d * 48271L, lit(1000000L)) + 1L
+    val modif = creation + 7L
+    val durBase = pmod(d * 2654435761L, lit(100000000L)) + 1L
+    val duration = when(version === 0, durBase)
+      .otherwise(durBase + 4294967296L)
+    def be32h(v: Column) = format_string("%08x", v)
+    def be64h(v: Column) = format_string("%016x", v)
+    val mvhdSize = when(version === 0, 108L).otherwise(120L)
+    val mvhdHex = when(version === 0,
+      concat(lit("0000006c" + "6d766864" + "00000000"), be32h(creation),
+        be32h(modif), be32h(ts), be32h(duration), lit("0" * 160)))
+      .otherwise(
+        concat(lit("00000078" + "6d766864" + "01000000"), be64h(creation),
+          be64h(modif), be32h(ts), be64h(duration), lit("0" * 160)))
+    val trakHex = concat_ws("", array_repeat(
+      lit("00000010" + "7472616b" + "0000000000000000"), nTr.cast("int")))
+    val moovHex = concat(be32h(lit(8L) + mvhdSize + nTr * 16L),
+      lit("6d6f6f76"), mvhdHex, trakHex)
+    val headerHex = concat(
+      lit("00000010" + "66747970"), brandHex, lit("00000200"),
+      when(hasFree, lit("0000000c" + "66726565" + "00000000"))
+        .otherwise(lit("")),
+      moovHex)
+    tbl(s, dir, "documents")
+      .select(d, unhex(headerHex).as("_p"))
+      .select(d, VideoHeaders.parseMp4(col("_p")).as("_v"),
+        length(col("_p")).cast("long").as("n_bytes"),
+        lower(hex(col("_p"))).as("header_hex"))
+      .select(d,
+        col("_v.major_brand").as("major_brand"),
+        col("_v.version").as("version"),
+        col("_v.timescale").as("timescale"),
+        col("_v.duration").as("duration"),
+        col("_v.n_tracks").as("n_tracks"),
+        col("_v.duration_s").as("duration_s"),
+        col("n_bytes"), col("header_hex"))
+  }
+
   /** Model-based language ID (q273): planted multilingual fixtures —
     * language from doc_id % 6, repetition count and English-noise
     * contamination from DECOUPLED doc_id/6 residues (the q260
