@@ -522,7 +522,11 @@ object SparkEntry {
     // model-based char-n-gram language ID (pinned integer weights)
     "q273_language_id" -> (X.qLanguageId _),
     // MP4/ISO-BMFF mvhd metadata via pure byte arithmetic
-    "q274_video_headers" -> (X.qVideoHeaders _)
+    "q274_video_headers" -> (X.qVideoHeaders _),
+    // per-doc URL canonicalization over planted messy URLs
+    "q275_url_canon" -> (X.qUrlCanon _),
+    // canonical-host rollup (docs, raw vs canonical URL collapse)
+    "q276_host_stats" -> (X.qHostStats _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5537,7 +5541,22 @@ object SparkEntry {
         |         ELSE '' END
         |    || printf('%08x', 8 + mvhd_size + 16 * n_tracks) || '6d6f6f76'
         |    || mvhd_hex || trak_hex AS header_hex
-        |FROM hx""".stripMargin
+        |FROM hx""".stripMargin,
+    // URL canonicalization: planted construction + the UrlCanon
+    // string-algebra replay (generated from the same denylist)
+    "q275_url_canon" -> (urlPlantSql + ",\n" +
+      graft.operators.UrlCanon.oracleSelect("planted", "doc_id", "url") +
+      "\nSELECT doc_id, url_raw, host, url_canon FROM url_canon_out"),
+    "q276_host_stats" -> (urlPlantSql + ",\n" +
+      graft.operators.UrlCanon.oracleSelect("planted", "doc_id", "url") +
+      """
+        |SELECT o.host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT o.url_raw) AS BIGINT) AS n_raw_urls,
+        |  CAST(COUNT(DISTINCT o.url_canon) AS BIGINT)
+        |    AS n_canonical_urls,
+        |  CAST(SUM(p.n_chars) AS BIGINT) AS sum_weight
+        |FROM url_canon_out o JOIN planted p USING (doc_id)
+        |GROUP BY o.host""".stripMargin)
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -5564,6 +5583,28 @@ object SparkEntry {
        |  o.margin_points, o.rel_score
        |FROM planted p JOIN lid_out o USING (doc_id)""".stripMargin
   }
+
+  /** q275/q276 planted messy-URL construction (mirrors
+    * ExtensionQueries.plantedUrls residue for residue).
+    */
+  private val urlPlantSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, n_chars,
+      |    ['http','https','HTTP'][CAST((doc_id // 4) % 3 AS INTEGER) + 1]
+      |    || '://'
+      |    || CASE WHEN (doc_id // 12) % 2 = 0 THEN 'www.' ELSE '' END
+      |    || ['Example.COM','news.SITE.org','Data.example.com','blog.IO'][
+      |         CAST(doc_id % 4 AS INTEGER) + 1]
+      |    || ['',':80',':443',':8080'][
+      |         CAST((doc_id // 24) % 4 AS INTEGER) + 1]
+      |    || ['','/','/a/b/','/a/b','/index.html'][
+      |         CAST((doc_id * 2654435761) % 5 AS INTEGER) + 1]
+      |    || ['','?utm_source=x&b=2&a=1','?b=2&a=1','?gclid=zz&a=1',
+      |        '?z=9&utm_medium=email'][
+      |         CAST((doc_id * 48271) % 5 AS INTEGER) + 1]
+      |    || CASE WHEN (doc_id * 7919) % 3 = 0 THEN '#frag' ELSE '' END
+      |      AS url
+      |  FROM documents)""".stripMargin
 
   private def profileMergeSql(cols: Seq[String]): String = {
     val ctes = cols.map { c =>

@@ -3248,6 +3248,56 @@ object ExtensionQueries {
         col("n_bytes"), col("header_hex"))
   }
 
+  /** Messy planted URLs for the canonicalization round trip: host
+    * casing, `www.`, scheme casing, default/odd ports, trailing
+    * slashes, tracking params, unsorted query keys and fragments all
+    * vary on decoupled doc_id residues.
+    */
+  private[graft] def plantedUrls(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val hostRaw = element_at(array(lit("Example.COM"), lit("news.SITE.org"),
+      lit("Data.example.com"), lit("blog.IO")),
+      (pmod(d, lit(4)) + 1).cast("int"))
+    val scheme = element_at(array(lit("http"), lit("https"), lit("HTTP")),
+      (pmod(floor(d / lit(4)).cast("long"), lit(3)) + 1).cast("int"))
+    val www = when(pmod(floor(d / lit(12)).cast("long"), lit(2)) === 0,
+      lit("www.")).otherwise(lit(""))
+    val port = element_at(array(lit(""), lit(":80"), lit(":443"),
+      lit(":8080")),
+      (pmod(floor(d / lit(24)).cast("long"), lit(4)) + 1).cast("int"))
+    val path = element_at(array(lit(""), lit("/"), lit("/a/b/"),
+      lit("/a/b"), lit("/index.html")),
+      (pmod(d * 2654435761L, lit(5)) + 1).cast("int"))
+    val query = element_at(array(lit(""), lit("?utm_source=x&b=2&a=1"),
+      lit("?b=2&a=1"), lit("?gclid=zz&a=1"), lit("?z=9&utm_medium=email")),
+      (pmod(d * 48271L, lit(5)) + 1).cast("int"))
+    val frag = when(pmod(d * 7919L, lit(3)) === 0, lit("#frag"))
+      .otherwise(lit(""))
+    tbl(s, dir, "documents").select(d, col("n_chars"),
+      concat(scheme, lit("://"), www, hostRaw, port, path, query, frag)
+        .as("url"))
+  }
+
+  /** URL canonicalization (q275): per-doc canonical URL + host over
+    * the planted messy-URL fixtures — every row's canonical string
+    * hash-checked against the oracle's replay of the same algebra
+    * (generated from the same TrackingParams denylist).
+    */
+  def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UrlCanon
+    plantedUrls(s, dir).select(col("doc_id"), col("url").as("url_raw"),
+      UrlCanon.canonicalHost(col("url")).as("host"),
+      UrlCanon.canonicalize(col("url")).as("url_canon"))
+  }
+
+  /** Host-level rollup (q276): doc counts, raw-vs-canonical distinct
+    * URL collapse and char mass per canonical host — the grouping a
+    * crawl pipeline runs before content dedup.
+    */
+  def qHostStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UrlCanon.hostStats(plantedUrls(s, dir), "url",
+      "n_chars")
+
   /** Model-based language ID (q273): planted multilingual fixtures —
     * language from doc_id % 6, repetition count and English-noise
     * contamination from DECOUPLED doc_id/6 residues (the q260
