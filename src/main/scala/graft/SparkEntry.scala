@@ -526,7 +526,11 @@ object SparkEntry {
     // per-doc URL canonicalization over planted messy URLs
     "q275_url_canon" -> (X.qUrlCanon _),
     // canonical-host rollup (docs, raw vs canonical URL collapse)
-    "q276_host_stats" -> (X.qHostStats _)
+    "q276_host_stats" -> (X.qHostStats _),
+    // perceptual image dHash over the real ImageIO decode path
+    "q277_image_dhash" -> (X.qImageDhash _),
+    // Hamming-banded image near-dup pairs (4 x 16-bit bands)
+    "q278_image_pairs" -> (X.qImagePairs _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5556,7 +5560,36 @@ object SparkEntry {
         |    AS n_canonical_urls,
         |  CAST(SUM(p.n_chars) AS BIGINT) AS sum_weight
         |FROM url_canon_out o JOIN planted p USING (doc_id)
-        |GROUP BY o.host""".stripMargin)
+        |GROUP BY o.host""".stripMargin),
+    // dHash: the oracle re-derives the planted BMP pixel grid
+    // arithmetically and computes the 64 gradient comparisons in SQL;
+    // the Spark side must recover the same pixels by DECODING the BMP
+    // bytes it built (ImageIO)
+    "q277_image_dhash" -> (dhashOracleCte +
+      "\nSELECT doc_id, CAST(9 AS BIGINT) AS width," +
+      " CAST(8 AS BIGINT) AS height, dhash FROM hashes"),
+    "q278_image_pairs" -> (dhashOracleCte + """,
+        |bands AS (
+        |  SELECT doc_id, bb.b AS b,
+        |    substr(dhash, CAST(bb.b * 4 + 1 AS INTEGER), 4) AS bv
+        |  FROM hashes, (SELECT UNNEST(range(0, 4)) AS b) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id),
+        |hh AS (
+        |  SELECT cand.id1, cand.id2, h1.dhash AS ha, h2.dhash AS hb
+        |  FROM cand JOIN hashes h1 ON cand.id1 = h1.doc_id
+        |            JOIN hashes h2 ON cand.id2 = h2.doc_id)
+        |SELECT * FROM (
+        |  SELECT id1, id2,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      bit_count(xor(
+        |        ('0x' || substr(ha, CAST(i AS INTEGER), 1))::BIGINT,
+        |        ('0x' || substr(hb, CAST(i AS INTEGER), 1))::BIGINT))))
+        |      AS BIGINT) AS hamming
+        |  FROM hh)
+        |WHERE hamming <= 4""".stripMargin)
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -5605,6 +5638,38 @@ object SparkEntry {
       |    || CASE WHEN (doc_id * 7919) % 3 = 0 THEN '#frag' ELSE '' END
       |      AS url
       |  FROM documents)""".stripMargin
+
+  /** q277/q278 shared oracle prefix: the planted 9×8 pixel grid
+    * (mirroring ExtensionQueries.plantedBmps residue for residue) and
+    * its row-major dHash bytes.
+    */
+  private val dhashOracleCte: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id - doc_id % 2 AS base,
+      |    (doc_id * 7919) % 9 AS px, (doc_id * 104729) % 8 AS py,
+      |    doc_id % 2 = 1 AS pert
+      |  FROM documents),
+      |pix AS (
+      |  SELECT doc_id, yy.y AS y, xx.x AS x,
+      |    (('0x' || substr(md5(CAST(base AS VARCHAR) || ':img:'
+      |        || CAST(yy.y * 9 + xx.x AS VARCHAR)), 1, 2))::BIGINT
+      |      + CASE WHEN pert AND xx.x = px AND yy.y = py
+      |        THEN 9 ELSE 0 END) % 256 AS v
+      |  FROM g, (SELECT UNNEST(range(0, 8)) AS y) yy,
+      |    (SELECT UNNEST(range(0, 9)) AS x) xx),
+      |rowb AS (
+      |  SELECT a.doc_id, a.y,
+      |    CAST(SUM(CASE WHEN b.v > a.v THEN
+      |      [128,64,32,16,8,4,2,1][CAST(a.x AS INTEGER) + 1]
+      |      ELSE 0 END) AS BIGINT) AS byte
+      |  FROM pix a JOIN pix b
+      |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      |  WHERE a.x < 8
+      |  GROUP BY a.doc_id, a.y),
+      |hashes AS (
+      |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY y)
+      |    AS dhash
+      |  FROM rowb GROUP BY doc_id)""".stripMargin
 
   private def profileMergeSql(cols: Seq[String]): String = {
     val ctes = cols.map { c =>

@@ -3298,6 +3298,72 @@ object ExtensionQueries {
     graft.operators.UrlCanon.hostStats(plantedUrls(s, dir), "url",
       "n_chars")
 
+  /** 54-byte BITMAPINFOHEADER for a 9×8 bottom-up 24-bit BMP — the
+    * planted fixture container for the dHash round trip (constant:
+    * only pixels vary).
+    */
+  private val Bmp9x8Header: String =
+    "424d" + "16010000" + "00000000" + "36000000" + // BM, size 278, offs 54
+      "28000000" + "09000000" + "08000000" +        // header 40, 9 × 8
+      "0100" + "1800" + "00000000" + "e0000000" +   // 1 plane, 24 bpp, 224 B
+      "130b0000" + "130b0000" + "00000000" + "00000000"
+
+  /** Planted 9×8 grayscale BMPs: each even doc_id carries a pseudo-
+    * random pixel grid; each odd doc_id carries its even neighbor's
+    * grid with ONE pixel nudged (+9 mod 256) at a residue-derived
+    * position — a planted near-dup pair (≤ 2 dHash bits can flip).
+    * The bytes are a REAL bottom-up 24-bit BMP built in-query, so the
+    * Spark side must recover the pixels by actually decoding them.
+    */
+  private def plantedBmps(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("_base", col("doc_id") - pmod(col("doc_id"), lit(2)))
+      .withColumn("_px", pmod(col("doc_id") * 7919L, lit(9)))
+      .withColumn("_py", pmod(col("doc_id") * 104729L, lit(8)))
+      .withColumn("_pert", pmod(col("doc_id"), lit(2)) === 1)
+      // pixel value = md5 uniform per (base image, pixel index) — any
+      // multiplicative-additive mix mod 256 stays LINEAR in the pixel
+      // index (every image the same phase-shifted gradient, flooding
+      // the pair stage); the md5 byte gives genuinely independent
+      // pixels, portable to the oracle bit-for-bit
+      .withColumn("_pix", expr(
+        """concat_ws('', transform(sequence(7, 0, -1), y ->
+          |  concat(
+          |    concat_ws('', transform(sequence(0, 8), x ->
+          |      repeat(format_string('%02x',
+          |        pmod(cast(conv(substring(md5(concat(
+          |            cast(_base as string), ':img:',
+          |            cast(y * 9 + x as string))), 1, 2), 16, 10) as int)
+          |          + (case when _pert and x = _px and y = _py
+          |             then 9 else 0 end), 256)), 3))),
+          |    '00')))""".stripMargin))
+      .select(col("doc_id"),
+        unhex(concat(lit(Bmp9x8Header), col("_pix"))).as("payload"))
+
+  /** Perceptual image dHash (q277): the planted BMPs are DECODED by
+    * the real JDK ImageIO path and difference-hashed; the oracle
+    * re-derives the planted pixel grid arithmetically and computes
+    * the same 64 comparisons in SQL — a full decode round trip (one
+    * wrong pixel, row order, or bit weight breaks the match).
+    */
+  def qImageDhash(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.ImageHash.dHashDf(plantedBmps(s, dir), "doc_id",
+        "payload")
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("dhash"))
+
+  /** Image near-dup pairs (q278): 4×16-bit Hamming banding over the
+    * q277 hashes — every planted (even, odd) pair must surface
+    * (≤ 2 flipped bits leave ≥ 2 bands intact), plus whatever
+    * accidental band collisions pass the Hamming ≤ 4 verify.
+    */
+  def qImagePairs(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.ImageHash.hammingPairs(
+      graft.multimodal.ImageHash.dHashDf(plantedBmps(s, dir), "doc_id",
+        "payload"),
+      "doc_id", "dhash", maxDist = 4)
+
   /** Model-based language ID (q273): planted multilingual fixtures —
     * language from doc_id % 6, repetition count and English-noise
     * contamination from DECOUPLED doc_id/6 residues (the q260
