@@ -90,7 +90,19 @@ object Bench {
       // a FAILED rep must never become the reported minimum (a query
       // that dies in 0.3s would otherwise "win" over its real 10s
       // runs, silently): -1 marks failure; min-selection ignores it
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // Per-REP cleanup (outside the timed window): operators sever
+      // lineage via localCheckpoint and release their own caches, but
+      // the RESULT frame's checkpoint blocks stay pinned after the
+      // sink — so rep2 used to run against rep1's leaked blocks (the
+      // r9 q157 in-board rise: reps [3.25, 6.19, 5.64] while the
+      // isolated BenchOne falls 10.2 → 2.0). Checkpoint blocks are
+      // never reused across reps, so dropping storage here only
+      // removes noise.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      sec
     }
     // Single-run timing made per-query regressions unfalsifiable (r4→r5
     // showed 3-4x swings on untouched queries). Each query now runs
@@ -126,15 +138,9 @@ object Bench {
           Seq(a, b, runOnce(fn))
         else Seq(a, b)
       val goodAll = reps.filter(_ >= 0)
-      // Per-query cleanup between recycles: operators sever lineage via
-      // localCheckpoint and release their own caches, but checkpoint
-      // RDD blocks and any cache a failed rep abandoned stay pinned
-      // until GC'd. Drop all storage eagerly, and periodically nudge GC
-      // so the weak-ref-driven ContextCleaner actually releases shuffle
-      // files and broadcasts.
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // storage is dropped per-rep inside runOnce; periodically nudge
+      // GC so the weak-ref-driven ContextCleaner actually releases
+      // shuffle files and broadcasts
       if (ix % 16 == 15) System.gc()
       // all reps failed => -1 survives into the report as an explicit
       // broken-query marker (never a plausible-looking fast time)

@@ -34,6 +34,11 @@ object BenchOne {
       q(spark, sfDir).write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[benchone] $name rep$i: $sec%.2f s")
+      // same per-rep cleanup as Bench.runOnce (apples-to-apples):
+      // drop leaked result-checkpoint blocks before the next rep
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
