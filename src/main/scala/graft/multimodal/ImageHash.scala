@@ -121,8 +121,11 @@ object ImageHash {
       .select(col("_id"), col("_h"),
         explode(sequence(lit(0), lit(3))).as("_b"))
       .withColumn("_bv", expr("substring(_h, _b * 4 + 1, 4)"))
+    // both join sides are the corpus-sized band table — pin the join
+    // to shuffled-hash so small-scale stats can never pick a
+    // broadcast that cannot exist at 100 TB
     val cand = bands.as("a")
-      .join(bands.as("b"),
+      .join(bands.hint("shuffle_hash").as("b"),
         col("a._b") === col("b._b") && col("a._bv") === col("b._bv") &&
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id1"), col("b._id").as("id2"),

@@ -283,7 +283,12 @@ object CorpusHygiene {
       .filter(length(col("_sent")) > 0)
       .select(col(idCol), substring(md5(col("_sent")), 1, 16).as("_h"))
     val freq = sents.groupBy(col("_h")).agg(count(lit(1)).as("_f"))
-    sents.join(freq, "_h")
+    // the frequency side is the corpus's DISTINCT-sentence table —
+    // unbounded at 100 TB, so pin the join to shuffled-hash rather
+    // than letting small-scale stats pick a broadcast that cannot
+    // exist at scale; the _h exchange is shared with the groupBy
+    // above (ReusedExchange), so the hint costs nothing
+    sents.join(freq.hint("shuffle_hash"), "_h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sentences"),
         sum(when(col("_f") >= 2L, 1L).otherwise(0L))

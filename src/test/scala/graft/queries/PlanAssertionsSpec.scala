@@ -322,6 +322,65 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"expected exactly 1 data exchange, got $exchanges:\n$plan")
   }
 
+  test("q263: the sentence-frequency join is shuffled-hash, never broadcast") {
+    val plan = planOf("q263_sentence_dedup")
+    // the frequency side is the corpus's distinct-sentence table —
+    // unbounded at 100 TB; a broadcast picked off small-scale stats
+    // would OOM the real corpus
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"),
+      "sentence-frequency table must never broadcast:\n" + plan)
+  }
+
+  test("q268: the (doc, seed) signature shuffle carries map-side partial mins") {
+    val plan = planOf("q268_weighted_minhash")
+    assert(plan.contains("partial_min"),
+      "signature aggregate must combine map-side:\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q271: the profile merge is one k-bounded aggregate, no sort/window") {
+    val plan = planOf("q271_profile_merge")
+    // the shard-merge fold (counts/min/max/decimal sums + KMV
+    // flatten) is a single grouping on column_name; a Window or
+    // global Sort here would mean the merge re-ranks corpus-scale
+    // data instead of folding k-bounded sketches
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), "merge must not window:\n" + plan)
+  }
+
+  test("q273: language ID is a zero-shuffle projection over one scan") {
+    val plan = planOf("q273_language_id")
+    assert(!plan.contains("Exchange"),
+      "model application must not shuffle:\n" + plan)
+    assert(!plan.contains("Join"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected a single documents scan:\n$plan")
+  }
+
+  test("q274: mvhd parse is a zero-shuffle projection over one scan") {
+    val plan = planOf("q274_video_headers")
+    assert(!plan.contains("Exchange"),
+      "byte-arithmetic parse must not shuffle:\n" + plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q275: URL canonicalization is a zero-shuffle projection") {
+    val plan = planOf("q275_url_canon")
+    assert(!plan.contains("Exchange"),
+      "string algebra must not shuffle:\n" + plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q278: the dHash band join is shuffled-hash, never broadcast") {
+    val plan = planOf("q278_image_pairs")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"),
+      "band table must never broadcast:\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q246: the neighbor join is hash-based; jaccard never joins a loop") {
     val plan = planOf("q246_sorted_neighborhood")
     // the only nested-loop allowed is the 3-row window-offset cross
