@@ -530,7 +530,9 @@ object SparkEntry {
     // perceptual image dHash over the real ImageIO decode path
     "q277_image_dhash" -> (X.qImageDhash _),
     // Hamming-banded image near-dup pairs (4 x 16-bit bands)
-    "q278_image_pairs" -> (X.qImagePairs _)
+    "q278_image_pairs" -> (X.qImagePairs _),
+    // reliability bins + ECE + Brier on the quality classifier
+    "q279_calibration" -> (X.qCalibration _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5589,7 +5591,47 @@ object SparkEntry {
         |        ('0x' || substr(hb, CAST(i AS INTEGER), 1))::BIGINT))))
         |      AS BIGINT) AS hamming
         |  FROM hh)
-        |WHERE hamming <= 4""".stripMargin)
+        |WHERE hamming <= 4""".stripMargin),
+    // Calibration: micro-unit integer algebra over the shared q24
+    // quality CTE; labels planted at the score's own probability
+    "q279_calibration" -> (qualityCteSql + """,
+        |cal0 AS (
+        |  SELECT doc_id,
+        |    (CAST(ROUND(quality * 1000000, 0) AS BIGINT)
+        |      + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |          || ':cal_v2'), 1, 15))::BIGINT % 1000001) // 2 AS s6
+        |  FROM tq),
+        |cal AS (
+        |  SELECT doc_id, s6,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':cal_v1'), 1, 15))::BIGINT % 1000001 < s6
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM cal0),
+        |bb AS (
+        |  SELECT LEAST(s6 * 10 // 1000000, 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bin,
+        |    CAST(SUM(s6) AS BIGINT) AS sum_s6,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    SUM(CAST(s6 - y * 1000000 AS HUGEINT)
+        |      * CAST(s6 - y * 1000000 AS HUGEINT)) AS brier_num
+        |  FROM cal GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_bin) AS BIGINT) AS nt,
+        |    CAST(SUM(ABS(n_pos * 1000000 - sum_s6)) AS BIGINT)
+        |      AS ece_num,
+        |    SUM(brier_num) AS brier_tot FROM bb)
+        |SELECT CAST(bin AS INTEGER) AS bin, n_bin,
+        |  CAST(sum_s6 AS DOUBLE) / (CAST(n_bin AS DOUBLE) * 1000000.0)
+        |    AS conf,
+        |  CAST(n_pos AS DOUBLE) / CAST(n_bin AS DOUBLE) AS acc,
+        |  ABS(CAST(n_pos AS DOUBLE) / CAST(n_bin AS DOUBLE)
+        |    - CAST(sum_s6 AS DOUBLE)
+        |      / (CAST(n_bin AS DOUBLE) * 1000000.0)) AS gap,
+        |  CAST(ece_num AS DOUBLE) / (CAST(nt AS DOUBLE) * 1000000.0)
+        |    AS ece,
+        |  CAST(brier_tot AS DOUBLE)
+        |    / (CAST(nt AS DOUBLE) * 1000000000000.0) AS brier
+        |FROM bb, tot""".stripMargin)
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from

@@ -3364,6 +3364,35 @@ object ExtensionQueries {
         "payload"),
       "doc_id", "dhash", maxDist = 4)
 
+  /** Classifier calibration audit (q279): the q24 quality score
+    * against labels PLANTED at the score's own probability (md5
+    * uniform < score — a calibrated classifier by construction, so
+    * ECE is small and the audit's job is to prove it). Reliability
+    * bins, ECE and Brier all reduce to integer aggregates on the
+    * micro-unit lattice; every reported double is one division.
+    */
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    def u6(salt: String) = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(salt))), 1, 15), 16, 10).cast("long"), lit(1000001L))
+    val scored = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks"))
+          .as("_q"))
+      // the raw corpus quality clusters in 2 of 10 bins — blend an
+      // md5 uniform in (integer mean on the micro lattice) so the
+      // reliability table exercises the full bin range
+      .withColumn("_v6", u6(":cal_v2"))
+      .withColumn("_s6", expr(
+        "(cast(round(_q * 1000000, 0) as bigint) + _v6) div 2"))
+      .withColumn("score", col("_s6").cast("double") / 1000000.0)
+      .withColumn("label", (u6(":cal_v1") < col("_s6")).cast("int"))
+      .select(col("doc_id"), col("score"), col("label"))
+    graft.operators.Calibration.reliability(scored, "score", "label",
+      bins = 10)
+  }
+
   /** Model-based language ID (q273): planted multilingual fixtures —
     * language from doc_id % 6, repetition count and English-noise
     * contamination from DECOUPLED doc_id/6 residues (the q260
