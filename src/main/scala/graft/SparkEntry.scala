@@ -532,7 +532,9 @@ object SparkEntry {
     // Hamming-banded image near-dup pairs (4 x 16-bit bands)
     "q278_image_pairs" -> (X.qImagePairs _),
     // reliability bins + ECE + Brier on the quality classifier
-    "q279_calibration" -> (X.qCalibration _)
+    "q279_calibration" -> (X.qCalibration _),
+    // MP3 ID3v2 syncsafe + MPEG frame header via byte arithmetic
+    "q280_mp3_headers" -> (X.qMp3Headers _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5631,7 +5633,46 @@ object SparkEntry {
         |    AS ece,
         |  CAST(brier_tot AS DOUBLE)
         |    / (CAST(nt AS DOUBLE) * 1000000000000.0) AS brier
-        |FROM bb, tot""".stripMargin)
+        |FROM bb, tot""".stripMargin),
+    // MP3: oracle re-derives the planted truth arithmetically; the
+    // Spark side must parse the syncsafe tag size and the frame
+    // bit-fields out of the bytes it built
+    "q280_mp3_headers" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 2 = 0 AS has_id3,
+        |    CASE WHEN (doc_id // 2) % 2 = 0 THEN 3 ELSE 2 END AS vbits,
+        |    (doc_id // 4) % 14 + 1 AS br_idx,
+        |    (doc_id // 2) % 3 AS sr_idx,
+        |    (doc_id * 31) % 2 AS pad,
+        |    (doc_id * 17) % 4 AS ch,
+        |    (doc_id * 2654435761) % 20000 AS sz,
+        |    (doc_id * 48271) % 5000 AS fl
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CASE WHEN vbits = 3 THEN
+        |      [32,40,48,56,64,80,96,112,128,160,192,224,256,320][
+        |        CAST(br_idx AS INTEGER)]
+        |    ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][
+        |        CAST(br_idx AS INTEGER)] END AS br
+        |  FROM p)
+        |SELECT doc_id, has_id3,
+        |  CAST(CASE WHEN has_id3 THEN sz ELSE 0 END AS BIGINT)
+        |    AS id3_size,
+        |  CASE WHEN vbits = 3 THEN '1' ELSE '2' END AS mpeg_version,
+        |  CAST(3 AS BIGINT) AS layer,
+        |  CAST(br AS BIGINT) AS bitrate_kbps,
+        |  CAST(CASE WHEN vbits = 3 THEN
+        |      [44100,48000,32000][CAST(sr_idx AS INTEGER) + 1]
+        |    ELSE [22050,24000,16000][CAST(sr_idx AS INTEGER) + 1]
+        |    END AS BIGINT) AS sample_rate,
+        |  ['stereo','joint_stereo','dual_channel','mono'][
+        |    CAST(ch AS INTEGER) + 1] AS channel_mode,
+        |  CAST(pad AS BIGINT) AS padding,
+        |  CAST((2 * (4 + fl) * 8 * 1000000 + br * 1000)
+        |    // (2 * br * 1000) AS DOUBLE) / 1000000.0 AS duration_s,
+        |  CAST((CASE WHEN has_id3 THEN 10 + sz ELSE 0 END) + 4 + fl
+        |    AS BIGINT) AS n_bytes
+        |FROM q""".stripMargin
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from

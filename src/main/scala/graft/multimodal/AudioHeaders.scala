@@ -100,6 +100,68 @@ object AudioHeaders {
         dur6(nSamples, rate).as("duration_s")))
   }
 
+  /** Parse an MP3 stream head: an optional ID3v2 tag (size is the
+    * 28-bit SYNCSAFE integer — 7 data bits per byte, the format's
+    * famous quirk) followed by the first MPEG audio frame header,
+    * Layer III (bit-field unpack via div/mod byte arithmetic;
+    * version-dispatched bitrate/sample-rate tables for MPEG-1, 2 and
+    * 2.5). Returns struct(has_id3, id3_size, mpeg_version, layer,
+    * bitrate_kbps, sample_rate, channel_mode, padding, duration_s) —
+    * duration estimated from the stream bytes after the tag at the
+    * header's bitrate (CBR assumption, the standard quick estimate);
+    * null when the sync word is absent, the layer is not III, or the
+    * bitrate/sample-rate indexes are reserved.
+    */
+  def parseMp3(payload: Column): Column = {
+    val isId3 = hex(payload.substr(lit(1), lit(3))) === "494433"
+    val ss = u8(payload, 7) * 2097152L + u8(payload, 8) * 16384L +
+      u8(payload, 9) * 128L + u8(payload, 10)
+    val id3Size = when(isId3, ss).otherwise(0L)
+    val off = when(isId3, lit(11L) + ss).otherwise(lit(1L))
+    val b1 = u8(payload, off)
+    val b2 = u8(payload, off + lit(1L))
+    val b3 = u8(payload, off + lit(2L))
+    val b4 = u8(payload, off + lit(3L))
+    val sync = b1 === 255L && b2 >= 224L
+    val vbits = pmod(divFloor(b2, lit(8L)), lit(4L))   // 3=v1 2=v2 0=v2.5
+    val lbits = pmod(divFloor(b2, lit(2L)), lit(4L))   // 1 = Layer III
+    val brIdx = divFloor(b3, lit(16L))
+    val srIdx = pmod(divFloor(b3, lit(4L)), lit(4L))
+    val pad = pmod(divFloor(b3, lit(2L)), lit(2L))
+    val chBits = divFloor(b4, lit(64L))
+    val version = when(vbits === 3L, "1").when(vbits === 2L, "2")
+      .when(vbits === 0L, "2.5")
+    def tab(vals: Int*) = array(vals.map(lit): _*)
+    val bitrate = when(vbits === 3L, element_at(
+        tab(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+        brIdx.cast("int")))
+      .otherwise(element_at(
+        tab(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        brIdx.cast("int"))).cast("long")
+    val sampleRate = when(vbits === 3L,
+        element_at(tab(44100, 48000, 32000), srIdx.cast("int") + 1))
+      .when(vbits === 2L,
+        element_at(tab(22050, 24000, 16000), srIdx.cast("int") + 1))
+      .otherwise(element_at(tab(11025, 12000, 8000), srIdx.cast("int") + 1))
+      .cast("long")
+    val channelMode = element_at(
+      array(lit("stereo"), lit("joint_stereo"), lit("dual_channel"),
+        lit("mono")), chBits.cast("int") + 1)
+    val audioBytes = length(payload).cast("long") - off + 1L
+    when(sync && lbits === 1L && version.isNotNull &&
+      brIdx >= 1L && brIdx <= 14L && srIdx <= 2L,
+      struct(
+        isId3.as("has_id3"),
+        id3Size.as("id3_size"),
+        version.as("mpeg_version"),
+        lit(3L).as("layer"),
+        bitrate.as("bitrate_kbps"),
+        sampleRate.as("sample_rate"),
+        channelMode.as("channel_mode"),
+        pad.as("padding"),
+        dur6(audioBytes * 8L, bitrate * 1000L).as("duration_s")))
+  }
+
   /** Magic-dispatched parse: struct(container, sample_rate, channels,
     * bits_per_sample, n_samples, duration_s); container null when the
     * payload is neither.

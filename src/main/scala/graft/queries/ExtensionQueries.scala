@@ -3364,6 +3364,62 @@ object ExtensionQueries {
         "payload"),
       "doc_id", "dhash", maxDist = 4)
 
+  /** MP3 stream-head metadata (q280): planted ID3v2+MPEG-frame
+    * payloads built byte-for-byte in-query — syncsafe tag sizes up to
+    * 20 000 exercise the multi-byte 7-bit encoding, and the frame
+    * header sweeps MPEG-1/MPEG-2 Layer III bitrate/sample-rate/
+    * channel/padding grids on decoupled residues — parsed back by
+    * the real column-algebra parser ([[graft.multimodal.AudioHeaders
+    * .parseMp3]]); the oracle re-derives the planted truth (and the
+    * 4 frame-header bytes) arithmetically. The q260/q274 round-trip
+    * pattern, third audio container.
+    */
+  def qMp3Headers(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.AudioHeaders
+    val d = col("doc_id")
+    val h = floor(d / lit(2)).cast("long")
+    val hasId3 = pmod(d, lit(2)) === 0
+    val vbits = when(pmod(h, lit(2)) === 0, 3L).otherwise(2L)
+    val brIdx = pmod(floor(h / lit(2)).cast("long"), lit(14)) + 1L
+    val srIdx = pmod(h, lit(3))
+    val pad = pmod(d * 31L, lit(2))
+    val ch = pmod(d * 17L, lit(4))
+    val sz = pmod(d * 2654435761L, lit(20000L))
+    val fl = pmod(d * 48271L, lit(5000L))
+    val b2 = lit(227L) + vbits * 8L
+    val b3 = brIdx * 16L + srIdx * 4L + pad * 2L
+    val b4 = ch * 64L
+    val syncsafe = format_string("%02x%02x%02x%02x",
+      floor(sz / lit(2097152)).cast("long"),
+      pmod(floor(sz / lit(16384)).cast("long"), lit(128)),
+      pmod(floor(sz / lit(128)).cast("long"), lit(128)),
+      pmod(sz, lit(128)))
+    val id3Hex = when(hasId3,
+      concat(lit("494433" + "0400" + "00"), syncsafe,
+        expr("repeat('00', cast(_sz as int))"))).otherwise(lit(""))
+    val frameHex = format_string("%02x%02x%02x%02x", lit(255L), b2, b3, b4)
+    val payload = unhex(concat(col("_id3"), col("_frame"),
+      expr("repeat('00', cast(_fl as int))")))
+    tbl(s, dir, "documents")
+      .select(d, sz.as("_sz"), fl.as("_fl"))
+      .withColumn("_id3", id3Hex)
+      .withColumn("_frame", frameHex)
+      .select(d, payload.as("_p"))
+      .select(d, AudioHeaders.parseMp3(col("_p")).as("_m"),
+        length(col("_p")).cast("long").as("n_bytes"))
+      .select(d,
+        col("_m.has_id3").as("has_id3"),
+        col("_m.id3_size").as("id3_size"),
+        col("_m.mpeg_version").as("mpeg_version"),
+        col("_m.layer").as("layer"),
+        col("_m.bitrate_kbps").as("bitrate_kbps"),
+        col("_m.sample_rate").as("sample_rate"),
+        col("_m.channel_mode").as("channel_mode"),
+        col("_m.padding").as("padding"),
+        col("_m.duration_s").as("duration_s"),
+        col("n_bytes"))
+  }
+
   /** Classifier calibration audit (q279): the q24 quality score
     * against labels PLANTED at the score's own probability (md5
     * uniform < score — a calibrated classifier by construction, so

@@ -104,4 +104,64 @@ class AudioHeadersSpec extends AnyFunSuite {
       assert(r === Row(null, null, null, null, null, null), s"got $r")
     }
   }
+
+  private def mp3Bytes(id3Size: Int, b2: Int, b3: Int, b4: Int,
+      filler: Int): Array[Byte] = {
+    val id3 =
+      if (id3Size < 0) Array.empty[Byte]
+      else "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0,
+        ((id3Size >> 21) & 0x7f).toByte, ((id3Size >> 14) & 0x7f).toByte,
+        ((id3Size >> 7) & 0x7f).toByte, (id3Size & 0x7f).toByte) ++
+        Array.fill[Byte](id3Size)(0)
+    id3 ++ Array(0xff.toByte, b2.toByte, b3.toByte, b4.toByte) ++
+      Array.fill[Byte](filler)(0)
+  }
+
+  private def parseMp3Row(p: Array[Byte]): Row =
+    Seq(Tuple1(p)).toDF("p")
+      .select(AudioHeaders.parseMp3(col("p")).as("m"))
+      .select(col("m.*")).collect()(0)
+
+  test("mp3: syncsafe ID3 size and MPEG-1 Layer III fields") {
+    // id3Size 300000 = 0x493E0 -> syncsafe bytes (0,18,36,96);
+    // 0xFB = MPEG1 L3; 0x90 = bitrate idx 9 (128k), 44100, no pad;
+    // 0xC0 = mono
+    val r = parseMp3Row(mp3Bytes(300000, 0xfb, 0x90, 0xc0, 996))
+    assert(r.getBoolean(0) === true)
+    assert(r.getLong(1) === 300000L)
+    assert(r.getString(2) === "1")
+    assert(r.getLong(4) === 128L)
+    assert(r.getLong(5) === 44100L)
+    assert(r.getString(6) === "mono")
+    assert(r.getLong(7) === 0L)
+    // 1000 audio bytes at 128 kbps = 0.0625 s exactly
+    assert(r.getDouble(8) === 0.0625)
+  }
+
+  test("mp3: bare frame (no tag), MPEG-2 table dispatch") {
+    // 0xF3 = MPEG2 L3; 0xE6 = idx 14 (160k for v2), 24000, pad;
+    // 0x40 = joint stereo
+    val r = parseMp3Row(mp3Bytes(-1, 0xf3, 0xe6, 0x40, 0))
+    assert(r.getBoolean(0) === false)
+    assert(r.getLong(1) === 0L)
+    assert(r.getString(2) === "2")
+    assert(r.getLong(4) === 160L)
+    assert(r.getLong(5) === 24000L)
+    assert(r.getString(6) === "joint_stereo")
+    assert(r.getLong(7) === 1L)
+  }
+
+  test("mp3: reserved indexes and missing sync parse to null") {
+    val noSync = "NOPE".getBytes("US-ASCII")
+    val freeBitrate = mp3Bytes(-1, 0xfb, 0x02, 0x00, 0)  // idx 0
+    val badBitrate = mp3Bytes(-1, 0xfb, 0xf2, 0x00, 0)   // idx 15
+    val badRate = mp3Bytes(-1, 0xfb, 0x9c, 0x00, 0)      // sr idx 3
+    val layerII = mp3Bytes(-1, 0xfd, 0x92, 0x00, 0)      // not L3
+    for (p <- Seq(noSync, freeBitrate, badBitrate, badRate, layerII)) {
+      val isNull = Seq(Tuple1(p)).toDF("p")
+        .select(AudioHeaders.parseMp3(col("p")).isNull.as("n"))
+        .collect()(0).getBoolean(0)
+      assert(isNull, s"expected null for ${p.length}-byte payload")
+    }
+  }
 }
