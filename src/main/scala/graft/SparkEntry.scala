@@ -534,7 +534,9 @@ object SparkEntry {
     // reliability bins + ECE + Brier on the quality classifier
     "q279_calibration" -> (X.qCalibration _),
     // MP3 ID3v2 syncsafe + MPEG frame header via byte arithmetic
-    "q280_mp3_headers" -> (X.qMp3Headers _)
+    "q280_mp3_headers" -> (X.qMp3Headers _),
+    // NFKC-lite unicode normalization audit (translate/replace fold)
+    "q281_text_normalize" -> (X.qTextNormalize _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5672,7 +5674,10 @@ object SparkEntry {
         |    // (2 * br * 1000) AS DOUBLE) / 1000000.0 AS duration_s,
         |  CAST((CASE WHEN has_id3 THEN 10 + sz ELSE 0 END) + 4 + fl
         |    AS BIGINT) AS n_bytes
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+    // Unicode normalization: planted construction via chr() code
+    // points + the fold SQL generated from the same tables
+    "q281_text_normalize" -> textNormalizeSql
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -5753,6 +5758,37 @@ object SparkEntry {
       |  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY y)
       |    AS dhash
       |  FROM rowb GROUP BY doc_id)""".stripMargin
+
+  /** q281 oracle: the planted typographic mess (chr() code points,
+    * mirroring ExtensionQueries.qTextNormalize residue for residue)
+    * normalized by the fold SQL generated from TextNormalize's own
+    * tables.
+    */
+  private def textNormalizeSql: String = {
+    val norm = graft.operators.TextNormalize.normalizeSql("txt")
+    val inv = graft.operators.TextNormalize.invisibleCountSql("txt")
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    chr(8220) || 'q' || chr(8221)
+       |    || CASE WHEN doc_id % 2 = 0 THEN chr(160) ELSE ' ' END
+       |    || 'a' || chr(8212) || 'b'
+       |    || CASE WHEN doc_id % 3 = 0 THEN
+       |         'z' || chr(8203) || 'w' || chr(8204) || 'x'
+       |       ELSE ' pl' END
+       |    || ' t' || chr(8230)
+       |    || CASE WHEN doc_id % 5 = 0 THEN '  double  space '
+       |       ELSE ' s ' END
+       |    || chr(8216) || 'e' || chr(8217) || ' ' || chr(171) || 'g'
+       |    || chr(187) || ' ' || chr(8211) || ' '
+       |    || substr(lower(text), 1, 40) AS txt
+       |  FROM documents)
+       |SELECT doc_id, $norm AS text_norm,
+       |  CAST(length(txt) AS BIGINT) AS n_chars_raw,
+       |  CAST(length($norm) AS BIGINT) AS n_chars_norm,
+       |  CAST($inv AS BIGINT) AS n_invisible,
+       |  $norm <> txt AS changed
+       |FROM planted""".stripMargin
+  }
 
   private def profileMergeSql(cols: Seq[String]): String = {
     val ctes = cols.map { c =>

@@ -3420,6 +3420,35 @@ object ExtensionQueries {
         col("n_bytes"))
   }
 
+  /** Unicode normalization audit (q281): planted typographic mess —
+    * curly/low-9 quotes, guillemets, em/en dashes, NBSP, zero-width
+    * characters, ellipsis and double spaces on decoupled residues,
+    * prefixed to a real text slice — folded by the pinned NFKC-lite
+    * tables ([[graft.operators.TextNormalize]]); the oracle replays
+    * the same construction and the same fold SQL generated from the
+    * SAME tables, so every normalized string hash-checks.
+    */
+  def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    // all non-ASCII built from code points so no invisible literal
+    // hides in the source
+    def cp(codes: Int*): String = codes.map(_.toChar).mkString
+    val planted = tbl(s, dir, "documents").select(d, concat(
+      lit(cp(0x201C) + "q" + cp(0x201D)),
+      when(pmod(d, lit(2)) === 0, lit(cp(0x00A0))).otherwise(lit(" ")),
+      lit("a" + cp(0x2014) + "b"),
+      when(pmod(d, lit(3)) === 0,
+        lit("z" + cp(0x200B) + "w" + cp(0x200C) + "x"))
+        .otherwise(lit(" pl")),
+      lit(" t" + cp(0x2026)),
+      when(pmod(d, lit(5)) === 0, lit("  double  space "))
+        .otherwise(lit(" s ")),
+      lit(cp(0x2018) + "e" + cp(0x2019) + " " + cp(0x00AB) + "g" +
+        cp(0x00BB) + " " + cp(0x2013) + " "),
+      substring(lower(col("text")), 1, 40)).as("txt"))
+    graft.operators.TextNormalize.stats(planted, "doc_id", "txt")
+  }
+
   /** Classifier calibration audit (q279): the q24 quality score
     * against labels PLANTED at the score's own probability (md5
     * uniform < score — a calibrated classifier by construction, so
