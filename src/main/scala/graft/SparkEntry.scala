@@ -536,7 +536,11 @@ object SparkEntry {
     // MP3 ID3v2 syncsafe + MPEG frame header via byte arithmetic
     "q280_mp3_headers" -> (X.qMp3Headers _),
     // NFKC-lite unicode normalization audit (translate/replace fold)
-    "q281_text_normalize" -> (X.qTextNormalize _)
+    "q281_text_normalize" -> (X.qTextNormalize _),
+    // outlink extraction from text + canonical-host rollup
+    "q282_outlinks" -> (X.qOutlinks _),
+    // robots-style longest-prefix URL rules over canonical paths
+    "q283_url_rules" -> (X.qUrlRules _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5677,7 +5681,12 @@ object SparkEntry {
         |FROM q""".stripMargin,
     // Unicode normalization: planted construction via chr() code
     // points + the fold SQL generated from the same tables
-    "q281_text_normalize" -> textNormalizeSql
+    "q281_text_normalize" -> textNormalizeSql,
+    // Outlinks: regex extraction + the UrlCanon replay + host rollup
+    "q282_outlinks" -> outlinksSql,
+    // URL rules: longest canonical-path prefix via the shared canon
+    // CTE chain + a VALUES rule table generated from UrlRules
+    "q283_url_rules" -> urlRulesSql
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -5788,6 +5797,65 @@ object SparkEntry {
        |  CAST($inv AS BIGINT) AS n_invisible,
        |  $norm <> txt AS changed
        |FROM planted""".stripMargin
+  }
+
+  /** q282 oracle: planted outlinks (same pinned tables), regex
+    * extraction, the UrlCanon replay, host rollup.
+    */
+  private def outlinksSql: String = {
+    val l1 = graft.queries.ExtensionQueries.OutlinkL1
+      .map(u => s"'$u'").mkString(",")
+    val l2 = graft.queries.ExtensionQueries.OutlinkL2
+      .map(u => s"'$u'").mkString(",")
+    val pat = graft.operators.UrlCanon.LinkPattern
+    s"""WITH planted AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 1 THEN ' see ' || l1
+       |         WHEN doc_id % 3 = 2 THEN ' see ' || l1 || ' and ' || l2
+       |         ELSE '' END AS txt
+       |  FROM (SELECT doc_id, text,
+       |    [$l1][CAST(doc_id % 4 AS INTEGER) + 1] AS l1,
+       |    [$l2][CAST((doc_id // 4) % 4 AS INTEGER) + 1] AS l2
+       |    FROM documents)),
+       |links AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(txt, '$pat')) AS url
+       |  FROM planted),
+       |${graft.operators.UrlCanon.oracleSelect("links", "doc_id", "url")}
+       |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_links,
+       |  CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_distinct_targets,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_citing_docs
+       |FROM url_canon_out GROUP BY host""".stripMargin
+  }
+
+  /** q283 oracle: canonical paths from the shared uc_e CTE, a VALUES
+    * rule table generated from the pinned UrlRules, longest-prefix
+    * winner via a window with the same tie-break.
+    */
+  private def urlRulesSql: String = {
+    val rules = graft.queries.ExtensionQueries.UrlRules
+      .map { case (h, p, a) => s"('$h','$p',$a)" }.mkString(", ")
+    urlPlantSql + ",\n" +
+      graft.operators.UrlCanon.oracleSelect("planted", "doc_id", "url") +
+      s""",
+         |paths AS (
+         |  SELECT doc_id, host,
+         |    CASE WHEN length(p1) > 1 AND ends_with(p1, '/')
+         |      THEN substr(p1, 1, length(p1) - 1) ELSE p1 END AS path
+         |  FROM uc_e),
+         |rules(rhost, path_prefix, allow) AS (VALUES $rules),
+         |m AS (
+         |  SELECT p.doc_id, p.host, p.path, r.path_prefix, r.allow
+         |  FROM paths p LEFT JOIN rules r
+         |    ON p.host = r.rhost AND starts_with(p.path, r.path_prefix)),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY doc_id, host, path
+         |      ORDER BY length(path_prefix) DESC NULLS LAST,
+         |        path_prefix) AS rn
+         |  FROM m)
+         |SELECT doc_id, host, path, path_prefix AS matched_prefix,
+         |  COALESCE(allow, true) AS allowed
+         |FROM ranked WHERE rn = 1""".stripMargin
   }
 
   private def profileMergeSql(cols: Seq[String]): String = {

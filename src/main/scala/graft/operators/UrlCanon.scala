@@ -87,6 +87,65 @@ object UrlCanon {
         countDistinct(col("_canon")).as("n_canonical_urls"),
         sum(col("_w")).cast("long").as("sum_weight"))
 
+  /** The URL pattern for outlink extraction from running text —
+    * RE2/Java-portable (inline (?i) flag, no lookaround, ASCII
+    * classes only; schemes appear uppercased in the wild).
+    */
+  val LinkPattern: String = "(?i)https?://[^\\s\"<>]+"
+
+  /** Extract every outlink from `textCol` and canonicalize it: one
+    * row per (idCol, url_raw, url_canon, host). The extraction is a
+    * generator over a codegen'd regexp — no UDF; at 100 TB this is
+    * one scan + explode.
+    */
+  def extractOutlinks(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(LinkPattern),
+          lit(0))).as("url_raw"))
+      .select(col(idCol), col("url_raw"),
+        canonicalize(col("url_raw")).as("url_canon"),
+        canonicalHost(col("url_raw")).as("host"))
+
+  /** Host-level outlink rollup: total links, distinct canonical
+    * targets, and citing-doc counts per host — the link-graph
+    * aggregate a crawl prioritizer reads.
+    */
+  def outlinkHostStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    extractOutlinks(df, idCol, textCol)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("url_canon")).as("n_distinct_targets"),
+        countDistinct(col(idCol)).as("n_citing_docs"))
+
+  /** Robots-style URL rule application: `rules` is a small
+    * (host, path_prefix, allow) table — longest matching prefix on
+    * the CANONICAL path wins, no match defaults to allowed. The rule
+    * table is dimension-sized and broadcast; one aggregate per URL
+    * row picks the winner (min over (-prefix_len, prefix) — the
+    * pinned tie-break). Returns the input ids plus (host, path,
+    * matched_prefix, allowed).
+    */
+  def applyUrlRules(urls: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val (_, host, cpath, _) = parts(col(urlCol))
+    val base = urls.select(col(idCol), host.as("host"),
+      cpath.as("path"))
+    val r = rules.select(col("host").as("_rh"),
+      col("path_prefix").as("_rp"), col("allow").as("_ra"))
+    base.join(broadcast(r),
+        col("host") === col("_rh") &&
+          expr("startswith(path, _rp)"), "left")
+      .groupBy(col(idCol), col("host"), col("path"))
+      .agg(min(when(col("_rp").isNotNull,
+          struct((-length(col("_rp"))).as("nl"), col("_rp").as("p"),
+            col("_ra").as("a")))).as("_best"))
+      .select(col(idCol), col("host"), col("path"),
+        col("_best.p").as("matched_prefix"),
+        coalesce(col("_best.a"), lit(true)).as("allowed"))
+  }
+
   /** The DuckDB mirror of [[canonicalize]]/[[canonicalHost]] as CTE
     * SQL rooted on `src` (providing `idCol`, `urlCol`): emits
     * `url_canon_out` with (idCol, url_raw, scheme, host, url_canon)

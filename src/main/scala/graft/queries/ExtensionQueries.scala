@@ -3420,6 +3420,60 @@ object ExtensionQueries {
         col("n_bytes"))
   }
 
+  /** The pinned messy outlink tables for q282 (Spark and oracle
+    * share them through SparkEntry's SQL generator).
+    */
+  private[graft] val OutlinkL1: Seq[String] = Seq(
+    "http://www.Example.COM:80/a/b/?utm_source=x&b=2",
+    "https://blog.IO/x",
+    "HTTP://News.SITE.org/path/",
+    "https://www.data.example.com:443/z?b=2&a=1")
+  private[graft] val OutlinkL2: Seq[String] = Seq(
+    "https://blog.io/x?gclid=q",
+    "http://example.com/a/b",
+    "https://other.NET/q/r/",
+    "http://www.other.net/q/r")
+
+  /** Outlink extraction + host rollup (q282): messy URLs planted
+    * into the running text (0/1/2 links per doc on residues), pulled
+    * back out by the portable regex generator, canonicalized, and
+    * rolled up per target host — the link-graph aggregate a crawl
+    * prioritizer reads.
+    */
+  def qOutlinks(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val l1 = element_at(array(OutlinkL1.map(lit): _*),
+      (pmod(d, lit(4)) + 1).cast("int"))
+    val l2 = element_at(array(OutlinkL2.map(lit): _*),
+      (pmod(floor(d / lit(4)).cast("long"), lit(4)) + 1).cast("int"))
+    val m = pmod(d, lit(3))
+    val planted = tbl(s, dir, "documents").select(d, concat(col("text"),
+      when(m === 1, concat(lit(" see "), l1))
+        .when(m === 2, concat(lit(" see "), l1, lit(" and "), l2))
+        .otherwise(lit(""))).as("txt"))
+    graft.operators.UrlCanon.outlinkHostStats(planted, "doc_id", "txt")
+  }
+
+  /** The pinned robots-style rule table for q283. */
+  private[graft] val UrlRules: Seq[(String, String, Boolean)] = Seq(
+    ("example.com", "/a", false),
+    ("example.com", "/a/b", true),
+    ("blog.io", "/", false),
+    ("news.site.org", "/index", false))
+
+  /** Robots-style URL rule filter (q283): the planted messy URLs of
+    * q275 against a pinned (host, prefix, allow) table — longest
+    * canonical-path prefix wins ('/a/b' re-allows inside the '/a'
+    * disallow), port-variant hosts match nothing, no match defaults
+    * to allowed.
+    */
+  def qUrlRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = UrlRules.toDF("host", "path_prefix", "allow")
+    graft.operators.UrlCanon.applyUrlRules(
+      plantedUrls(s, dir), "doc_id", "url", rules)
+  }
+
   /** Unicode normalization audit (q281): planted typographic mess —
     * curly/low-9 quotes, guillemets, em/en dashes, NBSP, zero-width
     * characters, ellipsis and double spaces on decoupled residues,

@@ -56,6 +56,40 @@ class UrlCanonSpec extends AnyFunSuite {
       Seq("http://example.com/?a=1&b=2"))
   }
 
+  test("outlink extraction: case-insensitive scheme, canonicalized targets") {
+    val docs = Seq(
+      (1L, "intro HTTP://WWW.Example.COM/a/ and https://example.com/a?utm_source=z end"),
+      (2L, "no links here"))
+      .toDF("id", "text")
+    val links = UrlCanon.extractOutlinks(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    assert(links.length === 2)
+    // schemes survive (distinct canonicals) but casing/www/tracking
+    // fold away; both point at the one canonical host
+    assert(links.map(_._2).toSet ===
+      Set("http://example.com/a", "https://example.com/a"))
+    assert(links.map(_._3).distinct.toSeq === Seq("example.com"))
+  }
+
+  test("url rules: longest prefix wins, no match defaults allowed") {
+    val urls = Seq(
+      (1L, "http://example.com/a/b/c"), // /a disallow, /a/b re-allow
+      (2L, "http://example.com/about"), // /a prefix-matches 'about'!
+      (3L, "http://example.com/zzz"),   // no rule
+      (4L, "http://other.org/a/b"))     // host without rules
+      .toDF("id", "url")
+    val rules = Seq(
+      ("example.com", "/a", false),
+      ("example.com", "/a/b", true)).toDF("host", "path_prefix", "allow")
+    val out = UrlCanon.applyUrlRules(urls, "id", "url", rules)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((Some("/a/b"), true)))
+    assert(out(2L) === ((Some("/a"), false))) // robots prefix semantics
+    assert(out(3L) === ((None, true)))
+    assert(out(4L) === ((None, true)))
+  }
+
   test("hostStats collapses variants per canonical host") {
     val df = Seq(
       (1L, "http://www.example.com/a/", 10L),
