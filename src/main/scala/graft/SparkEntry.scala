@@ -540,7 +540,9 @@ object SparkEntry {
     // outlink extraction from text + canonical-host rollup
     "q282_outlinks" -> (X.qOutlinks _),
     // robots-style longest-prefix URL rules over canonical paths
-    "q283_url_rules" -> (X.qUrlRules _)
+    "q283_url_rules" -> (X.qUrlRules _),
+    // HTML -> text extraction (script/style/comment strip, entities)
+    "q284_html_extract" -> (X.qHtmlExtract _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5686,7 +5688,10 @@ object SparkEntry {
     "q282_outlinks" -> outlinksSql,
     // URL rules: longest canonical-path prefix via the shared canon
     // CTE chain + a VALUES rule table generated from UrlRules
-    "q283_url_rules" -> urlRulesSql
+    "q283_url_rules" -> urlRulesSql,
+    // HTML extraction: planted markup + the step chain generated
+    // from HtmlExtract's own tables
+    "q284_html_extract" -> htmlExtractSql
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -5856,6 +5861,34 @@ object SparkEntry {
          |SELECT doc_id, host, path, path_prefix AS matched_prefix,
          |  COALESCE(allow, true) AS allowed
          |FROM ranked WHERE rn = 1""".stripMargin
+  }
+
+  /** q284 oracle: the planted HTML construction + the extraction
+    * chain generated from HtmlExtract's step tables.
+    */
+  private def htmlExtractSql: String = {
+    val ext = graft.operators.HtmlExtract.extractSql("html")
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>t</title>'
+       |    || CASE WHEN doc_id % 2 = 0 THEN
+       |         '<style type="text/css">p{color:red}</style>'
+       |       ELSE '' END
+       |    || '</head><body><h1>Doc</h1><p>'
+       |    || substr(text, 1, 60)
+       |    || ' &amp; more &lt;tags&gt; &quot;q&quot;'
+       |    || ' &#39;a&#39;&nbsp;end</p>'
+       |    || CASE WHEN doc_id % 3 = 0 THEN
+       |         '<script>var x = "<p>";</script>' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN
+       |         '<!-- hidden <b>comment</b> -->' ELSE '' END
+       |    || '<a href="http://example.com/a">link</a></body></html>'
+       |      AS html
+       |  FROM documents)
+       |SELECT doc_id, $ext AS text,
+       |  CAST(length(html) AS BIGINT) AS n_chars_html,
+       |  CAST(length($ext) AS BIGINT) AS n_chars_text
+       |FROM planted""".stripMargin
   }
 
   private def profileMergeSql(cols: Seq[String]): String = {

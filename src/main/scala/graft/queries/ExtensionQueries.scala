@@ -3474,6 +3474,30 @@ object ExtensionQueries {
       plantedUrls(s, dir), "doc_id", "url", rules)
   }
 
+  /** HTML text extraction (q284): the trafilatura-lite stage over
+    * planted markup — script/style/comment blocks, entities and an
+    * anchor wrap real text on decoupled residues; the oracle replays
+    * the extraction chain generated from the SAME step tables.
+    */
+  def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val planted = tbl(s, dir, "documents").select(d, concat(
+      lit("<html><head><title>t</title>"),
+      when(pmod(d, lit(2)) === 0,
+        lit("<style type=\"text/css\">p{color:red}</style>"))
+        .otherwise(lit("")),
+      lit("</head><body><h1>Doc</h1><p>"),
+      substring(col("text"), 1, 60),
+      lit(" &amp; more &lt;tags&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</p>"),
+      when(pmod(d, lit(3)) === 0,
+        lit("<script>var x = \"<p>\";</script>")).otherwise(lit("")),
+      when(pmod(d, lit(5)) === 0,
+        lit("<!-- hidden <b>comment</b> -->")).otherwise(lit("")),
+      lit("<a href=\"http://example.com/a\">link</a></body></html>"))
+      .as("html"))
+    graft.operators.HtmlExtract.stats(planted, "doc_id", "html")
+  }
+
   /** Unicode normalization audit (q281): planted typographic mess —
     * curly/low-9 quotes, guillemets, em/en dashes, NBSP, zero-width
     * characters, ellipsis and double spaces on decoupled residues,
