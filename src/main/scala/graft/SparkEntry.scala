@@ -542,7 +542,9 @@ object SparkEntry {
     // robots-style longest-prefix URL rules over canonical paths
     "q283_url_rules" -> (X.qUrlRules _),
     // HTML -> text extraction (script/style/comment strip, entities)
-    "q284_html_extract" -> (X.qHtmlExtract _)
+    "q284_html_extract" -> (X.qHtmlExtract _),
+    // streaming LID mix monitor (model applied inside the stream)
+    "q285_stream_lang_mix" -> (X.qStreamLangMix _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5691,7 +5693,10 @@ object SparkEntry {
     "q283_url_rules" -> urlRulesSql,
     // HTML extraction: planted markup + the step chain generated
     // from HtmlExtract's own tables
-    "q284_html_extract" -> htmlExtractSql
+    "q284_html_extract" -> htmlExtractSql,
+    // Streaming LID mix: batch-parity oracle over the shared q273
+    // scoring CTEs with arithmetic 15-minute windows
+    "q285_stream_lang_mix" -> streamLangMixSql
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -5699,7 +5704,7 @@ object SparkEntry {
     * decoupled doc_id/6 residues) + the LID scoring CTEs generated
     * from the pinned model.
     */
-  private def languageIdSql: String = {
+  private def lidOracleCtes: String = {
     val sents = graft.queries.ExtensionQueries.LidSentences
       .map(s => s"'$s'").mkString(",\n      ")
     val langs = graft.operators.LanguageId.Model
@@ -5713,11 +5718,28 @@ object SparkEntry {
        |      THEN '${graft.queries.ExtensionQueries.LidNoise}'
        |      ELSE '' END AS txt
        |  FROM documents),
-       |${graft.operators.LanguageId.oracleSelect("planted", "doc_id", "txt")}
-       |SELECT p.doc_id, p.lang_true, o.lang_pred, o.score_points,
-       |  o.margin_points, o.rel_score
-       |FROM planted p JOIN lid_out o USING (doc_id)""".stripMargin
+       |${graft.operators.LanguageId.oracleSelect("planted", "doc_id", "txt")}""".stripMargin
   }
+
+  private def languageIdSql: String =
+    lidOracleCtes + """
+      |SELECT p.doc_id, p.lang_true, o.lang_pred, o.score_points,
+      |  o.margin_points, o.rel_score
+      |FROM planted p JOIN lid_out o USING (doc_id)""".stripMargin
+
+  /** q285 oracle: the batch-parity mirror of the streaming LID mix —
+    * same planted text, same scoring CTEs, event-time 15-minute
+    * windows derived arithmetically from the doc_id-minute clock.
+    */
+  private def streamLangMixSql: String =
+    lidOracleCtes + """
+      |SELECT strftime(make_timestamp(
+      |    ((p.doc_id * 60) // 900) * 900 * 1000000),
+      |    '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  o.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(o.score_points) AS BIGINT) AS sum_points
+      |FROM planted p JOIN lid_out o USING (doc_id)
+      |GROUP BY 1, 2""".stripMargin
 
   /** q275/q276 planted messy-URL construction (mirrors
     * ExtensionQueries.plantedUrls residue for residue).

@@ -3556,6 +3556,47 @@ object ExtensionQueries {
       bins = 10)
   }
 
+  /** Streaming language-mix monitor (q285): the q273 planted
+    * multilingual corpus replayed through a REAL file-source
+    * micro-batch stream (one doc per minute of event time), the LID
+    * model applied INSIDE the stream, and per-15-minute-window
+    * per-language doc/point counts emitted on watermark close — the
+    * "is the crawl's language mix drifting" gate, with a batch-
+    * parity oracle over the same scoring CTEs.
+    */
+  def qStreamLangMix(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val li = pmod(d, lit(6)).cast("int")
+    val r = floor(d / lit(6)).cast("long")
+    val withParams = tbl(s, dir, "documents")
+      .select(d.as("user_id"), d.as("event_id"),
+        expr("timestamp_micros(doc_id * 60000000)").as("ts"),
+        element_at(array(LidSentences.map(lit): _*), li + 1).as("_sent"),
+        (pmod(r, lit(4)) + 1).cast("int").as("_reps"),
+        (pmod(r, lit(5)) === 0 && li =!= 1).as("_noisy"))
+      .withColumn("event_type", concat(
+        expr("repeat(concat(_sent, ' '), _reps)"),
+        when(col("_noisy"), lit(LidNoise)).otherwise(lit(""))))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+    graft.streaming.EventStreams.replayToTable(
+      withParams,
+      df => {
+        val classified = graft.operators.LanguageId.classify(
+          df, "user_id", "event_type")
+        classified.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "15 minutes").as("win"),
+            col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("score_points")).as("sum_points"))
+          .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"), col("lang_pred"), col("n_docs"),
+            col("sum_points"))
+      },
+      horizonSeconds = 3600, numBatches = 3)
+      .filter(col("lang_pred").isNotNull)
+  }
+
   /** Model-based language ID (q273): planted multilingual fixtures —
     * language from doc_id % 6, repetition count and English-noise
     * contamination from DECOUPLED doc_id/6 residues (the q260
