@@ -544,7 +544,11 @@ object SparkEntry {
     // HTML -> text extraction (script/style/comment strip, entities)
     "q284_html_extract" -> (X.qHtmlExtract _),
     // streaming LID mix monitor (model applied inside the stream)
-    "q285_stream_lang_mix" -> (X.qStreamLangMix _)
+    "q285_stream_lang_mix" -> (X.qStreamLangMix _),
+    // anchor-text link extraction (absolute hrefs canonicalized)
+    "q286_anchor_links" -> (X.qAnchorLinks _),
+    // page head metadata (title/description/rel=canonical)
+    "q287_page_meta" -> (X.qPageMeta _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5696,7 +5700,13 @@ object SparkEntry {
     "q284_html_extract" -> htmlExtractSql,
     // Streaming LID mix: batch-parity oracle over the shared q273
     // scoring CTEs with arithmetic 15-minute windows
-    "q285_stream_lang_mix" -> streamLangMixSql
+    "q285_stream_lang_mix" -> streamLangMixSql,
+    // Anchors: aligned group-extractions zipped, absolute hrefs
+    // through the shared canon chain, anchor markup stripped
+    "q286_anchor_links" -> anchorLinksSql,
+    // Page metadata: title/description through the entity fold,
+    // canonical target through the canon chain
+    "q287_page_meta" -> pageMetaSql
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -5911,6 +5921,74 @@ object SparkEntry {
        |  CAST(length(html) AS BIGINT) AS n_chars_html,
        |  CAST(length($ext) AS BIGINT) AS n_chars_text
        |FROM planted""".stripMargin
+  }
+
+  /** Shared q286/q287 planted rich-HTML CTE (mirrors
+    * ExtensionQueries.plantedRichHtml residue for residue).
+    */
+  private def richHtmlPlantSql: String = {
+    val l1 = graft.queries.ExtensionQueries.OutlinkL1
+      .map(u => s"'$u'").mkString(",")
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc &amp; no '
+       |    || CAST(doc_id % 7 AS VARCHAR) || '</title>'
+       |    || CASE WHEN doc_id % 2 = 0 THEN
+       |         '<meta name="description" content="A &quot;page&quot; about '
+       |         || CAST(doc_id % 5 AS VARCHAR) || '">' ELSE '' END
+       |    || CASE WHEN doc_id % 3 = 0 THEN
+       |         '<link rel="canonical" href="HTTP://WWW.Example.COM/c/'
+       |         || CAST(doc_id % 9 AS VARCHAR) || '/">' ELSE '' END
+       |    || '</head><body><p>' || substr(text, 1, 40) || '</p>'
+       |    || '<a href="' || [$l1][CAST(doc_id % 4 AS INTEGER) + 1]
+       |    || '"><b>first</b> link</a>'
+       |    || CASE WHEN doc_id % 4 = 0 THEN
+       |         '<a href="/rel/path">rel &amp; link</a>' ELSE '' END
+       |    || '</body></html>' AS html
+       |  FROM documents)""".stripMargin
+  }
+
+  private def anchorLinksSql: String = {
+    val pat = graft.operators.HtmlExtract.AnchorPattern
+    val anchorText = graft.operators.HtmlExtract.extractSql("b.anchor_raw")
+    richHtmlPlantSql + s""",
+       |a AS (
+       |  SELECT doc_id,
+       |    UNNEST(regexp_extract_all(html, '$pat', 1)) AS href_raw,
+       |    UNNEST(regexp_extract_all(html, '$pat', 2)) AS anchor_raw
+       |  FROM planted),
+       |b AS (
+       |  SELECT doc_id, href_raw, anchor_raw,
+       |    regexp_matches(href_raw, '(?i)^https?://') AS is_absolute,
+       |    ROW_NUMBER() OVER (ORDER BY doc_id, href_raw, anchor_raw)
+       |      AS rid
+       |  FROM a),
+       |abs_ AS (SELECT rid, href_raw AS url FROM b WHERE is_absolute),
+       |${graft.operators.UrlCanon.oracleSelect("abs_", "rid", "url")}
+       |SELECT b.doc_id, b.href_raw, b.is_absolute,
+       |  o.url_canon AS href_canon,
+       |  $anchorText AS anchor_text
+       |FROM b LEFT JOIN url_canon_out o ON b.rid = o.rid""".stripMargin
+  }
+
+  private def pageMetaSql: String = {
+    val title = graft.operators.HtmlExtract.extractSql(
+      s"regexp_extract(html, '${graft.operators.HtmlExtract.TitlePattern}', 1)")
+    val meta = graft.operators.HtmlExtract.extractSql(
+      s"regexp_extract(html, '${graft.operators.HtmlExtract.MetaDescPattern}', 1)")
+    val canon =
+      s"regexp_extract(html, '${graft.operators.HtmlExtract.CanonicalPattern}', 1)"
+    richHtmlPlantSql + s""",
+       |c0 AS (
+       |  SELECT doc_id, $title AS title, $meta AS meta_description,
+       |    $canon AS canonical_raw
+       |  FROM planted),
+       |ca AS (SELECT doc_id, canonical_raw AS url FROM c0
+       |       WHERE canonical_raw <> ''),
+       |${graft.operators.UrlCanon.oracleSelect("ca", "doc_id", "url")}
+       |SELECT c0.doc_id, c0.title, c0.meta_description,
+       |  c0.canonical_raw, o.url_canon AS canonical_url
+       |FROM c0 LEFT JOIN url_canon_out o USING (doc_id)""".stripMargin
   }
 
   private def profileMergeSql(cols: Seq[String]): String = {

@@ -61,6 +61,57 @@ object HtmlExtract {
       length(col(htmlCol)).cast("long").as("n_chars_html"),
       length(extractText(col(htmlCol))).cast("long").as("n_chars_text"))
 
+  /** Anchor pattern: group 1 = href, group 2 = inner markup. Both
+    * engines return match groups in document order, so the two
+    * group-extractions zip positionally.
+    */
+  val AnchorPattern: String =
+    "(?is)<a[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+  val TitlePattern: String = "(?is)<title[^>]*>(.*?)</title>"
+  val MetaDescPattern: String =
+    "(?is)<meta\\s+name=\"description\"\\s+content=\"([^\"]*)\""
+  val CanonicalPattern: String =
+    "(?is)<link\\s+rel=\"canonical\"\\s+href=\"([^\"]*)\""
+
+  /** One row per anchor: (idCol, href_raw, is_absolute, href_canon —
+    * null for relative hrefs — anchor_text with inner markup
+    * stripped). The anchor-text link graph is the classic IR
+    * relevance signal; extraction is two aligned group-extractions
+    * zipped and exploded, still one scan.
+    */
+  def anchors(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        regexp_extract_all(col(htmlCol), lit(AnchorPattern), lit(1))
+          .as("_h"),
+        regexp_extract_all(col(htmlCol), lit(AnchorPattern), lit(2))
+          .as("_t"))
+      .select(col(idCol),
+        explode(arrays_zip(col("_h"), col("_t"))).as("_a"))
+      .select(col(idCol), col("_a._h").as("href_raw"),
+        col("_a._t").as("_raw_anchor"))
+      .withColumn("is_absolute", col("href_raw").rlike("(?i)^https?://"))
+      .withColumn("href_canon", when(col("is_absolute"),
+        UrlCanon.canonicalize(col("href_raw"))))
+      .withColumn("anchor_text", extractText(col("_raw_anchor")))
+      .drop("_raw_anchor")
+
+  /** Page-level head metadata: (idCol, title, meta_description,
+    * canonical_raw, canonical_url) — titles/descriptions run through
+    * the same entity/whitespace fold; the rel=canonical target is
+    * canonicalized when present (empty-match → null).
+    */
+  def pageMeta(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    val canonicalRaw = regexp_extract(h, CanonicalPattern, 1)
+    df.select(col(idCol),
+      extractText(regexp_extract(h, TitlePattern, 1)).as("title"),
+      extractText(regexp_extract(h, MetaDescPattern, 1))
+        .as("meta_description"),
+      canonicalRaw.as("canonical_raw"),
+      when(canonicalRaw =!= "", UrlCanon.canonicalize(canonicalRaw))
+        .as("canonical_url"))
+  }
+
   private def sqlLit(s: String): String = s.replace("'", "''")
 
   /** The DuckDB expression mirroring [[extractText]] over `expr` —

@@ -3498,6 +3498,50 @@ object ExtensionQueries {
     graft.operators.HtmlExtract.stats(planted, "doc_id", "html")
   }
 
+  /** Rich planted HTML for the anchor/metadata queries: entity-laden
+    * title, optional meta description and rel=canonical (messy,
+    * canonicalizable), an absolute messy-URL anchor with inner
+    * markup, and an optional relative anchor — all on decoupled
+    * residues.
+    */
+  private def plantedRichHtml(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val l1 = element_at(array(OutlinkL1.map(lit): _*),
+      (pmod(d, lit(4)) + 1).cast("int"))
+    tbl(s, dir, "documents").select(d, concat(
+      lit("<html><head><title>Doc &amp; no "),
+      pmod(d, lit(7)).cast("string"),
+      lit("</title>"),
+      when(pmod(d, lit(2)) === 0, concat(
+        lit("<meta name=\"description\" content=\"A &quot;page&quot; about "),
+        pmod(d, lit(5)).cast("string"), lit("\">"))).otherwise(lit("")),
+      when(pmod(d, lit(3)) === 0, concat(
+        lit("<link rel=\"canonical\" href=\"HTTP://WWW.Example.COM/c/"),
+        pmod(d, lit(9)).cast("string"), lit("/\">"))).otherwise(lit("")),
+      lit("</head><body><p>"), substring(col("text"), 1, 40), lit("</p>"),
+      lit("<a href=\""), l1, lit("\"><b>first</b> link</a>"),
+      when(pmod(d, lit(4)) === 0,
+        lit("<a href=\"/rel/path\">rel &amp; link</a>"))
+        .otherwise(lit("")),
+      lit("</body></html>")).as("html"))
+  }
+
+  /** Anchor-text link extraction (q286): (href, anchor text) pairs
+    * pulled from the planted markup — absolute hrefs canonicalized,
+    * relative ones surfaced with a null canon, inner anchor markup
+    * stripped by the extraction chain.
+    */
+  def qAnchorLinks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HtmlExtract.anchors(
+      plantedRichHtml(s, dir), "doc_id", "html")
+
+  /** Page head metadata (q287): title / meta description through the
+    * entity fold, rel=canonical target canonicalized when present.
+    */
+  def qPageMeta(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HtmlExtract.pageMeta(
+      plantedRichHtml(s, dir), "doc_id", "html")
+
   /** Unicode normalization audit (q281): planted typographic mess —
     * curly/low-9 quotes, guillemets, em/en dashes, NBSP, zero-width
     * characters, ellipsis and double spaces on decoupled residues,
