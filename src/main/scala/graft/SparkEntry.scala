@@ -548,7 +548,17 @@ object SparkEntry {
     // anchor-text link extraction (absolute hrefs canonicalized)
     "q286_anchor_links" -> (X.qAnchorLinks _),
     // page head metadata (title/description/rel=canonical)
-    "q287_page_meta" -> (X.qPageMeta _)
+    "q287_page_meta" -> (X.qPageMeta _),
+    // Fleiss' kappa inter-annotator agreement (exact-rational)
+    "q288_annotator_agreement" -> (X.qAnnotatorAgreement _),
+    // SFT loss-mask / context-truncation ledger
+    "q289_loss_mask" -> (X.qLossMask _),
+    // JPEG SOF geometry via bounded marker-segment walk
+    "q290_jpeg_headers" -> (X.qJpegHeaders _),
+    // corpus BLEU in log space (clipped precisions + brevity penalty)
+    "q291_bleu" -> (X.qBleu _),
+    // Bradley-Terry MM ratings from pairwise preferences
+    "q292_bradley_terry" -> (X.qBradleyTerry _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5259,31 +5269,7 @@ object SparkEntry {
         |FROM o2 JOIN p2 USING (m)""".stripMargin),
     // Chat structure: conversations planted from token quarters;
     // whitespace token arithmetic mirrors tokenCountArithmetic
-    "q267_chat_stats" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'),
-        |      t -> len(t) > 0) AS tk
-        |  FROM documents),
-        |p AS (SELECT doc_id, len(tk) AS n, len(tk) // 4 AS q, tk FROM tk),
-        |m AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 4 = 0 THEN
-        |      [struct_pack(role := 'system',
-        |         content := 'You are a concise assistant')]
-        |     ELSE CAST([] AS STRUCT(role VARCHAR, content VARCHAR)[]) END)
-        |    || [struct_pack(role := 'user',
-        |          content := array_to_string(list_slice(tk, 1, q), ' ')),
-        |        struct_pack(role := CASE WHEN doc_id % 5 = 0 THEN 'user'
-        |            ELSE 'assistant' END,
-        |          content := array_to_string(list_slice(tk, q + 1, 2*q), ' ')),
-        |        struct_pack(role := 'user',
-        |          content := array_to_string(list_slice(tk, 2*q + 1, 3*q), ' ')),
-        |        struct_pack(role := CASE WHEN doc_id % 7 = 0 THEN 'user'
-        |            ELSE 'assistant' END,
-        |          content := array_to_string(list_slice(tk, 3*q + 1, n), ' '))]
-        |      AS msgs
-        |  FROM p),
+    "q267_chat_stats" -> (chatMsgsCte + """,
         |t AS (
         |  SELECT doc_id, msgs,
         |    COALESCE(list_sum(list_transform(
@@ -5321,7 +5307,7 @@ object SparkEntry {
         |      i -> msgs[i].role = msgs[i+1].role), true) END AS alternates,
         |  (len(msgs) > 0 AND msgs[len(msgs)].role = 'assistant')
         |    AS ends_with_assistant
-        |FROM t""".stripMargin,
+        |FROM t""".stripMargin),
     // Weighted MinHash: integer-weight expansion over tf capped at 4,
     // 16 portable md5 seeds; estimate AND exact weighted Jaccard
     "q268_weighted_minhash" -> (plantedDupSql + ",\n" +
@@ -5706,7 +5692,21 @@ object SparkEntry {
     "q286_anchor_links" -> anchorLinksSql,
     // Page metadata: title/description through the entity fold,
     // canonical target through the canon chain
-    "q287_page_meta" -> pageMetaSql
+    "q287_page_meta" -> pageMetaSql,
+    // Fleiss' kappa: exact-rational integer algebra, every reported
+    // double one division of exact integers
+    "q288_annotator_agreement" -> annotatorAgreementSql,
+    // Loss mask: the shared q267 conversation CTEs + window prefix
+    // sums over unnested turns
+    "q289_loss_mask" -> lossMaskSql,
+    // JPEG: oracle re-derives fields AND bytes arithmetically; the
+    // Spark side must parse them back out of the bytes it built
+    "q290_jpeg_headers" -> jpegHeadersSql,
+    // BLEU: clipped corpus precisions + ln lattice + integer-exact
+    // brevity-penalty exponent
+    "q291_bleu" -> bleuSql,
+    // Bradley-Terry: 5 MM rounds unrolled (generated CTEs)
+    "q292_bradley_terry" -> bradleyTerrySql
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -6886,4 +6886,267 @@ object SparkEntry {
       |      ('Nantes', 47.460152, -0.529704), ('Lille', 50.561237, 3.086957)
       |    ) st(station, s_lat, s_lon))
       |) WHERE rn = 1""".stripMargin
+
+  /** Shared planted-conversation CTEs (q267, q289): tokens →
+    * quarter-slices → role-tagged message arrays.
+    */
+  private def chatMsgsCte: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |p AS (SELECT doc_id, len(tk) AS n, len(tk) // 4 AS q, tk FROM tk),
+      |m AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 4 = 0 THEN
+      |      [struct_pack(role := 'system',
+      |         content := 'You are a concise assistant')]
+      |     ELSE CAST([] AS STRUCT(role VARCHAR, content VARCHAR)[]) END)
+      |    || [struct_pack(role := 'user',
+      |          content := array_to_string(list_slice(tk, 1, q), ' ')),
+      |        struct_pack(role := CASE WHEN doc_id % 5 = 0 THEN 'user'
+      |            ELSE 'assistant' END,
+      |          content := array_to_string(list_slice(tk, q + 1, 2*q), ' ')),
+      |        struct_pack(role := 'user',
+      |          content := array_to_string(list_slice(tk, 2*q + 1, 3*q), ' ')),
+      |        struct_pack(role := CASE WHEN doc_id % 7 = 0 THEN 'user'
+      |            ELSE 'assistant' END,
+      |          content := array_to_string(list_slice(tk, 3*q + 1, n), ' '))]
+      |      AS msgs
+      |  FROM p)""".stripMargin
+
+  /** q288 oracle: planted 5-rater ratings + the exact-rational
+    * Fleiss algebra (every reported double ONE division of exact
+    * integers; HUGEINT carries what DECIMAL(38,0) carries in the
+    * engine).
+    */
+  private def annotatorAgreementSql: String =
+    """WITH rt AS (
+      |  SELECT doc_id, j,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fk:'
+      |      || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 10 AS u
+      |  FROM documents, (SELECT UNNEST(range(1, 6)) AS j)),
+      |r AS (
+      |  SELECT doc_id,
+      |    'cat_' || CAST(CASE WHEN u < 2 THEN (doc_id + 1 + (u % 2)) % 3
+      |      ELSE doc_id % 3 END AS VARCHAR) AS category
+      |  FROM rt),
+      |cell AS (SELECT doc_id, category, COUNT(*) AS n FROM r GROUP BY 1, 2),
+      |it AS (SELECT doc_id, SUM(n * (n - 1)) AS pairs FROM cell GROUP BY 1),
+      |sc AS (SELECT CAST(SUM(pairs) AS BIGINT) AS a,
+      |  CAST(COUNT(*) AS BIGINT) AS nitems FROM it),
+      |cats AS (SELECT category, CAST(SUM(n) AS BIGINT) AS c_cat
+      |  FROM cell GROUP BY 1),
+      |ct AS (SELECT SUM(CAST(c_cat AS HUGEINT) * CAST(c_cat AS HUGEINT))
+      |    AS b,
+      |  CAST(SUM(c_cat) AS BIGINT) AS t FROM cats),
+      |sc2 AS (
+      |  SELECT a, nitems, t, b, t // nitems AS rr,
+      |    CAST(nitems * (t // nitems) * ((t // nitems) - 1) AS HUGEINT)
+      |      AS d1,
+      |    CAST(t AS HUGEINT) * CAST(t AS HUGEINT) AS d2
+      |  FROM sc, ct)
+      |SELECT category, c_cat,
+      |  CAST(c_cat AS DOUBLE) / CAST(t AS DOUBLE) AS p_cat,
+      |  nitems AS n_items, rr AS n_raters,
+      |  CAST(a AS DOUBLE) / CAST(d1 AS DOUBLE) AS p_bar,
+      |  CAST(b AS DOUBLE) / CAST(d2 AS DOUBLE) AS p_e,
+      |  CAST(CAST(a AS HUGEINT) * d2 - b * d1 AS DOUBLE)
+      |    / CAST(d1 * (d2 - b) AS DOUBLE) AS kappa
+      |FROM cats, sc2""".stripMargin
+
+  /** q289 oracle: the shared conversation CTEs, turns unnested with
+    * window prefix sums standing in for the engine's single
+    * aggregate fold.
+    */
+  private def lossMaskSql: String = chatMsgsCte + """,
+      |u AS (
+      |  SELECT doc_id, i, msgs[i].role AS role,
+      |    CASE WHEN len(msgs[i].content) = 0 THEN 0
+      |      ELSE len(msgs[i].content)
+      |        - len(replace(msgs[i].content, ' ', '')) + 1 END AS tok
+      |  FROM m, UNNEST(range(1, len(msgs) + 1)) AS t(i)),
+      |c AS (
+      |  SELECT doc_id, role, tok,
+      |    SUM(tok) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+      |      AS pos
+      |  FROM u),
+      |a AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |    CAST(COALESCE(SUM(tok) FILTER (WHERE role = 'assistant'), 0)
+      |      AS BIGINT) AS train,
+      |    CAST(COALESCE(SUM(GREATEST(0,
+      |        LEAST(pos + tok, 40) - LEAST(pos, 40)))
+      |      FILTER (WHERE role = 'assistant'), 0) AS BIGINT) AS kept
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, total_tokens,
+      |  train AS trainable_tokens,
+      |  kept AS trainable_kept,
+      |  train - kept AS trainable_lost,
+      |  CASE WHEN train = 0 THEN NULL
+      |    ELSE CAST(kept AS DOUBLE) / CAST(train AS DOUBLE) END
+      |    AS kept_frac,
+      |  total_tokens <= 40 AS fits_context
+      |FROM a""".stripMargin
+
+  /** q290 oracle: re-derives the planted JPEG truth (and the byte
+    * string itself) arithmetically — the Spark side must parse the
+    * same fields back out of the bytes it built.
+    */
+  private def jpegHeadersSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 3 AS sm,
+      |    (doc_id * 48271) % 4000 + 8 AS h,
+      |    (doc_id * 2654435761) % 3000 + 8 AS w,
+      |    CASE WHEN (doc_id // 3) % 2 = 0 THEN 3 ELSE 1 END AS nc,
+      |    (doc_id * 7919) % 3 = 0 AS has_com,
+      |    doc_id % 7 + 1 AS com_pay
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ['baseline','extended','progressive'][CAST(sm AS INTEGER) + 1]
+      |    AS sof_marker,
+      |  CAST(8 AS BIGINT) AS "precision",
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(w AS BIGINT) AS width,
+      |  CAST(nc AS BIGINT) AS n_components,
+      |  CAST(h * w AS BIGINT) AS n_pixels,
+      |  CAST(89 + CASE WHEN has_com THEN com_pay + 4 ELSE 0 END
+      |    + 10 + 3 * nc AS BIGINT) AS n_bytes,
+      |  'ffd8' || 'ffe000104a46494600010100004800480000'
+      |    || CASE WHEN has_com THEN 'fffe' || printf('%04x', com_pay + 2)
+      |         || repeat('41', CAST(com_pay AS INTEGER)) ELSE '' END
+      |    || 'ffdb0043' || repeat('00', 65)
+      |    || ['ffc0','ffc1','ffc2'][CAST(sm AS INTEGER) + 1]
+      |    || printf('%04x', 8 + 3 * nc) || '08' || printf('%04x', h)
+      |    || printf('%04x', w) || printf('%02x', nc)
+      |    || repeat('001100', CAST(nc AS INTEGER)) AS header_hex
+      |FROM p""".stripMargin
+
+  /** q291 oracle: planted (candidate, reference) pairs, per-order
+    * clipped corpus counts, ln on the 1e-8 lattice, integer-exact
+    * brevity-penalty exponent. Per-order CTEs are generated so both
+    * engines replay the same gram construction.
+    */
+  private def bleuSql: String = {
+    val perN = (1 to 4).map { n =>
+      s""",
+gc$n AS (
+  SELECT doc_id, g, COUNT(*) AS cc FROM (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(cand) - $n + 2),
+      i -> array_to_string(list_slice(cand, i, i + $n - 1), ' '))) AS g
+    FROM pr) GROUP BY 1, 2),
+gr$n AS (
+  SELECT doc_id, g, COUNT(*) AS rc FROM (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(ref) - $n + 2),
+      i -> array_to_string(list_slice(ref, i, i + $n - 1), ' '))) AS g
+    FROM pr) GROUP BY 1, 2),
+cl$n AS (
+  SELECT $n AS n,
+    CAST(COALESCE(SUM(LEAST(cc, rc)), 0) AS BIGINT) AS clip_n,
+    (SELECT CAST(SUM(GREATEST(len(cand) - $n + 1, 0)) AS BIGINT)
+     FROM pr) AS total_n
+  FROM gc$n JOIN gr$n USING (doc_id, g))"""
+    }.mkString
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |f AS (SELECT doc_id, tk FROM base WHERE len(tk) >= 28),
+      |pr AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, 25), i ->
+      |      CASE WHEN (i + doc_id) % 5 = 0 THEN 'zzz' ELSE tk[i] END)
+      |      AS cand,
+      |    list_slice(tk, 1, 28) AS ref
+      |  FROM f),
+      |lens AS (SELECT CAST(SUM(len(cand)) AS BIGINT) AS c_len,
+      |  CAST(SUM(len(ref)) AS BIGINT) AS r_len FROM pr)""".stripMargin +
+      perN + """
+      |,
+      |ord AS (SELECT * FROM cl1 UNION ALL SELECT * FROM cl2
+      |  UNION ALL SELECT * FROM cl3 UNION ALL SELECT * FROM cl4),
+      |wl AS (
+      |  SELECT n, clip_n, total_n,
+      |    CASE WHEN total_n > 0 THEN
+      |      CAST(clip_n AS DOUBLE) / CAST(total_n AS DOUBLE) END AS p_n,
+      |    CASE WHEN clip_n > 0 AND total_n > 0 THEN
+      |      CAST(ROUND(ln(CAST(clip_n AS DOUBLE)
+      |        / CAST(total_n AS DOUBLE)) * 100000000) AS BIGINT) END
+      |      AS ln_pn_e8
+      |  FROM ord),
+      |summ AS (SELECT CAST(SUM(ln_pn_e8) AS BIGINT) AS sum_ln,
+      |  COUNT(*) AS k, COUNT(ln_pn_e8) AS k_ok FROM wl),
+      |bp AS (SELECT CASE WHEN c_len >= r_len THEN 0
+      |    ELSE -(((r_len - c_len) * 200000000 + c_len)
+      |      // (2 * c_len)) END AS bpv
+      |  FROM lens)
+      |SELECT wl.n, wl.clip_n, wl.total_n, wl.p_n, wl.ln_pn_e8,
+      |  lens.c_len, lens.r_len, CAST(bp.bpv AS BIGINT) AS bp_e8,
+      |  CASE WHEN summ.k_ok = summ.k THEN
+      |    CAST(bp.bpv * 4 + summ.sum_ln AS DOUBLE) / 400000000.0 END
+      |    AS log_bleu
+      |FROM wl, lens, summ, bp""".stripMargin
+  }
+
+  /** q292 oracle: planted matches + the 5 MM rounds UNROLLED
+    * (generated CTEs — the q261 BPE proof shape), every round pure
+    * integer division on the 1e-6 lattice.
+    */
+  private def bradleyTerrySql: String = {
+    val rounds = (1 to 5).map { r =>
+      s""",
+r${r}j AS (
+  SELECT pr.lo, pr.hi, pr.g, a.p + b.p AS s
+  FROM pairs pr JOIN p${r - 1} a ON a.item = pr.lo
+    JOIN p${r - 1} b ON b.item = pr.hi),
+r${r}t AS (
+  SELECT lo AS item, (2 * g * 1000000000000 + s) // (2 * s) AS t
+  FROM r${r}j
+  UNION ALL
+  SELECT hi, (2 * g * 1000000000000 + s) // (2 * s) FROM r${r}j),
+r${r}d AS (SELECT item, CAST(SUM(t) AS BIGINT) AS d
+  FROM r${r}t GROUP BY 1),
+p$r AS (
+  SELECT it.item,
+    CAST(GREATEST((2 * it.wins * 1000000000000 + d) // (2 * d), 1)
+      AS BIGINT) AS p
+  FROM items it JOIN r${r}d USING (item))"""
+    }.mkString
+    """WITH m AS (
+      |  SELECT
+      |    'sys_' || CAST(CASE WHEN u THEN LEAST(i, j)
+      |      ELSE GREATEST(i, j) END AS VARCHAR) AS winner,
+      |    'sys_' || CAST(CASE WHEN u THEN GREATEST(i, j)
+      |      ELSE LEAST(i, j) END AS VARCHAR) AS loser
+      |  FROM (
+      |    SELECT doc_id % 8 AS i, (doc_id // 8) % 8 AS j,
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bt'),
+      |        1, 15))::BIGINT % 100 < 25 AS u
+      |    FROM documents)
+      |  WHERE i <> j),
+      |pairs AS (SELECT LEAST(winner, loser) AS lo,
+      |    GREATEST(winner, loser) AS hi, CAST(COUNT(*) AS BIGINT) AS g
+      |  FROM m GROUP BY 1, 2),
+      |wv AS (SELECT winner AS item, CAST(COUNT(*) AS BIGINT) AS wins
+      |  FROM m GROUP BY 1),
+      |g0 AS (SELECT winner AS item FROM m
+      |  UNION ALL SELECT loser FROM m),
+      |gc AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS games
+      |  FROM g0 GROUP BY 1),
+      |items AS (SELECT gc.item, COALESCE(wv.wins, 0) AS wins, gc.games
+      |  FROM gc LEFT JOIN wv USING (item)),
+      |p0 AS (SELECT item, CAST(1000000 AS BIGINT) AS p FROM items)"""
+      .stripMargin +
+      rounds + """
+      |,
+      |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS tot FROM p5)
+      |SELECT it.item, it.wins, it.games, p5.p AS rating_micro,
+      |  CAST(p5.p AS DOUBLE) / 1000000.0 AS rating,
+      |  CAST(p5.p AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      |FROM items it JOIN p5 USING (item), tot""".stripMargin
+  }
 }

@@ -24,6 +24,10 @@ private[multimodal] object ByteAlgebra {
     u8(bin, pos) + u8(bin, pos + lit(1)) * 256L +
       u8(bin, pos + lit(2)) * 65536L + u8(bin, pos + lit(3)) * 16777216L
 
+  /** Big-endian u16 at 1-based offset (JPEG segment lengths/dims). */
+  def be16(bin: Column, pos: Column): Column =
+    u8(bin, pos) * 256L + u8(bin, pos + lit(1))
+
   /** Big-endian u32/u64 at 1-based offset (ISO-BMFF is big-endian). */
   def be32(bin: Column, pos: Column): Column =
     u8(bin, pos) * 16777216L + u8(bin, pos + lit(1)) * 65536L +

@@ -70,4 +70,54 @@ object ChatStructure {
         element_at(msgs, size(msgs)).getField("role") === "assistant")
         .as("ends_with_assistant"))
   }
+
+  /** Loss-mask / truncation ledger: what a context window of
+    * `contextTokens` actually trains on. SFT masks the loss to
+    * assistant tokens, and packing truncates each conversation to
+    * the context budget FROM THE FRONT — so the number that matters
+    * is the assistant tokens that SURVIVE truncation, per
+    * conversation: an 8k-context run over long conversations can
+    * silently lose most of its supervised signal in the tail turns.
+    *
+    * Output: (idCol, total_tokens, trainable_tokens, trainable_kept,
+    * trainable_lost, kept_frac, fits_context). kept_frac is ONE
+    * division of exact integers (null when nothing is trainable).
+    *
+    * One `aggregate` fold over the message array carrying
+    * (position, trainable, kept) — linear per row, zero shuffle,
+    * fuses into the feeding scan.
+    */
+  def lossMask(df: DataFrame, idCol: String, msgsCol: String,
+      contextTokens: Long): DataFrame = {
+    require(contextTokens > 0, s"context must be positive: $contextTokens")
+    val lim = lit(contextTokens)
+    val zero = struct(lit(0L).as("pos"), lit(0L).as("train"),
+      lit(0L).as("kept"))
+    val folded = aggregate(
+      col(msgsCol), zero,
+      (acc, m) => {
+        val len = TextFunctions
+          .tokenCountArithmetic(m.getField("content")).cast("long")
+        val pos = acc.getField("pos")
+        val isA = m.getField("role") === "assistant"
+        val kept = greatest(lit(0L),
+          least(pos + len, lim) - least(pos, lim))
+        struct(
+          (pos + len).as("pos"),
+          (acc.getField("train") + when(isA, len).otherwise(0L))
+            .as("train"),
+          (acc.getField("kept") + when(isA, kept).otherwise(0L))
+            .as("kept"))
+      })
+    df.select(col(idCol), folded.as("_f"))
+      .select(col(idCol),
+        col("_f.pos").as("total_tokens"),
+        col("_f.train").as("trainable_tokens"),
+        col("_f.kept").as("trainable_kept"),
+        (col("_f.train") - col("_f.kept")).as("trainable_lost"),
+        when(col("_f.train") === 0L, lit(null).cast("double"))
+          .otherwise(col("_f.kept").cast("double") /
+            col("_f.train").cast("double")).as("kept_frac"),
+        (col("_f.pos") <= lim).as("fits_context"))
+  }
 }

@@ -78,4 +78,92 @@ object TextEval {
       .withColumn("r", round(rec, 6))
       .withColumn("f1", round(f1, 6))
   }
+
+  /** Corpus-level BLEU (Papineni et al. 2002) over (candidate,
+    * reference) token-array pairs — the generation-eval companion to
+    * [[rougeClipped]]: per-order clipped precisions are CORPUS
+    * ratios (clip and total each summed over documents before the
+    * division — the classic micro-average, not a mean of per-doc
+    * scores), plus the brevity penalty.
+    *
+    * Reported in LOG space, the fleet's LM convention (q197/q198
+    * never apply exp either): p_n is one division of exact integer
+    * corpus counts, ln(p_n) lands on the q187 1e-8 integer lattice,
+    * the brevity-penalty exponent 1 − r/c is computed as the EXACT
+    * half-up lattice integer −((r−c)·2·10⁸ + c) div (2c) (never a
+    * double round — (1 − r/c)·10⁸ can land on representable halves
+    * where engine round modes differ), and
+    * log_bleu = (maxN·bp_e8 + Σ ln_pn_e8) / (maxN·10⁸) is ONE
+    * division of an exact integer by a constant. A zero clip at any
+    * order leaves ln_pn_e8 and log_bleu null (BLEU = 0; no smoothing
+    * is silently applied).
+    *
+    * Output: one row per order n, scalars repeated:
+    * (n, clip_n, total_n, p_n, ln_pn_e8, c_len, r_len, bp_e8,
+    * log_bleu).
+    *
+    * Scale shape: one (doc, gram) count aggregate per order on each
+    * side, the per-doc clip join shuffles by (doc, gram), every sum
+    * map-side combinable; the ≤ maxN summary rows broadcast back.
+    */
+  def bleuCorpus(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"unreasonable BLEU order: $maxN")
+    val lens = df.agg(
+      sum(size(col(candCol))).cast("long").as("c_len"),
+      sum(size(col(refCol))).cast("long").as("r_len"))
+
+    def gramsOf(c: String, n: Int) =
+      if (n == 1) col(c) else RepeatedSpans.positionalKGrams(col(c), n)
+    def counts(c: String, n: Int, out: String) = df
+      .filter(size(col(c)) >= n)
+      .select(col(idCol).as("_id"), explode(gramsOf(c, n)).as("_g"))
+      .groupBy(col("_id"), col("_g"))
+      .agg(count(lit(1)).as(out))
+
+    val perOrder = (1 to maxN).map { n =>
+      val clip = counts(candCol, n, "_cc")
+        .join(counts(refCol, n, "_rc"), Seq("_id", "_g"))
+        .agg(coalesce(sum(least(col("_cc"), col("_rc"))), lit(0L))
+          .as("clip_n"))
+      val total = df.agg(
+        sum(greatest(size(col(candCol)) - (n - 1), lit(0)))
+          .cast("long").as("total_n"))
+      clip.crossJoin(total).select(lit(n).as("n"),
+        col("clip_n"), col("total_n"))
+    }.reduce(_.unionAll(_))
+
+    val withLn = perOrder.withColumn("p_n",
+      when(col("total_n") > 0L,
+        col("clip_n").cast("double") / col("total_n").cast("double")))
+      .withColumn("ln_pn_e8",
+        when(col("clip_n") > 0L && col("total_n") > 0L,
+          round(log(col("p_n")) * 1e8).cast("long")))
+      // ≤ maxN rows, but their lineage is the corpus-wide gram
+      // joins — pin so the summary fold doesn't recompute them
+      .localCheckpoint()
+    val summary = withLn.agg(
+      sum(col("ln_pn_e8")).as("_sum_ln"),
+      count(lit(1)).as("_k"),
+      count(col("ln_pn_e8")).as("_k_ok"))
+    withLn.crossJoin(broadcast(lens)).crossJoin(broadcast(summary))
+      .withColumn("bp_e8",
+        when(col("c_len") >= col("r_len"), lit(0L))
+          .otherwise({
+            // half-up integer lattice: ((r−c)·2·10⁸ + c) div (2c),
+            // exact floor division on non-negative longs
+            val a = (col("r_len") - col("c_len")) * 200000000L +
+              col("c_len")
+            val b = col("c_len") * 2L
+            -((a - pmod(a, b)) / b).cast("long")
+          }))
+      .withColumn("log_bleu",
+        when(col("_k_ok") === col("_k"),
+          (col("bp_e8") * maxN + col("_sum_ln")).cast("double") /
+            lit(maxN * 1.0e8)))
+      .select(col("n"), col("clip_n"), col("total_n"), col("p_n"),
+        col("ln_pn_e8"), col("c_len"), col("r_len"), col("bp_e8"),
+        col("log_bleu"))
+      .orderBy(col("n"))
+  }
 }

@@ -3669,4 +3669,149 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang_true"), col("lang_pred"),
         col("score_points"), col("margin_points"), col("rel_score"))
   }
+
+  /** Fleiss' kappa (q288) over planted 5-rater 3-category ratings:
+    * the majority category comes from doc_id % 3 and each rater
+    * dissents with probability 0.2 (md5 uniform, decoupled per
+    * rater) to one of the two other categories — so the marginals,
+    * per-item agreement and kappa all take non-trivial values the
+    * oracle replays exactly.
+    */
+  def qAnnotatorAgreement(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val ratings = tbl(s, dir, "documents")
+      .select(d, explode(sequence(lit(1), lit(5))).as("rater"))
+      .withColumn("_u", pmod(
+        conv(substring(md5(concat(d.cast("string"), lit(":fk:"),
+          col("rater").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(10L)))
+      .withColumn("category", concat(lit("cat_"),
+        when(col("_u") < 2, pmod(d + 1L + pmod(col("_u"), lit(2L)),
+          lit(3L))).otherwise(pmod(d, lit(3L))).cast("string")))
+    graft.operators.Agreement.fleissKappa(
+      ratings, "doc_id", "rater", "category")
+  }
+
+  /** SFT loss-mask / truncation ledger (q289) over the q267 planted
+    * conversations with a 40-token context budget: assistant tokens
+    * that survive front-truncation, per conversation — the planted
+    * quarters make most conversations overflow, so kept/lost both
+    * take non-trivial values.
+    */
+  def qLossMask(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val tk = TextFunctions.tokens(col("text"))
+    val n = size(tk)
+    val q = (n / lit(4)).cast("int")
+    def part(start: Column, len: Column): Column =
+      concat_ws(" ", slice(tk, start, len))
+    def turn(role: Column, content: Column): Column =
+      struct(role.as("role"), content.as("content"))
+    val sys = turn(lit("system"), lit("You are a concise assistant"))
+    val u1 = turn(lit("user"), part(lit(1), q))
+    val a1 = turn(when(pmod(d, lit(5)) === 0, "user").otherwise("assistant"),
+      part(q + 1, q))
+    val u2 = turn(lit("user"), part(q * 2 + 1, q))
+    val a2 = turn(when(pmod(d, lit(7)) === 0, "user").otherwise("assistant"),
+      part(q * 3 + 1, n - q * 3))
+    val msgs = when(pmod(d, lit(4)) === 0, array(sys, u1, a1, u2, a2))
+      .otherwise(array(u1, a1, u2, a2))
+    graft.operators.ChatStructure.lossMask(
+      tbl(s, dir, "documents").select(d, msgs.as("messages")),
+      "doc_id", "messages", contextTokens = 40L)
+  }
+
+  /** JPEG SOF header parse (q290): planted JFIF streams — SOF marker
+    * (baseline/extended/progressive), geometry and component count on
+    * decoupled residues, with an optional variable-length COM segment
+    * and a DQT between APP0 and the SOF so the bounded marker walk
+    * does real hops. Round trip: the oracle re-derives every field
+    * (and the byte string itself) arithmetically; the Spark side must
+    * parse them back out of the bytes it built.
+    */
+  def qJpegHeaders(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageHeaders
+    val d = col("doc_id")
+    val sofHex = element_at(array(lit("ffc0"), lit("ffc1"), lit("ffc2")),
+      (pmod(d, lit(3)) + 1).cast("int"))
+    val h = pmod(d * 48271L, lit(4000L)) + 8L
+    val wdt = pmod(d * 2654435761L, lit(3000L)) + 8L
+    val nc = when(pmod(floor(d / lit(3)).cast("long"), lit(2)) === 0,
+      lit(3L)).otherwise(lit(1L))
+    val hasCom = pmod(d * 7919L, lit(3)) === 0
+    val comPay = (pmod(d, lit(7)) + 1L).cast("int")
+    val app0Hex = lit("ffe0" + "0010" + "4a46494600" + "0101" + "00" +
+      "0048" + "0048" + "0000")
+    val comHex = when(hasCom, concat(lit("fffe"),
+      format_string("%04x", comPay + 2),
+      concat_ws("", array_repeat(lit("41"), comPay))))
+      .otherwise(lit(""))
+    val dqtHex = lit("ffdb" + "0043" + "00" * 65)
+    val sofSeg = concat(sofHex, format_string("%04x", lit(8L) + nc * 3L),
+      lit("08"), format_string("%04x", h), format_string("%04x", wdt),
+      format_string("%02x", nc),
+      concat_ws("", array_repeat(lit("001100"), nc.cast("int"))))
+    val headerHex = concat(lit("ffd8"), app0Hex, comHex, dqtHex, sofSeg)
+    tbl(s, dir, "documents")
+      .select(d, unhex(headerHex).as("_p"))
+      .select(d, ImageHeaders.parseJpeg(col("_p")).as("_j"),
+        length(col("_p")).cast("long").as("n_bytes"),
+        lower(hex(col("_p"))).as("header_hex"))
+      .select(d,
+        col("_j.sof_marker").as("sof_marker"),
+        col("_j.precision").as("precision"),
+        col("_j.height").as("height"),
+        col("_j.width").as("width"),
+        col("_j.n_components").as("n_components"),
+        col("_j.n_pixels").as("n_pixels"),
+        col("n_bytes"), col("header_hex"))
+  }
+
+  /** Corpus BLEU (q291) over planted (candidate, reference) token
+    * pairs: the reference is the document's first 28 tokens, the
+    * candidate its first 24 with every doc-phased 5th position
+    * replaced by an out-of-reference marker — so all four clipped
+    * precisions land strictly inside (0, 1) and the brevity penalty
+    * is active (c < r). Bounded 24/28-token arrays, so the
+    * per-position transform is O(1) per row.
+    */
+  def qBleu(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val tk = TextFunctions.tokens(lower(col("text")))
+    val ref = slice(tk, 1, 28)
+    // zip_with over one 24-token slice + a position ramp — the
+    // tokenizer is referenced once per argument, never per position
+    val cand = zip_with(slice(tk, 1, 24), sequence(lit(1), lit(24)),
+      (t, i) => when(pmod(i + d, lit(5)) === 0, lit("zzz")).otherwise(t))
+    val pairs = tbl(s, dir, "documents")
+      .filter(size(tk) >= 28)
+      .select(d, cand.as("cand"), ref.as("ref"))
+    graft.operators.TextEval.bleuCorpus(pairs, "doc_id", "cand", "ref")
+  }
+
+  /** Bradley–Terry ratings (q292) over planted pairwise matches:
+    * 8 systems, the pair from decoupled doc_id residues, the
+    * stronger (higher-index) system winning unless a 25 % md5-upset
+    * flips it — 5 MM rounds on the integer lattice, the full fixed
+    * point replayed by an unrolled-CTE oracle.
+    */
+  def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val i = pmod(d, lit(8L))
+    val j = pmod(floor(d / lit(8)).cast("long"), lit(8L))
+    val upset = pmod(
+      conv(substring(md5(concat(d.cast("string"), lit(":bt"))), 1, 15),
+        16, 10).cast("long"), lit(100L)) < 25
+    val matches = tbl(s, dir, "documents")
+      .select(d, i.as("_i"), j.as("_j"), upset.as("_u"))
+      .filter(col("_i") =!= col("_j"))
+      .withColumn("_w", when(col("_u"),
+        least(col("_i"), col("_j"))).otherwise(greatest(col("_i"), col("_j"))))
+      .withColumn("_l", when(col("_w") === col("_i"), col("_j"))
+        .otherwise(col("_i")))
+      .select(concat(lit("sys_"), col("_w").cast("string")).as("winner"),
+        concat(lit("sys_"), col("_l").cast("string")).as("loser"))
+    graft.operators.BradleyTerry.ratings(matches, "winner", "loser",
+      rounds = 5)
+  }
 }

@@ -35,6 +35,28 @@ class ChatStructureSpec extends AnyFunSuite {
     // 4: empty — null frac, vacuous alternation, no assistant ending
     assert(out(4L) === ((0L, 0L, 0L, 0L, 0L, 0L, null, true, false)))
   }
+
+  test("loss mask: assistant tokens surviving front-truncation") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val df = Seq(
+      // turns: user 10, assistant 20 [10,30), user 5, assistant 15
+      // [35,50); L=25 → kept = (25−10) + 0 = 15 of 35 trainable
+      conv(1L, "user" -> words(10), "assistant" -> words(20),
+        "user" -> words(5), "assistant" -> words(15)),
+      // fits entirely: kept = trainable
+      conv(2L, "user" -> words(3), "assistant" -> words(4)),
+      // nothing trainable → null kept_frac
+      conv(3L, "user" -> words(30))
+    ).toDF("doc_id", "messages")
+    val out = ChatStructure.lossMask(df, "doc_id", "messages", 25L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        r.getBoolean(6)))).toMap
+    assert(out(1L) === ((50L, 35L, 15L, 20L, 15.0 / 35.0, false)))
+    assert(out(2L) === ((7L, 4L, 4L, 0L, 1.0, true)))
+    assert(out(3L) === ((30L, 0L, 0L, 0L, null, false)))
+  }
 }
 
 case class Msg(role: String, content: String)

@@ -151,6 +151,42 @@ class TextEvalAttributionSpec extends AnyFunSuite {
     assert(got == Map("a" -> ((100L, 10L)), "b" -> ((1L, 2L))))
   }
 
+  test("BLEU: clipped precisions, ln lattice, null on a dry order") {
+    // cand "the cat the cat" vs ref "the cat sat":
+    //  1-grams: clip the=1, cat=1 → 2/4 → ln(.5)·1e8 = −69314718
+    //  2-grams: clip "the cat"=1 → 1/3 → −109861229
+    //  3-grams: no overlap → clip 0 → null ln, null log_bleu at maxN=3
+    val df = Seq((1L, Seq("the", "cat", "the", "cat"),
+      Seq("the", "cat", "sat"))).toDF("id", "cand", "ref")
+    val rows = TextEval.bleuCorpus(df, "id", "cand", "ref", maxN = 3)
+      .collect()
+    val byN = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byN(1).getLong(1) === 2L && byN(1).getLong(2) === 4L)
+    assert(byN(1).getLong(4) === -69314718L)
+    assert(byN(2).getLong(1) === 1L && byN(2).getLong(4) === -109861229L)
+    assert(byN(3).getLong(1) === 0L && byN(3).isNullAt(4))
+    assert(rows.forall(_.isNullAt(8))) // log_bleu null: one dry order
+    // c=4 > r=3 → no brevity penalty
+    assert(byN(1).getLong(7) === 0L)
+  }
+
+  test("BLEU: perfect candidate scores log 0; short one pays BP") {
+    val perfect = Seq((1L, Seq("a", "b", "c", "d", "e"),
+      Seq("a", "b", "c", "d", "e"))).toDF("id", "cand", "ref")
+    val p = TextEval.bleuCorpus(perfect, "id", "cand", "ref", maxN = 2)
+      .collect()
+    assert(p.forall(_.getDouble(3) === 1.0)) // p_n
+    assert(p.forall(_.getDouble(8) === 0.0)) // log_bleu
+    // 4-token prefix of a 5-token ref: precisions 1, BP = 1 − 5/4
+    // → bp_e8 = −25000000 exactly (integer lattice, no double round)
+    val short = Seq((1L, Seq("a", "b", "c", "d"),
+      Seq("a", "b", "c", "d", "e"))).toDF("id", "cand", "ref")
+    val s = TextEval.bleuCorpus(short, "id", "cand", "ref", maxN = 2)
+      .collect()
+    assert(s.forall(_.getLong(7) === -25000000L))
+    assert(s.forall(_.getDouble(8) === -0.25))
+  }
+
   test("attribution: boundary exactly lookback-before is included") {
     def ts(s: String) = Timestamp.valueOf(s)
     val conv = Seq((1L, 1L, ts("2024-01-08 00:00:00"), 10.0))
