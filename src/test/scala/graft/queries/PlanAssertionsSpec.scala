@@ -381,6 +381,49 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q289: the loss-mask fold is a zero-shuffle projection") {
+    val plan = planOf("q289_loss_mask")
+    assert(!plan.contains("Exchange"),
+      "array fold must not shuffle:\n" + plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q290: JPEG parse is a zero-shuffle projection over one scan") {
+    val plan = planOf("q290_jpeg_headers")
+    assert(!plan.contains("Exchange"),
+      "byte-arithmetic parse must not shuffle:\n" + plan)
+    assert(!plan.contains("Join"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected a single documents scan:\n$plan")
+  }
+
+  test("q291: per-order rows checkpoint-pinned; scalars ride broadcasts") {
+    // the corpus-wide gram joins materialize once at the per-order
+    // checkpoint; the OUTPUT plan must compose the 4 pinned rows with
+    // the lens scan and the ≤4-row summary via broadcasts only
+    val plan = planOf("q291_bleu")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Scan ExistingRDD"),
+      "per-order frame must be checkpoint-pinned:\n" + plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"only the lens aggregate rescans documents:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q292: the corpus aggregates once; the MM loop is checkpoint-pinned") {
+    // the executed plan of the OUTPUT frame must not re-derive the
+    // match corpus: pairs/wins/rounds are localCheckpoint-pinned, so
+    // exactly one documents scan survives (the items join) and the
+    // tiny summary rides a broadcast
+    val plan = planOf("q292_bradley_terry")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"fixed point must run on checkpointed frames, not rescans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      plan)
+  }
+
   test("q246: the neighbor join is hash-based; jaccard never joins a loop") {
     val plan = planOf("q246_sorted_neighborhood")
     // the only nested-loop allowed is the 3-row window-offset cross
