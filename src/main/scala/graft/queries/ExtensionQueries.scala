@@ -3752,9 +3752,11 @@ object ExtensionQueries {
       format_string("%02x", nc),
       concat_ws("", array_repeat(lit("001100"), nc.cast("int"))))
     val headerHex = concat(lit("ffd8"), app0Hex, comHex, dqtHex, sofSeg)
-    tbl(s, dir, "documents")
-      .select(d, unhex(headerHex).as("_p"))
-      .select(d, ImageHeaders.parseJpeg(col("_p")).as("_j"),
+    val parsed = ImageHeaders.withJpeg(
+      tbl(s, dir, "documents").select(d, unhex(headerHex).as("_p")),
+      "_p", "_j")
+    parsed
+      .select(d, col("_j"),
         length(col("_p")).cast("long").as("n_bytes"),
         lower(hex(col("_p"))).as("header_hex"))
       .select(d,

@@ -19,8 +19,7 @@ class ImageHeadersSpec extends AnyFunSuite {
 
   private def parse(hex: String) = {
     val df = Seq(Tuple1(hexBytes(hex))).toDF("b")
-    df.select(ImageHeaders.parseJpeg(org.apache.spark.sql.functions.col("b"))
-      .as("j")).select("j.*").collect().head
+    ImageHeaders.withJpeg(df, "b", "j").select("j.*").collect().head
   }
 
   test("baseline SOF0 directly after APP0") {
@@ -47,8 +46,8 @@ class ImageHeadersSpec extends AnyFunSuite {
       Tuple1(hexBytes("ffd8" + ("fffe" + "0004" + "4141") * 6 +
         sof("ffc0", 16, 16, 1))))
       .toDF("b")
-    val out = notJpeg.select(ImageHeaders.parseJpeg(
-      org.apache.spark.sql.functions.col("b")).as("j")).collect()
+    val out = ImageHeaders.withJpeg(notJpeg, "b", "j")
+      .select("j").collect()
     assert(out.forall(_.isNullAt(0)))
   }
 }
