@@ -102,36 +102,49 @@ object TextEval {
     * (n, clip_n, total_n, p_n, ln_pn_e8, c_len, r_len, bp_e8,
     * log_bleu).
     *
-    * Scale shape: one (doc, gram) count aggregate per order on each
-    * side, the per-doc clip join shuffles by (doc, gram), every sum
-    * map-side combinable; the ≤ maxN summary rows broadcast back.
+    * Scale shape: every order rides one tagged (doc, n, gram) count
+    * aggregate per side and ONE clip join (map-side combinable
+    * sums); lens and all totals come from one more corpus pass — 3
+    * scans regardless of maxN. The ≤ maxN per-order rows
+    * checkpoint-pin and the scalar summary broadcasts back.
     */
   def bleuCorpus(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"unreasonable BLEU order: $maxN")
-    val lens = df.agg(
-      sum(size(col(candCol))).cast("long").as("c_len"),
-      sum(size(col(refCol))).cast("long").as("r_len"))
-
-    def gramsOf(c: String, n: Int) =
-      if (n == 1) col(c) else RepeatedSpans.positionalKGrams(col(c), n)
-    def counts(c: String, n: Int, out: String) = df
-      .filter(size(col(c)) >= n)
-      .select(col(idCol).as("_id"), explode(gramsOf(c, n)).as("_g"))
-      .groupBy(col("_id"), col("_g"))
+    // all orders ride ONE tagged gram explode per side (not a scan
+    // per order per side): grams become (n, gram) structs, so one
+    // (doc, n, gram) count aggregate, one clip join and one ≤ maxN-row
+    // fold cover every order — 3 corpus scans total, independent of
+    // maxN
+    def gramStructs(c: String) = flatten(array((1 to maxN).map { n =>
+      val g = if (n == 1) col(c)
+        else RepeatedSpans.positionalKGrams(col(c), n)
+      when(size(col(c)) >= n,
+        transform(g, x => struct(lit(n).as("n"), x.as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    }: _*))
+    def counts(c: String, out: String) = df
+      .select(col(idCol).as("_id"), explode(gramStructs(c)).as("_s"))
+      .groupBy(col("_id"), col("_s.n").as("n"), col("_s.g").as("_g"))
       .agg(count(lit(1)).as(out))
 
-    val perOrder = (1 to maxN).map { n =>
-      val clip = counts(candCol, n, "_cc")
-        .join(counts(refCol, n, "_rc"), Seq("_id", "_g"))
-        .agg(coalesce(sum(least(col("_cc"), col("_rc"))), lit(0L))
-          .as("clip_n"))
-      val total = df.agg(
+    val clip = counts(candCol, "_cc")
+      .join(counts(refCol, "_rc"), Seq("_id", "n", "_g"))
+      .groupBy(col("n"))
+      .agg(sum(least(col("_cc"), col("_rc"))).as("clip_n"))
+    // lens and every order's total from ONE corpus pass
+    val totals = df.agg(
+      sum(size(col(candCol))).cast("long").as("c_len"),
+      sum(size(col(refCol))).cast("long").as("r_len"),
+      array((1 to maxN).map(n => struct(lit(n).as("n"),
         sum(greatest(size(col(candCol)) - (n - 1), lit(0)))
-          .cast("long").as("total_n"))
-      clip.crossJoin(total).select(lit(n).as("n"),
-        col("clip_n"), col("total_n"))
-    }.reduce(_.unionAll(_))
+          .cast("long").as("total_n"))): _*).as("_t"))
+      .select(col("c_len"), col("r_len"), explode(col("_t")).as("_e"))
+      .select(col("c_len"), col("r_len"), col("_e.n").as("n"),
+        col("_e.total_n").as("total_n"))
+    val perOrder = totals.join(clip, Seq("n"), "left")
+      .select(col("n"), coalesce(col("clip_n"), lit(0L)).as("clip_n"),
+        col("total_n"), col("c_len"), col("r_len"))
 
     val withLn = perOrder.withColumn("p_n",
       when(col("total_n") > 0L,
@@ -146,7 +159,7 @@ object TextEval {
       sum(col("ln_pn_e8")).as("_sum_ln"),
       count(lit(1)).as("_k"),
       count(col("ln_pn_e8")).as("_k_ok"))
-    withLn.crossJoin(broadcast(lens)).crossJoin(broadcast(summary))
+    withLn.crossJoin(broadcast(summary))
       .withColumn("bp_e8",
         when(col("c_len") >= col("r_len"), lit(0L))
           .otherwise({

@@ -406,7 +406,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"),
       "per-order frame must be checkpoint-pinned:\n" + plan)
     val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"only the lens aggregate rescans documents:\n$plan")
+    assert(scans == 0,
+      s"lens/totals must ride the pinned per-order rows, not rescans:\n$plan")
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
