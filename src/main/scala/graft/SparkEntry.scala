@@ -558,7 +558,13 @@ object SparkEntry {
     // corpus BLEU in log space (clipped precisions + brevity penalty)
     "q291_bleu" -> (X.qBleu _),
     // Bradley-Terry MM ratings from pairwise preferences
-    "q292_bradley_terry" -> (X.qBradleyTerry _)
+    "q292_bradley_terry" -> (X.qBradleyTerry _),
+    // checksum-validated PII (Luhn cards, octet-checked IPs)
+    "q293_pii_validate" -> (X.qPiiValidate _),
+    // SQuAD-style exact match + clipped token F1
+    "q294_qa_eval" -> (X.qQaEval _),
+    // exact tie-aware ROC-AUC (Mann-Whitney over the score histogram)
+    "q298_roc_auc" -> (X.qRocAuc _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5706,7 +5712,15 @@ object SparkEntry {
     // brevity-penalty exponent
     "q291_bleu" -> bleuSql,
     // Bradley-Terry: 5 MM rounds unrolled (generated CTEs)
-    "q292_bradley_terry" -> bradleyTerrySql
+    "q292_bradley_terry" -> bradleyTerrySql,
+    // validated PII: Luhn fold + octet checks replayed over the
+    // same boundary-group candidates
+    "q293_pii_validate" -> piiValidateSql,
+    // QA eval: the pinned SQuAD normalization + clipped overlap
+    "q294_qa_eval" -> qaEvalSql,
+    // ROC-AUC: the shared q279 scored frame + the tie-aware
+    // Mann-Whitney histogram fold
+    "q298_roc_auc" -> rocAucSql
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -7149,4 +7163,165 @@ p$r AS (
       |  CAST(p5.p AS DOUBLE) / CAST(tot AS DOUBLE) AS share
       |FROM items it JOIN p5 USING (item), tot""".stripMargin
   }
+
+  /** q293 oracle: the planted construction + the Luhn digit fold and
+    * octet checks replayed over the same boundary-group candidates;
+    * the scrub folds replace() over validated matches via
+    * list_reduce seeded with the text itself.
+    */
+  private def piiValidateSql: String = {
+    val luhn = """list_sum(list_transform(range(1, len(s) + 1), i ->
+      |    CASE WHEN (len(s) - i + 1) % 2 = 0 THEN
+      |      CASE WHEN CAST(substr(s, CAST(i AS INTEGER), 1) AS INTEGER)
+      |          * 2 > 9
+      |        THEN CAST(substr(s, CAST(i AS INTEGER), 1) AS INTEGER)
+      |          * 2 - 9
+      |        ELSE CAST(substr(s, CAST(i AS INTEGER), 1) AS INTEGER)
+      |          * 2 END
+      |      ELSE CAST(substr(s, CAST(i AS INTEGER), 1) AS INTEGER)
+      |    END)) % 10 = 0""".stripMargin
+    s"""WITH b AS (
+      |  SELECT doc_id, text,
+      |    ['4111111111111111','5555555555554444','378282246310005',
+      |     '6011111111111117'][CAST(doc_id % 4 AS INTEGER) + 1] AS base
+      |  FROM documents),
+      |pd AS (
+      |  SELECT doc_id,
+      |    substr(lower(text), 1, 40) || ' pay '
+      |    || CASE WHEN doc_id % 3 = 0 THEN
+      |         substr(base, 1, CAST(len(base) AS INTEGER) - 1)
+      |         || CAST((CAST(substr(base, CAST(len(base) AS INTEGER), 1)
+      |              AS INTEGER) + 1) % 10 AS VARCHAR)
+      |       ELSE base END
+      |    || ' at '
+      |    || CAST((doc_id * 7) % 300 AS VARCHAR) || '.'
+      |    || CAST((doc_id * 13) % 256 AS VARCHAR) || '.0.'
+      |    || CAST((doc_id * 3) % 300 AS VARCHAR)
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' run 12345678901234567 over'
+      |       ELSE ' run none over' END
+      |    || ' end' AS t
+      |  FROM b),
+      |c AS (
+      |  SELECT doc_id, t,
+      |    regexp_extract_all(t,
+      |      '(^|[^0-9])([0-9]{13,16})([^0-9]|$$)', 2) AS cc,
+      |    regexp_extract_all(t,
+      |      '(^|[^0-9.])([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})([^0-9.]|$$)',
+      |      2) AS ic
+      |  FROM pd),
+      |v AS (
+      |  SELECT doc_id, t, cc, ic,
+      |    list_filter(cc, s -> $luhn) AS cv,
+      |    list_filter(ic, s -> NOT list_contains(
+      |      list_transform(string_split(s, '.'),
+      |        o -> CAST(o AS INTEGER) > 255), true)) AS iv
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(len(cc) AS BIGINT) AS n_card_candidates,
+      |  CAST(len(cv) AS BIGINT) AS n_cards_valid,
+      |  CAST(len(ic) AS BIGINT) AS n_ipv4_candidates,
+      |  CAST(len(iv) AS BIGINT) AS n_ipv4_valid,
+      |  list_reduce([list_reduce([t] || cv,
+      |      (a, x) -> replace(a, x, '<CARD>'))] || iv,
+      |    (a, x) -> replace(a, x, '<IP>')) AS scrubbed
+      |FROM v""".stripMargin
+  }
+
+  /** q294 oracle: the planted prediction variants + the pinned SQuAD
+    * normalization (punctuation fold, article drop, whitespace
+    * collapse) and clipped multiset overlap.
+    */
+  private def qaEvalSql: String = {
+    // normalization of an expression -> token list
+    def norm(e: String) =
+      s"""list_filter(string_split(regexp_replace(regexp_replace(
+        |    lower($e), '[^a-z0-9]', ' ', 'g'),
+        |    '\\b(a|an|the)\\b', ' ', 'g'), ' '),
+        |  x -> len(x) > 0)""".stripMargin
+    s"""WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\\s+'),
+      |    t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |f AS (SELECT doc_id, tk FROM base WHERE len(tk) >= 14),
+      |pg AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(tk, 1, 12), ' ') AS gold,
+      |    CASE
+      |      WHEN doc_id % 17 = 0 THEN ''
+      |      WHEN doc_id % 5 = 0 THEN
+      |        array_to_string(list_slice(tk, 1, 12), ' ')
+      |      WHEN doc_id % 5 = 1 THEN
+      |        'The ' || array_to_string(list_slice(tk, 1, 12), ' ') || '!!'
+      |      WHEN doc_id % 5 = 2 THEN
+      |        array_to_string(list_slice(tk, 1, 9), ' ')
+      |      WHEN doc_id % 5 = 3 THEN
+      |        array_to_string(list_slice(tk, 1, 5) || ['zzz']
+      |          || list_slice(tk, 7, 12), ' ')
+      |      ELSE array_to_string(list_slice(tk, 3, 14), ' ')
+      |    END AS pred
+      |  FROM f),
+      |nt AS (
+      |  SELECT doc_id,
+      |    ${norm("pred")} AS p,
+      |    ${norm("gold")} AS g
+      |  FROM pg),
+      |ov AS (
+      |  SELECT doc_id, p, g,
+      |    CAST(COALESCE(list_sum(list_transform(list_distinct(p), t ->
+      |      LEAST(len(list_filter(p, x -> x = t)),
+      |            len(list_filter(g, x -> x = t))))), 0) AS BIGINT)
+      |      AS overlap,
+      |    CAST(len(p) AS BIGINT) AS np, CAST(len(g) AS BIGINT) AS ng
+      |  FROM nt)
+      |SELECT doc_id, np AS n_pred_tokens, ng AS n_gold_tokens, overlap,
+      |  (np = 0 AND ng = 0) OR p = g AS exact_match,
+      |  CASE WHEN np = 0 AND ng = 0 THEN 1.0
+      |    WHEN np = 0 OR ng = 0 THEN 0.0
+      |    ELSE CAST(overlap AS DOUBLE) / CAST(np AS DOUBLE) END
+      |    AS "precision",
+      |  CASE WHEN np = 0 AND ng = 0 THEN 1.0
+      |    WHEN np = 0 OR ng = 0 THEN 0.0
+      |    ELSE CAST(overlap AS DOUBLE) / CAST(ng AS DOUBLE) END
+      |    AS recall,
+      |  CASE WHEN np = 0 AND ng = 0 THEN 1.0
+      |    WHEN np = 0 OR ng = 0 THEN 0.0
+      |    ELSE 2.0 * CAST(overlap AS DOUBLE) / CAST(np + ng AS DOUBLE) END
+      |    AS f1
+      |FROM ov""".stripMargin
+  }
+
+  /** q298 oracle: the q279 planted scored frame (same CTEs) + the
+    * tie-aware Mann–Whitney histogram fold — 2U stays integer
+    * (HUGEINT), AUC is one division.
+    */
+  private def rocAucSql: String = (qualityCteSql + """,
+      |cal0 AS (
+      |  SELECT doc_id,
+      |    (CAST(ROUND(quality * 1000000, 0) AS BIGINT)
+      |      + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |          || ':cal_v2'), 1, 15))::BIGINT % 1000001) // 2 AS s6
+      |  FROM tq),
+      |cal AS (
+      |  SELECT doc_id, s6,
+      |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |        || ':cal_v1'), 1, 15))::BIGINT % 1000001 < s6
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM cal0),
+      |bs AS (
+      |  SELECT s6, COUNT(*) AS c, SUM(y) AS p, COUNT(*) - SUM(y) AS neg
+      |  FROM cal GROUP BY 1),
+      |wb AS (
+      |  SELECT s6, c, p, neg,
+      |    COALESCE(SUM(neg) OVER (ORDER BY s6
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+      |  FROM bs)
+      |SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |  CAST(SUM(p) AS BIGINT) AS n_pos,
+      |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |  CAST(SUM(CAST(p AS HUGEINT) * 2 * nb + CAST(p AS HUGEINT) * neg)
+      |      AS DOUBLE)
+      |    / CAST(CAST(SUM(p) AS HUGEINT) * CAST(SUM(neg) AS HUGEINT) * 2
+      |      AS DOUBLE) AS auc
+      |FROM wb""".stripMargin)
 }

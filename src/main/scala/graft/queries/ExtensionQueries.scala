@@ -3816,4 +3816,84 @@ object ExtensionQueries {
     graft.operators.BradleyTerry.ratings(matches, "winner", "loser",
       rounds = 5)
   }
+
+  /** Checksum-validated PII audit (q293): public test card numbers
+    * planted per doc_id residue, every third mutated in the last
+    * digit (Luhn-invalid), a 17-digit run planted on every fifth doc
+    * (boundary-excluded candidate), and a dotted quad whose octets
+    * stray past 255 on decoupled residues — so candidate counts,
+    * valid counts and the validation-gated scrub all diverge
+    * meaningfully from shape-only masking.
+    */
+  def qPiiValidate(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val base = element_at(array(lit("4111111111111111"),
+      lit("5555555555554444"), lit("378282246310005"),
+      lit("6011111111111117")), (pmod(d, lit(4)) + 1).cast("int"))
+    // mutate the check digit on every third doc → Luhn-invalid
+    val lastD = substring(col("_base"), -1, 1).cast("int")
+    val card = when(pmod(d, lit(3)) === 0,
+      concat(expr("substring(_base, 1, length(_base) - 1)"),
+        pmod(lastD + 1, lit(10)).cast("string")))
+      .otherwise(col("_base"))
+    val longRun = when(pmod(d, lit(5)) === 0,
+      lit(" run 12345678901234567 over")).otherwise(lit(" run none over"))
+    val ip = concat(pmod(d * 7L, lit(300L)).cast("string"), lit("."),
+      pmod(d * 13L, lit(256L)).cast("string"), lit(".0."),
+      pmod(d * 3L, lit(300L)).cast("string"))
+    val planted = tbl(s, dir, "documents")
+      .select(d, col("text"), base.as("_base"))
+      .select(d, concat(substring(lower(col("text")), 1, 40),
+        lit(" pay "), card, lit(" at "), ip, longRun, lit(" end"))
+        .as("txt"))
+    graft.operators.PiiValidate.audit(planted, "doc_id", "txt")
+  }
+
+  /** SQuAD-style answer scoring (q294): gold = the document's first
+    * 12 tokens; predictions vary per residue — verbatim, article/
+    * punctuation noise (still an exact match after normalization),
+    * truncated, mid-token substitution, and empty — so EM, clipped
+    * overlap and F1 all take the full value range.
+    */
+  def qQaEval(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val tk = TextFunctions.tokens(lower(col("text")))
+    val gold = concat_ws(" ", slice(tk, 1, 12))
+    val r5 = pmod(d, lit(5))
+    val pred = when(pmod(d, lit(17)) === 0, lit(""))
+      .when(r5 === 0, gold)
+      .when(r5 === 1, concat(lit("The "), gold, lit("!!")))
+      .when(r5 === 2, concat_ws(" ", slice(tk, 1, 9)))
+      .when(r5 === 3, concat_ws(" ", concat(
+        slice(tk, 1, 5), array(lit("zzz")), slice(tk, 7, 6))))
+      .otherwise(concat_ws(" ", slice(tk, 3, 12)))
+    val pairs = tbl(s, dir, "documents")
+      .filter(size(tk) >= 14)
+      .select(d, pred.as("pred"), gold.as("gold"))
+    graft.operators.QaEval.score(pairs, "doc_id", "pred", "gold")
+  }
+
+  /** Exact ROC-AUC (q298) of the q279-calibrated quality scores
+    * against their planted labels: labels drawn AT the score's own
+    * probability make the expected AUC the score distribution's own
+    * separability — a non-trivial value both engines must reproduce
+    * through the tie-aware Mann–Whitney fold.
+    */
+  def qRocAuc(s: SparkSession, dir: String): DataFrame = {
+    def u6(salt: String) = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(salt))), 1, 15), 16, 10).cast("long"), lit(1000001L))
+    val scored = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreFrom(col("text"), col("_toks"))
+          .as("_q"))
+      .withColumn("_v6", u6(":cal_v2"))
+      .withColumn("_s6", expr(
+        "(cast(round(_q * 1000000, 0) as bigint) + _v6) div 2"))
+      .withColumn("score", col("_s6").cast("double") / 1000000.0)
+      .withColumn("label", (u6(":cal_v1") < col("_s6")).cast("int"))
+      .select(col("doc_id"), col("score"), col("label"))
+    graft.operators.RocAuc.auc(scored, "score", "label")
+  }
 }
