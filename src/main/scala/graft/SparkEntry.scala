@@ -564,7 +564,13 @@ object SparkEntry {
     // SQuAD-style exact match + clipped token F1
     "q294_qa_eval" -> (X.qQaEval _),
     // exact tie-aware ROC-AUC (Mann-Whitney over the score histogram)
-    "q298_roc_auc" -> (X.qRocAuc _)
+    "q298_roc_auc" -> (X.qRocAuc _),
+    // markdown/code layout signals (headings, fences, indent, lists)
+    "q295_doc_structure" -> (X.qDocStructure _),
+    // special-token / chat-template contamination rollup
+    "q296_special_tokens" -> (X.qSpecialTokens _),
+    // reciprocal-rank fusion of two rankings (lattice reciprocals)
+    "q297_rank_fusion" -> (X.qRankFusion _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5720,7 +5726,14 @@ object SparkEntry {
     "q294_qa_eval" -> qaEvalSql,
     // ROC-AUC: the shared q279 scored frame + the tie-aware
     // Mann-Whitney histogram fold
-    "q298_roc_auc" -> rocAucSql
+    "q298_roc_auc" -> rocAucSql,
+    // doc structure: planted markdown + per-line regex ledger
+    "q295_doc_structure" -> docStructureSql,
+    // special tokens: injected markers + length-difference counts
+    // (token list generated from the same operator constant)
+    "q296_special_tokens" -> specialTokensSql,
+    // RRF: two ROW_NUMBER rankings + lattice reciprocals
+    "q297_rank_fusion" -> rankFusionSql
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -7290,6 +7303,116 @@ p$r AS (
       |    AS f1
       |FROM ov""".stripMargin
   }
+
+  /** q295 oracle: the planted markdown construction + the per-line
+    * regex ledger over the same split.
+    */
+  private def docStructureSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |f AS (SELECT doc_id, tk FROM base WHERE len(tk) >= 17),
+      |pl AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN
+      |       '# ' || array_to_string(list_slice(tk, 1, 2), ' ')
+      |     ELSE array_to_string(list_slice(tk, 1, 4), ' ') END)
+      |    || chr(10) || array_to_string(list_slice(tk, 5, 10), ' ')
+      |    || chr(10) || (CASE WHEN doc_id % 4 = 0 THEN
+      |       '- ' || array_to_string(list_slice(tk, 11, 13), ' ')
+      |     ELSE 'plain line here' END)
+      |    || chr(10) || (CASE WHEN doc_id % 5 = 0 THEN '```'
+      |       ELSE 'text ln' END)
+      |    || chr(10) || (CASE WHEN doc_id % 5 = 0 THEN
+      |       '    code = ' || CAST(doc_id % 100 AS VARCHAR)
+      |     ELSE array_to_string(list_slice(tk, 14, 16), ' ') END)
+      |    || chr(10) || (CASE WHEN doc_id % 5 = 0 THEN '```'
+      |       ELSE 'tail!' END)
+      |    || chr(10) || (CASE WHEN doc_id % 7 = 0 THEN ''
+      |       ELSE '1. ordered item' END) AS t
+      |  FROM f),
+      |ln AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM pl)
+      |SELECT doc_id,
+      |  CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(ls, l -> trim(l) = '')) AS BIGINT)
+      |    AS n_blank,
+      |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^#{1,6} ')))
+      |    AS BIGINT) AS n_heading,
+      |  CAST(len(list_filter(ls,
+      |    l -> regexp_matches(l, '^ *([-*+]|[0-9]+\.) '))) AS BIGINT)
+      |    AS n_list,
+      |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^```')))
+      |    AS BIGINT) AS n_fence_lines,
+      |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^```')))
+      |    // 2 AS BIGINT) AS n_code_blocks,
+      |  CAST(len(list_filter(ls,
+      |    l -> regexp_matches(l, '^(    |\t)'))) AS BIGINT)
+      |    AS n_indented,
+      |  CAST(list_max(list_transform(ls, l -> len(l))) AS BIGINT)
+      |    AS max_line_len,
+      |  CASE WHEN len(t) = 0 THEN NULL
+      |    ELSE CAST(len(regexp_replace(t,
+      |      '[a-zA-Z0-9 ' || chr(10) || ']', '', 'g')) AS DOUBLE)
+      |      / CAST(len(t) AS DOUBLE) END AS symbol_frac
+      |FROM ln""".stripMargin
+
+  /** q296 oracle: injected markers + the length-difference counts,
+    * the token list generated from [[graft.operators.SpecialTokens]].
+    */
+  private def specialTokensSql: String = {
+    val toks = graft.operators.SpecialTokens.Tokens
+      .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH pd AS (
+      |  SELECT source,
+      |    substr(text, 1, 60)
+      |    || CASE WHEN doc_id % 7 = 0 THEN
+      |         repeat(' <|endoftext|>', CAST(doc_id % 3 + 1 AS INTEGER))
+      |       ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' <s>mid</s>' ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0 THEN ' [INST] hi [/INST]'
+      |       ELSE '' END
+      |    || CASE WHEN doc_id % 17 = 0 THEN ' <|im_start|>user<|im_end|>'
+      |       ELSE '' END AS t
+      |  FROM documents),
+      |e AS (
+      |  SELECT source, tok,
+      |    (len(t) - len(replace(t, tok, ''))) // len(tok) AS n
+      |  FROM pd, UNNEST([$toks]) AS u(tok))
+      |SELECT source, tok AS token,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_occurrences
+      |FROM e WHERE n > 0 GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q297 oracle: the shared quality CTE + two ROW_NUMBER rankings
+    * (ties pinned by doc_id) fused on the lattice-reciprocal points.
+    */
+  private def rankFusionSql: String = (qualityCteSql + """,
+      |q6 AS (
+      |  SELECT tq.doc_id,
+      |    CAST(ROUND(tq.quality * 1000000, 0) AS BIGINT) AS q6,
+      |    d.n_chars
+      |  FROM tq JOIN documents d USING (doc_id)),
+      |rk AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY q6 DESC, doc_id) AS rank_quality,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+      |      AS rank_length
+      |  FROM q6),
+      |pts AS (
+      |  SELECT doc_id, rank_quality, rank_length,
+      |    (200000000 + (rank_quality + 60))
+      |      // (2 * (rank_quality + 60))
+      |    + (200000000 + (rank_length + 60))
+      |      // (2 * (rank_length + 60)) AS rrf_points
+      |  FROM rk)
+      |SELECT doc_id, rank_quality, rank_length,
+      |  CAST(rrf_points AS BIGINT) AS rrf_points,
+      |  ROW_NUMBER() OVER (ORDER BY rrf_points DESC, doc_id)
+      |    AS fused_rank
+      |FROM pts""".stripMargin)
 
   /** q298 oracle: the q279 planted scored frame (same CTEs) + the
     * tie-aware Mann–Whitney histogram fold — 2U stays integer

@@ -3896,4 +3896,75 @@ object ExtensionQueries {
       .select(col("doc_id"), col("score"), col("label"))
     graft.operators.RocAuc.auc(scored, "score", "label")
   }
+
+  /** Document-structure stats (q295) over planted markdown: headings,
+    * list items (bulleted and ordered), fenced code blocks, indented
+    * lines and blanks all toggle on decoupled residues, so every
+    * counter takes non-trivial values and the fence pairing is
+    * exercised.
+    */
+  def qDocStructure(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val tk = TextFunctions.tokens(lower(col("text")))
+    def part(a: Int, len: Int) = concat_ws(" ", slice(tk, a, len))
+    val lines = array(
+      when(pmod(d, lit(3)) === 0, concat(lit("# "), part(1, 2)))
+        .otherwise(part(1, 4)),
+      part(5, 6),
+      when(pmod(d, lit(4)) === 0, concat(lit("- "), part(11, 3)))
+        .otherwise(lit("plain line here")),
+      when(pmod(d, lit(5)) === 0, lit("```")).otherwise(lit("text ln")),
+      when(pmod(d, lit(5)) === 0,
+        concat(lit("    code = "), pmod(d, lit(100)).cast("string")))
+        .otherwise(part(14, 3)),
+      when(pmod(d, lit(5)) === 0, lit("```")).otherwise(lit("tail!")),
+      when(pmod(d, lit(7)) === 0, lit("")).otherwise(lit("1. ordered item")))
+    val planted = tbl(s, dir, "documents")
+      .filter(size(tk) >= 17)
+      .select(d, concat_ws("\n", lines).as("txt"))
+    graft.operators.DocStructure.stats(planted, "doc_id", "txt")
+  }
+
+  /** Special-token contamination audit (q296): chat-template and
+    * BOS/EOS markers injected per decoupled residues (repetition
+    * included), rolled up per (source, token).
+    */
+  def qSpecialTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val planted = tbl(s, dir, "documents").select(col("source"),
+      concat(substring(col("text"), 1, 60),
+        when(pmod(d, lit(7)) === 0,
+          expr("repeat(' <|endoftext|>', cast(pmod(doc_id, 3) + 1 as int))"))
+          .otherwise(lit("")),
+        when(pmod(d, lit(11)) === 0, lit(" <s>mid</s>")).otherwise(lit("")),
+        when(pmod(d, lit(13)) === 0, lit(" [INST] hi [/INST]"))
+          .otherwise(lit("")),
+        when(pmod(d, lit(17)) === 0, lit(" <|im_start|>user<|im_end|>"))
+          .otherwise(lit(""))).as("txt"))
+    graft.operators.SpecialTokens.audit(planted, "source", "txt")
+  }
+
+  /** Reciprocal-rank fusion (q297): the q24 quality ranking fused
+    * with the length ranking (both through the single-exchange rank
+    * kernel, ties pinned by doc_id) — the calibration-free hybrid
+    * ranker composition a retrieval stack ships.
+    */
+  def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val scored = tbl(s, dir, "documents")
+      .withColumn("_toks", TextFunctions.tokens(lower(col("text"))))
+      .select(col("doc_id"), col("n_chars"),
+        round(TextFunctions.qualityScoreFrom(col("text"), col("_toks"))
+          * 1000000, 0).cast("long").as("_q6"))
+      .localCheckpoint()
+    val byQuality = graft.operators.Ranks.globalRankBy(
+      scored, "doc_id", "rank_quality",
+      Seq(-col("_q6"), col("doc_id")))
+      .select(col("doc_id"), col("rank_quality"))
+    val byLength = graft.operators.Ranks.globalRankBy(
+      scored, "doc_id", "rank_length",
+      Seq(-col("n_chars"), col("doc_id")))
+      .select(col("doc_id"), col("rank_length"))
+    graft.operators.RankFusion.fuse(byQuality, byLength, "doc_id",
+      "rank_quality", "rank_length")
+  }
 }
