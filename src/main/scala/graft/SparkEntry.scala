@@ -570,7 +570,11 @@ object SparkEntry {
     // special-token / chat-template contamination rollup
     "q296_special_tokens" -> (X.qSpecialTokens _),
     // reciprocal-rank fusion of two rankings (lattice reciprocals)
-    "q297_rank_fusion" -> (X.qRankFusion _)
+    "q297_rank_fusion" -> (X.qRankFusion _),
+    // streaming special-token contamination monitor (real replay)
+    "q299_stream_special_tokens" -> (X.qStreamSpecialTokens _),
+    // end-to-end web intake: extract -> host -> LID -> gate -> rollup
+    "q300_web_pipeline" -> (X.qWebPipeline _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5733,7 +5737,13 @@ object SparkEntry {
     // (token list generated from the same operator constant)
     "q296_special_tokens" -> specialTokensSql,
     // RRF: two ROW_NUMBER rankings + lattice reciprocals
-    "q297_rank_fusion" -> rankFusionSql
+    "q297_rank_fusion" -> rankFusionSql,
+    // streaming token monitor: batch-parity mirror with arithmetic
+    // 15-minute windows over the q296 plant
+    "q299_stream_special_tokens" -> streamSpecialTokensSql,
+    // web intake composition: nested generated CTE chains (extract
+    // steps, canon algebra, LID scoring)
+    "q300_web_pipeline" -> webPipelineSql
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from
@@ -7384,6 +7394,69 @@ p$r AS (
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n) AS BIGINT) AS n_occurrences
       |FROM e WHERE n > 0 GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q299 oracle: batch-parity mirror of the streaming token monitor
+    * — the q296 plant, length-difference counts, event-time windows
+    * derived arithmetically from the doc_id-minute clock.
+    */
+  private def streamSpecialTokensSql: String = {
+    val toks = graft.operators.SpecialTokens.Tokens
+      .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH pd AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 60)
+      |    || CASE WHEN doc_id % 7 = 0 THEN
+      |         repeat(' <|endoftext|>', CAST(doc_id % 3 + 1 AS INTEGER))
+      |       ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' <s>mid</s>' ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0 THEN ' [INST] hi [/INST]'
+      |       ELSE '' END
+      |    || CASE WHEN doc_id % 17 = 0 THEN ' <|im_start|>user<|im_end|>'
+      |       ELSE '' END AS t
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, tok,
+      |    (len(t) - len(replace(t, tok, ''))) // len(tok) AS n
+      |  FROM pd, UNNEST([$toks]) AS u(tok))
+      |SELECT strftime(make_timestamp(
+      |    ((doc_id * 60) // 900) * 900 * 1000000),
+      |    '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  tok AS token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_occurrences
+      |FROM e WHERE n > 0 GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q300 oracle: the intake composition as nested GENERATED chains —
+    * the extract step tables, the canon algebra and the LID scoring
+    * all come from the same operator constants the engine runs.
+    */
+  private def webPipelineSql: String = {
+    val text = graft.operators.HtmlExtract.extractSql("html")
+    val canon =
+      s"regexp_extract(html, '${graft.operators.HtmlExtract.CanonicalPattern}', 1)"
+    richHtmlPlantSql + s""",
+      |x0 AS (SELECT doc_id, $text AS text FROM planted),
+      |c0 AS (SELECT doc_id, $canon AS canonical_raw FROM planted),
+      |ca AS (SELECT doc_id, canonical_raw AS url FROM c0
+      |       WHERE canonical_raw <> ''),
+      |${graft.operators.UrlCanon.oracleSelect("ca", "doc_id", "url")},
+      |${graft.operators.LanguageId.oracleSelect("x0", "doc_id", "text")},
+      |tkc AS (
+      |  SELECT doc_id, CASE WHEN len(text) = 0 THEN 0
+      |    ELSE len(text) - len(replace(text, ' ', '')) + 1 END
+      |    AS n_tokens
+      |  FROM x0),
+      |jw AS (
+      |  SELECT x0.doc_id, COALESCE(o.host, '(none)') AS host,
+      |    l.lang_pred, t.n_tokens
+      |  FROM x0 LEFT JOIN url_canon_out o USING (doc_id)
+      |  JOIN lid_out l USING (doc_id) JOIN tkc t USING (doc_id))
+      |SELECT host, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_pages,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(CASE WHEN n_tokens >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept
+      |FROM jw GROUP BY 1, 2""".stripMargin
   }
 
   /** q297 oracle: the shared quality CTE + two ROW_NUMBER rankings

@@ -3944,6 +3944,86 @@ object ExtensionQueries {
     graft.operators.SpecialTokens.audit(planted, "source", "txt")
   }
 
+  /** Streaming special-token monitor (q299): the q296 contamination
+    * plant replayed through a REAL file-source micro-batch stream
+    * (one doc per minute of event time), the token scan applied
+    * INSIDE the stream, per-15-minute-window per-token doc/occurrence
+    * counts on watermark close — the live gate that catches a source
+    * suddenly shipping chat-template markers. Batch-parity oracle.
+    */
+  def qStreamSpecialTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpecialTokens
+    val d = col("doc_id")
+    val events = tbl(s, dir, "documents")
+      .select(d.as("user_id"), d.as("event_id"),
+        expr("timestamp_micros(doc_id * 60000000)").as("ts"),
+        concat(substring(col("text"), 1, 60),
+          when(pmod(d, lit(7)) === 0, expr(
+            "repeat(' <|endoftext|>', cast(pmod(doc_id, 3) + 1 as int))"))
+            .otherwise(lit("")),
+          when(pmod(d, lit(11)) === 0, lit(" <s>mid</s>"))
+            .otherwise(lit("")),
+          when(pmod(d, lit(13)) === 0, lit(" [INST] hi [/INST]"))
+            .otherwise(lit("")),
+          when(pmod(d, lit(17)) === 0, lit(" <|im_start|>user<|im_end|>"))
+            .otherwise(lit(""))).as("event_type"))
+    graft.streaming.EventStreams.replayToTable(
+      events,
+      df => {
+        val perToken = array(SpecialTokens.Tokens.map(tok =>
+          struct(lit(tok).as("token"),
+            SpecialTokens.occurrences(col("event_type"), tok).as("n")))
+          : _*)
+        // watermark BEFORE the contamination filter: the horizon
+        // sentinel carries no tokens, and dropping it ahead of the
+        // watermark node would leave the final window unclosed
+        df.withWatermark("ts", "0 seconds")
+          .select(col("ts"), explode(perToken).as("_e"))
+          .filter(col("_e.n") > 0L)
+          .groupBy(window(col("ts"), "15 minutes").as("win"),
+            col("_e.token").as("token"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("_e.n")).as("n_occurrences"))
+          .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"), col("token"), col("n_docs"),
+            col("n_occurrences"))
+      },
+      horizonSeconds = 3600, numBatches = 3)
+      .filter(col("token").isNotNull)
+  }
+
+  /** End-to-end web-corpus intake (q300): the round's new stages
+    * composed the way a crawl pipeline runs them — HTML → text
+    * extraction, head-metadata canonical host, model-based LID,
+    * token accounting and a minimum-length keep gate — rolled up per
+    * (canonical host, predicted language). The oracle nests the SAME
+    * generated CTE chains (extract steps, canon algebra, LID
+    * scoring), so the whole composition is one hash check.
+    */
+  def qWebPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{HtmlExtract, UrlCanon, LanguageId}
+    val html = plantedRichHtml(s, dir)
+    val extracted = HtmlExtract.stats(html, "doc_id", "html")
+      .select(col("doc_id"), col("text"))
+    val hosts = HtmlExtract.pageMeta(html, "doc_id", "html")
+      .select(col("doc_id"),
+        coalesce(when(col("canonical_raw") =!= "",
+          UrlCanon.canonicalHost(col("canonical_raw"))), lit("(none)"))
+          .as("host"))
+    val classified = LanguageId.classify(extracted, "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred"))
+    val staged = extracted
+      .withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCountArithmetic(col("text"))
+          .cast("long"))
+      .join(hosts, Seq("doc_id"))
+      .join(classified, Seq("doc_id"))
+    staged.groupBy(col("host"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(when(col("n_tokens") >= 8, 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Reciprocal-rank fusion (q297): the q24 quality ranking fused
     * with the length ranking (both through the single-exchange rank
     * kernel, ties pinned by doc_id) — the calibration-free hybrid
