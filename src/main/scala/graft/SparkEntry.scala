@@ -574,7 +574,9 @@ object SparkEntry {
     // streaming special-token contamination monitor (real replay)
     "q299_stream_special_tokens" -> (X.qStreamSpecialTokens _),
     // end-to-end web intake: extract -> host -> LID -> gate -> rollup
-    "q300_web_pipeline" -> (X.qWebPipeline _)
+    "q300_web_pipeline" -> (X.qWebPipeline _),
+    // l-diversity audit (homogeneity attack readout per QI cell)
+    "q301_l_diversity" -> (X.qLDiversity _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5743,7 +5745,24 @@ object SparkEntry {
     "q299_stream_special_tokens" -> streamSpecialTokensSql,
     // web intake composition: nested generated CTE chains (extract
     // steps, canon algebra, LID scoring)
-    "q300_web_pipeline" -> webPipelineSql
+    "q300_web_pipeline" -> webPipelineSql,
+    // l-diversity: (QI, sensitive) counts + min-struct dominant value
+    "q301_l_diversity" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(n_chars // 200 AS BIGINT) AS len_band,
+        |    source, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT lang, len_band,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+        |    MIN(struct_pack(nn := -n, v := source)) AS top
+        |  FROM c GROUP BY 1, 2)
+        |SELECT lang, len_band, n_rows, n_distinct_sensitive,
+        |  top.v AS top_value,
+        |  CAST(-top.nn AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share,
+        |  n_distinct_sensitive >= 3 AS l_diverse
+        |FROM g""".stripMargin
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from

@@ -112,4 +112,42 @@ object Privacy {
       .select(col(idCol) +: qi :+ col("level") :+ col("bucket") :+
         col("group_n") :+ col("anonymous"): _*)
   }
+
+  /** l-diversity audit — k-anonymity's necessary companion: a QI
+    * group can clear k and still leak when every member shares the
+    * SAME sensitive value (the homogeneity attack — "all 50 rows in
+    * this (zip, age-band) cell have the same diagnosis"). Per QI
+    * group this reports the distinct-sensitive count (distinct
+    * l-diversity), the dominant value and its share (the
+    * homogeneity readout), and the pass flag.
+    *
+    * Output per group: qiCols + (n_rows, n_distinct_sensitive,
+    * top_value, top_share, l_diverse). `top_share` is ONE division
+    * of exact integers; the dominant value ties break on the value
+    * string (min-struct, no window).
+    *
+    * Scale shape: one (QI, sensitive) count aggregate — bounded by
+    * the released domain, not the row count — then one per-QI fold
+    * carrying (sum, count, max-count-with-value) map-side. No
+    * windows, no row-side shuffle.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 2, s"l must be at least 2: $l")
+    val qi = qiCols.map(col)
+    df.groupBy(qi :+ col(sensitiveCol).as("_s"): _*)
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(qi: _*)
+      .agg(
+        sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_distinct_sensitive"),
+        min(struct((-col("_n")).as("nn"), col("_s").as("v"))).as("_top"))
+      .select(qi :+
+        col("n_rows") :+
+        col("n_distinct_sensitive") :+
+        col("_top.v").as("top_value") :+
+        ((-col("_top.nn")).cast("double") / col("n_rows").cast("double"))
+          .as("top_share") :+
+        (col("n_distinct_sensitive") >= l).as("l_diverse"): _*)
+  }
 }

@@ -4024,6 +4024,19 @@ object ExtensionQueries {
         sum(when(col("n_tokens") >= 8, 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** l-diversity audit (q301): the k-anonymity companion over the
+    * natural (lang, length-band) quasi-identifier groups with source
+    * as the sensitive attribute — homogeneous cells (every doc from
+    * one source) fail, mixed cells pass, and the dominant-source
+    * share is the homogeneity readout.
+    */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.lDiversity(
+      tbl(s, dir, "documents").select(col("lang"),
+        floor(col("n_chars") / 200).cast("long").as("len_band"),
+        col("source")),
+      Seq("lang", "len_band"), "source", l = 3)
+
   /** Reciprocal-rank fusion (q297): the q24 quality ranking fused
     * with the length ranking (both through the single-exchange rank
     * kernel, ties pinned by doc_id) — the calibration-free hybrid

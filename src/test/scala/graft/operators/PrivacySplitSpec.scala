@@ -93,4 +93,21 @@ class PrivacySplitSpec extends AnyFunSuite {
       .as[(String, Option[Long], Int, Long)].collect()
     assert(tupleCounts.nonEmpty && tupleCounts.forall(_._4 >= 2L))
   }
+
+  test("l-diversity: homogeneous cells fail, dominant share is exact") {
+    val df = Seq(
+      // cell a: 3 distinct sensitive values, dominant 2/4
+      ("a", "s1"), ("a", "s1"), ("a", "s2"), ("a", "s3"),
+      // cell b: homogeneous — k-anonymous but leaks
+      ("b", "s1"), ("b", "s1"), ("b", "s1"),
+      // cell c: 2 distinct, below l=3; tie broken on value string
+      ("c", "s2"), ("c", "s1")
+    ).toDF("g", "sens")
+    val out = Privacy.lDiversity(df, Seq("g"), "sens", l = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out("a") === ((4L, 3L, "s1", 0.5, true)))
+    assert(out("b") === ((3L, 1L, "s1", 1.0, false)))
+    assert(out("c") === ((2L, 2L, "s1", 0.5, false)))
+  }
 }
