@@ -180,4 +180,31 @@ object AudioHeaders {
       best.getField("n_samples").as("n_samples"),
       best.getField("duration_s").as("duration_s"))
   }
+
+  /** [[parseAudio]] with the two container parses STAGED as
+    * projection columns (dropped on return): [[parseAudio]]'s
+    * `coalesce(wav, flac).getField` fan-out re-inlines both FULL
+    * parses once per output field (~10 copies of the byte algebra in
+    * one expression — past the JIT's method budget, the projection
+    * runs deoptimized; measured on q260). Staged, each parse is
+    * computed once and the dispatch reads cheap attributes — the
+    * [[VideoHeaders.withMp4]] recipe.
+    */
+  def withAudio(df: org.apache.spark.sql.DataFrame, binCol: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val bin = col(binCol)
+    val w = col("_au_w")
+    val f = col("_au_f")
+    val best = coalesce(w, f)
+    df.withColumn("_au_w", parseWav(bin))
+      .withColumn("_au_f", parseFlac(bin))
+      .withColumn(out, struct(
+        when(w.isNotNull, "wav").when(f.isNotNull, "flac").as("container"),
+        best.getField("sample_rate").as("sample_rate"),
+        best.getField("channels").as("channels"),
+        best.getField("bits_per_sample").as("bits_per_sample"),
+        best.getField("n_samples").as("n_samples"),
+        best.getField("duration_s").as("duration_s")))
+      .drop("_au_w", "_au_f")
+  }
 }

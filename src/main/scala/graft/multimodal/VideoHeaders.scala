@@ -50,6 +50,13 @@ object VideoHeaders {
     * timescale, duration, n_tracks, duration_s) — nulls when the
     * payload is not ftyp-led with moov directly or after one padding
     * box, or when moov's first child is not a v0/v1 mvhd.
+    *
+    * Single-expression form, retained for per-column use in specs;
+    * production catalogs should use [[withMp4]] — each derived
+    * offset here re-inlines its predecessors, which past ~3 chained
+    * hops blows the generated method past janino's limit and drops
+    * the parse out of codegen (the measured q290 failure mode;
+    * q274's query-side fix).
     */
   def parseMp4(payload: Column): Column = {
     val isFtyp = boxType(payload, lit(1L)) === FtypId
@@ -91,5 +98,59 @@ object VideoHeaders {
         duration.as("duration"),
         nTracks.as("n_tracks"),
         dur6(duration, timescale).as("duration_s")))
+  }
+
+  /** [[parseMp4]] with every derived offset STAGED as a projection
+    * column (dropped on return): aliases are non-cheap
+    * multi-referenced expressions, so CollapseProject keeps the
+    * stages separate and whole-stage codegen binds each offset to
+    * ONE local variable — generated code linear in the walk depth
+    * instead of exponential (measured on q274: 40.7 s interpreted →
+    * sub-second staged, the ImageHeaders.withJpeg recipe).
+    */
+  def withMp4(df: org.apache.spark.sql.DataFrame, binCol: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val bin = col(binCol)
+    val staged = df
+      .withColumn("_mp_b1", lit(1L) + be32(bin, lit(1L)))
+      .withColumn("_mp_b2", col("_mp_b1") + be32(bin, col("_mp_b1")))
+      .withColumn("_mp_moov",
+        when(boxType(bin, col("_mp_b1")) === MoovId, col("_mp_b1"))
+          .when(boxType(bin, col("_mp_b1")).isin(SkipIds: _*) &&
+            boxType(bin, col("_mp_b2")) === MoovId, col("_mp_b2")))
+      .withColumn("_mp_mend", col("_mp_moov") + be32(bin, col("_mp_moov")))
+      .withColumn("_mp_child", col("_mp_moov") + lit(8L))
+      .withColumn("_mp_ver", u8(bin, col("_mp_child") + lit(8L)))
+      .withColumn("_mp_t1", col("_mp_child") + be32(bin, col("_mp_child")))
+      .withColumn("_mp_t2", col("_mp_t1") + be32(bin, col("_mp_t1")))
+      .withColumn("_mp_t3", col("_mp_t2") + be32(bin, col("_mp_t2")))
+    def isTrak(t: Column): Column =
+      t < col("_mp_mend") && boxType(bin, t) === TrakId
+    val i1 = isTrak(col("_mp_t1"))
+    val i2 = i1 && isTrak(col("_mp_t2"))
+    val i3 = i2 && isTrak(col("_mp_t3"))
+    val nTracks = when(i1, 1L).otherwise(0L) +
+      when(i2, 1L).otherwise(0L) + when(i3, 1L).otherwise(0L)
+    val child = col("_mp_child")
+    val version = col("_mp_ver")
+    val timescale = when(version === 0L, be32(bin, child + lit(20L)))
+      .otherwise(be32(bin, child + lit(28L)))
+    val duration = when(version === 0L, be32(bin, child + lit(24L)))
+      .otherwise(be64(bin, child + lit(32L)))
+    val isFtyp = boxType(bin, lit(1L)) === FtypId
+    val isMvhd = boxType(bin, child) === MvhdId
+    staged
+      .withColumn(out,
+        when(isFtyp && col("_mp_moov").isNotNull && isMvhd &&
+          (version === 0L || version === 1L) && timescale > 0L,
+          struct(
+            bin.substr(lit(9), lit(4)).cast("string").as("major_brand"),
+            version.as("version"),
+            timescale.as("timescale"),
+            duration.as("duration"),
+            nTracks.as("n_tracks"),
+            dur6(duration, timescale).as("duration_s"))))
+      .drop("_mp_b1", "_mp_b2", "_mp_moov", "_mp_mend", "_mp_child",
+        "_mp_ver", "_mp_t1", "_mp_t2", "_mp_t3")
   }
 }

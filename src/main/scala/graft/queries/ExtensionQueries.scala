@@ -2959,9 +2959,10 @@ object ExtensionQueries {
       lit("0" * 32))
     val payload = unhex(when(isWav, wavHex).otherwise(flacHex))
 
-    tbl(s, dir, "documents")
-      .select(d, payload.as("_p"))
-      .select(d, AudioHeaders.parseAudio(col("_p")).as("_a"),
+    AudioHeaders.withAudio(
+      tbl(s, dir, "documents").select(d, payload.as("_p")),
+      "_p", "_a")
+      .select(d, col("_a"),
         length(col("_p")).cast("long").as("n_bytes"),
         lower(hex(col("_p"))).as("header_hex"))
       .select(d,
@@ -3233,9 +3234,10 @@ object ExtensionQueries {
       when(hasFree, lit("0000000c" + "66726565" + "00000000"))
         .otherwise(lit("")),
       moovHex)
-    tbl(s, dir, "documents")
-      .select(d, unhex(headerHex).as("_p"))
-      .select(d, VideoHeaders.parseMp4(col("_p")).as("_v"),
+    VideoHeaders.withMp4(
+      tbl(s, dir, "documents").select(d, unhex(headerHex).as("_p")),
+      "_p", "_v")
+      .select(d, col("_v"),
         length(col("_p")).cast("long").as("n_bytes"),
         lower(hex(col("_p"))).as("header_hex"))
       .select(d,
