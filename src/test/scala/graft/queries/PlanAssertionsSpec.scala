@@ -425,6 +425,37 @@ class PlanAssertionsSpec extends AnyFunSuite {
       plan)
   }
 
+  test("q293-q296: validated-PII, QA-eval and structure scans are zero-shuffle") {
+    for (q <- Seq("q293_pii_validate", "q294_qa_eval", "q295_doc_structure")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+    }
+    // q296 rolls up per (source, token): exactly the one aggregate
+    // exchange, nothing else
+    val p296 = planOf("q296_special_tokens")
+    assert("Exchange".r.findAllIn(p296).size <= 2, p296)
+    assert(!p296.contains("Join"), p296)
+  }
+
+  test("q260/q274/q290: the staged byte-algebra parsers stay in codegen") {
+    // the round's measured failure mode: derived-offset walks
+    // re-inline exponentially, silently fall out of codegen and run
+    // interpreted (q274: 40.7 s). With fallback disabled a janino
+    // failure THROWS, so any future re-inlining fails here instead
+    // of surfacing as a 50x bench regression.
+    val conf = spark.conf
+    val before = conf.get("spark.sql.codegen.fallback", "true")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for (q <- Seq("q260_audio_headers", "q274_video_headers",
+        "q290_jpeg_headers")) {
+        val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+        assert(n > 0, s"$q returned no rows")
+      }
+    } finally conf.set("spark.sql.codegen.fallback", before)
+  }
+
   test("q246: the neighbor join is hash-based; jaccard never joins a loop") {
     val plan = planOf("q246_sorted_neighborhood")
     // the only nested-loop allowed is the 3-row window-offset cross
