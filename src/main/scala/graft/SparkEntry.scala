@@ -576,7 +576,9 @@ object SparkEntry {
     // end-to-end web intake: extract -> host -> LID -> gate -> rollup
     "q300_web_pipeline" -> (X.qWebPipeline _),
     // l-diversity audit (homogeneity attack readout per QI cell)
-    "q301_l_diversity" -> (X.qLDiversity _)
+    "q301_l_diversity" -> (X.qLDiversity _),
+    // t-closeness audit (exact variational distance per QI cell)
+    "q302_t_closeness" -> (X.qTCloseness _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5762,7 +5764,36 @@ object SparkEntry {
         |  top.v AS top_value,
         |  CAST(-top.nn AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share,
         |  n_distinct_sensitive >= 3 AS l_diverse
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // t-closeness: exact variational distance on HUGEINT numerators
+    // over the (QI cell) x (global sensitive domain) lattice
+    "q302_t_closeness" ->
+      """WITH cell AS (
+        |  SELECT lang, CAST(n_chars // 200 AS BIGINT) AS len_band,
+        |    source AS v, COUNT(*) AS ncv
+        |  FROM documents GROUP BY 1, 2, 3),
+        |cells AS (
+        |  SELECT lang, len_band, CAST(SUM(ncv) AS BIGINT) AS nc
+        |  FROM cell GROUP BY 1, 2),
+        |gl AS (SELECT v, CAST(SUM(ncv) AS BIGINT) AS nv
+        |  FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nv) AS BIGINT) AS n_total FROM gl),
+        |lattice AS (
+        |  SELECT c.lang, c.len_band, c.nc, g.v, g.nv, t.n_total,
+        |    COALESCE(cl.ncv, 0) AS ncv
+        |  FROM cells c CROSS JOIN gl g CROSS JOIN tot t
+        |  LEFT JOIN cell cl ON cl.lang = c.lang
+        |    AND cl.len_band = c.len_band AND cl.v = g.v)
+        |SELECT lang, len_band, MIN(nc) AS n_rows,
+        |  CAST(SUM(ABS(CAST(ncv AS HUGEINT) * n_total
+        |        - CAST(nv AS HUGEINT) * nc)) AS DOUBLE)
+        |    / CAST(MIN(CAST(2 AS HUGEINT) * nc * n_total) AS DOUBLE)
+        |    AS emd,
+        |  CAST(SUM(ABS(CAST(ncv AS HUGEINT) * n_total
+        |        - CAST(nv AS HUGEINT) * nc)) AS DOUBLE)
+        |    / CAST(MIN(CAST(2 AS HUGEINT) * nc * n_total) AS DOUBLE)
+        |    <= 0.33 AS t_close
+        |FROM lattice GROUP BY 1, 2""".stripMargin
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from

@@ -150,4 +150,71 @@ object Privacy {
           .as("top_share") :+
         (col("n_distinct_sensitive") >= l).as("l_diverse"): _*)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    * skewness-attack companion to [[lDiversity]]: a QI cell can be
+    * l-diverse and still leak when its sensitive-value DISTRIBUTION
+    * differs sharply from the corpus-wide one ("this cell is 90%
+    * value X where the corpus is 5%"). Per QI group this reports the
+    * variational distance (the categorical EMD of the paper) between
+    * the cell's sensitive distribution and the global distribution:
+    *
+    *   emd = (1/2) * sum_v | n_cv / n_c  -  N_v / N |
+    *
+    * computed EXACTLY as `sum_v |n_cv*N - N_v*n_c|` on DECIMAL(38,0)
+    * (int64 products overflow at 100-TB row counts) over a common
+    * denominator `2*n_c*N`, with ONE closing double division — so
+    * the reported distance hash-matches a HUGEINT oracle bit for
+    * bit. Values absent from a cell still contribute their global
+    * mass (the |0 - N_v/N| term), which is why the sum runs over the
+    * GLOBAL sensitive domain, not the cell's.
+    *
+    * Output per group: qiCols + (n_rows, emd, t_close = emd <= t).
+    *
+    * Scale shape: one (QI, sensitive) count aggregate and one
+    * (sensitive) count aggregate — both bounded by the released
+    * domain, not the row count — then a domain×domain broadcast
+    * cross of the tiny frames. No row-side shuffle, no windows.
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"t must be in (0,1): $t")
+    val qi = qiCols.map(col)
+    val dec = "decimal(38,0)"
+
+    // (QI, v) -> n_cv: domain-bounded after one aggregate
+    val cell = df
+      .groupBy(qi :+ col(sensitiveCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_ncv"))
+    // v -> N_v and the corpus total N (1-row frame, broadcast)
+    val global = cell.groupBy(col("_v")).agg(sum(col("_ncv")).as("_nv"))
+    val total = global.agg(sum(col("_nv")).as("_n_total"))
+    // QI -> n_c
+    val cells = cell.groupBy(qi: _*).agg(sum(col("_ncv")).as("_nc"))
+
+    // full (QI cell) x (global domain) lattice — both sides are
+    // domain-bounded aggregates, so the cross is tiny and broadcast
+    val lattice = cells
+      .crossJoin(broadcast(global))
+      .join(cell, qiCols :+ "_v", "left")
+      .crossJoin(broadcast(total))
+      .withColumn("_term",
+        abs(coalesce(col("_ncv"), lit(0L)).cast(dec) *
+              col("_n_total").cast(dec) -
+            col("_nv").cast(dec) * col("_nc").cast(dec)))
+
+    lattice
+      .groupBy(qi: _*)
+      .agg(
+        min(col("_nc")).as("n_rows"),
+        sum(col("_term")).as("_num"),
+        min((lit(2).cast(dec) * col("_nc").cast(dec) *
+          col("_n_total").cast(dec))).as("_den"))
+      .select(qi :+
+        col("n_rows") :+
+        (col("_num").cast("double") / col("_den").cast("double"))
+          .as("emd") :+
+        (col("_num").cast("double") / col("_den").cast("double") <= t)
+          .as("t_close"): _*)
+  }
 }

@@ -4039,6 +4039,19 @@ object ExtensionQueries {
         col("source")),
       Seq("lang", "len_band"), "source", l = 3)
 
+  /** t-closeness audit (q302): the skewness-attack companion to
+    * q301 over the same (lang, length-band) QI cells — exact
+    * variational distance between each cell's source distribution
+    * and the corpus-wide one, DECIMAL(38,0) numerators, one closing
+    * division. At the corpus's own skew t = 0.33 splits the cells.
+    */
+  def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.tCloseness(
+      tbl(s, dir, "documents").select(col("lang"),
+        floor(col("n_chars") / 200).cast("long").as("len_band"),
+        col("source")),
+      Seq("lang", "len_band"), "source", t = 0.33)
+
   /** Reciprocal-rank fusion (q297): the q24 quality ranking fused
     * with the length ranking (both through the single-exchange rank
     * kernel, ties pinned by doc_id) — the calibration-free hybrid

@@ -110,4 +110,24 @@ class PrivacySplitSpec extends AnyFunSuite {
     assert(out("b") === ((3L, 1L, "s1", 1.0, false)))
     assert(out("c") === ((2L, 2L, "s1", 0.5, false)))
   }
+
+  test("t-closeness: exact variational distance vs the global " +
+      "distribution, absent values contribute their global mass") {
+    // global: x=7, y=5, N=12
+    //   a: (4x, 0y) -> ½(|1-7/12| + |0-5/12|) = 5/12 (y absent — the
+    //      |0 - N_v/N| term must still fire)
+    //   b: (2x, 2y) -> ½(1/12 + 1/12) = 1/12
+    //   c: (1x, 3y) -> ½(4/12 + 4/12) = 1/3
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "x"), ("b", "x"), ("b", "y"), ("b", "y"),
+      ("c", "x"), ("c", "y"), ("c", "y"), ("c", "y")
+    ).toDF("g", "sens")
+    val out = Privacy.tCloseness(df, Seq("g"), "sens", t = 0.2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out("a") === ((4L, 5.0 / 12.0, false)))
+    assert(out("b") === ((4L, 1.0 / 12.0, true)))
+    assert(out("c") === ((4L, 1.0 / 3.0, false)))
+  }
 }
