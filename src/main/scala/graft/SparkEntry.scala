@@ -578,7 +578,9 @@ object SparkEntry {
     // l-diversity audit (homogeneity attack readout per QI cell)
     "q301_l_diversity" -> (X.qLDiversity _),
     // t-closeness audit (exact variational distance per QI cell)
-    "q302_t_closeness" -> (X.qTCloseness _)
+    "q302_t_closeness" -> (X.qTCloseness _),
+    // Fellegi-Sunter record linkage over a planted dirty registry
+    "q303_record_linkage" -> (X.qRecordLinkage _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5793,7 +5795,51 @@ object SparkEntry {
         |        - CAST(nv AS HUGEINT) * nc)) AS DOUBLE)
         |    / CAST(MIN(CAST(2 AS HUGEINT) * nc * n_total) AS DOUBLE)
         |    <= 0.33 AS t_close
-        |FROM lattice GROUP BY 1, 2""".stripMargin
+        |FROM lattice GROUP BY 1, 2""".stripMargin,
+    // Fellegi-Sunter: planted dirty registry, blocked candidates,
+    // pinned 1e-6-lattice integer log-weights, threshold decisions
+    "q303_record_linkage" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS id_a, c_name AS name_a,
+        |    c_acctbal AS bal_a, c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS band
+        |  FROM customer),
+        |b0 AS (
+        |  SELECT c_custkey AS id_b,
+        |    CASE WHEN (c_custkey // 3) % 7 = 0
+        |           THEN substr(c_name, 1, 9) || 'XYZ' || substr(c_name, 13)
+        |         WHEN (c_custkey // 3) % 2 = 0
+        |           THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+        |         ELSE c_name END AS name_b,
+        |    c_acctbal + CASE WHEN (c_custkey // 3) % 4 < 3
+        |      THEN 0.5 ELSE 50.0 END AS bal_b,
+        |    c_nationkey AS nat, c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |b AS (SELECT *, CAST(FLOOR(bal_b / 500) AS BIGINT) AS band
+        |  FROM b0),
+        |cand AS (
+        |  SELECT a.id_a, a.name_a, a.bal_a, b.id_b, b.name_b, b.bal_b
+        |  FROM a JOIN b USING (nat, seg, band)),
+        |gamma AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN name_a = name_b THEN 2
+        |         WHEN levenshtein(name_a, name_b) <= 2 THEN 1
+        |         ELSE 0 END AS name_level,
+        |    ABS(bal_a - bal_b) <= 1.0 AS num_agree
+        |  FROM cand),
+        |scored AS (
+        |  SELECT id_a, id_b, name_level, num_agree,
+        |    CAST(CASE name_level WHEN 2 THEN 6856462
+        |           WHEN 1 THEN 3500000 ELSE -2994732 END
+        |      + CASE WHEN num_agree THEN 2890372
+        |          ELSE -2251292 END AS BIGINT) AS score_points
+        |  FROM gamma)
+        |SELECT id_a, id_b, name_level, num_agree, score_points,
+        |  CASE WHEN score_points >= 6000000 THEN 'link'
+        |       WHEN score_points <= 0 THEN 'non_link'
+        |       ELSE 'possible' END AS decision,
+        |  id_a = id_b AS is_true_match
+        |FROM scored""".stripMargin
   ) ++ tpchShapeSql
 
   /** q273 oracle: planted multilingual construction (language from

@@ -4052,6 +4052,52 @@ object ExtensionQueries {
         col("source")),
       Seq("lang", "len_band"), "source", t = 0.33)
 
+  /** Fellegi–Sunter record linkage (q303): probabilistic entity
+    * resolution over a planted dirty re-entry registry — every third
+    * customer re-enters with residue-driven noise (1-char typo on
+    * e%2, 3-char scramble on e%7, balance +0.5 or +50 on e%4), and
+    * the linker recovers link / possible / non_link decisions from
+    * pinned integer log-likelihood weights (1e-6 lattice: ln(m/u)
+    * for m=.95/u=.001 name-exact, m=.9/u=.05 balance) over
+    * (nation, segment, balance-band) blocked candidates.
+    * `is_true_match` rides along so the decision matrix is readable.
+    */
+  def qRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RecordLinkage
+    val c = tbl(s, dir, "customer")
+    val a = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 500).cast("long").as("band"))
+    val e = floor(col("c_custkey") / 3).cast("long")
+    val b = c.filter(pmod(col("c_custkey"), lit(3)) === 0)
+      .select(
+        col("c_custkey"),
+        when(pmod(e, lit(7)) === 0,
+          concat(substring(col("c_name"), 1, 9), lit("XYZ"),
+            col("c_name").substr(lit(13), lit(100))))
+          .when(pmod(e, lit(2)) === 0,
+            concat(substring(col("c_name"), 1, 9), lit("X"),
+              col("c_name").substr(lit(11), lit(100))))
+          .otherwise(col("c_name")).as("c_name"),
+        (col("c_acctbal") +
+          when(pmod(e, lit(4)) < 3, lit(0.5)).otherwise(lit(50.0)))
+          .as("c_acctbal"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+      .withColumn("band", floor(col("c_acctbal") / 500).cast("long"))
+    val cands = RecordLinkage.blockedCandidates(a, b,
+      Seq("nat", "seg", "band"))
+    RecordLinkage.fellegiSunter(cands,
+        "c_name_a", "c_name_b", "c_acctbal_a", "c_acctbal_b",
+        RecordLinkage.FsWeights(6856462L, 3500000L, -2994732L,
+          2890372L, -2251292L, nameMaxEdits = 2, numTol = 1.0),
+        tLink = 6000000L, tNonLink = 0L)
+      .select(col("c_custkey_a").as("id_a"),
+        col("c_custkey_b").as("id_b"),
+        col("name_level"), col("num_agree"),
+        col("score_points"), col("decision"),
+        (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
+  }
+
   /** Reciprocal-rank fusion (q297): the q24 quality ranking fused
     * with the length ranking (both through the single-exchange rank
     * kernel, ties pinned by doc_id) — the calibration-free hybrid
