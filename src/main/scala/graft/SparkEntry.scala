@@ -580,7 +580,9 @@ object SparkEntry {
     // t-closeness audit (exact variational distance per QI cell)
     "q302_t_closeness" -> (X.qTCloseness _),
     // Fellegi-Sunter record linkage over a planted dirty registry
-    "q303_record_linkage" -> (X.qRecordLinkage _)
+    "q303_record_linkage" -> (X.qRecordLinkage _),
+    // corpus chrF2 (char n-gram F, exact half-up lattice headline)
+    "q304_chrf" -> (X.qChrf _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5727,6 +5729,7 @@ object SparkEntry {
     // BLEU: clipped corpus precisions + ln lattice + integer-exact
     // brevity-penalty exponent
     "q291_bleu" -> bleuSql,
+    "q304_chrf" -> chrfSql,
     // Bradley-Terry: 5 MM rounds unrolled (generated CTEs)
     "q292_bradley_terry" -> bradleyTerrySql,
     // validated PII: Luhn fold + octet checks replayed over the
@@ -7163,6 +7166,77 @@ object SparkEntry {
     * brevity-penalty exponent. Per-order CTEs are generated so both
     * engines replay the same gram construction.
     */
+  /** q304 oracle: the q291 planted pairs joined separator-free, char
+    * n-grams n=1..6 via substr generators, clipped corpus matches,
+    * F_n = 5M/(4R+C) one HUGEINT-exact division, headline chrF from
+    * the exact half-up 1e-8 lattice.
+    */
+  private def chrfSql: String = {
+    val perN = (1 to 6).map { n =>
+      s""",
+gc$n AS (
+  SELECT doc_id, g, COUNT(*) AS cc FROM (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(cs) - $n + 2),
+      i -> substr(cs, i, $n))) AS g
+    FROM ps) GROUP BY 1, 2),
+gr$n AS (
+  SELECT doc_id, g, COUNT(*) AS rc FROM (
+    SELECT doc_id, UNNEST(list_transform(range(1, len(rs) - $n + 2),
+      i -> substr(rs, i, $n))) AS g
+    FROM ps) GROUP BY 1, 2),
+cl$n AS (
+  SELECT $n AS n,
+    CAST(COALESCE(SUM(LEAST(cc, rc)), 0) AS BIGINT) AS clip_n,
+    (SELECT CAST(SUM(GREATEST(len(cs) - $n + 1, 0)) AS BIGINT)
+     FROM ps) AS cand_total,
+    (SELECT CAST(SUM(GREATEST(len(rs) - $n + 1, 0)) AS BIGINT)
+     FROM ps) AS ref_total
+  FROM gc$n JOIN gr$n USING (doc_id, g))"""
+    }.mkString
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |f AS (SELECT doc_id, tk FROM base WHERE len(tk) >= 28),
+      |pr AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, 25), i ->
+      |      CASE WHEN (i + doc_id) % 5 = 0 THEN 'zzz' ELSE tk[i] END)
+      |      AS cand,
+      |    list_slice(tk, 1, 28) AS ref
+      |  FROM f),
+      |ps AS (
+      |  SELECT doc_id, array_to_string(cand, '') AS cs,
+      |    array_to_string(ref, '') AS rs
+      |  FROM pr)""".stripMargin +
+      perN + """
+      |,
+      |ord AS (SELECT * FROM cl1 UNION ALL SELECT * FROM cl2
+      |  UNION ALL SELECT * FROM cl3 UNION ALL SELECT * FROM cl4
+      |  UNION ALL SELECT * FROM cl5 UNION ALL SELECT * FROM cl6),
+      |dn AS (
+      |  SELECT n, clip_n, cand_total, ref_total,
+      |    CAST(4 AS HUGEINT) * ref_total + cand_total AS den
+      |  FROM ord),
+      |wf AS (
+      |  SELECT n, clip_n, cand_total, ref_total,
+      |    CASE WHEN den > 0 THEN
+      |      CAST(CAST(5 AS HUGEINT) * clip_n AS DOUBLE)
+      |        / CAST(den AS DOUBLE) END AS f_n,
+      |    CASE WHEN den > 0 THEN
+      |      CAST((CAST(10 AS HUGEINT) * clip_n * 100000000 + den)
+      |        // (2 * den) AS BIGINT) END AS fn_e8
+      |  FROM dn),
+      |summ AS (SELECT CAST(SUM(fn_e8) AS BIGINT) AS sum_f,
+      |  COUNT(*) AS k, COUNT(fn_e8) AS k_ok FROM wf)
+      |SELECT wf.n, wf.clip_n, wf.cand_total, wf.ref_total, wf.f_n,
+      |  wf.fn_e8,
+      |  CASE WHEN summ.k_ok = summ.k THEN
+      |    CAST(summ.sum_f AS DOUBLE) / 600000000.0 END AS chrf
+      |FROM wf, summ""".stripMargin
+  }
+
   private def bleuSql: String = {
     val perN = (1 to 4).map { n =>
       s""",

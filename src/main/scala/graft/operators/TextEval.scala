@@ -179,4 +179,95 @@ object TextEval {
         col("log_bleu"))
       .orderBy(col("n"))
   }
+
+  /** Corpus chrF2 (Popović 2015) — the character-level MT/generation
+    * metric that credits morphology and typo-level overlap BLEU's
+    * word grams miss. Character n-grams n = 1..`maxN` (the paper's 6)
+    * over WHITESPACE-FREE strings (the caller strips separators —
+    * the chrF convention), clipped multiset matches micro-averaged
+    * over the corpus, β = 2 (recall weighted 2×).
+    *
+    * Exactness: with corpus totals C_n (candidate grams), R_n
+    * (reference grams) and clipped matches M_n, the per-order
+    * F-score collapses algebraically to
+    *
+    *   F_n = (1+β²)·P·R / (β²·P + R) = 5·M_n / (4·R_n + C_n)
+    *
+    * — ONE division of exact integers (carried as DECIMAL(38,0);
+    * int64 products overflow at 100-TB gram counts). The headline
+    * chrF = mean of F_n is computed on the exact half-up 1e-8
+    * lattice (fn_e8 = (10·M·10⁸ + den) div (2·den), the q291
+    * brevity-penalty trick — never a double round), so the ≤ maxN-row
+    * integer sum is order-independent and the final score is one
+    * more exact division. A dry order (no grams at either side)
+    * leaves f_n and chrf null rather than silently smoothing.
+    *
+    * Output: one row per order n:
+    * (n, clip_n, cand_total, ref_total, f_n, fn_e8, chrf).
+    *
+    * Scale shape: identical to [[bleuCorpus]] — every order rides
+    * one tagged (doc, n, gram) count aggregate per side, one clip
+    * join, one corpus totals pass; 3 scans regardless of maxN. The
+    * ≤ maxN rows checkpoint-pin before the scalar summary broadcasts
+    * back.
+    */
+  def chrfCorpus(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"unreasonable chrF order: $maxN")
+    val dec = "decimal(38,0)"
+    def gramStructs(c: String) = flatten(array((1 to maxN).map { n =>
+      when(length(col(c)) >= n,
+        transform(sequence(lit(1), length(col(c)) - (n - 1)),
+          i => struct(lit(n).as("n"), col(c).substr(i, lit(n)).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    }: _*))
+    def counts(c: String, out: String) = df
+      .select(col(idCol).as("_id"), explode(gramStructs(c)).as("_s"))
+      .groupBy(col("_id"), col("_s.n").as("n"), col("_s.g").as("_g"))
+      .agg(count(lit(1)).as(out))
+
+    val clip = counts(candCol, "_cc")
+      .join(counts(refCol, "_rc"), Seq("_id", "n", "_g"))
+      .groupBy(col("n"))
+      .agg(sum(least(col("_cc"), col("_rc"))).as("clip_n"))
+    val totals = df.agg(
+      array((1 to maxN).map(n => struct(lit(n).as("n"),
+        sum(greatest(length(col(candCol)) - (n - 1), lit(0)))
+          .cast("long").as("c_n"),
+        sum(greatest(length(col(refCol)) - (n - 1), lit(0)))
+          .cast("long").as("r_n"))): _*).as("_t"))
+      .select(explode(col("_t")).as("_e"))
+      .select(col("_e.n").as("n"), col("_e.c_n").as("cand_total"),
+        col("_e.r_n").as("ref_total"))
+
+    val withF = totals.join(clip, Seq("n"), "left")
+      .select(col("n"), coalesce(col("clip_n"), lit(0L)).as("clip_n"),
+        col("cand_total"), col("ref_total"))
+      .withColumn("_den", lit(4).cast(dec) * col("ref_total").cast(dec) +
+        col("cand_total").cast(dec))
+      .withColumn("f_n", when(col("_den") > 0,
+        (lit(5).cast(dec) * col("clip_n").cast(dec)).cast("double") /
+          col("_den").cast("double")))
+      .withColumn("fn_e8", when(col("_den") > 0, {
+        // exact half-up lattice: (10·M·10⁸ + den) div (2·den) on
+        // non-negative decimals — the quotient is an exact integer,
+        // so the scale-6 decimal division cannot round
+        val a = lit(10).cast(dec) * col("clip_n").cast(dec) *
+          lit(100000000L).cast(dec) + col("_den")
+        val b = lit(2).cast(dec) * col("_den")
+        ((a - pmod(a, b)) / b).cast("long")
+      }))
+      // ≤ maxN rows over corpus-wide gram joins — pin before the fold
+      .localCheckpoint()
+    val summary = withF.agg(
+      sum(col("fn_e8")).as("_sum_f"),
+      count(lit(1)).as("_k"),
+      count(col("fn_e8")).as("_k_ok"))
+    withF.crossJoin(broadcast(summary))
+      .withColumn("chrf", when(col("_k_ok") === col("_k"),
+        col("_sum_f").cast("double") / lit(maxN * 1.0e8)))
+      .select(col("n"), col("clip_n"), col("cand_total"),
+        col("ref_total"), col("f_n"), col("fn_e8"), col("chrf"))
+      .orderBy(col("n"))
+  }
 }

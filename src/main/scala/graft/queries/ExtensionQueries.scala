@@ -3793,6 +3793,26 @@ object ExtensionQueries {
     graft.operators.TextEval.bleuCorpus(pairs, "doc_id", "cand", "ref")
   }
 
+  /** Corpus chrF2 (q304) over the q291 planted pairs re-expressed at
+    * the character level: the same 24/28-token cand/ref slices with
+    * phased substitutions, joined separator-free (the chrF
+    * whitespace-removed convention) — so character overlap survives
+    * where word grams break, and every per-order F plus the headline
+    * chrF ride exact integer lattices.
+    */
+  def qChrf(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val tk = TextFunctions.tokens(lower(col("text")))
+    val ref = slice(tk, 1, 28)
+    val cand = zip_with(slice(tk, 1, 24), sequence(lit(1), lit(24)),
+      (t, i) => when(pmod(i + d, lit(5)) === 0, lit("zzz")).otherwise(t))
+    val pairs = tbl(s, dir, "documents")
+      .filter(size(tk) >= 28)
+      .select(d, concat_ws("", cand).as("cand"),
+        concat_ws("", ref).as("ref"))
+    graft.operators.TextEval.chrfCorpus(pairs, "doc_id", "cand", "ref")
+  }
+
   /** Bradley–Terry ratings (q292) over planted pairwise matches:
     * 8 systems, the pair from decoupled doc_id residues, the
     * stronger (higher-index) system winning unless a 25 % md5-upset

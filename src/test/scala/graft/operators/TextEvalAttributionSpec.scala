@@ -187,6 +187,44 @@ class TextEvalAttributionSpec extends AnyFunSuite {
     assert(s.forall(_.getDouble(8) === -0.25))
   }
 
+  test("chrF: closed-form per-order F, exact lattice headline") {
+    // cand "abcd" vs ref "abcf" at maxN = 2:
+    //  n=1: M=3 (a,b,c), C=R=4 → F1 = 5·3/(4·4+4) = 0.75
+    //  n=2: M=2 (ab,bc), C=R=3 → F2 = 5·2/(4·3+3) = 2/3
+    //  fn_e8: 75000000 and (10·2·1e8+15)//30 = 66666667 (half-up)
+    //  chrf = 141666667 / 2e8
+    val df = Seq((1L, "abcd", "abcf")).toDF("id", "cand", "ref")
+    val rows = TextEval.chrfCorpus(df, "id", "cand", "ref", maxN = 2)
+      .collect()
+    val byN = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byN(1).getLong(1) === 3L && byN(1).getLong(2) === 4L &&
+      byN(1).getLong(3) === 4L)
+    assert(byN(1).getDouble(4) === 0.75 &&
+      byN(1).getLong(5) === 75000000L)
+    assert(byN(2).getLong(1) === 2L &&
+      byN(2).getDouble(4) === 10.0 / 15.0 &&
+      byN(2).getLong(5) === 66666667L)
+    assert(rows.forall(_.getDouble(6) === 141666667.0 / 2.0e8))
+  }
+
+  test("chrF: repeats clip; a dry order nulls f_n and the headline") {
+    // cand "aaa" vs ref "aa": n=1 M=2,C=3,R=2 → 10/11; n=2 M=1,C=2,
+    // R=1 → 5/6
+    val df = Seq((1L, "aaa", "aa")).toDF("id", "cand", "ref")
+    val byN = TextEval.chrfCorpus(df, "id", "cand", "ref", maxN = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(byN(1).getLong(1) === 2L && byN(1).getDouble(4) === 10.0 / 11.0)
+    assert(byN(2).getLong(1) === 1L && byN(2).getDouble(4) === 5.0 / 6.0)
+    // single chars: order 2 has zero grams on BOTH sides → null F,
+    // null headline (no silent smoothing)
+    val dry = Seq((1L, "a", "b")).toDF("id", "cand", "ref")
+    val d = TextEval.chrfCorpus(dry, "id", "cand", "ref", maxN = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(d(1).getLong(1) === 0L && d(1).getDouble(4) === 0.0)
+    assert(d(2).isNullAt(4) && d(2).isNullAt(5))
+    assert(d(1).isNullAt(6) && d(2).isNullAt(6))
+  }
+
   test("attribution: boundary exactly lookback-before is included") {
     def ts(s: String) = Timestamp.valueOf(s)
     val conv = Seq((1L, 1L, ts("2024-01-08 00:00:00"), 10.0))
