@@ -582,7 +582,9 @@ object SparkEntry {
     // Fellegi-Sunter record linkage over a planted dirty registry
     "q303_record_linkage" -> (X.qRecordLinkage _),
     // corpus chrF2 (char n-gram F, exact half-up lattice headline)
-    "q304_chrf" -> (X.qChrf _)
+    "q304_chrf" -> (X.qChrf _),
+    // WAV PCM sample audit (peak/clip/RMS over planted data bytes)
+    "q305_wav_pcm" -> (X.qWavPcm _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5730,6 +5732,34 @@ object SparkEntry {
     // brevity-penalty exponent
     "q291_bleu" -> bleuSql,
     "q304_chrf" -> chrfSql,
+    // PCM audit: the oracle re-derives the planted samples
+    // arithmetically — a round-trip proof of the LE signed decode
+    "q305_wav_pcm" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 9 + 16 AS n_data,
+        |    LEAST(doc_id % 9 + 16, 20) AS n_aud
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, n_data, n_aud,
+        |    list_transform(range(0, n_aud), j ->
+        |      CASE WHEN (doc_id + j) % 8 = 0
+        |        THEN CASE WHEN j % 2 = 0 THEN 32767 ELSE -32768 END
+        |        ELSE (doc_id * 131 + j * 2654435761) % 65536 - 32768
+        |      END) AS ss
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(n_data AS BIGINT) AS n_samples_total,
+        |  CAST(n_aud AS BIGINT) AS n_audited,
+        |  CAST(list_max(list_transform(ss, x -> abs(x))) AS BIGINT)
+        |    AS peak,
+        |  CAST(len(list_filter(ss, x -> x >= 32767 OR x <= -32768))
+        |    AS BIGINT) AS n_clipped,
+        |  CAST(list_sum(list_transform(ss, x -> x * x)) AS BIGINT)
+        |    AS sum_sq,
+        |  CAST(list_sum(ss) AS BIGINT) AS dc_sum,
+        |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
+        |    / CAST(n_aud AS DOUBLE)) AS rms
+        |FROM v""".stripMargin,
     // Bradley-Terry: 5 MM rounds unrolled (generated CTEs)
     "q292_bradley_terry" -> bradleyTerrySql,
     // validated PII: Luhn fold + octet checks replayed over the

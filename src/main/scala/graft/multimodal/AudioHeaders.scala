@@ -190,6 +190,71 @@ object AudioHeaders {
     * computed once and the dispatch reads cheap attributes — the
     * [[VideoHeaders.withMp4]] recipe.
     */
+  /** Sample-level PCM audit over the first `maxSamples` 16-bit
+    * samples of a WAV "data" chunk — the loudness / clipping / DC
+    * catalog pass that runs AFTER header triage: peak amplitude,
+    * clipped-sample count (full-scale ±32767/−32768), exact
+    * sum-of-squares and DC sum, and RMS as ONE sqrt of one division
+    * of exact integers. Samples are channel-interleaved raw frames
+    * (the audit is channel-agnostic amplitude accounting).
+    *
+    * Same byte-algebra discipline as [[parseWav]] (substr/hex/conv
+    * little-endian polynomials, bounded one-chunk walk to "data"),
+    * and the same staging discipline as [[withAudio]]: the chunk
+    * walk, the sample array and the audit fold are three REAL
+    * projection columns, so codegen binds one local per stage
+    * instead of re-inlining the walk per sample (the q274 lesson).
+    *
+    * Null unless the payload is canonical RIFF/WAVE with 16-bit PCM
+    * and a located "data" chunk. `maxSamples` bounds the read to a
+    * fixed prefix — a whole-file loudness scan is a different
+    * (streaming decode) pass; the bounded prefix is the catalog
+    * convention (the q277 decode-slice pattern).
+    */
+  def withWavPcm(df: org.apache.spark.sql.DataFrame, binCol: String,
+      out: String, maxSamples: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(maxSamples >= 1 && maxSamples <= 4096,
+      s"unreasonable PCM audit window: $maxSamples")
+    val bin = col(binCol)
+    val isRiff = hex(bin.substr(lit(1), lit(4))) === WavMagic &&
+      hex(bin.substr(lit(9), lit(4))) === WaveId &&
+      hex(bin.substr(lit(13), lit(4))) === "666D7420"
+    val bits = le16(bin, lit(35))
+    val blockAlign = le16(bin, lit(33))
+    val c0 = lit(37L)
+    val c1 = c0 + lit(8L) + le32(bin, c0 + lit(4L))
+    val dataOff = when(hex(bin.substr(c0, lit(4))) === DataId, c0)
+      .when(hex(bin.substr(c1, lit(4))) === DataId, c1)
+    val dataSize = le32(bin, dataOff + lit(4L))
+    val hdr = when(isRiff && dataOff.isNotNull && bits === 16L &&
+      blockAlign > 0L,
+      struct((dataOff + lit(8L)).as("start"),
+        divFloor(dataSize, lit(2L)).as("n_total")))
+
+    val h = col(out + "_h")
+    val nAud = least(h.getField("n_total"), lit(maxSamples.toLong))
+    val vals = when(h.isNotNull && nAud >= 1L,
+      transform(sequence(lit(0L), nAud - 1L), j => {
+        val u = le16(bin, h.getField("start") + j * 2L)
+        when(u >= 32768L, u - 65536L).otherwise(u)
+      }))
+
+    val v = col(out + "_v")
+    val sumSq = aggregate(v, lit(0L), (acc, s) => acc + s * s)
+    df.withColumn(out + "_h", hdr)
+      .withColumn(out + "_v", vals)
+      .withColumn(out, when(v.isNotNull, struct(
+        h.getField("n_total").as("n_samples_total"),
+        size(v).cast("long").as("n_audited"),
+        array_max(transform(v, s => abs(s))).as("peak"),
+        size(filter(v, s => s >= 32767L || s <= -32768L)).cast("long")
+          .as("n_clipped"),
+        sumSq.as("sum_sq"),
+        aggregate(v, lit(0L), (acc, s) => acc + s).as("dc_sum"),
+        sqrt(sumSq.cast("double") / size(v).cast("double")).as("rms"))))
+      .drop(out + "_h", out + "_v")
+  }
+
   def withAudio(df: org.apache.spark.sql.DataFrame, binCol: String,
       out: String): org.apache.spark.sql.DataFrame = {
     val bin = col(binCol)

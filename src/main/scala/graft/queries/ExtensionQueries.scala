@@ -2975,6 +2975,54 @@ object ExtensionQueries {
         col("n_bytes"), col("header_hex"))
   }
 
+  /** PCM sample audit (q305): planted mono 16-bit WAVs now carry a
+    * REAL data chunk — 16..24 samples from a doc_id-keyed formula
+    * with full-scale clip plants on (d+j)%8 — and the audit parses
+    * the bytes back: peak, clipped count, exact sum-of-squares / DC
+    * sum, RMS as one sqrt. The oracle re-derives the planted samples
+    * arithmetically, so the match is a round-trip proof of the
+    * little-endian signed decode and the bounded audit window
+    * (docs with 21+ samples exercise the maxSamples=20 cap).
+    */
+  def qWavPcm(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.AudioHeaders
+    val d = col("doc_id")
+    def le16h(v: Column): Column = {
+      val h = format_string("%04x", v)
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32h(v: Column): Column = {
+      val h = format_string("%08x", v)
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val nData = pmod(d, lit(9)) + 16L
+    val sampleHex = concat_ws("",
+      transform(sequence(lit(0L), nData - 1L), j => {
+        val base = pmod(d * 131L + j * 2654435761L, lit(65536L)) - 32768L
+        val sv = when(pmod(d + j, lit(8)) === 0,
+          when(pmod(j, lit(2)) === 0, lit(32767L)).otherwise(lit(-32768L)))
+          .otherwise(base)
+        le16h(pmod(sv + 65536L, lit(65536L)))
+      }))
+    val dataSize = nData * 2L
+    val wavHex = concat(lit("52494646"), le32h(lit(36L) + dataSize),
+      lit("57415645"), lit("666d7420"), lit("10000000"), lit("0100"),
+      lit("0100"), le32h(lit(16000L)), le32h(lit(32000L)), lit("0200"),
+      lit("1000"), lit("64617461"), le32h(dataSize), sampleHex)
+    AudioHeaders.withWavPcm(
+        tbl(s, dir, "documents").select(d, unhex(wavHex).as("_p")),
+        "_p", "_a", maxSamples = 20)
+      .select(d,
+        col("_a.n_samples_total").as("n_samples_total"),
+        col("_a.n_audited").as("n_audited"),
+        col("_a.peak").as("peak"),
+        col("_a.n_clipped").as("n_clipped"),
+        col("_a.sum_sq").as("sum_sq"),
+        col("_a.dc_sum").as("dc_sum"),
+        col("_a.rms").as("rms"))
+  }
+
   /** The learned BPE merge table: 6 training rounds over the
     * document corpus (argmax pair per round with pinned tie-break,
     * greedy left-to-right fusion), exact vs the unrolled-CTE oracle.

@@ -164,4 +164,66 @@ class AudioHeadersSpec extends AnyFunSuite {
       assert(isNull, s"expected null for ${p.length}-byte payload")
     }
   }
+
+  private def wavPcmBytes(samples: Seq[Int],
+      withList: Boolean = false): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val listLen = if (withList) 12 else 0
+    val buf = ByteBuffer.allocate(44 + listLen + dataSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + listLen + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)
+    buf.putShort(1.toShort)
+    buf.putShort(1.toShort)
+    buf.putInt(16000)
+    buf.putInt(32000)
+    buf.putShort(2.toShort)
+    buf.putShort(16.toShort)
+    if (withList) {
+      buf.put("LIST".getBytes("US-ASCII"))
+      buf.putInt(4)
+      buf.put("INFO".getBytes("US-ASCII"))
+    }
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    samples.foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  test("pcm audit: signed LE decode, clip count, exact moments, cap") {
+    val samples = Seq(100, -200, 32767, -32768, 0, 1000)
+    val p = wavPcmBytes(samples)
+    val r = AudioHeaders.withWavPcm(
+        Seq(Tuple1(p)).toDF("p"), "p", "a", maxSamples = 4)
+      .select("a.*").collect()(0)
+    assert(r.getLong(0) === 6L)  // n_samples_total
+    assert(r.getLong(1) === 4L)  // n_audited (capped)
+    assert(r.getLong(2) === 32768L) // peak = |-32768|
+    assert(r.getLong(3) === 2L)  // both full-scale samples clip
+    val sumSq = 100L * 100 + 200L * 200 + 32767L * 32767 + 32768L * 32768
+    assert(r.getLong(4) === sumSq)
+    assert(r.getLong(5) === (100L - 200 + 32767 - 32768))
+    assert(r.getDouble(6) === math.sqrt(sumSq.toDouble / 4.0))
+    // uncapped window audits everything; LIST variant walks one chunk
+    val all = AudioHeaders.withWavPcm(
+        Seq(Tuple1(wavPcmBytes(samples, withList = true))).toDF("p"),
+        "p", "a", maxSamples = 20)
+      .select("a.*").collect()(0)
+    assert(all.getLong(1) === 6L)
+    assert(all.getLong(5) === samples.map(_.toLong).sum)
+  }
+
+  test("pcm audit: non-16-bit and non-wav payloads audit to null") {
+    val eightBit = wavBytes(8000, 1, 8, 4, withList = false)
+    val junk = "JUNKJUNKJUNK".getBytes("US-ASCII")
+    for (p <- Seq(eightBit, junk)) {
+      val isNull = Seq(Tuple1(p)).toDF("p")
+        .transform(d => AudioHeaders.withWavPcm(d, "p", "a"))
+        .select(col("a").isNull.as("n")).collect()(0).getBoolean(0)
+      assert(isNull)
+    }
+  }
 }
