@@ -584,7 +584,9 @@ object SparkEntry {
     // corpus chrF2 (char n-gram F, exact half-up lattice headline)
     "q304_chrf" -> (X.qChrf _),
     // WAV PCM sample audit (peak/clip/RMS over planted data bytes)
-    "q305_wav_pcm" -> (X.qWavPcm _)
+    "q305_wav_pcm" -> (X.qWavPcm _),
+    // DP Laplace histogram release (md5 inverse-CDF, exact lattice)
+    "q306_dp_histogram" -> (X.qDpHistogram _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5760,6 +5762,32 @@ object SparkEntry {
         |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
         |    / CAST(n_aud AS DOUBLE)) AS rms
         |FROM v""".stripMargin,
+    // DP Laplace release: md5 uniform -> exact inverse CDF on the
+    // 1e-8 lattice, one DECIMAL-numerator division per cell
+    "q306_dp_histogram" ->
+      """WITH h AS (
+        |  SELECT lang, source, COUNT(*) AS n_true
+        |  FROM documents GROUP BY 1, 2),
+        |d AS (
+        |  SELECT lang, source, n_true,
+        |    ('0x' || substr(md5(lang || ':' || source || ':dp_v1'),
+        |      1, 15))::BIGINT % 1000000 AS u6
+        |  FROM h),
+        |n AS (SELECT lang, source, n_true, u6,
+        |  (u6 - 500000) * 2 + 1 AS odd FROM d),
+        |m AS (
+        |  SELECT lang, source, n_true, u6,
+        |    -(CASE WHEN odd > 0 THEN 1 ELSE -1 END) * 2 *
+        |      CAST(ROUND(ln(CAST(1000000 - abs(odd) AS DOUBLE)
+        |        / 1000000.0) * 100000000) AS BIGINT) AS noise_e8
+        |  FROM n)
+        |SELECT lang, source, CAST(n_true AS BIGINT) AS n_true, u6,
+        |  noise_e8,
+        |  CAST(CAST(n_true AS HUGEINT) * 100000000 + noise_e8
+        |    AS DOUBLE) / 100000000.0 AS released,
+        |  GREATEST(CAST(CAST(n_true AS HUGEINT) * 100000000 + noise_e8
+        |    AS DOUBLE) / 100000000.0, 0.0) AS released_clamped
+        |FROM m""".stripMargin,
     // Bradley-Terry: 5 MM rounds unrolled (generated CTEs)
     "q292_bradley_terry" -> bradleyTerrySql,
     // validated PII: Luhn fold + octet checks replayed over the

@@ -176,6 +176,54 @@ object Privacy {
     * domain, not the row count — then a domain×domain broadcast
     * cross of the tiny frames. No row-side shuffle, no windows.
     */
+  /** Laplace-mechanism histogram release — the ε-differential-privacy
+    * counting query (Dwork et al. 2006): each released cell is
+    * count + Lap(Δ/ε) with sensitivity Δ = 1 (one row contributes to
+    * exactly one cell). The noise draw is the PORTABLE md5 uniform
+    * (the fleet's derandomized-mechanism convention — every released
+    * value is reproducible and hash-checkable; a production release
+    * swaps the draw for a CSPRNG, nothing else changes) through the
+    * exact inverse CDF:
+    *
+    *   u = (r + 0.5)/10⁶,  r = md5(cell ∥ seedTag) mod 10⁶
+    *   noise = −(1/ε)·sign(u−½)·ln(1 − 2|u−½|)
+    *
+    * With k = r − 500000, |2u−1| = |2k+1|/10⁶ is an ODD sixth-lattice
+    * value — the CDF argument (10⁶−|2k+1|)/10⁶ is never 0 or 1 and
+    * the sign never degenerates. ln lands once per cell on the 1e-8
+    * integer lattice; `invEps` = 1/ε must be a positive integer so
+    * noise_e8 = −sign·invEps·ln_e8 stays EXACT integer arithmetic,
+    * and the released value is one division of an exact DECIMAL
+    * numerator. `released_clamped` post-processes to the non-negative
+    * cone (post-processing preserves DP).
+    *
+    * Scale shape: one count aggregate (domain-bounded output), then a
+    * zero-shuffle projection — the mechanism itself never sees row
+    * volume.
+    */
+  def laplaceHistogram(df: DataFrame, groupCols: Seq[String],
+      invEps: Int, seedTag: String): DataFrame = {
+    require(invEps >= 1, s"1/eps must be a positive integer: $invEps")
+    val g = groupCols.map(col)
+    val hist = df.groupBy(g: _*).agg(count(lit(1)).as("n_true"))
+    val key = concat_ws(":",
+      groupCols.map(c => col(c).cast("string")) :+ lit(seedTag): _*)
+    val r = pmod(conv(substring(md5(key), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val odd = (r - 500000L) * 2L + 1L
+    val arg = (lit(1000000L) - abs(odd)).cast("double") / lit(1000000.0)
+    val lnE8 = round(log(arg) * 1e8, 0).cast("long")
+    val signU = when(odd > 0L, lit(1L)).otherwise(lit(-1L))
+    val relNum = col("n_true").cast("decimal(38,0)") *
+      lit(100000000L).cast("decimal(38,0)") +
+      col("noise_e8").cast("decimal(38,0)")
+    hist
+      .withColumn("u6", r)
+      .withColumn("noise_e8", -signU * lit(invEps.toLong) * lnE8)
+      .withColumn("released", relNum.cast("double") / lit(1.0e8))
+      .withColumn("released_clamped", greatest(col("released"), lit(0.0)))
+  }
+
   def tCloseness(df: DataFrame, qiCols: Seq[String],
       sensitiveCol: String, t: Double): DataFrame = {
     require(t > 0.0 && t < 1.0, s"t must be in (0,1): $t")

@@ -4166,6 +4166,16 @@ object ExtensionQueries {
         (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
   }
 
+  /** DP Laplace histogram release (q306): the (lang, source) doc
+    * histogram released under ε = 0.5 (invEps = 2) with the portable
+    * md5 inverse-CDF draw — count + Lap(1/ε) per cell, noise exact on
+    * the 1e-8 lattice, clamped post-processing riding along.
+    */
+  def qDpHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.laplaceHistogram(
+      tbl(s, dir, "documents").select(col("lang"), col("source")),
+      Seq("lang", "source"), invEps = 2, seedTag = "dp_v1")
+
   /** Reciprocal-rank fusion (q297): the q24 quality ranking fused
     * with the length ranking (both through the single-exchange rank
     * kernel, ties pinned by doc_id) — the calibration-free hybrid

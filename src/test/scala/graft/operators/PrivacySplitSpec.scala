@@ -130,4 +130,34 @@ class PrivacySplitSpec extends AnyFunSuite {
     assert(out("b") === ((4L, 1.0 / 12.0, true)))
     assert(out("c") === ((4L, 1.0 / 3.0, false)))
   }
+
+  test("laplace release: portable draw, exact lattice noise, clamp") {
+    // independent JVM recomputation of the whole mechanism
+    def expectNoise(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val r = (BigInt(md.take(15), 16) % 1000000L).toLong
+      val odd = (r - 500000L) * 2 + 1
+      val arg = (1000000L - math.abs(odd)).toDouble / 1000000.0
+      val lnE8 = new java.math.BigDecimal(math.log(arg) * 1e8)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      -(if (odd > 0) 1L else -1L) * 2L * lnE8
+    }
+    val rows = Seq.fill(5)(("en", "web")) ++ Seq(("de", "wiki"))
+    val out = Privacy.laplaceHistogram(rows.toDF("lang", "source"),
+        Seq("lang", "source"), invEps = 2, seedTag = "dp_v1")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    for (((lang, src), (n, u6, noise, rel, clamped)) <- out) {
+      assert(u6 >= 0L && u6 < 1000000L)
+      assert(noise === expectNoise(s"$lang:$src:dp_v1"))
+      assert(rel === (n * 100000000L + noise).toDouble / 1.0e8)
+      assert(clamped === math.max(rel, 0.0))
+    }
+    assert(out(("en", "web"))._1 === 5L)
+    assert(out(("de", "wiki"))._1 === 1L)
+    // the two cells draw different noise (key includes the cell)
+    assert(out(("en", "web"))._3 !== out(("de", "wiki"))._3)
+  }
 }
