@@ -586,7 +586,9 @@ object SparkEntry {
     // WAV PCM sample audit (peak/clip/RMS over planted data bytes)
     "q305_wav_pcm" -> (X.qWavPcm _),
     // DP Laplace histogram release (md5 inverse-CDF, exact lattice)
-    "q306_dp_histogram" -> (X.qDpHistogram _)
+    "q306_dp_histogram" -> (X.qDpHistogram _),
+    // product quantization + ADC top-k (FAISS-style table lookups)
+    "q307_pq_adc" -> (X.qPqAdc _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5762,6 +5764,64 @@ object SparkEntry {
         |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
         |    / CAST(n_aud AS DOUBLE)) AS rms
         |FROM v""".stripMargin,
+    // PQ/ADC: 1e-3 lattice, md5-sampled codebook + queries, exact
+    // int subspace distances, (adc, vec_id)-ordered top-5 per query
+    "q307_pq_adc" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(ROUND(ROUND(CAST(x AS DOUBLE), 3) * 1000.0, 0)
+        |      AS BIGINT)) AS v3
+        |  FROM embeddings),
+        |cb0 AS (
+        |  SELECT vec_id, v3, ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_v1'), vec_id) - 1 AS k
+        |  FROM base QUALIFY k < 8),
+        |qs AS (
+        |  SELECT vec_id AS q_id, v3 AS qv3, ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_q1'), vec_id) - 1 AS qr
+        |  FROM base QUALIFY qr < 4),
+        |ms AS (SELECT UNNEST(range(0, 4)) AS m),
+        |cb AS (SELECT k AS code, m,
+        |    list_slice(v3, m * 16 + 1, m * 16 + 16) AS c3
+        |  FROM cb0, ms),
+        |sub AS (SELECT vec_id, m,
+        |    list_slice(v3, m * 16 + 1, m * 16 + 16) AS s3
+        |  FROM base, ms),
+        |enc0 AS (
+        |  SELECT s.vec_id, s.m, c.code,
+        |    list_sum(list_transform(range(1, 17), j ->
+        |      (s.s3[j] - c.c3[j]) * (s.s3[j] - c.c3[j]))) AS dist
+        |  FROM sub s JOIN cb c USING (m)),
+        |enc AS (
+        |  SELECT vec_id, m,
+        |    MIN(struct_pack(d := dist, k := code)) AS mn
+        |  FROM enc0 GROUP BY 1, 2),
+        |tab AS (
+        |  SELECT q.q_id, c.m, c.code,
+        |    list_sum(list_transform(range(1, 17), j ->
+        |      (list_slice(q.qv3, c.m * 16 + 1, c.m * 16 + 16)[j]
+        |        - c.c3[j])
+        |      * (list_slice(q.qv3, c.m * 16 + 1, c.m * 16 + 16)[j]
+        |        - c.c3[j]))) AS tdist
+        |  FROM qs q, cb c),
+        |adc AS (
+        |  SELECT t.q_id, e.vec_id, CAST(SUM(t.tdist) AS BIGINT)
+        |    AS adc_dist
+        |  FROM enc e JOIN tab t ON e.m = t.m AND e.mn.k = t.code
+        |  WHERE e.vec_id <> t.q_id
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT q_id, vec_id, adc_dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+        |  FROM adc QUALIFY rank <= 5)
+        |SELECT t.q_id, t.rank, t.vec_id, t.adc_dist,
+        |  CAST(list_sum(list_transform(range(1, 65), j ->
+        |    (qb.v3[j] - vb.v3[j]) * (qb.v3[j] - vb.v3[j])))
+        |    AS BIGINT) AS exact_dist
+        |FROM top t
+        |JOIN base vb ON vb.vec_id = t.vec_id
+        |JOIN base qb ON qb.vec_id = t.q_id""".stripMargin,
     // DP Laplace release: md5 uniform -> exact inverse CDF on the
     // 1e-8 lattice, one DECIMAL-numerator division per cell
     "q306_dp_histogram" ->

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization + asymmetric-distance (ADC) search — the
+  * FAISS-style memory-bound ANN scale path (Jégou, Douze & Schmid
+  * 2011): vectors are split into `m` subspaces, each encoded as the
+  * nearest of `k` per-subspace codebook centroids (so a d-dim float
+  * vector compresses to m small codes), and a query scores the whole
+  * corpus by summing m table lookups instead of d multiplications.
+  *
+  * Determinism/exactness contract: vectors snap once to the 1e-3
+  * integer lattice (PQ is lossy by construction — the lattice IS the
+  * declared quantization grid, and it keeps every distance an exact
+  * int64: dist ≤ dims·(2·10³)² then packed·10⁶ stays under 2⁶³).
+  * Codebooks are the md5-ranked SAMPLE of the corpus itself (the
+  * q132 IVF recipe — no iterative training inside the search op;
+  * [[Clustering.quantizedKMeans]] is the training-side companion),
+  * so both engines rebuild the identical codebook. Top-k rides the
+  * bounded-heap aggregate on a UNIQUE packed score
+  * (dist·10⁶ + vec_id), so heap ties cannot exist and the cut is
+  * reproducible.
+  *
+  * Scale shape: the codebook (m·k rows) and the query distance
+  * tables (|Q|·m·k rows) broadcast; encoding is one map-side-
+  * combinable (vec, subspace) min; ADC partials combine map-side
+  * into (query, vec); the per-query top-k is the bounded heap —
+  * k entries per group survive partial aggregation, never a global
+  * sort of the corpus.
+  */
+object ProductQuantization {
+
+  /** Exact 1e-3-lattice int64 snap of a float/double column. */
+  def lat3(x: Column): Column =
+    round(round(x.cast("double"), 3) * 1000.0, 0).cast("long")
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (idCol, v3) lattice frame from a float-array column. */
+  def latticeFrame(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol),
+      transform(col(vecCol), x => lat3(x)).as("v3"))
+
+  /** The `k` corpus rows ranked first by (md5(id ∥ salt), id), with
+    * their 0-based rank — deterministic sampling both engines can
+    * replay. TakeOrdered + an 8-row window: never a corpus-wide sort.
+    */
+  def mdRanked(lattice: DataFrame, idCol: String, k: Int,
+      salt: String): DataFrame = {
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = Window.orderBy(key, col(idCol))
+    lattice.orderBy(key, col(idCol)).limit(k)
+      .withColumn("rank0", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Explode a lattice frame into `m` subvectors of `subDim` dims:
+    * (…, m, sub) — pure slicing, zero shuffle.
+    */
+  def subspaces(lattice: DataFrame, m: Int, subDim: Int,
+      vCol: String = "v3", out: String = "sub"): DataFrame =
+    lattice
+      .select(col("*"), explode(sequence(lit(0), lit(m - 1))).as("m"))
+      .withColumn(out,
+        slice(col(vCol), col("m") * subDim + 1, lit(subDim)))
+      .drop(vCol)
+
+  /** PQ codes: per (vector, subspace) the nearest codebook entry
+    * (exact int distance, ties to the smallest code).
+    */
+  def encode(subVecs: DataFrame, idCol: String,
+      codebook: DataFrame): DataFrame =
+    subVecs.join(broadcast(codebook), Seq("m"))
+      .withColumn("_d", sqDist(col("sub"), col("c3")))
+      .groupBy(col(idCol), col("m"))
+      .agg(min(struct(col("_d").as("d"), col("code").as("k")))
+        .getField("k").as("code"))
+
+  /** Full ADC top-k search: lattice corpus + md5-sampled codebook +
+    * md5-sampled query set → (q_id, rank, vec_id, adc_dist,
+    * exact_dist). `dims` must equal m·subDim.
+    */
+  def adcTopK(lattice: DataFrame, idCol: String, dims: Int, m: Int,
+      k: Int, nQueries: Int, topK: Int, cbSalt: String,
+      qSalt: String): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val subDim = dims / m
+
+    val codebook = subspaces(
+      mdRanked(lattice, idCol, k, cbSalt)
+        .select(col("rank0").as("code"), col("v3")),
+      m, subDim, out = "c3")
+    val queries = mdRanked(lattice, idCol, nQueries, qSalt)
+      .select(col(idCol).as("q_id"), col("v3").as("qv3"))
+
+    val codes = encode(
+      subspaces(lattice, m, subDim), idCol, codebook)
+
+    // |Q|·m·k distance tables, broadcast to the code frame
+    val tables = subspaces(
+        queries.select(col("q_id"), col("qv3").as("v3")),
+        m, subDim, out = "qsub")
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("tdist", sqDist(col("qsub"), col("c3")))
+      .select(col("q_id"), col("m"), col("code"), col("tdist"))
+
+    val adc = codes.join(broadcast(tables), Seq("m", "code"))
+      .filter(col(idCol) =!= col("q_id"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("tdist")).as("adc_dist"))
+
+    // unique packed score → deterministic heap cut
+    val top = adc
+      .withColumn("_packed", col("adc_dist") * 1000000L + col(idCol))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.expressions.TopKByAgg
+        .topKBy((-col("_packed")).cast("double"), col(idCol), topK)
+        .as("_top"))
+      .select(col("q_id"), posexplode(col("_top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"),
+        // the heap carries score as double; packed ≤ dist·10⁶ + id
+        // stays far under 2⁵³, so the long cast is exact
+        expr("(CAST(-col.score AS BIGINT) - col.id) div 1000000")
+          .as("adc_dist"))
+
+    // corpus stays the probe side: the ≤ |Q|·topK winners broadcast
+    lattice.withColumnRenamed(idCol, "vec_id")
+      .join(broadcast(top), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("exact_dist", sqDist(col("qv3"), col("v3")))
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("adc_dist"), col("exact_dist"))
+  }
+}

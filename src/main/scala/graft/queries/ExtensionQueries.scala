@@ -4166,6 +4166,20 @@ object ExtensionQueries {
         (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
   }
 
+  /** PQ + ADC top-k search (q307): 64-dim embeddings on the 1e-3
+    * lattice, 4 subspaces × 16 dims, an 8-entry md5-sampled codebook
+    * per subspace, 4 md5-sampled queries — approximate distances by
+    * 4 table lookups per vector, top-5 per query through the bounded
+    * heap on unique packed scores, exact distances riding along as
+    * the quality readout.
+    */
+  def qPqAdc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ProductQuantization.adcTopK(
+      graft.operators.ProductQuantization.latticeFrame(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding"),
+      "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
+      cbSalt = "pq_v1", qSalt = "pq_q1")
+
   /** DP Laplace histogram release (q306): the (lang, source) doc
     * histogram released under ε = 0.5 (invEps = 2) with the portable
     * md5 inverse-CDF draw — count + Lap(1/ε) per cell, noise exact on

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** PQ encode + ADC search. */
+class ProductQuantizationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("encode: nearest code wins, ties to the smaller code") {
+    val subVecs = Seq((1L, 0, Seq(0L))).toDF("id", "m", "sub")
+    val cb = Seq((0, 0L, Seq(1000L)), (0, 1L, Seq(-1000L)))
+      .toDF("m", "code", "c3")
+    val got = ProductQuantization.encode(subVecs, "id", cb)
+      .select("code").as[Long].collect()
+    assert(got.toSeq === Seq(0L))
+  }
+
+  test("adcTopK: a self-codebook corpus makes ADC exact; the cut is " +
+      "ranked and self-free") {
+    // 8 vectors, k = 8 → the codebook IS the corpus, every vector
+    // encodes to itself (zero reconstruction error), so ADC must
+    // equal the exact lattice distance on every returned pair
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Seq(i.toFloat, i + 0.5f, 2f * i, -i.toFloat)))
+    val lattice = ProductQuantization.latticeFrame(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val out = ProductQuantization.adcTopK(lattice, "vec_id",
+      dims = 4, m = 2, k = 8, nQueries = 2, topK = 3,
+      cbSalt = "t_cb", qSalt = "t_q").collect()
+    assert(out.length === 6)
+    for (r <- out) assert(r.getLong(3) === r.getLong(4))
+    for ((q, rows) <- out.groupBy(_.getLong(0))) {
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+      val dists = sorted.map(_.getLong(3)).toSeq
+      assert(dists === dists.sorted)
+      assert(rows.forall(_.getLong(2) !== q))
+    }
+  }
+}
