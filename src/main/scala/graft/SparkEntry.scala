@@ -588,7 +588,9 @@ object SparkEntry {
     // DP Laplace histogram release (md5 inverse-CDF, exact lattice)
     "q306_dp_histogram" -> (X.qDpHistogram _),
     // product quantization + ADC top-k (FAISS-style table lookups)
-    "q307_pq_adc" -> (X.qPqAdc _)
+    "q307_pq_adc" -> (X.qPqAdc _),
+    // split-conformal calibration (exact order statistic + coverage)
+    "q308_conformal" -> (X.qConformal _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5764,6 +5766,37 @@ object SparkEntry {
         |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
         |    / CAST(n_aud AS DOUBLE)) AS rms
         |FROM v""".stripMargin,
+    // split conformal: exact ceiling rank over the score histogram,
+    // held-out coverage one integer division
+    "q308_conformal" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':conf_v1'),
+        |      1, 15))::BIGINT % 1000001 AS s6,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':conf_split'), 1, 15))::BIGINT % 2 = 0 AS cal
+        |  FROM documents),
+        |h AS (SELECT s6, COUNT(*) AS n FROM b WHERE cal GROUP BY 1),
+        |c AS (SELECT s6, SUM(n) OVER (ORDER BY s6) AS cum FROM h),
+        |t AS (
+        |  SELECT CAST(SUM(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cal,
+        |    CAST(SUM(CASE WHEN cal THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_test
+        |  FROM b),
+        |k AS (SELECT n_cal, n_test,
+        |    CAST(((n_cal + 1) * 9 + 9) // 10 AS BIGINT) AS k FROM t),
+        |q AS (SELECT MIN(s6) AS qhat6 FROM c, k WHERE c.cum >= k.k),
+        |cov AS (
+        |  SELECT CAST(SUM(CASE WHEN s6 <= (SELECT qhat6 FROM q)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM b WHERE NOT cal)
+        |SELECT k.n_cal, k.n_test, k.k, q.qhat6,
+        |  CAST(q.qhat6 AS DOUBLE) / 1000000.0 AS qhat,
+        |  cov.n_covered,
+        |  CAST(cov.n_covered AS DOUBLE) / CAST(k.n_test AS DOUBLE)
+        |    AS coverage
+        |FROM k, q, cov""".stripMargin,
     // PQ/ADC: 1e-3 lattice, md5-sampled codebook + queries, exact
     // int subspace distances, (adc, vec_id)-ordered top-5 per query
     "q307_pq_adc" ->

@@ -4166,6 +4166,21 @@ object ExtensionQueries {
         (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
   }
 
+  /** Split-conformal calibration (q308): md5 half-split of the
+    * corpus, nonconformity scores on the md5 1e-6 lattice, α = 0.1 —
+    * the ⌈(n+1)·0.9⌉-th smallest calibration score via the bounded
+    * histogram walk, held-out coverage as one exact division.
+    */
+  def qConformal(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val s6 = pmod(conv(substring(md5(concat(d.cast("string"),
+      lit(":conf_v1"))), 1, 15), 16, 10).cast("long"), lit(1000001L))
+    graft.operators.Conformal.splitConformal(
+      tbl(s, dir, "documents").select(d, s6.as("s6")),
+      "doc_id", "s6", alphaNum = 1, alphaDen = 10,
+      splitSalt = "conf_split")
+  }
+
   /** PQ + ADC top-k search (q307): 64-dim embeddings on the 1e-3
     * lattice, 4 subspaces × 16 dims, an 8-entry md5-sampled codebook
     * per subspace, 4 md5-sampled queries — approximate distances by
