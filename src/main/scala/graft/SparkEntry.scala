@@ -590,7 +590,9 @@ object SparkEntry {
     // product quantization + ADC top-k (FAISS-style table lookups)
     "q307_pq_adc" -> (X.qPqAdc _),
     // split-conformal calibration (exact order statistic + coverage)
-    "q308_conformal" -> (X.qConformal _)
+    "q308_conformal" -> (X.qConformal _),
+    // JSON sidecar schema-conformance audit (guarded extraction)
+    "q309_json_audit" -> (X.qJsonAudit _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5766,6 +5768,73 @@ object SparkEntry {
         |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
         |    / CAST(n_aud AS DOUBLE)) AS rms
         |FROM v""".stripMargin,
+    // JSON audit: identical planted corruption classes; extraction
+    // guarded by json_valid (Spark's lazy parser is guarded the
+    // same way, so malformed docs contribute nothing on both sides)
+    "q309_json_audit" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, lang, n_chars,
+        |    CASE WHEN doc_id % 17 = 0 THEN doc_id + 1 ELSE doc_id END
+        |      AS idv,
+        |    CASE WHEN doc_id % 7 = 0 THEN ''
+        |         WHEN doc_id % 11 = 0
+        |           THEN ',"toks":"' || CAST(n_chars AS VARCHAR) || '"'
+        |         ELSE ',"toks":' || CAST(n_chars AS VARCHAR) END AS tk
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, doc_id, lang,
+        |    '{"id":' || CAST(idv AS VARCHAR) || ',"lang":"' || lang
+        |      || '"' || tk || '}' AS body
+        |  FROM p),
+        |j0 AS (
+        |  SELECT source, doc_id, lang,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN substr(body, 1, len(body) - 1) ELSE body END AS j
+        |  FROM b),
+        |x AS (
+        |  SELECT source, doc_id, lang, json_valid(j) AS ok,
+        |    CASE WHEN json_valid(j)
+        |      THEN json_extract_string(j, '$.id') END AS f_id,
+        |    CASE WHEN json_valid(j)
+        |      THEN json_extract_string(j, '$.lang') END AS f_lang,
+        |    CASE WHEN json_valid(j)
+        |      THEN json_extract_string(j, '$.toks') END AS f_toks
+        |  FROM j0),
+        |y AS (
+        |  SELECT source, ok,
+        |    f_id IS NOT NULL AS p_id,
+        |    f_lang IS NOT NULL AS p_lang,
+        |    f_toks IS NOT NULL AS p_toks,
+        |    f_toks IS NOT NULL
+        |      AND regexp_matches(f_toks, '^[0-9]+$') AS num_toks,
+        |    f_id IS NOT NULL
+        |      AND f_id = CAST(doc_id AS VARCHAR) AS m_id,
+        |    f_lang IS NOT NULL AND f_lang = lang AS m_lang
+        |  FROM x)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_parsed,
+        |  CAST(SUM(CASE WHEN p_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_id_present,
+        |  CAST(SUM(CASE WHEN p_lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lang_present,
+        |  CAST(SUM(CASE WHEN p_toks THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_toks_present,
+        |  CAST(SUM(CASE WHEN num_toks THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_toks_numeric,
+        |  CAST(SUM(CASE WHEN m_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_id_match,
+        |  CAST(SUM(CASE WHEN m_lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lang_match,
+        |  CAST(SUM(CASE WHEN ok AND p_id AND p_lang AND p_toks
+        |    AND num_toks AND m_id AND m_lang THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_conformant,
+        |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS parse_rate,
+        |  CAST(SUM(CASE WHEN ok AND p_id AND p_lang AND p_toks
+        |    AND num_toks AND m_id AND m_lang THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conform_rate
+        |FROM y GROUP BY 1""".stripMargin,
     // split conformal: exact ceiling rank over the score histogram,
     // held-out coverage one integer division
     "q308_conformal" ->

@@ -4166,6 +4166,35 @@ object ExtensionQueries {
         (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
   }
 
+  /** JSON sidecar conformance (q309): planted metadata lines with
+    * four corruption classes on decoupled residues — truncated JSON
+    * (d%13), missing toks (d%7), string-typed toks (d%11), drifted id
+    * (d%17) — audited per source: parse rate, field presence, numeric
+    * type, id/lang agreement, all-checks conformance.
+    */
+  def qJsonAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val idv = when(pmod(d, lit(17)) === 0, d + 1L).otherwise(d)
+    val tk = when(pmod(d, lit(7)) === 0, lit(""))
+      .when(pmod(d, lit(11)) === 0,
+        concat(lit(",\"toks\":\""), col("n_chars").cast("string"),
+          lit("\"")))
+      .otherwise(concat(lit(",\"toks\":"), col("n_chars").cast("string")))
+    val staged = tbl(s, dir, "documents")
+      .select(d, col("source"), col("lang"), col("n_chars"))
+      .withColumn("_body", concat(lit("{\"id\":"), idv.cast("string"),
+        lit(",\"lang\":\""), col("lang"), lit("\""), tk, lit("}")))
+      .withColumn("j", when(pmod(d, lit(13)) === 0,
+        expr("substring(_body, 1, length(_body) - 1)"))
+        .otherwise(col("_body")))
+    graft.operators.JsonAudit.schemaConformance(staged, "source", "j",
+      requiredFields = Seq("id", "lang", "toks"),
+      numericFields = Seq("toks"),
+      matchChecks = Seq(
+        ("id", "id", d.cast("string")),
+        ("lang", "lang", col("lang"))))
+  }
+
   /** Split-conformal calibration (q308): md5 half-split of the
     * corpus, nonconformity scores on the md5 1e-6 lattice, α = 0.1 —
     * the ⌈(n+1)·0.9⌉-th smallest calibration score via the bounded
