@@ -592,7 +592,9 @@ object SparkEntry {
     // split-conformal calibration (exact order statistic + coverage)
     "q308_conformal" -> (X.qConformal _),
     // JSON sidecar schema-conformance audit (guarded extraction)
-    "q309_json_audit" -> (X.qJsonAudit _)
+    "q309_json_audit" -> (X.qJsonAudit _),
+    // corpus ROUGE-L (monotone-row LCS fold, micro-averaged)
+    "q310_rouge_l" -> (X.qRougeL _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5740,6 +5742,7 @@ object SparkEntry {
     // brevity-penalty exponent
     "q291_bleu" -> bleuSql,
     "q304_chrf" -> chrfSql,
+    "q310_rouge_l" -> rougeLSql,
     // PCM audit: the oracle re-derives the planted samples
     // arithmetically — a round-trip proof of the LE signed decode
     "q305_wav_pcm" ->
@@ -7456,6 +7459,57 @@ cl$n AS (
       |    CAST(summ.sum_f AS DOUBLE) / 600000000.0 END AS chrf
       |FROM wf, summ""".stripMargin
   }
+
+  /** q310 oracle: the LCS fold replayed as a bounded recursive CTE —
+    * one row-DP step per candidate token, the row update spelled with
+    * the same monotone-row identity (prefix-max of match candidates
+    * vs the previous row) the engine uses.
+    */
+  private def rougeLSql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |f AS (SELECT doc_id, tk FROM base WHERE len(tk) >= 28),
+      |pr AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, 25), i ->
+      |      CASE WHEN (i + doc_id) % 5 = 0 THEN 'zzz' ELSE tk[i] END)
+      |      AS cand,
+      |    list_slice(tk, 1, 28) AS ref
+      |  FROM f),
+      |dp AS (
+      |  SELECT doc_id, 0 AS i,
+      |    list_transform(range(0, len(ref) + 1),
+      |      x -> CAST(0 AS BIGINT)) AS r
+      |  FROM pr
+      |  UNION ALL
+      |  SELECT d.doc_id, d.i + 1,
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, len(p.ref) + 1), j ->
+      |        GREATEST(d.r[j + 1],
+      |          list_max(list_transform(range(1, j + 1), k ->
+      |            CASE WHEN p.cand[d.i + 1] = p.ref[k]
+      |              THEN d.r[k] + 1 ELSE CAST(0 AS BIGINT) END)))))
+      |  FROM dp d JOIN pr p USING (doc_id)
+      |  WHERE d.i < len(p.cand)),
+      |fin AS (
+      |  SELECT d.doc_id, d.r[len(p.ref) + 1] AS lcs
+      |  FROM dp d JOIN pr p USING (doc_id)
+      |  WHERE d.i = len(p.cand)),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(fin.lcs) AS BIGINT) AS lcs,
+      |    CAST(SUM(len(p.cand)) AS BIGINT) AS cand_len,
+      |    CAST(SUM(len(p.ref)) AS BIGINT) AS ref_len
+      |  FROM fin JOIN pr p USING (doc_id))
+      |SELECT n_pairs, lcs, cand_len, ref_len,
+      |  CAST(lcs AS DOUBLE) / CAST(cand_len AS DOUBLE) AS rouge_l_p,
+      |  CAST(lcs AS DOUBLE) / CAST(ref_len AS DOUBLE) AS rouge_l_r,
+      |  CAST(lcs * 2 AS DOUBLE) / CAST(cand_len + ref_len AS DOUBLE)
+      |    AS rouge_l_f
+      |FROM agg""".stripMargin
 
   private def bleuSql: String = {
     val perN = (1 to 4).map { n =>

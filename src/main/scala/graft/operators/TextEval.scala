@@ -211,6 +211,64 @@ object TextEval {
     * ≤ maxN rows checkpoint-pin before the scalar summary broadcasts
     * back.
     */
+  /** Corpus ROUGE-L (Lin 2004) — the LCS-based summarization metric
+    * that credits in-order (not necessarily contiguous) overlap,
+    * the order-sensitive complement to [[rougeClipped]]'s n-grams.
+    *
+    * The LCS dynamic program runs as one fold over the candidate
+    * tokens carrying the DP row. The row UPDATE uses the
+    * monotone-row identity
+    *
+    *   N[j] = max(P[j], max_{k ≤ j} M[k]),
+    *   M[k] = P[k−1]+1 when cand_tok = ref[k] else 0
+    *
+    * (valid because LCS rows are non-decreasing in j), which has NO
+    * sequential dependence inside the row — so the same arithmetic
+    * is expressible as pure list transforms in any engine (the
+    * oracle replays it with a bounded recursive CTE). Work is
+    * O(|C|·|R|²) array ops per pair — the caller bounds the slices
+    * (the q291 24/28-token convention).
+    *
+    * Corpus micro-average (exactly [[bleuCorpus]]'s convention):
+    * P = ΣLCS/Σ|C|, R = ΣLCS/Σ|R|, and the β=1 F collapses to
+    * 2·ΣLCS/(Σ|C|+Σ|R|) — every metric ONE division of exact
+    * integers. Output: one row (n_pairs, lcs, cand_len, ref_len,
+    * rouge_l_p, rouge_l_r, rouge_l_f).
+    */
+  def rougeLCorpus(df: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val cand = col(candCol)
+    val ref = col(refCol)
+    val folded = aggregate(cand,
+      array_repeat(lit(0L), size(ref) + 1),
+      (p, c) => {
+        val m = transform(sequence(lit(1), size(ref)), k =>
+          when(c === element_at(ref, k), element_at(p, k) + 1L)
+            .otherwise(lit(0L)))
+        concat(array(lit(0L)),
+          transform(sequence(lit(1), size(ref)), j =>
+            greatest(element_at(p, j + 1),
+              array_max(slice(m, lit(1), j)))))
+      })
+    val lcs = when(size(ref) === 0 || size(cand) === 0, lit(0L))
+      .otherwise(element_at(folded, -1))
+
+    df.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(lcs).as("lcs"),
+        sum(size(cand)).cast("long").as("cand_len"),
+        sum(size(ref)).cast("long").as("ref_len"))
+      .select(col("n_pairs"), col("lcs"), col("cand_len"),
+        col("ref_len"),
+        (col("lcs").cast("double") / col("cand_len").cast("double"))
+          .as("rouge_l_p"),
+        (col("lcs").cast("double") / col("ref_len").cast("double"))
+          .as("rouge_l_r"),
+        ((col("lcs") * 2L).cast("double") /
+          (col("cand_len") + col("ref_len")).cast("double"))
+          .as("rouge_l_f"))
+  }
+
   def chrfCorpus(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 6): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"unreasonable chrF order: $maxN")

@@ -3861,6 +3861,23 @@ object ExtensionQueries {
     graft.operators.TextEval.chrfCorpus(pairs, "doc_id", "cand", "ref")
   }
 
+  /** Corpus ROUGE-L (q310) over the q291 planted token pairs — the
+    * in-order LCS complement to BLEU's n-grams and chrF's characters:
+    * the phased 'zzz' substitutions break contiguity but not order,
+    * so LCS credits exactly the surviving positions.
+    */
+  def qRougeL(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val tk = TextFunctions.tokens(lower(col("text")))
+    val ref = slice(tk, 1, 28)
+    val cand = zip_with(slice(tk, 1, 24), sequence(lit(1), lit(24)),
+      (t, i) => when(pmod(i + d, lit(5)) === 0, lit("zzz")).otherwise(t))
+    val pairs = tbl(s, dir, "documents")
+      .filter(size(tk) >= 28)
+      .select(d, cand.as("cand"), ref.as("ref"))
+    graft.operators.TextEval.rougeLCorpus(pairs, "doc_id", "cand", "ref")
+  }
+
   /** Bradley–Terry ratings (q292) over planted pairwise matches:
     * 8 systems, the pair from decoupled doc_id residues, the
     * stronger (higher-index) system winning unless a 25 % md5-upset

@@ -187,6 +187,32 @@ class TextEvalAttributionSpec extends AnyFunSuite {
     assert(s.forall(_.getDouble(8) === -0.25))
   }
 
+  test("ROUGE-L: LCS is order-sensitive, repeats don't double-count, " +
+      "micro-average over pairs") {
+    // pair 1: LCS(a b c d | a x c d y) = 3 (a,c,d)
+    // pair 2: LCS(b a | a b) = 1 — n-gram overlap would credit 2
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq("a", "x", "c", "d", "y")),
+      (2L, Seq("b", "a"), Seq("a", "b"))
+    ).toDF("id", "cand", "ref")
+    val r = TextEval.rougeLCorpus(df, "id", "cand", "ref").collect()(0)
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 4L)           // 3 + 1
+    assert(r.getLong(2) === 6L && r.getLong(3) === 7L)
+    assert(r.getDouble(4) === 4.0 / 6.0)  // P
+    assert(r.getDouble(5) === 4.0 / 7.0)  // R
+    assert(r.getDouble(6) === 8.0 / 13.0) // F1 = 2·LCS/(C+R)
+    // repeats: LCS(a a | a) = 1
+    val rep = Seq((1L, Seq("a", "a"), Seq("a"))).toDF("id", "cand", "ref")
+    assert(TextEval.rougeLCorpus(rep, "id", "cand", "ref")
+      .collect()(0).getLong(1) === 1L)
+    // empty sides score 0, not null/error
+    val empty = Seq((1L, Seq.empty[String], Seq("a")))
+      .toDF("id", "cand", "ref")
+    assert(TextEval.rougeLCorpus(empty, "id", "cand", "ref")
+      .collect()(0).getLong(1) === 0L)
+  }
+
   test("chrF: closed-form per-order F, exact lattice headline") {
     // cand "abcd" vs ref "abcf" at maxN = 2:
     //  n=1: M=3 (a,b,c), C=R=4 → F1 = 5·3/(4·4+4) = 0.75
