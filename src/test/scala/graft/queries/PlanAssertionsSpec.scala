@@ -469,4 +469,69 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q302: the cell×domain lattice rides broadcasts, never a " +
+      "corpus-side merge join") {
+    val plan = planOf("q302_t_closeness")
+    // cells/global/total are domain-bounded aggregates; their cross
+    // and the cell left-join must stay broadcast-side
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q303: blocked candidates are an equi join; levenshtein is a " +
+      "projection, never a join condition") {
+    val plan = planOf("q303_record_linkage")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val loopConds = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toSeq
+    assert(loopConds.isEmpty, s"blocking degraded to a loop join:\n$plan")
+    assert(!plan.contains("levenshtein(") ||
+      !"Join[^\\n]*levenshtein".r.findAllIn(plan).hasNext,
+      s"levenshtein inside a join condition:\n$plan")
+  }
+
+  test("q305: the PCM audit is a zero-shuffle projection over one scan") {
+    val plan = planOf("q305_wav_pcm")
+    assert(!plan.contains("Exchange"),
+      "sample-byte audit must not shuffle:\n" + plan)
+    assert(!plan.contains("Join"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected a single documents scan:\n$plan")
+  }
+
+  test("q305: the staged PCM audit stays in codegen (the q274 lesson)") {
+    val conf = spark.conf
+    val before = conf.get("spark.sql.codegen.fallback", "true")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = graft.SparkEntry.queries("q305_wav_pcm")(spark, sfDir).count()
+      assert(n > 0)
+    } finally conf.set("spark.sql.codegen.fallback", before)
+  }
+
+  test("q307: codebook and ADC tables broadcast; the corpus never " +
+      "merge-joins; the cut is the bounded heap") {
+    val plan = planOf("q307_pq_adc")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"top-k must ride the bounded-heap aggregate:\n$plan")
+  }
+
+  test("q309: the JSON audit is one scan into one aggregate") {
+    val plan = planOf("q309_json_audit")
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly the group-by exchange, got $exchanges:\n$plan")
+  }
+
+  test("q310: the LCS fold is one scan into one global aggregate") {
+    val plan = planOf("q310_rouge_l")
+    assert(!plan.contains("Join"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected a single documents scan:\n$plan")
+  }
 }
