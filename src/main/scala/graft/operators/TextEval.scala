@@ -242,13 +242,19 @@ object TextEval {
     val folded = aggregate(cand,
       array_repeat(lit(0L), size(ref) + 1),
       (p, c) => {
+        // M built once per row; its prefix max rides a second fold
+        // whose step is ONE compare against the last element (the
+        // slice-and-rescan form recomputed M per position — 4× the
+        // work and an array allocation per cell)
         val m = transform(sequence(lit(1), size(ref)), k =>
           when(c === element_at(ref, k), element_at(p, k) + 1L)
             .otherwise(lit(0L)))
+        val pm = aggregate(m, array().cast("array<bigint>"),
+          (acc, x) => concat(acc, array(greatest(x,
+            coalesce(element_at(acc, -1), lit(0L))))))
         concat(array(lit(0L)),
-          transform(sequence(lit(1), size(ref)), j =>
-            greatest(element_at(p, j + 1),
-              array_max(slice(m, lit(1), j)))))
+          zip_with(slice(p, lit(2), size(ref)), pm,
+            (up, run) => greatest(up, run)))
       })
     val lcs = when(size(ref) === 0 || size(cand) === 0, lit(0L))
       .otherwise(element_at(folded, -1))
