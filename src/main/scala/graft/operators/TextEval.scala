@@ -205,11 +205,11 @@ object TextEval {
     * Output: one row per order n:
     * (n, clip_n, cand_total, ref_total, f_n, fn_e8, chrf).
     *
-    * Scale shape: identical to [[bleuCorpus]] — every order rides
-    * one tagged (doc, n, gram) count aggregate per side, one clip
-    * join, one corpus totals pass; 3 scans regardless of maxN. The
-    * ≤ maxN rows checkpoint-pin before the scalar summary broadcasts
-    * back.
+    * Scale shape: every order AND both sides ride ONE tagged
+    * (doc, n, gram) count aggregate (side-conditional counts make
+    * the clip join unnecessary), plus one corpus totals pass — 2
+    * scans and 1 shuffle regardless of maxN. The ≤ maxN rows
+    * checkpoint-pin before the scalar summary broadcasts back.
     */
   /** Corpus ROUGE-L (Lin 2004) — the LCS-based summarization metric
     * that credits in-order (not necessarily contiguous) overlap,
@@ -279,19 +279,26 @@ object TextEval {
       refCol: String, maxN: Int = 6): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"unreasonable chrF order: $maxN")
     val dec = "decimal(38,0)"
-    def gramStructs(c: String) = flatten(array((1 to maxN).map { n =>
-      when(length(col(c)) >= n,
-        transform(sequence(lit(1), length(col(c)) - (n - 1)),
-          i => struct(lit(n).as("n"), col(c).substr(i, lit(n)).as("g"))))
-        .otherwise(array().cast("array<struct<n:int,g:string>>"))
-    }: _*))
-    def counts(c: String, out: String) = df
-      .select(col(idCol).as("_id"), explode(gramStructs(c)).as("_s"))
+    // BOTH sides ride one tagged explode from one scan — a single
+    // (doc, n, gram) shuffle with two conditional counts replaces
+    // two shuffles plus a clip join (the side with zero count
+    // contributes least(·)=0, exactly the inner join's semantics)
+    def gramStructs(c: String, side: Int) = flatten(array(
+      (1 to maxN).map { n =>
+        when(length(col(c)) >= n,
+          transform(sequence(lit(1), length(col(c)) - (n - 1)),
+            i => struct(lit(n).as("n"), lit(side).as("side"),
+              col(c).substr(i, lit(n)).as("g"))))
+          .otherwise(array()
+            .cast("array<struct<n:int,side:int,g:string>>"))
+      }: _*))
+    val clip = df
+      .select(col(idCol).as("_id"),
+        explode(concat(gramStructs(candCol, 0), gramStructs(refCol, 1)))
+          .as("_s"))
       .groupBy(col("_id"), col("_s.n").as("n"), col("_s.g").as("_g"))
-      .agg(count(lit(1)).as(out))
-
-    val clip = counts(candCol, "_cc")
-      .join(counts(refCol, "_rc"), Seq("_id", "n", "_g"))
+      .agg(sum(when(col("_s.side") === 0, 1L).otherwise(0L)).as("_cc"),
+        sum(when(col("_s.side") === 1, 1L).otherwise(0L)).as("_rc"))
       .groupBy(col("n"))
       .agg(sum(least(col("_cc"), col("_rc"))).as("clip_n"))
     val totals = df.agg(
