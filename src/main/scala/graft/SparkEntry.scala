@@ -594,7 +594,9 @@ object SparkEntry {
     // JSON sidecar schema-conformance audit (guarded extraction)
     "q309_json_audit" -> (X.qJsonAudit _),
     // corpus ROUGE-L (monotone-row LCS fold, micro-averaged)
-    "q310_rouge_l" -> (X.qRougeL _)
+    "q310_rouge_l" -> (X.qRougeL _),
+    // sentence-boundary RAG chunking with one-sentence overlap
+    "q311_sentence_chunks" -> (X.qSentenceChunks _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5771,6 +5773,48 @@ object SparkEntry {
         |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
         |    / CAST(n_aud AS DOUBLE)) AS rms
         |FROM v""".stripMargin,
+    // RAG chunking: the greedy overlap fold replayed as a bounded
+    // recursive CTE with the identical state transition
+    "q311_sentence_chunks" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, doc_id % 6 + 3 + 1), i ->
+        |      (doc_id * 7 + i * 13) % 29 + 2) AS stok,
+        |    doc_id % 6 + 3 AS n
+        |  FROM documents),
+        |walk AS (
+        |  SELECT doc_id, 0 AS i, CAST(1 AS BIGINT) AS cs,
+        |    CAST(0 AS BIGINT) AS ct, CAST(0 AS BIGINT) AS ps,
+        |    CAST([] AS STRUCT(s BIGINT, e BIGINT, tk BIGINT)[])
+        |      AS chunks
+        |  FROM p
+        |  UNION ALL
+        |  SELECT w.doc_id, w.i + 1,
+        |    CAST(CASE
+        |      WHEN w.ct = 0 OR w.ct + p.stok[w.i + 1] <= 24 THEN w.cs
+        |      WHEN w.ps + p.stok[w.i + 1] <= 24 THEN w.i
+        |      ELSE w.i + 1 END AS BIGINT),
+        |    CAST(CASE
+        |      WHEN w.ct = 0 OR w.ct + p.stok[w.i + 1] <= 24
+        |        THEN w.ct + p.stok[w.i + 1]
+        |      WHEN w.ps + p.stok[w.i + 1] <= 24
+        |        THEN w.ps + p.stok[w.i + 1]
+        |      ELSE p.stok[w.i + 1] END AS BIGINT),
+        |    CAST(p.stok[w.i + 1] AS BIGINT),
+        |    CASE WHEN w.ct = 0 OR w.ct + p.stok[w.i + 1] <= 24
+        |      THEN w.chunks
+        |      ELSE list_append(w.chunks, struct_pack(
+        |        s := w.cs, e := CAST(w.i AS BIGINT), tk := w.ct)) END
+        |  FROM walk w JOIN p USING (doc_id) WHERE w.i < p.n),
+        |fin AS (
+        |  SELECT w.doc_id,
+        |    list_append(w.chunks, struct_pack(s := w.cs,
+        |      e := CAST(p.n AS BIGINT), tk := w.ct)) AS ch
+        |  FROM walk w JOIN p USING (doc_id) WHERE w.i = p.n)
+        |SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
+        |  ch[j].s AS s, ch[j].e AS e, ch[j].tk AS tk,
+        |  ch[j].e - ch[j].s + 1 AS n_sentences
+        |FROM fin, UNNEST(range(1, len(ch) + 1)) AS u(j)""".stripMargin,
     // JSON audit: identical planted corruption classes; extraction
     // guarded by json_valid (Spark's lazy parser is guarded the
     // same way, so malformed docs contribute nothing on both sides)

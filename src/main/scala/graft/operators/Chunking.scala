@@ -127,4 +127,60 @@ object Chunking {
         col("_c.chunk_start").as("chunk_start"),
         col("_c.chunk_text").as("chunk_text"))
   }
+
+  /** Sentence-boundary chunking with one-sentence overlap — the RAG
+    * splitter: chunks never cut inside a sentence, accumulate
+    * sentences greedily up to `budget` tokens, and each chunk
+    * re-opens with the PREVIOUS chunk's last sentence (the standard
+    * retrieval-context overlap) unless that overlap would itself
+    * blow the budget (then the new chunk starts fresh — guarantees
+    * progress and keeps every multi-sentence chunk ≤ budget; a
+    * single sentence longer than the budget becomes its own
+    * over-budget chunk, the only honest option).
+    *
+    * Input: `stokCol` — the per-sentence token counts of the doc in
+    * order (any segmentation upstream; [[graft.operators.Readability]]
+    * is the house convention). One fold per doc, zero shuffle; docs
+    * with no sentences yield no chunks.
+    *
+    * Output: (idCol, chunk_idx, s, e, tk, n_sentences) — 1-based
+    * inclusive sentence range per chunk, token sum including the
+    * overlap sentence.
+    */
+  def sentenceChunks(docs: DataFrame, idCol: String, stokCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be positive: $budget")
+    val n = size(col(stokCol)).cast("long")
+    val emptyChunks =
+      array().cast("array<struct<s:bigint,e:bigint,tk:bigint>>")
+    val idx = zip_with(sequence(lit(1L), n), col(stokCol),
+      (i, t) => struct(i.as("i"), t.cast("long").as("t")))
+    val folded = aggregate(idx,
+      struct(lit(1L).as("cs"), lit(0L).as("ct"), lit(0L).as("ps"),
+        emptyChunks.as("chunks")),
+      (a, x) => {
+        val i = x.getField("i"); val t = x.getField("t")
+        val cs = a.getField("cs"); val ct = a.getField("ct")
+        val ps = a.getField("ps"); val ch = a.getField("chunks")
+        val absorb = ct === 0L || ct + t <= budget
+        val overlapOk = ps + t <= budget
+        struct(
+          when(absorb, cs).when(overlapOk, i - 1L).otherwise(i)
+            .as("cs"),
+          when(absorb, ct + t).when(overlapOk, ps + t).otherwise(t)
+            .as("ct"),
+          t.as("ps"),
+          when(absorb, ch).otherwise(concat(ch, array(struct(
+            cs.as("s"), (i - 1L).as("e"), ct.as("tk"))))).as("chunks"))
+      },
+      a => concat(a.getField("chunks"), array(struct(
+        a.getField("cs").as("s"), n.as("e"), a.getField("ct").as("tk")))))
+    docs
+      .withColumn("_chunks", when(n >= 1L, folded).otherwise(emptyChunks))
+      .select(col(idCol), posexplode(col("_chunks")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("chunk_idx"),
+        col("col.s").as("s"), col("col.e").as("e"),
+        col("col.tk").as("tk"),
+        (col("col.e") - col("col.s") + 1L).as("n_sentences"))
+  }
 }

@@ -4183,6 +4183,21 @@ object ExtensionQueries {
         (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
   }
 
+  /** Sentence-boundary RAG chunking (q311): planted per-sentence
+    * token counts (3..8 sentences of 2..30 tokens from decoupled
+    * residues — values above the 24-token budget exercise the
+    * single-sentence-overflow and no-overlap branches), chunked
+    * greedily with one-sentence overlap.
+    */
+  def qSentenceChunks(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val stok = transform(sequence(lit(1L), pmod(d, lit(6)) + 3L),
+      i => pmod(d * 7L + i * 13L, lit(29L)) + 2L)
+    graft.operators.Chunking.sentenceChunks(
+      tbl(s, dir, "documents").select(d, stok.as("stok")),
+      "doc_id", "stok", budget = 24L)
+  }
+
   /** JSON sidecar conformance (q309): planted metadata lines with
     * four corruption classes on decoupled residues — truncated JSON
     * (d%13), missing toks (d%7), string-typed toks (d%11), drifted id

@@ -119,4 +119,29 @@ class ChunkingSpec extends AnyFunSuite {
     assert((a intersect b).size >= a.size - 2,
       s"lost ${a.size - (a intersect b).size} of ${a.size} chunks")
   }
+
+  test("sentence chunks: greedy budget, one-sentence overlap, " +
+      "overflow sentences stand alone, no-overlap fallback") {
+    val df = Seq((1L, Seq(4L, 5L, 3L, 12L, 2L, 9L)))
+      .toDF("doc_id", "stok")
+    val got = Chunking.sentenceChunks(df, "doc_id", "stok", budget = 10L)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+      .sortBy(_._2).toSeq
+    // hand-walked: (1,2,9) close on s3; overlap s2 → (2,3,8) close on
+    // s4; 3+12>10 so fresh → (4,4,12) the own-chunk overflow;
+    // 12+2>10 fresh → (5,5,2); 2+9>10 fresh → (6,6,9)
+    assert(got === Seq(
+      (1L, 1, 1L, 2L, 9L, 2L),
+      (1L, 2, 2L, 3L, 8L, 2L),
+      (1L, 3, 4L, 4L, 12L, 1L),
+      (1L, 4, 5L, 5L, 2L, 1L),
+      (1L, 5, 6L, 6L, 9L, 1L)))
+    // a sentence-less doc yields no chunks; a lone overbudget
+    // sentence is its own chunk
+    val edge = Seq((1L, Seq.empty[Long]), (2L, Seq(30L)))
+      .toDF("doc_id", "stok")
+    val e = Chunking.sentenceChunks(edge, "doc_id", "stok", budget = 10L)
+      .as[(Long, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(e === Seq((2L, 1, 1L, 1L, 30L, 1L)))
+  }
 }
