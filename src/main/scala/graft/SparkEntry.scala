@@ -596,7 +596,9 @@ object SparkEntry {
     // corpus ROUGE-L (monotone-row LCS fold, micro-averaged)
     "q310_rouge_l" -> (X.qRougeL _),
     // sentence-boundary RAG chunking with one-sentence overlap
-    "q311_sentence_chunks" -> (X.qSentenceChunks _)
+    "q311_sentence_chunks" -> (X.qSentenceChunks _),
+    // min-K% probability membership audit over the KN bigram LM
+    "q312_mink_prob" -> (X.qMinKProb _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3694,6 +3696,48 @@ object SparkEntry {
         |    / CAST(COUNT(*) AS DOUBLE)), 6) AS avg_neg_logp
         |FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
         |GROUP BY bg.doc_id""".stripMargin,
+    // Min-K%: the q198 model CTEs verbatim; per-doc bottom-ceil(n/5)
+    // over the value-ordered lattice list, both means pinned chains
+    "q312_mink_prob" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[CAST(i AS INTEGER)] AS w1,
+        |    tk[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM tk, UNNEST(range(1, len(tk))) t(i)
+        |  WHERE len(tk) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(n_bigram) AS tot, COUNT(*) AS n1fw
+        |       FROM c12 GROUP BY 1),
+        |cw2 AS (SELECT w2, COUNT(*) AS n1pw FROM c12 GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS ntypes FROM c12),
+        |model AS (
+        |  SELECT c12.w1, c12.w2,
+        |    CAST(ROUND(ln(
+        |      ROUND(greatest(CAST(c12.n_bigram AS DOUBLE) - 0.75, 0.0)
+        |          / CAST(c1.tot AS DOUBLE)
+        |        + ((0.75 * CAST(c1.n1fw AS DOUBLE)) / CAST(c1.tot AS DOUBLE))
+        |          * (CAST(cw2.n1pw AS DOUBLE) / CAST(nn.ntypes AS DOUBLE)), 6)
+        |    ) * 100000000.0) AS BIGINT) AS lt
+        |  FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN nn),
+        |per AS (
+        |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(m.lt) AS BIGINT) AS s_all,
+        |    list(m.lt ORDER BY m.lt) AS arr
+        |  FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        |  GROUP BY bg.doc_id),
+        |kk AS (
+        |  SELECT doc_id, n_bigrams, s_all, arr,
+        |    CAST((n_bigrams * 1 + 4) // 5 AS BIGINT) AS k
+        |  FROM per)
+        |SELECT doc_id, n_bigrams, k,
+        |  ROUND(-((CAST(list_sum(list_slice(arr, 1, k)) AS DOUBLE)
+        |    / 100000000.0) / CAST(k AS DOUBLE)), 6) AS mink_neg_logp,
+        |  ROUND(-((CAST(s_all AS DOUBLE) / 100000000.0)
+        |    / CAST(n_bigrams AS DOUBLE)), 6) AS avg_neg_logp
+        |FROM kk""".stripMargin,
     "q199_mmr" -> mmrSql,
     // Entity resolution: the q52 match predicate (length band +
     // levenshtein <= 2), transitive closure via the q60 recursive-CTE

@@ -113,4 +113,54 @@ object LanguageModel {
         round(-((col("_s").cast("double") / 1e8)
           / col("n_bigrams").cast("double")), 6).as("avg_neg_logp"))
   }
+
+  /** Min-K% probability membership audit (Shi et al. 2023) — the
+    * pretraining-data detection signal: average the K% LOWEST
+    * per-position log-probabilities instead of all of them. Seen
+    * text has few true outlier positions (its whole tail is
+    * predictable), unseen text's rarest positions stay rare — so the
+    * min-K% mean separates member/non-member far better than full
+    * perplexity, and the pair (mink, avg) is the standard
+    * contamination-forensics readout.
+    *
+    * Exactness: per-position log-probs are [[perplexityScore]]'s
+    * exact ln-lattice integers; per-doc bottom-k is a value-sorted
+    * slice (ties carry equal values — no tie-break needed);
+    * k = ceil(n·kNum/kDen) is exact integer ceiling arithmetic; both
+    * reported scores are one pinned double chain over exact sums.
+    *
+    * Scale shape: the model join is [[perplexityScore]]'s; the
+    * bottom-k rides a per-doc sorted array (bounded by document
+    * length — documents are length-bounded upstream by the chunking
+    * stage, so the per-group array is NOT corpus-scale).
+    */
+  def minKProbScore(df: DataFrame, idCol: String, textCol: String,
+      kNum: Int = 1, kDen: Int = 5,
+      discount: Double = 0.75): DataFrame = {
+    require(kNum >= 1 && kDen > kNum, s"bad K fraction: $kNum/$kDen")
+    val model = knBigramProbs(df, textCol, discount)
+      .select(col("w1"), col("w2"),
+        round(log(col("p_kn")) * 1e8).cast("long").as("_lt"))
+    val tk = TextFunctions.tokens(lower(col(textCol)))
+    val occ = df.select(col(idCol), tk.as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("_tk"), lit(1), size(col("_tk")) - 1),
+        slice(col("_tk"), lit(2), size(col("_tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    occ.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lt")).as("_s"),
+        sort_array(collect_list(col("_lt"))).as("_arr"))
+      .withColumn("k",
+        expr(s"(n_bigrams * $kNum + $kDen - 1) div $kDen"))
+      .withColumn("_bs", aggregate(slice(col("_arr"), lit(1), col("k")),
+        lit(0L), (a, x) => a + x))
+      .select(col(idCol), col("n_bigrams"), col("k"),
+        round(-((col("_bs").cast("double") / 1e8)
+          / col("k").cast("double")), 6).as("mink_neg_logp"),
+        round(-((col("_s").cast("double") / 1e8)
+          / col("n_bigrams").cast("double")), 6).as("avg_neg_logp"))
+  }
 }

@@ -2089,6 +2089,14 @@ object ExtensionQueries {
     graft.operators.LanguageModel.perplexityScore(
       tbl(s, dir, "documents"), "doc_id", "text")
 
+  /** Min-K% probability membership audit (q312): the q198 KN model's
+    * ln-lattice log-probs, per-doc bottom-20% mean vs the full mean —
+    * the contamination-forensics pair.
+    */
+  def qMinKProb(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.minKProbScore(
+      tbl(s, dir, "documents"), "doc_id", "text", kNum = 1, kDen = 5)
+
   /** MMR diversified top-5 over a 30-candidate dense-retrieval pool
     * (λ = 0.7) for the first five vectors as queries — the whole
     * greedy trajectory is hash-checked (see [[graft.operators.Mmr]]).

@@ -67,4 +67,25 @@ class LanguageModelSpec extends AnyFunSuite {
     // the repetitive doc 2 must be more predictable than doc 1
     assert(got(2L)._2 < got(1L)._2)
   }
+
+  test("min-K%: bottom-ceil(n/5) mean over the lattice log-probs") {
+    def lt(p: Double): Long = math.round(math.log(p) * 1e8)
+    def score(lts: Seq[Long]): Double =
+      BigDecimal(-((lts.sum.toDouble / 1e8) / lts.size.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = LanguageModel.minKProbScore(
+        docs.toDF("doc_id", "text"), "doc_id", "text", kNum = 1, kDen = 5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // doc 1: n=3 → k=1; rarest position is (a,c) at p=0.25
+    assert(got(1L)._1 === 3L && got(1L)._2 === 1L)
+    assert(got(1L)._3 === score(Seq(lt(0.25))))
+    // doc 2: n=2 → k=1; rarest is (a,b) at p=0.583333
+    assert(got(2L)._2 === 1L)
+    assert(got(2L)._3 === score(Seq(lt(0.583333))))
+    // min-K% is always at least as surprising as the full mean
+    assert(got.values.forall(v => v._3 >= v._4))
+  }
 }
