@@ -598,7 +598,9 @@ object SparkEntry {
     // sentence-boundary RAG chunking with one-sentence overlap
     "q311_sentence_chunks" -> (X.qSentenceChunks _),
     // min-K% probability membership audit over the KN bigram LM
-    "q312_mink_prob" -> (X.qMinKProb _)
+    "q312_mink_prob" -> (X.qMinKProb _),
+    // semantic decontamination gate (exact integer cosine threshold)
+    "q313_semantic_gate" -> (X.qSemanticGate _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5817,6 +5819,38 @@ object SparkEntry {
         |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
         |    / CAST(n_aud AS DOUBLE)) AS rms
         |FROM v""".stripMargin,
+    // semantic gate: HUGEINT cross-multiplied cosine threshold over
+    // the broadcast md5-sampled eval set
+    "q313_semantic_gate" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(ROUND(ROUND(CAST(x AS DOUBLE), 3) * 1000.0, 0)
+        |      AS BIGINT)) AS v3
+        |  FROM embeddings),
+        |ev AS (
+        |  SELECT vec_id AS eval_id, v3 AS e3, ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':decon_v1'),
+        |    vec_id) - 1 AS rk
+        |  FROM base QUALIFY rk < 8),
+        |pairs AS (
+        |  SELECT b.vec_id, e.eval_id,
+        |    CAST(list_sum(list_transform(range(1, 65), j ->
+        |      b.v3[j] * e.e3[j])) AS HUGEINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, 65), j ->
+        |      b.v3[j] * b.v3[j])) AS HUGEINT) AS na,
+        |    CAST(list_sum(list_transform(range(1, 65), j ->
+        |      e.e3[j] * e.e3[j])) AS HUGEINT) AS nb
+        |  FROM base b CROSS JOIN ev e),
+        |h AS (
+        |  SELECT vec_id, eval_id,
+        |    dot >= 0 AND dot * dot * 10000 >= 1225 * na * nb AS hit
+        |  FROM pairs)
+        |SELECT vec_id,
+        |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_eval_hits,
+        |  MIN(CASE WHEN hit THEN eval_id END) AS first_hit_eval,
+        |  SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS contaminated
+        |FROM h GROUP BY 1""".stripMargin,
     // RAG chunking: the greedy overlap fold replayed as a bounded
     // recursive CTE with the identical state transition
     "q311_sentence_chunks" ->

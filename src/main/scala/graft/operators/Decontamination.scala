@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share word
@@ -59,5 +59,48 @@ object Decontamination {
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Embedding-space decontamination gate — the semantic complement
+    * to [[overlap]]'s verbatim n-grams: flag corpus vectors whose
+    * cosine to ANY benchmark vector reaches τ (paraphrased eval
+    * leakage that no string match sees).
+    *
+    * The gate is EXACT integer arithmetic, no IEEE anywhere:
+    * vectors live on the caller's integer lattice, and with
+    * τ = tauNum/tauDen,
+    *
+    *   cos ≥ τ  ⟺  dot ≥ 0  ∧  dot²·tauDen² ≥ tauNum²·‖a‖²·‖b‖²
+    *
+    * — all four quantities DECIMAL(38,0) (dot² at 10⁶-scale lattices
+    * overflows int64). Ties, thresholds and hit counts therefore
+    * hash-check with no float conventions at all.
+    *
+    * Scale shape: the benchmark set is broadcast (it is small by
+    * construction — same contract as [[overlap]]); the corpus scans
+    * once, hits combine map-side into the per-vector summary. Linear
+    * in corpus size, never corpus×corpus.
+    */
+  def semanticGate(corpus: DataFrame, idCol: String, vecCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalVecCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > tauNum, s"tau in (0,1): $tauNum/$tauDen")
+    val dec = "decimal(38,0)"
+    def dotOf(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+    val dot = dotOf(col(vecCol), col(evalVecCol))
+    val na = dotOf(col(vecCol), col(vecCol))
+    val nb = dotOf(col(evalVecCol), col(evalVecCol))
+    val hit = dot >= 0L &&
+      dot.cast(dec) * dot.cast(dec) *
+        lit(tauDen.toLong * tauDen).cast(dec) >=
+      lit(tauNum.toLong * tauNum).cast(dec) * na.cast(dec) * nb.cast(dec)
+    corpus.crossJoin(broadcast(evalSet))
+      .withColumn("_hit", hit)
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_eval_hits"),
+        min(when(col("_hit"), col(evalIdCol))).as("first_hit_eval"))
+      .withColumn("contaminated", col("n_eval_hits") > 0L)
   }
 }

@@ -4191,6 +4191,24 @@ object ExtensionQueries {
         (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
   }
 
+  /** Semantic decontamination gate (q313): corpus embeddings on the
+    * 1e-3 lattice vs an 8-vector md5-sampled "benchmark" set —
+    * cosine ≥ 0.35 as a fully integer gate (dot²·10⁴ ≥ 1225·na·nb),
+    * self-hits prove the gate, cross-hits are the paraphrase-leakage
+    * readout n-gram decontamination (q112) cannot see.
+    */
+  def qSemanticGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuantization
+    val lattice = ProductQuantization.latticeFrame(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding")
+    val evalSet = ProductQuantization.mdRanked(lattice, "vec_id", 8,
+      "decon_v1")
+      .select(col("vec_id").as("eval_id"), col("v3").as("e3"))
+    graft.operators.Decontamination.semanticGate(
+      lattice, "vec_id", "v3", evalSet, "eval_id", "e3",
+      tauNum = 35, tauDen = 100)
+  }
+
   /** Sentence-boundary RAG chunking (q311): planted per-sentence
     * token counts (3..8 sentences of 2..30 tokens from decoupled
     * residues — values above the 24-token budget exercise the

@@ -57,4 +57,26 @@ class DecontaminationSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("semantic gate: exact integer cosine threshold, negative-dot " +
+      "guard, boundary inclusion") {
+    // eval = (1000, 0); tau = 0.7
+    //   v1 = eval        -> cos 1        hit
+    //   v2 = (707, 707)  -> cos ~0.7071  hit (just above)
+    //   v3 = (0, 1000)   -> cos 0        miss
+    //   v4 = (-1000, 0)  -> cos -1       miss (dot < 0 guard)
+    val corpus = Seq(
+      (1L, Seq(1000L, 0L)), (2L, Seq(707L, 707L)),
+      (3L, Seq(0L, 1000L)), (4L, Seq(-1000L, 0L))
+    ).toDF("vec_id", "v")
+    val ev = Seq((100L, Seq(1000L, 0L))).toDF("eval_id", "e")
+    val got = Decontamination.semanticGate(corpus, "vec_id", "v",
+        ev, "eval_id", "e", tauNum = 7, tauDen = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((1L, Some(100L), true)))
+    assert(got(2L) === ((1L, Some(100L), true)))
+    assert(got(3L) === ((0L, None, false)))
+    assert(got(4L) === ((0L, None, false)))
+  }
 }
