@@ -600,7 +600,9 @@ object SparkEntry {
     // min-K% probability membership audit over the KN bigram LM
     "q312_mink_prob" -> (X.qMinKProb _),
     // semantic decontamination gate (exact integer cosine threshold)
-    "q313_semantic_gate" -> (X.qSemanticGate _)
+    "q313_semantic_gate" -> (X.qSemanticGate _),
+    // MAD robust outlier audit (median/MAD, exact integer threshold)
+    "q314_mad_outliers" -> (X.qMadOutliers _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5819,6 +5821,37 @@ object SparkEntry {
         |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
         |    / CAST(n_aud AS DOUBLE)) AS rms
         |FROM v""".stripMargin,
+    // MAD audit: lower medians off the per-source value histogram,
+    // exact cross-multiplied outlier threshold
+    "q314_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v, doc_id
+        |  FROM documents),
+        |h AS (SELECT source, v, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM h GROUP BY 1),
+        |cm AS (SELECT source, v,
+        |  SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum FROM h),
+        |med AS (
+        |  SELECT cm.source, MIN(v) AS med
+        |  FROM cm JOIN t USING (source) WHERE cum * 2 >= n GROUP BY 1),
+        |d AS (SELECT b.source, abs(b.v - med.med) AS dv
+        |  FROM b JOIN med USING (source)),
+        |hd AS (SELECT source, dv, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |cd AS (SELECT source, dv,
+        |  SUM(c) OVER (PARTITION BY source ORDER BY dv) AS cum FROM hd),
+        |mad AS (
+        |  SELECT cd.source, MIN(dv) AS mad
+        |  FROM cd JOIN t USING (source) WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(med.med) AS median, MIN(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dv * 10000 > mad.mad * 44478
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN d.dv * 10000 > mad.mad * 44478
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS outlier_frac
+        |FROM d JOIN med USING (source) JOIN mad USING (source)
+        |GROUP BY 1""".stripMargin,
     // semantic gate: HUGEINT cross-multiplied cosine threshold over
     // the broadcast md5-sampled eval set
     "q313_semantic_gate" ->

@@ -188,3 +188,51 @@ object Quantiles {
         col("percentile"))
   }
 }
+
+/** Robust (median-based) outlier statistics — the audit that survives
+  * the outliers it hunts: mean/stddev z-scores (q58) move with the
+  * contamination; median and MAD have a 50% breakdown point, so a
+  * heavy-tailed source can't hide its own tail.
+  */
+object RobustStats {
+
+  /** Per-group MAD outlier audit over an integer-valued column:
+    * median (lower convention), MAD = median(|x − med|), and the
+    * count of rows with |x − med| > (kNum/kDen)·MAD — the default
+    * 44478/10000 is the normal-consistent 3σ equivalent
+    * (3·1.4826 = 4.4478), applied as an EXACT cross-multiplied
+    * integer comparison so the flag needs no float conventions.
+    *
+    * Scale shape: two [[WeightedQuantiles.weightedMedian]] passes
+    * (per-group windows — honest per-group sorts, group-size-bounded)
+    * joined back broadcast (#groups rows), then one map-side
+    * aggregate. A zero MAD (majority-constant group) flags every
+    * deviating row — the convention that keeps the audit meaningful
+    * instead of dividing by zero.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, kNum: Long = 44478L,
+      kDen: Long = 10000L): DataFrame = {
+    require(kNum > 0 && kDen > 0, s"bad threshold: $kNum/$kDen")
+    val base = df.select(col(groupCol).as("_g"),
+      col(valueCol).cast("long").as("_v"), col(idCol).as("_id"))
+      .withColumn("_w", lit(1L))
+    val med = WeightedQuantiles
+      .weightedMedian(base, "_g", "_v", "_w", "_id")
+      .select(col("_g"), col("median_value").as("_med"))
+    val dev = base.join(broadcast(med), "_g")
+      .withColumn("_d", abs(col("_v") - col("_med")))
+    val mad = WeightedQuantiles
+      .weightedMedian(dev, "_g", "_d", "_w", "_id")
+      .select(col("_g"), col("median_value").as("_mad"))
+    dev.join(broadcast(mad), "_g")
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("_med")).as("median"),
+        min(col("_mad")).as("mad"),
+        sum(when(col("_d") * kDen > col("_mad") * kNum, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_frac",
+        col("n_outliers").cast("double") / col("n_rows").cast("double"))
+  }
+}

@@ -4191,6 +4191,15 @@ object ExtensionQueries {
         (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
   }
 
+  /** MAD robust outlier audit (q314): per-source document-length
+    * outliers by median/MAD with the exact cross-multiplied
+    * 3σ-equivalent threshold — the z-score audit's (q58)
+    * contamination-proof sibling.
+    */
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.madOutliers(
+      tbl(s, dir, "documents"), "source", "n_chars", "doc_id")
+
   /** Semantic decontamination gate (q313): corpus embeddings on the
     * 1e-3 lattice vs an 8-vector md5-sampled "benchmark" set —
     * cosine ≥ 0.35 as a fully integer gate (dot²·10⁴ ≥ 1225·na·nb),

@@ -187,6 +187,26 @@ class TextEvalAttributionSpec extends AnyFunSuite {
     assert(s.forall(_.getDouble(8) === -0.25))
   }
 
+  test("MAD outliers: robust to the outlier itself; zero-MAD groups " +
+      "flag every deviation; normal spread stays quiet") {
+    val df = (
+      // a: one 10x outlier among constants -> med 10, MAD 0, 1 flag
+      Seq.fill(4)("a" -> 10L) ++ Seq("a" -> 100L) ++
+      // b: 1..7 -> med 4, MAD 2, threshold 8.9 -> no flags
+      (1L to 7L).map("b" -> _) ++
+      // c: constant pair + spike -> med 0, MAD 0, 1 flag
+      Seq("c" -> 0L, "c" -> 0L, "c" -> 1000L)
+    ).zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+    val out = RobustStats.madOutliers(
+        df.toDF("g", "v", "id"), "g", "v", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("a") === ((5L, 10L, 0L, 1L)))
+    assert(out("b") === ((7L, 4L, 2L, 0L)))
+    assert(out("c") === ((3L, 0L, 0L, 1L)))
+  }
+
   test("ROUGE-L: LCS is order-sensitive, repeats don't double-count, " +
       "micro-average over pairs") {
     // pair 1: LCS(a b c d | a x c d y) = 3 (a,c,d)
