@@ -602,7 +602,9 @@ object SparkEntry {
     // semantic decontamination gate (exact integer cosine threshold)
     "q313_semantic_gate" -> (X.qSemanticGate _),
     // MAD robust outlier audit (median/MAD, exact integer threshold)
-    "q314_mad_outliers" -> (X.qMadOutliers _)
+    "q314_mad_outliers" -> (X.qMadOutliers _),
+    // exact two-sample KS over every source pair (bin-free drift)
+    "q315_ks_test" -> (X.qKsTest _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5821,6 +5823,39 @@ object SparkEntry {
         |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
         |    / CAST(n_aud AS DOUBLE)) AS rms
         |FROM v""".stripMargin,
+    // KS: zero-filled CDF lattice per group, HUGEINT cross-products,
+    // one division for D, pinned sqrt chain for the scaled stat
+    "q315_ks_test" ->
+      """WITH b AS (
+        |  SELECT CAST(source AS VARCHAR) AS g,
+        |    CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        |h AS (SELECT g, v, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |lat AS (
+        |  SELECT gs.g, vs.v, COALESCE(h.c, 0) AS c
+        |  FROM (SELECT DISTINCT g FROM h) gs
+        |  CROSS JOIN (SELECT DISTINCT v FROM h) vs
+        |  LEFT JOIN h ON h.g = gs.g AND h.v = vs.v),
+        |cdf AS (SELECT g, v,
+        |  SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM lat),
+        |t AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |p AS (
+        |  SELECT a.g AS g1, bb.g AS g2,
+        |    CAST(MIN(t1.n) AS BIGINT) AS n1,
+        |    CAST(MIN(t2.n) AS BIGINT) AS n2,
+        |    MAX(ABS(CAST(a.cum AS HUGEINT) * t2.n
+        |      - CAST(bb.cum AS HUGEINT) * t1.n)) AS d_num
+        |  FROM cdf a JOIN cdf bb ON a.v = bb.v AND a.g < bb.g
+        |  JOIN t t1 ON t1.g = a.g JOIN t t2 ON t2.g = bb.g
+        |  GROUP BY 1, 2)
+        |SELECT g1, g2, n1, n2, CAST(d_num AS BIGINT) AS d_num,
+        |  CAST(d_num AS DOUBLE)
+        |    / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS d,
+        |  sqrt(CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+        |      / CAST(n1 + n2 AS DOUBLE))
+        |    * (CAST(d_num AS DOUBLE)
+        |      / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) AS ks_scaled
+        |FROM p""".stripMargin,
     // MAD audit: lower medians off the per-source value histogram,
     // exact cross-multiplied outlier threshold
     "q314_mad_outliers" ->

@@ -117,3 +117,60 @@ object Drift {
         sum(col("_ng")).as("n_events"))
   }
 }
+
+/** Exact two-sample Kolmogorov–Smirnov statistics between every pair
+  * of groups — the distribution-shift test with NO binning choice
+  * (PSI and chi² need bins; KS reads the raw CDF gap):
+  *
+  *   D = max_v |F₁(v) − F₂(v)|
+  *
+  * computed EXACTLY as max_v |c₁(v)·n₂ − c₂(v)·n₁| over a common
+  * denominator n₁·n₂ (DECIMAL(38,0) products — int64 overflows at
+  * 100-TB row counts), one closing division, plus the scaled
+  * statistic √(n₁n₂/(n₁+n₂))·D as a pinned two-step chain.
+  *
+  * Scale shape: the corpus collapses to the (group, value) histogram
+  * first; CDFs ride per-group windows over the DOMAIN-bounded
+  * (value × group) lattice (zero-filled so every group has a CDF
+  * sample at every observed value — required for a valid max); the
+  * pair join is |V|·|G|² lattice rows, never row-scale.
+  */
+object KsTest {
+
+  def ksTwoSample(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val b = df.select(col(groupCol).cast("string").as("_g"),
+      col(valueCol).cast("long").as("_v"))
+    val hist = b.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val lattice = hist.select(col("_v")).distinct()
+      .crossJoin(hist.select(col("_g")).distinct())
+      .join(hist, Seq("_g", "_v"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val wc = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = lattice.withColumn("_cum", sum(col("_c")).over(wc))
+    val tot = hist.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+
+    val left = cdf.select(col("_g").as("g1"), col("_v"),
+      col("_cum").as("_c1"))
+    val right = cdf.select(col("_g").as("g2"), col("_v"),
+      col("_cum").as("_c2"))
+    val nn = (col("n1").cast(dec) * col("n2").cast(dec)).cast("double")
+    left.join(right, Seq("_v")).filter(col("g1") < col("g2"))
+      .join(broadcast(tot.select(col("_g").as("g1"),
+        col("_n").as("n1"))), Seq("g1"))
+      .join(broadcast(tot.select(col("_g").as("g2"),
+        col("_n").as("n2"))), Seq("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+        max(abs(col("_c1").cast(dec) * col("n2").cast(dec) -
+          col("_c2").cast(dec) * col("n1").cast(dec))).as("d_num"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        col("d_num").cast("long").as("d_num"),
+        (col("d_num").cast("double") / nn).as("d"),
+        (sqrt(nn / (col("n1") + col("n2")).cast("double")) *
+          (col("d_num").cast("double") / nn)).as("ks_scaled"))
+  }
+}

@@ -4191,6 +4191,15 @@ object ExtensionQueries {
         (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
   }
 
+  /** Exact two-sample KS (q315): document-length distribution shift
+    * between every source pair — the bin-free complement to PSI
+    * (q202) and chi² (q153), D exact on cross-multiplied DECIMAL
+    * CDFs.
+    */
+  def qKsTest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KsTest.ksTwoSample(
+      tbl(s, dir, "documents"), "source", "n_chars")
+
   /** MAD robust outlier audit (q314): per-source document-length
     * outliers by median/MAD with the exact cross-multiplied
     * 3σ-equivalent threshold — the z-score audit's (q58)

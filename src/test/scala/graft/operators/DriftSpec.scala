@@ -64,4 +64,22 @@ class DriftSpec extends AnyFunSuite {
         assert(r.getLong(2) == 20L && r.getLong(3) == 20L)
       }
   }
+
+  test("KS two-sample: exact D on a hand CDF, zero on identical " +
+      "groups, one row per unordered pair") {
+    import spark.implicits._
+    // g1 = 1..4, g2 = 3..6: D = 0.5 (at v=2..4), d_num = 8 over 16
+    // g3 duplicates g1 exactly -> D(g1, g3) = 0
+    val df = ((1L to 4L).map("a" -> _) ++ (3L to 6L).map("b" -> _) ++
+      (1L to 4L).map("c" -> _)).toDF("g", "v")
+    val got = KsTest.ksTwoSample(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(got.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b")) ===
+      ((4L, 4L, 8L, 0.5, math.sqrt(16.0 / 8.0) * 0.5)))
+    assert(got(("a", "c"))._3 === 0L && got(("a", "c"))._4 === 0.0)
+    assert(got(("b", "c"))._4 === 0.5)
+  }
 }
