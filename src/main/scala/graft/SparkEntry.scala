@@ -604,7 +604,9 @@ object SparkEntry {
     // MAD robust outlier audit (median/MAD, exact integer threshold)
     "q314_mad_outliers" -> (X.qMadOutliers _),
     // exact two-sample KS over every source pair (bin-free drift)
-    "q315_ks_test" -> (X.qKsTest _)
+    "q315_ks_test" -> (X.qKsTest _),
+    // T=2 temperature mixture weights with exact token allocation
+    "q316_temperature_mix" -> (X.qTemperatureMix _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5823,6 +5825,27 @@ object SparkEntry {
         |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
         |    / CAST(n_aud AS DOUBLE)) AS rms
         |FROM v""".stripMargin,
+    // temperature mix: sqrt on the 1e-4 lattice, shares one division
+    // each, allocation an exact half-up HUGEINT division
+    "q316_temperature_mix" ->
+      """WITH ps AS (
+        |  SELECT source, CAST(SUM(CASE WHEN LENGTH(text) = 0 THEN 0
+        |    ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END)
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 10000.0)
+        |      AS BIGINT) AS r4
+        |  FROM ps),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS nt,
+        |  CAST(SUM(r4) AS BIGINT) AS rt FROM r)
+        |SELECT source, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(nt AS DOUBLE) AS p_raw,
+        |  CAST(r4 AS DOUBLE) / CAST(rt AS DOUBLE) AS w_temp,
+        |  CAST((CAST(2 AS HUGEINT) * 1000000 * r4 + rt)
+        |    // (CAST(2 AS HUGEINT) * rt) AS BIGINT) AS alloc_tokens
+        |FROM r, t""".stripMargin,
     // KS: zero-filled CDF lattice per group, HUGEINT cross-products,
     // one division for D, pinned sqrt chain for the scaled stat
     "q315_ks_test" ->

@@ -77,4 +77,41 @@ object Unimax {
         round(col("alloc_tokens").cast("double")
           / col("n_tokens").cast("double"), 6))
   }
+
+  /** Temperature-scaled mixture weights at T = 2 (the mT5/XLM-R
+    * published setting): sample source s with probability
+    * w_s ∝ p_s^(1/T) = √p_s ∝ √tokens_s — the corpus total cancels,
+    * so the weight basis is one √ per source snapped to the 1e-4
+    * lattice (r4 = round(√tokens·10⁴)), every share ONE division of
+    * exact integers, and the per-source token allocation under
+    * `budget` an exact half-up lattice division (the q272 trick).
+    * [[allocate]] is the cap-aware alternative; this is the smooth
+    * upsampling curve between proportional (T=1) and uniform (T=∞).
+    *
+    * Scale shape: one count aggregate (source-bounded), one 2-scalar
+    * broadcast back — the mechanism never sees row volume.
+    */
+  def sqrtTemperatureWeights(df: DataFrame, sourceCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be positive: $budget")
+    val dec = "decimal(38,0)"
+    val perSource = df.groupBy(col(sourceCol))
+      .agg(sum(TextFunctions.tokenCountArithmetic(col(textCol)))
+        .cast("long").as("n_tokens"))
+      .withColumn("_r4",
+        round(sqrt(col("n_tokens").cast("double")) * 10000.0, 0)
+          .cast("long"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("_nt"),
+      sum(col("_r4")).as("_rt"))
+    val a = lit(2L).cast(dec) * lit(budget).cast(dec) *
+      col("_r4").cast(dec) + col("_rt").cast(dec)
+    val b2 = lit(2L).cast(dec) * col("_rt").cast(dec)
+    perSource.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("_nt").cast("double"))
+          .as("p_raw"),
+        (col("_r4").cast("double") / col("_rt").cast("double"))
+          .as("w_temp"),
+        ((a - pmod(a, b2)) / b2).cast("long").as("alloc_tokens"))
+  }
 }

@@ -4191,6 +4191,14 @@ object ExtensionQueries {
         (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
   }
 
+  /** Temperature-scaled mixture weights (q316): T = 2 sampling
+    * shares per source with an exact half-up 1M-token allocation —
+    * the smooth upsampling curve UniMax's cap (q220) bounds.
+    */
+  def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unimax.sqrtTemperatureWeights(
+      tbl(s, dir, "documents"), "source", "text", budget = 1000000L)
+
   /** Exact two-sample KS (q315): document-length distribution shift
     * between every source pair — the bin-free complement to PSI
     * (q202) and chi² (q153), D exact on cross-multiplied DECIMAL

@@ -118,4 +118,23 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(math.abs(big._3 / 2000.0 - 1.0) <= 0.375, s"bound: $big")
     assert(big._4)
   }
+
+  test("sqrt temperature weights: perfect-square corpus is exact, " +
+      "allocation is the half-up lattice division") {
+    // tokens: a=100, b=400 -> r4 = 100000 / 200000 (exact sqrt)
+    // budget 999: a -> round(999/3)=333, b -> round(666.0)=666
+    val docs = Seq(
+      ("a", Seq.fill(100)("w").mkString(" ")),
+      ("b", Seq.fill(400)("w").mkString(" "))
+    ).toDF("source", "text")
+    val got = Unimax.sqrtTemperatureWeights(docs, "source", "text",
+        budget = 999L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got("a") === ((100L, 0.2, 1.0 / 3.0, 333L)))
+    assert(got("b") === ((400L, 0.8, 2.0 / 3.0, 666L)))
+    // temperature upsamples the small source: w > p on the tail
+    assert(got("a")._3 > got("a")._2 && got("b")._3 < got("b")._2)
+  }
 }
