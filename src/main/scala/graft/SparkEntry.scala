@@ -606,7 +606,9 @@ object SparkEntry {
     // exact two-sample KS over every source pair (bin-free drift)
     "q315_ks_test" -> (X.qKsTest _),
     // T=2 temperature mixture weights with exact token allocation
-    "q316_temperature_mix" -> (X.qTemperatureMix _)
+    "q316_temperature_mix" -> (X.qTemperatureMix _),
+    // contamination scorecard: n-gram + semantic + min-K% composed
+    "q317_contamination_report" -> (X.qContaminationReport _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -5825,6 +5827,95 @@ object SparkEntry {
         |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
         |    / CAST(n_aud AS DOUBLE)) AS rms
         |FROM v""".stripMargin,
+    // scorecard: the q112/q313/q312 oracle CTEs composed, one
+    // left-joined report per train doc
+    "q317_contamination_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |hits AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS eid
+        |  FROM grams a JOIN grams b ON a.g = b.g
+        |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngram_hits
+        |  FROM hits GROUP BY 1),
+        |base AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(ROUND(ROUND(CAST(x AS DOUBLE), 3) * 1000.0, 0)
+        |      AS BIGINT)) AS v3
+        |  FROM embeddings),
+        |ev AS (
+        |  SELECT vec_id AS eval_id, v3 AS e3, ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':decon_v1'),
+        |    vec_id) - 1 AS rk
+        |  FROM base QUALIFY rk < 8),
+        |prs AS (
+        |  SELECT b.vec_id, e.eval_id,
+        |    CAST(list_sum(list_transform(range(1, 65), j ->
+        |      b.v3[j] * e.e3[j])) AS HUGEINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, 65), j ->
+        |      b.v3[j] * b.v3[j])) AS HUGEINT) AS na,
+        |    CAST(list_sum(list_transform(range(1, 65), j ->
+        |      e.e3[j] * e.e3[j])) AS HUGEINT) AS nb
+        |  FROM base b CROSS JOIN ev e),
+        |sem AS (
+        |  SELECT vec_id AS doc_id,
+        |    CAST(SUM(CASE WHEN dot >= 0
+        |      AND dot * dot * 10000 >= 1225 * na * nb
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_hits
+        |  FROM prs GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, t[CAST(i AS INTEGER)] AS w1,
+        |    t[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM toks, UNNEST(range(1, len(t))) tt(i)
+        |  WHERE len(t) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(n_bigram) AS tot, COUNT(*) AS n1fw
+        |       FROM c12 GROUP BY 1),
+        |cw2 AS (SELECT w2, COUNT(*) AS n1pw FROM c12 GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS ntypes FROM c12),
+        |model AS (
+        |  SELECT c12.w1, c12.w2,
+        |    CAST(ROUND(ln(
+        |      ROUND(greatest(CAST(c12.n_bigram AS DOUBLE) - 0.75, 0.0)
+        |          / CAST(c1.tot AS DOUBLE)
+        |        + ((0.75 * CAST(c1.n1fw AS DOUBLE)) / CAST(c1.tot AS DOUBLE))
+        |          * (CAST(cw2.n1pw AS DOUBLE) / CAST(nn.ntypes AS DOUBLE)), 6)
+        |    ) * 100000000.0) AS BIGINT) AS lt
+        |  FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN nn),
+        |per AS (
+        |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(m.lt) AS BIGINT) AS s_all,
+        |    list(m.lt ORDER BY m.lt) AS arr
+        |  FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        |  GROUP BY bg.doc_id),
+        |mk AS (
+        |  SELECT doc_id,
+        |    ROUND(-((CAST(list_sum(list_slice(arr, 1,
+        |      (n_bigrams * 1 + 4) // 5)) AS DOUBLE)
+        |      / 100000000.0) / CAST((n_bigrams * 1 + 4) // 5 AS DOUBLE)),
+        |      6) AS mink_neg_logp,
+        |    ROUND(-((CAST(s_all AS DOUBLE) / 100000000.0)
+        |      / CAST(n_bigrams AS DOUBLE)), 6) AS avg_neg_logp
+        |  FROM per)
+        |SELECT d.doc_id,
+        |  COALESCE(ng.n_ngram_hits, 0) AS n_ngram_hits,
+        |  COALESCE(sem.n_sem_hits, 0) AS n_sem_hits,
+        |  mk.mink_neg_logp, mk.avg_neg_logp,
+        |  COALESCE(ng.n_ngram_hits, 0) > 0
+        |    OR COALESCE(sem.n_sem_hits, 0) > 0 AS flagged
+        |FROM documents d
+        |LEFT JOIN ng USING (doc_id)
+        |LEFT JOIN sem USING (doc_id)
+        |LEFT JOIN mk USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0""".stripMargin,
     // temperature mix: sqrt on the 1e-4 lattice, shares one division
     // each, allocation an exact half-up HUGEINT division
     "q316_temperature_mix" ->

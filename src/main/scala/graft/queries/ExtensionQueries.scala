@@ -4191,6 +4191,38 @@ object ExtensionQueries {
         (col("c_custkey_a") === col("c_custkey_b")).as("is_true_match"))
   }
 
+  /** Contamination-forensics scorecard (q317): the three independent
+    * leakage signals composed per train document — verbatim 5-gram
+    * overlap vs the held-out eval docs (q112), embedding-space
+    * proximity to the benchmark set (q313, vec_id ≡ doc_id), and the
+    * min-K%/avg LM surprisal pair (q312) — with the positive-evidence
+    * flag a curation pipeline actually gates on.
+    */
+  def qContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val ng = graft.operators.Decontamination.overlap(
+        train, docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", n = 5, minShared = 3L)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_ngram_hits"))
+    val sem = qSemanticGate(s, dir)
+      .select(col("vec_id").as("doc_id"),
+        col("n_eval_hits").as("n_sem_hits"))
+    val mink = qMinKProb(s, dir)
+      .select(col("doc_id"), col("mink_neg_logp"), col("avg_neg_logp"))
+    train.select(col("doc_id"))
+      .join(ng, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .join(mink, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngram_hits"), lit(0L)).as("n_ngram_hits"),
+        coalesce(col("n_sem_hits"), lit(0L)).as("n_sem_hits"),
+        col("mink_neg_logp"), col("avg_neg_logp"))
+      .withColumn("flagged",
+        col("n_ngram_hits") > 0L || col("n_sem_hits") > 0L)
+  }
+
   /** Temperature-scaled mixture weights (q316): T = 2 sampling
     * shares per source with an exact half-up 1M-token allocation —
     * the smooth upsampling curve UniMax's cap (q220) bounds.
