@@ -534,4 +534,33 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"expected a single documents scan:\n$plan")
   }
+
+  test("q311: the chunk fold is a zero-shuffle generate over one scan") {
+    val plan = planOf("q311_sentence_chunks")
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q313: the eval set broadcasts; the corpus never merge-joins") {
+    val plan = planOf("q313_semantic_gate")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q315: CDF windows run over the domain lattice, totals ride " +
+      "broadcasts, no corpus-scale merge join") {
+    val plan = planOf("q315_ks_test")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q316: the mixture weights never see row volume after one " +
+      "aggregate (one scan, scalars broadcast back)") {
+    val plan = planOf("q316_temperature_mix")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected at most two documents scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
