@@ -608,7 +608,9 @@ object SparkEntry {
     // T=2 temperature mixture weights with exact token allocation
     "q316_temperature_mix" -> (X.qTemperatureMix _),
     // contamination scorecard: n-gram + semantic + min-K% composed
-    "q317_contamination_report" -> (X.qContaminationReport _)
+    "q317_contamination_report" -> (X.qContaminationReport _),
+    // ADC recall@5 vs the exact cut under the same packed order
+    "q318_adc_recall" -> (X.qAdcRecall _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6175,62 +6177,33 @@ object SparkEntry {
         |FROM k, q, cov""".stripMargin,
     // PQ/ADC: 1e-3 lattice, md5-sampled codebook + queries, exact
     // int subspace distances, (adc, vec_id)-ordered top-5 per query
-    "q307_pq_adc" ->
-      """WITH base AS (
-        |  SELECT vec_id, list_transform(embedding, x ->
-        |    CAST(ROUND(ROUND(CAST(x AS DOUBLE), 3) * 1000.0, 0)
-        |      AS BIGINT)) AS v3
-        |  FROM embeddings),
-        |cb0 AS (
-        |  SELECT vec_id, v3, ROW_NUMBER() OVER (ORDER BY
-        |    md5(CAST(vec_id AS VARCHAR) || ':pq_v1'), vec_id) - 1 AS k
-        |  FROM base QUALIFY k < 8),
-        |qs AS (
-        |  SELECT vec_id AS q_id, v3 AS qv3, ROW_NUMBER() OVER (ORDER BY
-        |    md5(CAST(vec_id AS VARCHAR) || ':pq_q1'), vec_id) - 1 AS qr
-        |  FROM base QUALIFY qr < 4),
-        |ms AS (SELECT UNNEST(range(0, 4)) AS m),
-        |cb AS (SELECT k AS code, m,
-        |    list_slice(v3, m * 16 + 1, m * 16 + 16) AS c3
-        |  FROM cb0, ms),
-        |sub AS (SELECT vec_id, m,
-        |    list_slice(v3, m * 16 + 1, m * 16 + 16) AS s3
-        |  FROM base, ms),
-        |enc0 AS (
-        |  SELECT s.vec_id, s.m, c.code,
-        |    list_sum(list_transform(range(1, 17), j ->
-        |      (s.s3[j] - c.c3[j]) * (s.s3[j] - c.c3[j]))) AS dist
-        |  FROM sub s JOIN cb c USING (m)),
-        |enc AS (
-        |  SELECT vec_id, m,
-        |    MIN(struct_pack(d := dist, k := code)) AS mn
-        |  FROM enc0 GROUP BY 1, 2),
-        |tab AS (
-        |  SELECT q.q_id, c.m, c.code,
-        |    list_sum(list_transform(range(1, 17), j ->
-        |      (list_slice(q.qv3, c.m * 16 + 1, c.m * 16 + 16)[j]
-        |        - c.c3[j])
-        |      * (list_slice(q.qv3, c.m * 16 + 1, c.m * 16 + 16)[j]
-        |        - c.c3[j]))) AS tdist
-        |  FROM qs q, cb c),
-        |adc AS (
-        |  SELECT t.q_id, e.vec_id, CAST(SUM(t.tdist) AS BIGINT)
-        |    AS adc_dist
-        |  FROM enc e JOIN tab t ON e.m = t.m AND e.mn.k = t.code
-        |  WHERE e.vec_id <> t.q_id
-        |  GROUP BY 1, 2),
-        |top AS (
-        |  SELECT q_id, vec_id, adc_dist,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-        |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
-        |  FROM adc QUALIFY rank <= 5)
+    "q307_pq_adc" -> (pqAdcCtes + """
         |SELECT t.q_id, t.rank, t.vec_id, t.adc_dist,
         |  CAST(list_sum(list_transform(range(1, 65), j ->
         |    (qb.v3[j] - vb.v3[j]) * (qb.v3[j] - vb.v3[j])))
         |    AS BIGINT) AS exact_dist
         |FROM top t
         |JOIN base vb ON vb.vec_id = t.vec_id
-        |JOIN base qb ON qb.vec_id = t.q_id""".stripMargin,
+        |JOIN base qb ON qb.vec_id = t.q_id""".stripMargin),
+    // ADC recall@k: exact top-5 under the SAME (dist, vec_id) order,
+    // overlap one exact division per query
+    "q318_adc_recall" -> (pqAdcCtes + """
+        |, ex AS (
+        |  SELECT q.q_id, b.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), j ->
+        |        (q.qv3[j] - b.v3[j]) * (q.qv3[j] - b.v3[j]))),
+        |      b.vec_id) AS r
+        |  FROM base b CROSS JOIN qs q WHERE b.vec_id <> q.q_id
+        |  QUALIFY r <= 5)
+        |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+        |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overlap,
+        |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+        |FROM ex LEFT JOIN top t
+        |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
+        |GROUP BY 1""".stripMargin),
     // DP Laplace release: md5 uniform -> exact inverse CDF on the
     // 1e-8 lattice, one DECIMAL-numerator division per cell
     "q306_dp_histogram" ->
@@ -7693,6 +7666,60 @@ object SparkEntry {
     * brevity-penalty exponent. Per-order CTEs are generated so both
     * engines replay the same gram construction.
     */
+  /** Shared q307/q318 oracle CTEs: lattice corpus, md5-sampled
+    * codebook + queries, subspace distances, codes, ADC tables and
+    * the (adc, vec_id)-ordered top-5 per query.
+    */
+  private def pqAdcCtes: String =
+    """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(ROUND(ROUND(CAST(x AS DOUBLE), 3) * 1000.0, 0)
+        |      AS BIGINT)) AS v3
+        |  FROM embeddings),
+        |cb0 AS (
+        |  SELECT vec_id, v3, ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_v1'), vec_id) - 1 AS k
+        |  FROM base QUALIFY k < 8),
+        |qs AS (
+        |  SELECT vec_id AS q_id, v3 AS qv3, ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_q1'), vec_id) - 1 AS qr
+        |  FROM base QUALIFY qr < 4),
+        |ms AS (SELECT UNNEST(range(0, 4)) AS m),
+        |cb AS (SELECT k AS code, m,
+        |    list_slice(v3, m * 16 + 1, m * 16 + 16) AS c3
+        |  FROM cb0, ms),
+        |sub AS (SELECT vec_id, m,
+        |    list_slice(v3, m * 16 + 1, m * 16 + 16) AS s3
+        |  FROM base, ms),
+        |enc0 AS (
+        |  SELECT s.vec_id, s.m, c.code,
+        |    list_sum(list_transform(range(1, 17), j ->
+        |      (s.s3[j] - c.c3[j]) * (s.s3[j] - c.c3[j]))) AS dist
+        |  FROM sub s JOIN cb c USING (m)),
+        |enc AS (
+        |  SELECT vec_id, m,
+        |    MIN(struct_pack(d := dist, k := code)) AS mn
+        |  FROM enc0 GROUP BY 1, 2),
+        |tab AS (
+        |  SELECT q.q_id, c.m, c.code,
+        |    list_sum(list_transform(range(1, 17), j ->
+        |      (list_slice(q.qv3, c.m * 16 + 1, c.m * 16 + 16)[j]
+        |        - c.c3[j])
+        |      * (list_slice(q.qv3, c.m * 16 + 1, c.m * 16 + 16)[j]
+        |        - c.c3[j]))) AS tdist
+        |  FROM qs q, cb c),
+        |adc AS (
+        |  SELECT t.q_id, e.vec_id, CAST(SUM(t.tdist) AS BIGINT)
+        |    AS adc_dist
+        |  FROM enc e JOIN tab t ON e.m = t.m AND e.mn.k = t.code
+        |  WHERE e.vec_id <> t.q_id
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT q_id, vec_id, adc_dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+        |  FROM adc QUALIFY rank <= 5)""".stripMargin
+
   /** q304 oracle: the q291 planted pairs joined separator-free, char
     * n-grams n=1..6 via substr generators, clipped corpus matches,
     * F_n = 5M/(4R+C) one HUGEINT-exact division, headline chrF from

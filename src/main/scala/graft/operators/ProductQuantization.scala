@@ -136,4 +136,41 @@ object ProductQuantization {
       .select(col("q_id"), col("rank"), col("vec_id"),
         col("adc_dist"), col("exact_dist"))
   }
+
+  /** Recall@k of the ADC cut against the exact top-k — the quality
+    * number an ANN index ships with. Both cuts use the SAME unique
+    * packed-score rule (dist·10⁶ + id), so ground truth is as
+    * deterministic as the approximation and the per-query recall is
+    * one division of exact integers.
+    *
+    * Scale shape: the exact side is one linear corpus scan per the
+    * bounded query set (broadcast), cut by the same bounded heap —
+    * the honest brute-force baseline, never corpus×corpus.
+    */
+  def adcRecall(lattice: DataFrame, idCol: String, dims: Int, m: Int,
+      k: Int, nQueries: Int, topK: Int, cbSalt: String,
+      qSalt: String): DataFrame = {
+    val approx = adcTopK(lattice, idCol, dims, m, k, nQueries, topK,
+      cbSalt, qSalt).select(col("q_id"), col("vec_id"))
+    val queries = mdRanked(lattice, idCol, nQueries, qSalt)
+      .select(col(idCol).as("q_id"), col("v3").as("qv3"))
+    val exact = lattice.withColumnRenamed(idCol, "vec_id")
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("_packed",
+        sqDist(col("qv3"), col("v3")) * 1000000L + col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.expressions.TopKByAgg
+        .topKBy((-col("_packed")).cast("double"), col("vec_id"), topK)
+        .as("_top"))
+      .select(col("q_id"), explode(col("_top")).as("_e"))
+      .select(col("q_id"), col("_e.id").as("vec_id"))
+    exact.join(approx.withColumn("_hit", lit(1L)),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
+      .select(col("q_id"), col("k_exact"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("k_exact").cast("double"))
+          .as("recall_at_k"))
+  }
 }

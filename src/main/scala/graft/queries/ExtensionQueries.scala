@@ -4340,6 +4340,18 @@ object ExtensionQueries {
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
       cbSalt = "pq_v1", qSalt = "pq_q1")
 
+  /** ADC recall@5 (q318): q307's approximate cut against the exact
+    * top-5 under the SAME packed-score order — the quality number
+    * the PQ index ships with, hash-exact because ground truth is as
+    * deterministic as the approximation.
+    */
+  def qAdcRecall(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ProductQuantization.adcRecall(
+      graft.operators.ProductQuantization.latticeFrame(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding"),
+      "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
+      cbSalt = "pq_v1", qSalt = "pq_q1")
+
   /** DP Laplace histogram release (q306): the (lang, source) doc
     * histogram released under ε = 0.5 (invEps = 2) with the portable
     * md5 inverse-CDF draw — count + Lap(1/ε) per cell, noise exact on

@@ -40,4 +40,19 @@ class ProductQuantizationSpec extends AnyFunSuite {
       assert(rows.forall(_.getLong(2) !== q))
     }
   }
+
+  test("adcRecall: a self-codebook corpus recalls the exact cut fully") {
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Seq(i.toFloat, i + 0.5f, 2f * i, -i.toFloat)))
+    val lattice = ProductQuantization.latticeFrame(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val out = ProductQuantization.adcRecall(lattice, "vec_id",
+      dims = 4, m = 2, k = 8, nQueries = 2, topK = 3,
+      cbSalt = "t_cb", qSalt = "t_q").collect()
+    assert(out.length === 2)
+    for (r <- out) {
+      assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+      assert(r.getDouble(3) === 1.0)
+    }
+  }
 }
