@@ -610,7 +610,9 @@ object SparkEntry {
     // contamination scorecard: n-gram + semantic + min-K% composed
     "q317_contamination_report" -> (X.qContaminationReport _),
     // ADC recall@5 vs the exact cut under the same packed order
-    "q318_adc_recall" -> (X.qAdcRecall _)
+    "q318_adc_recall" -> (X.qAdcRecall _),
+    // G.711 mu-law sample audit (exact integer companding decode)
+    "q319_ulaw_pcm" -> (X.qUlawPcm _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6204,6 +6206,46 @@ object SparkEntry {
         |FROM ex LEFT JOIN top t
         |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
         |GROUP BY 1""".stripMargin),
+    // mu-law audit: bytes re-derived from residues, G.711 decode as
+    // pure arithmetic with the 2^e literal table
+    "q319_ulaw_pcm" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 7 + 18 AS n_data,
+        |    LEAST(doc_id % 7 + 18, 20) AS n_aud
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, n_data, n_aud,
+        |    list_transform(range(0, n_aud), j ->
+        |      CASE WHEN (doc_id + j) % 9 = 0
+        |        THEN CASE WHEN j % 2 = 0 THEN 128 ELSE 0 END
+        |        ELSE (doc_id * 37 + j * 101) % 256 END) AS bs
+        |  FROM p),
+        |w AS (
+        |  SELECT doc_id, n_data, n_aud,
+        |    list_transform(bs, b ->
+        |      CASE WHEN (255 - b) >= 128 THEN
+        |        -((((255 - b) % 16) * 8 + 132)
+        |          * [1,2,4,8,16,32,64,128][((255 - b) % 128) // 16 + 1]
+        |          - 132)
+        |      ELSE
+        |        ((((255 - b) % 16) * 8 + 132)
+        |          * [1,2,4,8,16,32,64,128][((255 - b) % 128) // 16 + 1]
+        |          - 132)
+        |      END) AS ss
+        |  FROM v)
+        |SELECT doc_id,
+        |  CAST(n_data AS BIGINT) AS n_samples_total,
+        |  CAST(n_aud AS BIGINT) AS n_audited,
+        |  CAST(list_max(list_transform(ss, x -> abs(x))) AS BIGINT)
+        |    AS peak,
+        |  CAST(len(list_filter(ss, x -> x >= 32124 OR x <= -32124))
+        |    AS BIGINT) AS n_clipped,
+        |  CAST(list_sum(list_transform(ss, x -> x * x)) AS BIGINT)
+        |    AS sum_sq,
+        |  CAST(list_sum(ss) AS BIGINT) AS dc_sum,
+        |  sqrt(CAST(list_sum(list_transform(ss, x -> x * x)) AS DOUBLE)
+        |    / CAST(n_aud AS DOUBLE)) AS rms
+        |FROM w""".stripMargin,
     // DP Laplace release: md5 uniform -> exact inverse CDF on the
     // 1e-8 lattice, one DECIMAL-numerator division per cell
     "q306_dp_histogram" ->

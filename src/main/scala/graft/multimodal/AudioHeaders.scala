@@ -255,6 +255,67 @@ object AudioHeaders {
       .drop(out + "_h", out + "_v")
   }
 
+  /** G.711 µ-law sample audit — the telephony-audio sibling of
+    * [[withWavPcm]]: WAV format code 7 carries one LOG-companded
+    * byte per sample; the decode to linear 16-bit is pure integer
+    * arithmetic (ITU-T G.711):
+    *
+    *   u' = 255 − byte  (the one's complement)
+    *   sign = u' ≥ 128, e = (u' mod 128) div 16, m = u' mod 16
+    *   mag = (8m + 132)·2^e − 132      (max 32124 at e=7, m=15)
+    *
+    * with 2^e read from an 8-entry literal table — no shifts needed,
+    * so the identical expression runs in any engine. Audit fields
+    * mirror [[withWavPcm]] (`n_clipped` counts full-scale ±32124
+    * codes); same three-stage projection staging, zero shuffle.
+    */
+  def withUlawPcm(df: org.apache.spark.sql.DataFrame, binCol: String,
+      out: String, maxSamples: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(maxSamples >= 1 && maxSamples <= 4096,
+      s"unreasonable audit window: $maxSamples")
+    val bin = col(binCol)
+    val isRiff = hex(bin.substr(lit(1), lit(4))) === WavMagic &&
+      hex(bin.substr(lit(9), lit(4))) === WaveId &&
+      hex(bin.substr(lit(13), lit(4))) === "666D7420"
+    val fmtCode = le16(bin, lit(21))
+    val bits = le16(bin, lit(35))
+    val c0 = lit(37L)
+    val c1 = c0 + lit(8L) + le32(bin, c0 + lit(4L))
+    val dataOff = when(hex(bin.substr(c0, lit(4))) === DataId, c0)
+      .when(hex(bin.substr(c1, lit(4))) === DataId, c1)
+    val dataSize = le32(bin, dataOff + lit(4L))
+    val hdr = when(isRiff && dataOff.isNotNull && fmtCode === 7L &&
+      bits === 8L,
+      struct((dataOff + lit(8L)).as("start"), dataSize.as("n_total")))
+
+    val h = col(out + "_h")
+    val nAud = least(h.getField("n_total"), lit(maxSamples.toLong))
+    val pow2 = array((0 to 7).map(e => lit(1L << e)): _*)
+    val vals = when(h.isNotNull && nAud >= 1L,
+      transform(sequence(lit(0L), nAud - 1L), j => {
+        val up = lit(255L) - u8(bin, h.getField("start") + j)
+        val mag = (pmod(up, lit(16L)) * 8L + 132L) *
+          element_at(pow2, (pmod(up, lit(128L)) / 16L).cast("int") + 1) -
+          132L
+        when(up >= 128L, -mag).otherwise(mag)
+      }))
+
+    val v = col(out + "_v")
+    val sumSq = aggregate(v, lit(0L), (acc, s) => acc + s * s)
+    df.withColumn(out + "_h", hdr)
+      .withColumn(out + "_v", vals)
+      .withColumn(out, when(v.isNotNull, struct(
+        h.getField("n_total").as("n_samples_total"),
+        size(v).cast("long").as("n_audited"),
+        array_max(transform(v, s => abs(s))).as("peak"),
+        size(filter(v, s => s >= 32124L || s <= -32124L)).cast("long")
+          .as("n_clipped"),
+        sumSq.as("sum_sq"),
+        aggregate(v, lit(0L), (acc, s) => acc + s).as("dc_sum"),
+        sqrt(sumSq.cast("double") / size(v).cast("double")).as("rms"))))
+      .drop(out + "_h", out + "_v")
+  }
+
   def withAudio(df: org.apache.spark.sql.DataFrame, binCol: String,
       out: String): org.apache.spark.sql.DataFrame = {
     val bin = col(binCol)

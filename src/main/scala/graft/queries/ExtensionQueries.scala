@@ -3031,6 +3031,44 @@ object ExtensionQueries {
         col("_a.rms").as("rms"))
   }
 
+  /** µ-law sample audit (q319): planted format-7 WAVs (one companded
+    * byte per sample from doc_id residues, full-scale codes planted
+    * on (d+j)%9) decoded back through the exact G.711 integer
+    * formula — the telephony sibling of q305's linear PCM audit.
+    */
+  def qUlawPcm(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.AudioHeaders
+    val d = col("doc_id")
+    def le32h(v: Column): Column = {
+      val h = format_string("%08x", v)
+      concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val nData = pmod(d, lit(7)) + 18L
+    val byteHex = concat_ws("",
+      transform(sequence(lit(0L), nData - 1L), j => {
+        val b = when(pmod(d + j, lit(9)) === 0,
+          when(pmod(j, lit(2)) === 0, lit(128L)).otherwise(lit(0L)))
+          .otherwise(pmod(d * 37L + j * 101L, lit(256L)))
+        format_string("%02x", b)
+      }))
+    val wavHex = concat(lit("52494646"), le32h(lit(36L) + nData),
+      lit("57415645"), lit("666d7420"), lit("10000000"), lit("0700"),
+      lit("0100"), le32h(lit(8000L)), le32h(lit(8000L)), lit("0100"),
+      lit("0800"), lit("64617461"), le32h(nData), byteHex)
+    AudioHeaders.withUlawPcm(
+        tbl(s, dir, "documents").select(d, unhex(wavHex).as("_p")),
+        "_p", "_a", maxSamples = 20)
+      .select(d,
+        col("_a.n_samples_total").as("n_samples_total"),
+        col("_a.n_audited").as("n_audited"),
+        col("_a.peak").as("peak"),
+        col("_a.n_clipped").as("n_clipped"),
+        col("_a.sum_sq").as("sum_sq"),
+        col("_a.dc_sum").as("dc_sum"),
+        col("_a.rms").as("rms"))
+  }
+
   /** The learned BPE merge table: 6 training rounds over the
     * document corpus (argmax pair per round with pinned tie-break,
     * greedy left-to-right fusion), exact vs the unrolled-CTE oracle.

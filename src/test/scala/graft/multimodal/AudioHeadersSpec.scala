@@ -216,6 +216,54 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(all.getLong(5) === samples.map(_.toLong).sum)
   }
 
+  private def ulawWavBytes(codes: Seq[Int]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(44 + codes.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + codes.length)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)
+    buf.putShort(7.toShort) // G.711 mu-law
+    buf.putShort(1.toShort)
+    buf.putInt(8000)
+    buf.putInt(8000)
+    buf.putShort(1.toShort)
+    buf.putShort(8.toShort)
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(codes.length)
+    codes.foreach(c => buf.put(c.toByte))
+    buf.array()
+  }
+
+  test("mu-law audit: exact G.711 decode vs a JVM reference, " +
+      "full-scale codes count as clipped") {
+    def decode(b: Int): Long = {
+      val up = 255 - b
+      val m = up % 16; val e = (up % 128) / 16
+      val mag = (8L * m + 132L) * (1L << e) - 132L
+      if (up >= 128) -mag else mag
+    }
+    val codes = Seq(0, 128, 0xFF, 0x55, 200, 17)
+    val expect = codes.map(decode)
+    assert(expect.take(3) === Seq(-32124L, 32124L, 0L))
+    val r = AudioHeaders.withUlawPcm(
+        Seq(Tuple1(ulawWavBytes(codes))).toDF("p"), "p", "a",
+        maxSamples = 20)
+      .select("a.*").collect()(0)
+    assert(r.getLong(0) === 6L && r.getLong(1) === 6L)
+    assert(r.getLong(2) === expect.map(math.abs).max)
+    assert(r.getLong(3) === 2L)
+    assert(r.getLong(4) === expect.map(s => s * s).sum)
+    assert(r.getLong(5) === expect.sum)
+    // a linear-PCM wav (fmt 1) audits to null under the mu-law op
+    val linear = wavPcmBytes(Seq(1, 2, 3))
+    val n = Seq(Tuple1(linear)).toDF("p")
+      .transform(d => AudioHeaders.withUlawPcm(d, "p", "a"))
+      .select(col("a").isNull).collect()(0).getBoolean(0)
+    assert(n)
+  }
+
   test("pcm audit: non-16-bit and non-wav payloads audit to null") {
     val eightBit = wavBytes(8000, 1, 8, 4, withList = false)
     val junk = "JUNKJUNKJUNK".getBytes("US-ASCII")
