@@ -612,7 +612,9 @@ object SparkEntry {
     // ADC recall@5 vs the exact cut under the same packed order
     "q318_adc_recall" -> (X.qAdcRecall _),
     // G.711 mu-law sample audit (exact integer companding decode)
-    "q319_ulaw_pcm" -> (X.qUlawPcm _)
+    "q319_ulaw_pcm" -> (X.qUlawPcm _),
+    // ER golden records: FS links -> transitive closure -> survivorship
+    "q320_golden_records" -> (X.qGoldenRecords _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6206,6 +6208,85 @@ object SparkEntry {
         |FROM ex LEFT JOIN top t
         |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
         |GROUP BY 1""".stripMargin),
+    // golden records: the q303 scoring CTEs, q200-style recursive
+    // closure, min-struct survivorship per entity
+    "q320_golden_records" ->
+      """WITH RECURSIVE a AS (
+        |  SELECT c_custkey AS id_a, c_name AS name_a,
+        |    c_acctbal AS bal_a, c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS band
+        |  FROM customer),
+        |b0 AS (
+        |  SELECT c_custkey AS id_b,
+        |    CASE WHEN (c_custkey // 3) % 7 = 0
+        |           THEN substr(c_name, 1, 9) || 'XYZ' || substr(c_name, 13)
+        |         WHEN (c_custkey // 3) % 2 = 0
+        |           THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+        |         ELSE c_name END AS name_b,
+        |    c_acctbal + CASE WHEN (c_custkey // 3) % 4 < 3
+        |      THEN 0.5 ELSE 50.0 END AS bal_b,
+        |    c_nationkey AS nat, c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |b AS (SELECT *, CAST(FLOOR(bal_b / 500) AS BIGINT) AS band
+        |  FROM b0),
+        |cand AS (
+        |  SELECT a.id_a, a.name_a, a.bal_a, b.id_b, b.name_b, b.bal_b
+        |  FROM a JOIN b USING (nat, seg, band)),
+        |gamma AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN name_a = name_b THEN 2
+        |         WHEN levenshtein(name_a, name_b) <= 2 THEN 1
+        |         ELSE 0 END AS name_level,
+        |    ABS(bal_a - bal_b) <= 1.0 AS num_agree
+        |  FROM cand),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    CASE name_level WHEN 2 THEN 6856462
+        |      WHEN 1 THEN 3500000 ELSE -2994732 END
+        |    + CASE WHEN num_agree THEN 2890372
+        |        ELSE -2251292 END AS score_points
+        |  FROM gamma),
+        |links AS (
+        |  SELECT id_a * 2 AS s, id_b * 2 + 1 AS t
+        |  FROM scored WHERE score_points >= 6000000),
+        |recs AS (
+        |  SELECT c_custkey * 2 AS rec_id, c_name, c_acctbal,
+        |    'a' AS registry
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey * 2 + 1,
+        |    CASE WHEN (c_custkey // 3) % 7 = 0
+        |           THEN substr(c_name, 1, 9) || 'XYZ' || substr(c_name, 13)
+        |         WHEN (c_custkey // 3) % 2 = 0
+        |           THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+        |         ELSE c_name END,
+        |    c_acctbal + CASE WHEN (c_custkey // 3) % 4 < 3
+        |      THEN 0.5 ELSE 50.0 END,
+        |    'b'
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |edges AS (
+        |  SELECT s, t FROM links UNION ALL SELECT t, s FROM links),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |cc AS (
+        |  SELECT rec_id,
+        |    LEAST(rec_id, COALESCE(MIN(r.t), rec_id)) AS entity_id
+        |  FROM recs LEFT JOIN reach r ON r.s = recs.rec_id
+        |  GROUP BY rec_id),
+        |g AS (
+        |  SELECT cc.entity_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_records,
+        |    CAST(COUNT(DISTINCT recs.registry) AS BIGINT) AS n_sources,
+        |    MIN(struct_pack(i := recs.rec_id, n := recs.c_name)) AS mn,
+        |    MAX(recs.c_acctbal) AS max_bal,
+        |    MIN(recs.c_acctbal) AS min_bal
+        |  FROM recs JOIN cc USING (rec_id)
+        |  GROUP BY 1)
+        |SELECT entity_id, n_records, n_sources, mn.n AS canonical_name,
+        |  max_bal, min_bal
+        |FROM g""".stripMargin,
     // mu-law audit: bytes re-derived from residues, G.711 decode as
     // pure arithmetic with the 2^e literal table
     "q319_ulaw_pcm" ->

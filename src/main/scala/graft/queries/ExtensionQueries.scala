@@ -4400,6 +4400,48 @@ object ExtensionQueries {
       tbl(s, dir, "documents").select(col("lang"), col("source")),
       Seq("lang", "source"), invEps = 2, seedTag = "dp_v1")
 
+  /** ER end-to-end: golden records (q320) — the survivorship stage
+    * after q303's probabilistic linkage: link-decision pairs become
+    * undirected edges, [[graft.operators.Dedup.duplicateClusters]]
+    * closes them transitively (min-label pointer jumping), and each
+    * entity ships one golden record (canonical name from the
+    * smallest member id, balance extremes, registry coverage) — the
+    * full MDM pipeline blocking → scoring → clustering →
+    * survivorship in one declared query.
+    */
+  def qGoldenRecords(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer")
+    val a = c.select((col("c_custkey") * 2).as("rec_id"), col("c_name"),
+      col("c_acctbal"), lit("a").as("registry"))
+    val e = floor(col("c_custkey") / 3).cast("long")
+    val bName = when(pmod(e, lit(7)) === 0,
+      concat(substring(col("c_name"), 1, 9), lit("XYZ"),
+        col("c_name").substr(lit(13), lit(100))))
+      .when(pmod(e, lit(2)) === 0,
+        concat(substring(col("c_name"), 1, 9), lit("X"),
+          col("c_name").substr(lit(11), lit(100))))
+      .otherwise(col("c_name"))
+    val bBal = col("c_acctbal") +
+      when(pmod(e, lit(4)) < 3, lit(0.5)).otherwise(lit(50.0))
+    val b = c.filter(pmod(col("c_custkey"), lit(3)) === 0)
+      .select((col("c_custkey") * 2 + 1).as("rec_id"),
+        bName.as("c_name"), bBal.as("c_acctbal"), lit("b").as("registry"))
+    val records = a.unionByName(b)
+    val links = qRecordLinkage(s, dir)
+      .filter(col("decision") === "link")
+      .select((col("id_a") * 2).as("s"), (col("id_b") * 2 + 1).as("t"))
+    val cc = graft.operators.Dedup.duplicateClusters(
+      records.select(col("rec_id")), links, "rec_id", "s", "t")
+    records.join(cc, Seq("rec_id"))
+      .groupBy(col("cluster_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("registry")).as("n_sources"),
+        min(struct(col("rec_id").as("i"), col("c_name").as("n")))
+          .getField("n").as("canonical_name"),
+        max(col("c_acctbal")).as("max_bal"),
+        min(col("c_acctbal")).as("min_bal"))
+  }
+
   /** Reciprocal-rank fusion (q297): the q24 quality ranking fused
     * with the length ranking (both through the single-exchange rank
     * kernel, ties pinned by doc_id) — the calibration-free hybrid
