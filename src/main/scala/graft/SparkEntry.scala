@@ -614,7 +614,9 @@ object SparkEntry {
     // G.711 mu-law sample audit (exact integer companding decode)
     "q319_ulaw_pcm" -> (X.qUlawPcm _),
     // ER golden records: FS links -> transitive closure -> survivorship
-    "q320_golden_records" -> (X.qGoldenRecords _)
+    "q320_golden_records" -> (X.qGoldenRecords _),
+    // HITS hubs/authorities (integer L1-normalized fixed point)
+    "q321_hits" -> (X.qHits _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6287,6 +6289,7 @@ object SparkEntry {
         |SELECT entity_id, n_records, n_sources, mn.n AS canonical_name,
         |  max_bal, min_bal
         |FROM g""".stripMargin,
+    "q321_hits" -> hitsSql,
     // mu-law audit: bytes re-derived from residues, G.711 decode as
     // pure arithmetic with the 2^e literal table
     "q319_ulaw_pcm" ->
@@ -7842,6 +7845,45 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
         |  FROM adc QUALIFY rank <= 5)""".stripMargin
+
+  /** q321 oracle: the 4-round HITS fixed point unrolled — each
+    * half-step one join + one aggregate, normalization the exact
+    * HUGEINT floor division by the round's own total.
+    */
+  private def hitsSql: String = {
+    val rounds = (1 to 4).map { i =>
+      val hp = s"h${i - 1}"
+      s""",
+ra$i AS (
+  SELECT e.dst AS node, CAST(SUM($hp.v) AS HUGEINT) AS raw
+  FROM e JOIN $hp ON $hp.node = e.src GROUP BY 1),
+ta$i AS (SELECT SUM(raw) AS tot FROM ra$i),
+a$i AS (SELECT node, raw * sc.scale // ta$i.tot AS v
+  FROM ra$i, ta$i, sc),
+rh$i AS (
+  SELECT e.src AS node, CAST(SUM(a$i.v) AS HUGEINT) AS raw
+  FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1),
+th$i AS (SELECT SUM(raw) AS tot FROM rh$i),
+h$i AS (SELECT node, raw * sc.scale // th$i.tot AS v
+  FROM rh$i, th$i, sc)"""
+    }.mkString
+    """WITH b AS (
+      |  SELECT CAST(l_suppkey AS BIGINT) AS src,
+      |    CAST(l_partkey AS BIGINT) + 10000000 AS dst
+      |  FROM lineitem),
+      |e AS (SELECT DISTINCT src, dst FROM b),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |sc AS (SELECT CAST(COUNT(*) AS HUGEINT) * 1000000 AS scale
+      |  FROM nodes),
+      |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS v FROM nodes)""".stripMargin +
+      rounds + """
+      |SELECT n.node,
+      |  CAST(COALESCE(h4.v, 0) AS BIGINT) AS micro_hub,
+      |  CAST(COALESCE(a4.v, 0) AS BIGINT) AS micro_auth
+      |FROM nodes n LEFT JOIN h4 ON h4.node = n.node
+      |LEFT JOIN a4 ON a4.node = n.node""".stripMargin
+  }
 
   /** q304 oracle: the q291 planted pairs joined separator-free, char
     * n-grams n=1..6 via substr generators, clipped corpus matches,

@@ -4400,6 +4400,19 @@ object ExtensionQueries {
       tbl(s, dir, "documents").select(col("lang"), col("source")),
       Seq("lang", "source"), invEps = 2, seedTag = "dp_v1")
 
+  /** HITS hubs/authorities (q321): 4 integer-lattice rounds over the
+    * DIRECTED supplier→part graph — suppliers are pure hubs, parts
+    * pure authorities (the bipartite case HITS was built for), and
+    * the L1-normalized fixed point replays exactly in the unrolled
+    * oracle.
+    */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = tbl(s, dir, "lineitem").select(
+      col("l_suppkey").cast("long").as("src"),
+      (col("l_partkey").cast("long") + 10000000L).as("dst"))
+    graft.operators.Hits.microHits(edges, iterations = 4)
+  }
+
   /** ER end-to-end: golden records (q320) — the survivorship stage
     * after q303's probabilistic linkage: link-decision pairs become
     * undirected edges, [[graft.operators.Dedup.duplicateClusters]]
