@@ -616,7 +616,9 @@ object SparkEntry {
     // ER golden records: FS links -> transitive closure -> survivorship
     "q320_golden_records" -> (X.qGoldenRecords _),
     // HITS hubs/authorities (integer L1-normalized fixed point)
-    "q321_hits" -> (X.qHits _)
+    "q321_hits" -> (X.qHits _),
+    // exact Kendall tau-b over the bounded joint histogram
+    "q322_kendall_tau" -> (X.qKendallTau _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6290,6 +6292,62 @@ object SparkEntry {
         |  max_bal, min_bal
         |FROM g""".stripMargin,
     "q321_hits" -> hitsSql,
+    // Kendall tau-b: zero-filled grid, chained prefix-sum windows,
+    // HUGEINT pair counts, one division over one sqrt
+    "q322_kendall_tau" ->
+      """WITH h AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT xs.x, ys.y, COALESCE(h.n, 0) AS n
+        |  FROM (SELECT DISTINCT x FROM h) xs
+        |  CROSS JOIN (SELECT DISTINCT y FROM h) ys
+        |  LEFT JOIN h ON h.x = xs.x AND h.y = ys.y),
+        |st AS (
+        |  SELECT x, y, n,
+        |    COALESCE(SUM(n) OVER (PARTITION BY x ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cyl,
+        |    COALESCE(SUM(n) OVER (PARTITION BY x ORDER BY y
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS cyg
+        |  FROM grid),
+        |sc AS (
+        |  SELECT x, y, n,
+        |    COALESCE(SUM(cyl) OVER (PARTITION BY y ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS slt,
+        |    COALESCE(SUM(cyg) OVER (PARTITION BY y ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS sgt
+        |  FROM st),
+        |cd AS (
+        |  SELECT CAST(SUM(CAST(n AS HUGEINT) * slt) AS HUGEINT) AS c,
+        |    CAST(SUM(CAST(n AS HUGEINT) * sgt) AS HUGEINT) AS d
+        |  FROM sc),
+        |m AS (SELECT CAST(SUM(n) AS BIGINT) AS nr FROM h),
+        |tx AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1))
+        |    AS HUGEINT) AS t2
+        |  FROM (SELECT SUM(n) AS t FROM h GROUP BY x)),
+        |ty AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1))
+        |    AS HUGEINT) AS t2
+        |  FROM (SELECT SUM(n) AS t FROM h GROUP BY y))
+        |SELECT m.nr AS n_rows,
+        |  CAST(cd.c AS BIGINT) AS concordant,
+        |  CAST(cd.d AS BIGINT) AS discordant,
+        |  CAST(tx.t2 // 2 AS BIGINT) AS ties_x,
+        |  CAST(ty.t2 // 2 AS BIGINT) AS ties_y,
+        |  CASE WHEN CAST(m.nr AS HUGEINT) * (m.nr - 1) - tx.t2 > 0
+        |    AND CAST(m.nr AS HUGEINT) * (m.nr - 1) - ty.t2 > 0 THEN
+        |    CAST((cd.c - cd.d) * 2 AS DOUBLE)
+        |      / sqrt(CAST(
+        |        (CAST(m.nr AS HUGEINT) * (m.nr - 1) - tx.t2)
+        |        * (CAST(m.nr AS HUGEINT) * (m.nr - 1) - ty.t2)
+        |        AS DOUBLE)) END AS tau_b
+        |FROM cd, m, tx, ty""".stripMargin,
+
     // mu-law audit: bytes re-derived from residues, G.711 decode as
     // pure arithmetic with the 2^e literal table
     "q319_ulaw_pcm" ->

@@ -123,4 +123,74 @@ object Ranks {
       .select(col(idCol), col(weightCol), col("_rank").as("rank"),
         col("shard"))
   }
+
+  /** Exact Kendall τ-b between two DISCRETE integer columns — the
+    * ordinal-association companion to [[spearman]]: where Spearman
+    * correlates ranks, Kendall counts concordant vs discordant pairs,
+    * the statistic of choice for heavily tied ordinal data.
+    *
+    * Naive Kendall is O(n²) pairs; this collapses the corpus to the
+    * zero-filled |X|×|Y| joint histogram first (domain-bounded — the
+    * caller's columns must be discrete), then
+    *
+    *   C = Σ_cells n(x,y)·Σ_{x'<x, y'<y} n,
+    *   D = Σ_cells n(x,y)·Σ_{x'<x, y'>y} n
+    *
+    * via two chained window prefix sums over the bounded grid (each
+    * unordered pair counted exactly once by its greater-x cell).
+    * Ties n₁/n₂ come from the marginals; everything is exact
+    * DECIMAL(38,0), and τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)) is one
+    * division over one sqrt of one exact product.
+    *
+    * Output (1 row): n_rows, concordant, discordant, ties_x, ties_y,
+    * tau_b (null when either side is constant — 0/0).
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = df.select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"))
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_n"))
+    val grid = h.select(col("_x")).distinct()
+      .crossJoin(h.select(col("_y")).distinct())
+      .join(h, Seq("_x", "_y"), "left")
+      .withColumn("_n", coalesce(col("_n"), lit(0L)))
+    // Σ_{y'<y} and Σ_{y'>y} within each x, then Σ_{x'<x} of those
+    val wyLt = Window.partitionBy(col("_x")).orderBy(col("_y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wyGt = Window.partitionBy(col("_x")).orderBy(col("_y"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wxLt = Window.partitionBy(col("_y")).orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = grid
+      .withColumn("_cyl", coalesce(sum(col("_n")).over(wyLt), lit(0L)))
+      .withColumn("_cyg", coalesce(sum(col("_n")).over(wyGt), lit(0L)))
+    val scanned = staged
+      .withColumn("_slt", coalesce(sum(col("_cyl")).over(wxLt), lit(0L)))
+      .withColumn("_sgt", coalesce(sum(col("_cyg")).over(wxLt), lit(0L)))
+    val cd = scanned.agg(
+      sum(col("_n").cast(dec) * col("_slt").cast(dec)).as("_c"),
+      sum(col("_n").cast(dec) * col("_sgt").cast(dec)).as("_d"))
+    val margs = h.agg(
+      sum(col("_n")).as("_nr"),
+      sum(col("_n").cast(dec) * (col("_n") - 1).cast(dec)).as("_txy2"))
+    val tx = h.groupBy(col("_x")).agg(sum(col("_n")).as("_t"))
+      .agg(sum(col("_t").cast(dec) * (col("_t") - 1).cast(dec)).as("_tx2"))
+    val ty = h.groupBy(col("_y")).agg(sum(col("_n")).as("_t"))
+      .agg(sum(col("_t").cast(dec) * (col("_t") - 1).cast(dec)).as("_ty2"))
+    cd.crossJoin(broadcast(margs))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("_nr").as("n_rows"),
+        col("_c").cast("long").as("concordant"),
+        col("_d").cast("long").as("discordant"),
+        (col("_tx2") / 2).cast("long").as("ties_x"),
+        (col("_ty2") / 2).cast("long").as("ties_y"),
+        {
+          val n0x2 = col("_nr").cast(dec) * (col("_nr") - 1).cast(dec)
+          val a = n0x2 - col("_tx2")
+          val b = n0x2 - col("_ty2")
+          when(a > 0 && b > 0,
+            ((col("_c") - col("_d")) * 2).cast("double") /
+              sqrt((a * b).cast("double"))).as("tau_b")
+        })
+  }
 }

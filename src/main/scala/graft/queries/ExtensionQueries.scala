@@ -4400,6 +4400,18 @@ object ExtensionQueries {
       tbl(s, dir, "documents").select(col("lang"), col("source")),
       Seq("lang", "source"), invEps = 2, seedTag = "dp_v1")
 
+  /** Kendall τ-b (q322): ordinal association between quantity and
+    * discount percent over the zero-filled 50×11 joint histogram —
+    * exact concordant/discordant counts from two chained prefix-sum
+    * windows, ties from the marginals, one division over one sqrt.
+    */
+  def qKendallTau(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranks.kendallTauB(
+      tbl(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_discount") * 100, 0).cast("long").as("disc_pct")),
+      "qty", "disc_pct")
+
   /** HITS hubs/authorities (q321): 4 integer-lattice rounds over the
     * DIRECTED supplier→part graph — suppliers are pure hubs, parts
     * pure authorities (the bipartite case HITS was built for), and
