@@ -292,7 +292,13 @@ object TextEval {
           .otherwise(array()
             .cast("array<struct<n:int,side:int,g:string>>"))
       }: _*))
-    val clip = df
+    // totals fall out of the SAME aggregate: Σ_cells cc at order n IS
+    // the order-n candidate gram total (every occurrence is counted
+    // in exactly one (doc, gram) cell) — so the whole metric is ONE
+    // corpus scan and one shuffle. An order dry on BOTH sides has no
+    // cells at all — the maxN-row order frame re-attaches it with
+    // zero totals (null F, matching the oracle's empty-aggregate row)
+    val perOrder = df
       .select(col(idCol).as("_id"),
         explode(concat(gramStructs(candCol, 0), gramStructs(refCol, 1)))
           .as("_s"))
@@ -300,20 +306,15 @@ object TextEval {
       .agg(sum(when(col("_s.side") === 0, 1L).otherwise(0L)).as("_cc"),
         sum(when(col("_s.side") === 1, 1L).otherwise(0L)).as("_rc"))
       .groupBy(col("n"))
-      .agg(sum(least(col("_cc"), col("_rc"))).as("clip_n"))
-    val totals = df.agg(
-      array((1 to maxN).map(n => struct(lit(n).as("n"),
-        sum(greatest(length(col(candCol)) - (n - 1), lit(0)))
-          .cast("long").as("c_n"),
-        sum(greatest(length(col(refCol)) - (n - 1), lit(0)))
-          .cast("long").as("r_n"))): _*).as("_t"))
-      .select(explode(col("_t")).as("_e"))
-      .select(col("_e.n").as("n"), col("_e.c_n").as("cand_total"),
-        col("_e.r_n").as("ref_total"))
-
-    val withF = totals.join(clip, Seq("n"), "left")
+      .agg(sum(least(col("_cc"), col("_rc"))).as("clip_n"),
+        sum(col("_cc")).as("cand_total"),
+        sum(col("_rc")).as("ref_total"))
+    val withF = df.sparkSession.range(1, maxN + 1)
+      .select(col("id").cast("int").as("n"))
+      .join(perOrder, Seq("n"), "left")
       .select(col("n"), coalesce(col("clip_n"), lit(0L)).as("clip_n"),
-        col("cand_total"), col("ref_total"))
+        coalesce(col("cand_total"), lit(0L)).as("cand_total"),
+        coalesce(col("ref_total"), lit(0L)).as("ref_total"))
       .withColumn("_den", lit(4).cast(dec) * col("ref_total").cast(dec) +
         col("cand_total").cast(dec))
       .withColumn("f_n", when(col("_den") > 0,
