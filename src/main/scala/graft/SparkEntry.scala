@@ -7904,26 +7904,20 @@ object SparkEntry {
         |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
         |  FROM adc QUALIFY rank <= 5)""".stripMargin
 
-  /** q321 oracle: the 4-round HITS fixed point unrolled — each
-    * half-step one join + one aggregate, normalization the exact
-    * HUGEINT floor division by the round's own total.
+  /** q321 oracle: 4 UNNORMALIZED HUGEINT power-iteration rounds
+    * unrolled (each half-step one join + one aggregate), then the
+    * single closing L1 normalization as exact floor division.
     */
   private def hitsSql: String = {
     val rounds = (1 to 4).map { i =>
       val hp = s"h${i - 1}"
       s""",
-ra$i AS (
-  SELECT e.dst AS node, CAST(SUM($hp.v) AS HUGEINT) AS raw
+a$i AS (
+  SELECT e.dst AS node, CAST(SUM($hp.v) AS HUGEINT) AS v
   FROM e JOIN $hp ON $hp.node = e.src GROUP BY 1),
-ta$i AS (SELECT SUM(raw) AS tot FROM ra$i),
-a$i AS (SELECT node, raw * sc.scale // ta$i.tot AS v
-  FROM ra$i, ta$i, sc),
-rh$i AS (
-  SELECT e.src AS node, CAST(SUM(a$i.v) AS HUGEINT) AS raw
-  FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1),
-th$i AS (SELECT SUM(raw) AS tot FROM rh$i),
-h$i AS (SELECT node, raw * sc.scale // th$i.tot AS v
-  FROM rh$i, th$i, sc)"""
+h$i AS (
+  SELECT e.src AS node, CAST(SUM(a$i.v) AS HUGEINT) AS v
+  FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1)"""
     }.mkString
     """WITH b AS (
       |  SELECT CAST(l_suppkey AS BIGINT) AS src,
@@ -7936,11 +7930,17 @@ h$i AS (SELECT node, raw * sc.scale // th$i.tot AS v
       |  FROM nodes),
       |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS v FROM nodes)""".stripMargin +
       rounds + """
+      |, ta AS (SELECT SUM(v) AS tot FROM a4),
+      |th AS (SELECT SUM(v) AS tot FROM h4)
       |SELECT n.node,
-      |  CAST(COALESCE(h4.v, 0) AS BIGINT) AS micro_hub,
-      |  CAST(COALESCE(a4.v, 0) AS BIGINT) AS micro_auth
-      |FROM nodes n LEFT JOIN h4 ON h4.node = n.node
-      |LEFT JOIN a4 ON a4.node = n.node""".stripMargin
+      |  CAST(COALESCE(h4.v * sc.scale // th.tot, 0) AS BIGINT)
+      |    AS micro_hub,
+      |  CAST(COALESCE(a4.v * sc.scale // ta.tot, 0) AS BIGINT)
+      |    AS micro_auth
+      |FROM nodes n
+      |LEFT JOIN h4 ON h4.node = n.node
+      |LEFT JOIN a4 ON a4.node = n.node
+      |CROSS JOIN sc CROSS JOIN ta CROSS JOIN th""".stripMargin
   }
 
   /** q304 oracle: the q291 planted pairs joined separator-free, char

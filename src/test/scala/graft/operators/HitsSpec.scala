@@ -12,8 +12,10 @@ class HitsSpec extends AnyFunSuite {
   test("hand-walked 2-round fixed point on a bipartite graph; pure " +
       "hubs/authorities score exact zero on the other side") {
     // s1 -> {p1, p2}, s2 -> {p1}; N = 4, scale = 4e6
-    // round 1: a = (2666666, 1333333); h = (2400000, 1600000)
-    // round 2: a = (2500000, 1500000); h = (2461538, 1538461)
+    // unnormalized: r1 a=(2e6,1e6) h=(3e6,2e6);
+    //               r2 a=(5e6,3e6) h=(8e6,5e6)
+    // closing L1 normalization: a = (2500000, 1500000),
+    //   h = (8·4e12 div 13e6, 5·4e12 div 13e6) = (2461538, 1538461)
     val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L))
       .toDF("src", "dst")
     val out = Hits.microHits(edges, iterations = 2)
