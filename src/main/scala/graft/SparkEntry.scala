@@ -618,7 +618,9 @@ object SparkEntry {
     // HITS hubs/authorities (integer L1-normalized fixed point)
     "q321_hits" -> (X.qHits _),
     // exact Kendall tau-b over the bounded joint histogram
-    "q322_kendall_tau" -> (X.qKendallTau _)
+    "q322_kendall_tau" -> (X.qKendallTau _),
+    // NMI + purity between two categorical columns (lattice-ln MI)
+    "q323_nmi_purity" -> (X.qNmi _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6292,6 +6294,47 @@ object SparkEntry {
         |  max_bal, min_bal
         |FROM g""".stripMargin,
     "q321_hits" -> hitsSql,
+    // NMI: G2-discipline lattice-ln cells, entropies from marginals,
+    // the 1/(N*1e8) factor cancels in the headline
+    "q323_nmi_purity" ->
+      """WITH c AS (
+        |  SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM c GROUP BY 1),
+        |mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells FROM c),
+        |il AS (
+        |  SELECT CAST(SUM(CAST(c.n AS HUGEINT) *
+        |    CAST(ROUND(ln(CAST(CAST(c.n AS HUGEINT) * t.nt AS DOUBLE)
+        |      / CAST(CAST(ma.na AS HUGEINT) * mb.nb AS DOUBLE))
+        |      * 100000000.0) AS BIGINT)) AS HUGEINT) AS i_lat
+        |  FROM c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t),
+        |ha AS (
+        |  SELECT CAST(SUM(CAST(na AS HUGEINT) *
+        |    CAST(ROUND(ln(CAST(t.nt AS DOUBLE) / CAST(na AS DOUBLE))
+        |      * 100000000.0) AS BIGINT)) AS HUGEINT) AS hv
+        |  FROM ma CROSS JOIN t),
+        |hb AS (
+        |  SELECT CAST(SUM(CAST(nb AS HUGEINT) *
+        |    CAST(ROUND(ln(CAST(t.nt AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      * 100000000.0) AS BIGINT)) AS HUGEINT) AS hv
+        |  FROM mb CROSS JOIN t),
+        |p AS (SELECT CAST(SUM(mx) AS BIGINT) AS pur FROM (
+        |  SELECT b, MAX(n) AS mx FROM c GROUP BY 1))
+        |SELECT t.nt AS n_rows, t.n_cells,
+        |  CAST(il.i_lat AS DOUBLE)
+        |    / (CAST(t.nt AS DOUBLE) * 100000000.0) AS mi,
+        |  CAST(ha.hv AS DOUBLE)
+        |    / (CAST(t.nt AS DOUBLE) * 100000000.0) AS h_a,
+        |  CAST(hb.hv AS DOUBLE)
+        |    / (CAST(t.nt AS DOUBLE) * 100000000.0) AS h_b,
+        |  CASE WHEN ha.hv > 0 AND hb.hv > 0 THEN
+        |    CAST(il.i_lat AS DOUBLE)
+        |      / sqrt(CAST(ha.hv * hb.hv AS DOUBLE)) END AS nmi,
+        |  CAST(p.pur AS DOUBLE) / CAST(t.nt AS DOUBLE) AS purity
+        |FROM il, ha, hb, t, p""".stripMargin,
     // Kendall tau-b: zero-filled grid, chained prefix-sum windows,
     // HUGEINT pair counts, one division over one sqrt
     "q322_kendall_tau" ->

@@ -4400,6 +4400,15 @@ object ExtensionQueries {
       tbl(s, dir, "documents").select(col("lang"), col("source")),
       Seq("lang", "source"), invEps = 2, seedTag = "dp_v1")
 
+  /** NMI + purity (q323): clustering-agreement readout between the
+    * corpus's lang and source columns — lattice-ln mutual
+    * information over the contingency cells with the 1/(N·10⁸)
+    * factor cancelled in the headline.
+    */
+  def qNmi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Contingency.nmiPurity(
+      tbl(s, dir, "documents"), "lang", "source")
+
   /** Kendall τ-b (q322): ordinal association between quantity and
     * discount percent over the zero-filled 50×11 joint histogram —
     * exact concordant/discordant counts from two chained prefix-sum

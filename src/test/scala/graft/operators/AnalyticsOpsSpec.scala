@@ -103,6 +103,21 @@ class ContingencySpec extends AnyFunSuite {
     assert(contrib == math.rint((30 - e) * (30 - e) / e * 1e6) / 1e6 ||
       (contrib - (30 - e) * (30 - e) / e).abs < 1e-6)
   }
+
+  test("NMI: perfect association scores exactly 1 (lattice cancels), " +
+      "independence scores 0, constant side nulls") {
+    def run(rows: Seq[(String, String)]) =
+      Contingency.nmiPurity(rows.toDF("a", "b"), "a", "b").collect()(0)
+    val perfect = run(Seq.fill(2)(("x", "x")) ++ Seq.fill(3)(("y", "y")))
+    assert(perfect.getLong(0) === 5L && perfect.getLong(1) === 2L)
+    assert(perfect.getDouble(5) === 1.0)  // I_lat == Ha_lat == Hb_lat
+    assert(perfect.getDouble(6) === 1.0)  // purity
+    val indep = run(Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")))
+    assert(indep.getDouble(2) === 0.0 && indep.getDouble(5) === 0.0)
+    assert(indep.getDouble(6) === 0.5)
+    val const = run(Seq(("x", "u"), ("x", "v")))
+    assert(const.isNullAt(5))
+  }
 }
 
 /** Per-key least-squares trend: exact moments, degenerate keys null. */
