@@ -620,7 +620,9 @@ object SparkEntry {
     // exact Kendall tau-b over the bounded joint histogram
     "q322_kendall_tau" -> (X.qKendallTau _),
     // NMI + purity between two categorical columns (lattice-ln MI)
-    "q323_nmi_purity" -> (X.qNmi _)
+    "q323_nmi_purity" -> (X.qNmi _),
+    // streaming JSON-conformance monitor (real micro-batch replay)
+    "q324_stream_json_audit" -> (X.qStreamJsonAudit _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6294,6 +6296,53 @@ object SparkEntry {
         |  max_bal, min_bal
         |FROM g""".stripMargin,
     "q321_hits" -> hitsSql,
+    // streaming JSON monitor: the q309 construction + json_valid
+    // checks with arithmetic 15-min windows (batch-parity oracle)
+    "q324_stream_json_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    CASE WHEN doc_id % 17 = 0 THEN doc_id + 1 ELSE doc_id END
+        |      AS idv,
+        |    CASE WHEN doc_id % 7 = 0 THEN ''
+        |         WHEN doc_id % 11 = 0
+        |           THEN ',"toks":"' || CAST(n_chars AS VARCHAR) || '"'
+        |         ELSE ',"toks":' || CAST(n_chars AS VARCHAR) END AS tk
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    '{"id":' || CAST(idv AS VARCHAR) || ',"lang":"' || lang
+        |      || '"' || tk || '}' AS body
+        |  FROM p),
+        |j0 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN substr(body, 1, len(body) - 1) ELSE body END AS j
+        |  FROM b),
+        |x AS (
+        |  SELECT doc_id, source, json_valid(j) AS ok,
+        |    CASE WHEN json_valid(j)
+        |      THEN json_extract_string(j, '$.id') END AS f_id,
+        |    CASE WHEN json_valid(j)
+        |      THEN json_extract_string(j, '$.lang') END AS f_lang,
+        |    CASE WHEN json_valid(j)
+        |      THEN json_extract_string(j, '$.toks') END AS f_toks
+        |  FROM j0),
+        |y AS (
+        |  SELECT doc_id, source, ok,
+        |    ok AND f_id IS NOT NULL AND f_lang IS NOT NULL
+        |      AND f_toks IS NOT NULL
+        |      AND regexp_matches(f_toks, '^[0-9]+$')
+        |      AND f_id = CAST(doc_id AS VARCHAR) AS cf
+        |  FROM x)
+        |SELECT strftime(make_timestamp(
+        |    ((doc_id * 60) // 900) * 900 * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_parsed,
+        |  CAST(SUM(CASE WHEN cf THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_conformant
+        |FROM y GROUP BY 1, 2""".stripMargin,
     // NMI: G2-discipline lattice-ln cells, entropies from marginals,
     // the 1/(N*1e8) factor cancels in the headline
     "q323_nmi_purity" ->

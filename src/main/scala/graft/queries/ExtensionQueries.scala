@@ -4400,6 +4400,60 @@ object ExtensionQueries {
       tbl(s, dir, "documents").select(col("lang"), col("source")),
       Seq("lang", "source"), invEps = 2, seedTag = "dp_v1")
 
+  /** Streaming JSON-conformance monitor (q324): the q309 sidecar
+    * audit INSIDE a real micro-batch replay — per-15-min-window
+    * per-source parse and all-checks-conformant counts on watermark
+    * close (the intake gate a crawl ingest runs live). The sidecar
+    * rides `event_type` as `source|json` (the replay harness's fixed
+    * schema) and the expected id rides `user_id`.
+    */
+  def qStreamJsonAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val idv = when(pmod(d, lit(17)) === 0, d + 1L).otherwise(d)
+    val tk = when(pmod(d, lit(7)) === 0, lit(""))
+      .when(pmod(d, lit(11)) === 0,
+        concat(lit(",\"toks\":\""), col("n_chars").cast("string"),
+          lit("\"")))
+      .otherwise(concat(lit(",\"toks\":"), col("n_chars").cast("string")))
+    val events = tbl(s, dir, "documents")
+      .withColumn("_body", concat(lit("{\"id\":"), idv.cast("string"),
+        lit(",\"lang\":\""), col("lang"), lit("\""), tk, lit("}")))
+      .select(d.as("user_id"), d.as("event_id"),
+        expr("timestamp_micros(doc_id * 60000000)").as("ts"),
+        concat(col("source"), lit("|"),
+          when(pmod(d, lit(13)) === 0,
+            expr("substring(_body, 1, length(_body) - 1)"))
+            .otherwise(col("_body"))).as("event_type"))
+    graft.streaming.EventStreams.replayToTable(
+      events,
+      df => {
+        val src = substring_index(col("event_type"), "|", 1)
+        val j = expr(
+          "substring(event_type, instr(event_type, '|') + 1)")
+        val ok = get_json_object(j, "$").isNotNull
+        val fid = when(ok, get_json_object(j, "$.id"))
+        val flang = when(ok, get_json_object(j, "$.lang"))
+        val ftoks = when(ok, get_json_object(j, "$.toks"))
+        val conform = ok && fid.isNotNull && flang.isNotNull &&
+          ftoks.isNotNull && ftoks.rlike("^[0-9]+$") &&
+          fid === col("user_id").cast("string")
+        df.withWatermark("ts", "0 seconds")
+          .withColumn("_src", src)
+          .withColumn("_ok", ok)
+          .withColumn("_cf", conform)
+          .groupBy(window(col("ts"), "15 minutes").as("win"),
+            col("_src").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("_ok"), 1L).otherwise(0L)).as("n_parsed"),
+            sum(when(col("_cf"), 1L).otherwise(0L)).as("n_conformant"))
+          .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"), col("source"), col("n_docs"),
+            col("n_parsed"), col("n_conformant"))
+      },
+      horizonSeconds = 3600, numBatches = 3)
+      .filter(col("source").isNotNull)
+  }
+
   /** NMI + purity (q323): clustering-agreement readout between the
     * corpus's lang and source columns — lattice-ln mutual
     * information over the contingency cells with the 1/(N·10⁸)
