@@ -622,7 +622,9 @@ object SparkEntry {
     // NMI + purity between two categorical columns (lattice-ln MI)
     "q323_nmi_purity" -> (X.qNmi _),
     // streaming JSON-conformance monitor (real micro-batch replay)
-    "q324_stream_json_audit" -> (X.qStreamJsonAudit _)
+    "q324_stream_json_audit" -> (X.qStreamJsonAudit _),
+    // packing fragmentation per candidate context length
+    "q325_packing_report" -> (X.qPackingFragmentation _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6296,6 +6298,38 @@ object SparkEntry {
         |  max_bal, min_bal
         |FROM g""".stripMargin,
     "q321_hits" -> hitsSql,
+    // packing report: one global prefix sum, per-budget arithmetic
+    "q325_packing_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+        |    ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END
+        |    AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    SUM(n) OVER (ORDER BY doc_id) - n AS st
+        |  FROM t),
+        |e AS (
+        |  SELECT o.doc_id, o.n, o.st, b.budget
+        |  FROM o CROSS JOIN (SELECT UNNEST([CAST(128 AS BIGINT),
+        |    CAST(512 AS BIGINT), CAST(2048 AS BIGINT)]) AS budget) b),
+        |f AS (
+        |  SELECT budget, n, st,
+        |    n > 0 AND st // budget <> (st + n - 1) // budget AS sp,
+        |    CASE WHEN n > 0 AND st // budget <> (st + n - 1) // budget
+        |      THEN n - (budget - st % budget) ELSE 0 END AS cr
+        |  FROM e)
+        |SELECT budget, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST((SUM(n) + budget - 1) // budget AS BIGINT) AS n_packs,
+        |  CAST(SUM(CASE WHEN sp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split_docs,
+        |  CAST(SUM(CASE WHEN sp THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS split_frac,
+        |  CAST(SUM(cr) AS BIGINT) AS n_cross_tokens,
+        |  CAST(SUM(cr) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+        |    AS cross_frac
+        |FROM f GROUP BY 1""".stripMargin,
     // streaming JSON monitor: the q309 construction + json_valid
     // checks with arithmetic 15-min windows (batch-parity oracle)
     "q324_stream_json_audit" ->

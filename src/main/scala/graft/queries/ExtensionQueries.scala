@@ -4400,6 +4400,17 @@ object ExtensionQueries {
       tbl(s, dir, "documents").select(col("lang"), col("source")),
       Seq("lang", "source"), invEps = 2, seedTag = "dp_v1")
 
+  /** Packing-fragmentation report (q325): split-doc and
+    * boundary-crossing-token fractions at three candidate context
+    * lengths over the corpus token stream — offsets computed once,
+    * every budget pure arithmetic.
+    */
+  def qPackingFragmentation(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packingFragmentation(
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCountArithmetic(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", budgets = Seq(128L, 512L, 2048L))
+
   /** Streaming JSON-conformance monitor (q324): the q309 sidecar
     * audit INSIDE a real micro-batch replay — per-15-min-window
     * per-source parse and all-checks-conformant counts on watermark

@@ -264,4 +264,19 @@ class SamplingPackingSpec extends AnyFunSuite {
     val all = Sampling.budgetByScore(df, "doc_id", "score", "tok", 1000L)
     assert(all.count() === 6L)
   }
+
+  test("packing fragmentation: hand-walked splits and crossing " +
+      "tokens at one budget; packs are the exact ceiling") {
+    // offsets 0/5/15 at B=8: doc2 [5,14] splits (cross 7),
+    // doc3 [15,17] splits (cross 3 - (8-7) = 2)
+    val df = Seq((1L, 5L), (2L, 10L), (3L, 3L)).toDF("doc_id", "n")
+    val r = Packing.packingFragmentation(df, "doc_id", "n", Seq(8L))
+      .collect()(0)
+    assert(r.getLong(0) === 8L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 18L && r.getLong(3) === 3L) // ceil(18/8)
+    assert(r.getLong(4) === 2L)
+    assert(r.getDouble(5) === 2.0 / 3.0)
+    assert(r.getLong(6) === 9L)
+    assert(r.getDouble(7) === 0.5)
+  }
 }
