@@ -563,4 +563,36 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(scans <= 2, s"expected at most two documents scans:\n$plan")
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("q319: the mu-law audit is a zero-shuffle projection in codegen") {
+    val plan = planOf("q319_ulaw_pcm")
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    val conf = spark.conf
+    val before = conf.get("spark.sql.codegen.fallback", "true")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(graft.SparkEntry.queries("q319_ulaw_pcm")(spark, sfDir)
+        .count() > 0)
+    } finally conf.set("spark.sql.codegen.fallback", before)
+  }
+
+  test("q320/q322/q323: compositions never degrade to cartesians or " +
+      "corpus-side merge joins") {
+    for (q <- Seq("q320_golden_records", "q322_kendall_tau",
+      "q323_nmi_purity")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+    assert(!planOf("q323_nmi_purity").contains("SortMergeJoin"))
+  }
+
+  test("q325: offsets cost at most the two-level prefix-sum scans; " +
+      "bases ride a broadcast") {
+    val plan = planOf("q325_packing_report")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected at most two documents scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
