@@ -8030,13 +8030,13 @@ object SparkEntry {
         |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
         |  FROM adc QUALIFY rank <= 5)""".stripMargin
 
-  /** q321 oracle: 4 UNNORMALIZED HUGEINT power-iteration rounds
-    * unrolled (each half-step one join + one aggregate), then the
-    * single closing L1 normalization as exact floor division.
+  /** q321 oracle: 4 HUGEINT power-iteration rounds unrolled with the
+    * operator's ONE exact mid-point renormalization after round 2
+    * (magnitude cap) and the closing L1 normalization — every rescale
+    * the same exact floor division.
     */
   private def hitsSql: String = {
-    val rounds = (1 to 4).map { i =>
-      val hp = s"h${i - 1}"
+    def stepPair(i: Int, hp: String): String =
       s""",
 a$i AS (
   SELECT e.dst AS node, CAST(SUM($hp.v) AS HUGEINT) AS v
@@ -8044,7 +8044,13 @@ a$i AS (
 h$i AS (
   SELECT e.src AS node, CAST(SUM(a$i.v) AS HUGEINT) AS v
   FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1)"""
-    }.mkString
+    val r12 = stepPair(1, "h0") + stepPair(2, "h1")
+    val renorm = """,
+ta2 AS (SELECT SUM(v) AS tot FROM a2),
+th2 AS (SELECT SUM(v) AS tot FROM h2),
+a2n AS (SELECT node, v * sc.scale // ta2.tot AS v FROM a2, ta2, sc),
+h2n AS (SELECT node, v * sc.scale // th2.tot AS v FROM h2, th2, sc)"""
+    val r34 = stepPair(3, "h2n") + stepPair(4, "h3")
     """WITH b AS (
       |  SELECT CAST(l_suppkey AS BIGINT) AS src,
       |    CAST(l_partkey AS BIGINT) + 10000000 AS dst
@@ -8055,7 +8061,7 @@ h$i AS (
       |sc AS (SELECT CAST(COUNT(*) AS HUGEINT) * 1000000 AS scale
       |  FROM nodes),
       |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS v FROM nodes)""".stripMargin +
-      rounds + """
+      r12 + renorm + r34 + """
       |, ta AS (SELECT SUM(v) AS tot FROM a4),
       |th AS (SELECT SUM(v) AS tot FROM h4)
       |SELECT n.node,

@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   * normalization exists only to stop float overflow — exact decimals
   * don't need it, and a mid-loop total would force a materialization
   * barrier per half-step), and the L1 sum-normalization
-  * score = (raw · N·10⁶) div Σraw happens ONCE at the end as an
-  * exact floor division. No IEEE anywhere; any engine replays the
-  * fixed point bit-exactly. Magnitude bound: values grow ≤ ×(Σdeg)
-  * per half-step — 38 decimal digits hold ~4 rounds at
-  * billion-edge scale (the declared round count; raise the scale
-  * analysis before raising `iterations` past ~6 on dense graphs).
+  * score = (raw · N·10⁶) div Σraw happens at ONE mid-point and once
+  * at the end, both exact floor divisions. No IEEE anywhere; any
+  * engine replays the fixed point bit-exactly. Magnitude bound:
+  * values grow ≤ ×(side mass) per half-step; the mid-point
+  * renormalization (measured necessary by ProbeScaleEval — a
+  * K_{2000,500} graph overflowed 38 digits by round 4 without it)
+  * caps each unnormalized stretch at ⌈iterations/2⌉ rounds.
   *
   * Scale shape: per half-step ONE equi-join of the narrow score
   * frame against the cached distinct edge list and one
@@ -55,15 +56,22 @@ object Hits {
         .groupBy(col("dst").as("node")).agg(sum(col("_v")).as("_v"))
       h = e.join(a.select(col("node").as("dst"), col("_v")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("_v")).as("_v"))
-      // deep chains only need severing every 4 rounds (8 lazy joins);
-      // no frame in the loop is consumed twice, so there is no
-      // recompute to pin against until the closing normalization
-      if (i % 4 == 0 && i < iterations) {
+      // ONE exact mid-point renormalization bounds the decimal
+      // magnitude: unnormalized growth is ×(side mass) per half-step
+      // and K_{2000,500}-dense graphs overflow 38 digits by round 4
+      // (found by ProbeScaleEval — the closing rescale's v·scale
+      // product went null). Renormalizing once at ⌊iters/2⌋ caps the
+      // remaining growth while keeping every other round lazy.
+      if (iterations >= 3 && i == iterations / 2) {
         a = a.localCheckpoint(); h = h.localCheckpoint()
+        a = normalize(a, "_m")
+          .select(col("node"), col("_m").cast(dec).as("_v"))
+        h = normalize(h, "_m")
+          .select(col("node"), col("_m").cast(dec).as("_v"))
       }
     }
     // the totals AND the rescale consume each final frame — pin ONCE
-    // so the whole 2·iterations-join chain executes exactly once
+    // so the whole chain executes exactly once
     a = a.localCheckpoint(); h = h.localCheckpoint()
 
     def normalize(f: DataFrame, out: String): DataFrame = {
