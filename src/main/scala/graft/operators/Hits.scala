@@ -14,74 +14,152 @@ import org.apache.spark.sql.functions._
   * structural improvement over the textbook loop: the power
   * iteration runs UNNORMALIZED on DECIMAL(38,0) (per-round
   * normalization exists only to stop float overflow — exact decimals
-  * don't need it, and a mid-loop total would force a materialization
-  * barrier per half-step), and the L1 sum-normalization
-  * score = (raw · N·10⁶) div Σraw happens at ONE mid-point and once
-  * at the end, both exact floor divisions. No IEEE anywhere; any
-  * engine replays the fixed point bit-exactly. Magnitude bound:
-  * values grow ≤ ×(side mass) per half-step; the mid-point
-  * renormalization (measured necessary by ProbeScaleEval — a
-  * K_{2000,500} graph overflowed 38 digits by round 4 without it)
-  * caps each unnormalized stretch at ⌈iterations/2⌉ rounds.
+  * don't need it), and the L1 sum-normalization
+  * score = (raw · N·10⁶) div Σraw is an exact floor division applied
+  * once per 2-round stretch and once at the end. No IEEE anywhere;
+  * any engine replays the fixed point bit-exactly. Magnitude
+  * discipline: values grow ≤ ×(opposing side mass) per half-step, so
+  * every unnormalized stretch is capped at 2 rounds (the envelope
+  * ProbeScaleEval measures on dense complete-bipartite graphs at 8
+  * rounds) — and because the only null source in the rescale is a
+  * 38-digit overflow (inputs are non-null by construction), the
+  * normalize step RAISES on a null product instead of letting the
+  * closing left-join coalesce read it as a legitimate 0.
   *
-  * Scale shape: per half-step ONE equi-join of the narrow score
-  * frame against the cached distinct edge list and one
-  * map-side-combinable aggregate — all rounds batch LAZILY into one
-  * job (the PageRank recipe; localCheckpoint severs lineage every
-  * other round), and only the two closing totals ride 1-row
-  * broadcasts. Pure hubs / pure authorities surface with an exact 0.
+  * Scale shape (the PageRank cached-edge regime): the distinct edge
+  * list is cached TWICE, clustered by `src` and by `dst`, so BOTH
+  * half-step joins find the edge side pre-partitioned — per
+  * half-step the only data motion is the narrow score frame
+  * (broadcast when the node set fits an executor, shuffle-hash
+  * against the clustered cache otherwise) plus the map-side-combined
+  * aggregate exchange. No edge re-shuffle and no per-round sort
+  * anywhere; all rounds batch LAZILY into one job, and only the
+  * closing totals ride 1-row broadcasts. Pure hubs / pure
+  * authorities surface with an exact 0.
   */
 object Hits {
 
   private val dec = "decimal(38,0)"
 
-  /** @return (node, micro_hub, micro_auth) after `iterations` full
+  /** One shuffle builds the src-clustered distinct edge cache (dedup
+    * is partition-local under HashPartitioning(src)); one more
+    * clusters its twin by dst. Package-private so the plan spec pins
+    * the exact production shape.
+    */
+  private[graft] def edgeCaches(edges: DataFrame): (DataFrame, DataFrame) = {
+    val eBySrc = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).dropDuplicates("src", "dst").persist()
+    val eByDst = eBySrc.repartition(col("dst")).persist()
+    (eBySrc, eByDst)
+  }
+
+  /** One HITS half-step: pull each node's score across the edges
+    * whose `joinKey` endpoint it is, summing per `outKey` endpoint.
+    * Regime-dependent cache pick, both shuffle-minimal:
+    *
+    *   - broadcast (small node sets): the score frame broadcasts, so
+    *     the JOIN constrains nothing — stream the cache clustered by
+    *     the OUTPUT key and the aggregate becomes partition-local. A
+    *     half-step is then scan + broadcast probe + local agg with
+    *     ZERO shuffles (measured 4-5× the src-matched-cache shape,
+    *     whose agg exchange was the whole floor).
+    *   - shuffle-hash (node sets beyond an executor): the join
+    *     itself needs co-partitioning, so stream the cache clustered
+    *     by the JOIN key (edge side never re-shuffles, no sort) and
+    *     pay the one map-side-combined aggregate exchange.
+    */
+  private[graft] def halfStep(eJoinKey: DataFrame, eOutKey: DataFrame,
+      scores: DataFrame, joinKey: String, outKey: String,
+      bcast: Boolean): DataFrame = {
+    val s = scores.withColumnRenamed("node", joinKey)
+    val joined =
+      if (bcast) eOutKey.join(broadcast(s), Seq(joinKey))
+      else eJoinKey.join(s.hint("shuffle_hash"), Seq(joinKey))
+    joined.groupBy(col(outKey).as("node")).agg(sum(col("_v")).as("_v"))
+  }
+
+  /** @param broadcastThreshold node-count ceiling for the broadcast
+    *              regime (the [[PageRank]] knob); above it the score
+    *              frame shuffle-hash-joins against the clustered
+    *              edge caches instead.
+    * @return (node, micro_hub, micro_auth) after `iterations` full
     *         hub+authority rounds; Σ of each side ≈ N·10⁶.
     */
-  def microHits(edges: DataFrame, iterations: Int): DataFrame = {
+  def microHits(edges: DataFrame, iterations: Int,
+      broadcastThreshold: Long = 4000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 8,
       s"iterations out of the decimal-headroom envelope: $iterations")
-    val e = edges.select(col("src"), col("dst")).distinct().persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val scaleRow = nodes.agg(count(lit(1)).as("_n"))
-      .select((col("_n").cast(dec) * lit(1000000L).cast(dec))
-        .as("_scale")).localCheckpoint()
+    val (eBySrc, eByDst) = edgeCaches(edges)
+    val nodes = eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst").as("node"))).distinct().persist()
+    // the ONE eager setup job: materializes the src-clustered edge
+    // cache en route and yields both the broadcast-regime pick and
+    // the exact N·10⁶ normalization scale (a literal — the r10 shape
+    // spent a separate checkpoint job plus a per-normalize crossJoin
+    // on a 1-row scale frame for the same number)
+    val n = nodes.count()
+    val bcast = n <= broadcastThreshold
+    val scale = lit(new java.math.BigDecimal(
+      (BigInt(n) * 1000000).bigInteger)).cast(dec)
 
+    def normalize(f: DataFrame, out: String): DataFrame = {
+      val tot = f.agg(sum(col("_v")).as("_tot"))
+      f.crossJoin(broadcast(tot))
+        .select(col("node"), {
+          val x = col("_v") * scale
+          val q = ((x - pmod(x, col("_tot"))) / col("_tot")).cast("long")
+          // _v and _tot are non-null by construction (sums of
+          // non-null decimals over non-empty frames), so a null
+          // product here is exactly a DECIMAL(38,0) overflow that
+          // non-ANSI mode swallowed — and the closing left-join
+          // coalesce would silently turn it into a plausible 0 score.
+          // Fail loudly instead (ADVICE r10).
+          when(x.isNull, raise_error(concat(
+              lit("HITS decimal overflow in normalize at node "),
+              col("node").cast("string"),
+              lit(" — graph too dense for the 2-round stretch envelope"))))
+            .otherwise(q).as(out)
+        })
+    }
+
+    // Pinning discipline: normalize consumes its input TWICE (total
+    // + rescale), so a lazy loop DOUBLES the logical tree per renorm
+    // stretch — and persist() does NOT contain it, because cache
+    // substitution happens at PHYSICAL planning while the analyzer/
+    // optimizer still walk the exponential logical tree (measured ×3
+    // wall per extra stretch at 6-8 rounds, all driver time). The
+    // pin is therefore an EAGER localCheckpoint — logical lineage
+    // truncates to the materialized blocks — placed so every
+    // half-step computes exactly once: only h renormalizes mid-loop
+    // (the renormalized a is DEAD — round i+1 rebuilds a from h —
+    // so the r10 shape's a-side mid-point normalize was pure plan
+    // weight; the ORACLE's unrolled a2n CTE is likewise unread), and
+    // in the final round a pins BEFORE h consumes it, so pinning h
+    // replays nothing.
+    def pin(f: DataFrame): DataFrame = f.localCheckpoint()
     var h = nodes.select(col("node"),
       lit(1000000L).cast(dec).as("_v"))
     var a: DataFrame = null
     for (i <- 1 to iterations) {
-      a = e.join(h.select(col("node").as("src"), col("_v")), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("_v")).as("_v"))
-      h = e.join(a.select(col("node").as("dst"), col("_v")), "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("_v")).as("_v"))
-      // ONE exact mid-point renormalization bounds the decimal
-      // magnitude: unnormalized growth is ×(side mass) per half-step
-      // and K_{2000,500}-dense graphs overflow 38 digits by round 4
-      // (found by ProbeScaleEval — the closing rescale's v·scale
-      // product went null). Renormalizing once at ⌊iters/2⌋ caps the
-      // remaining growth while keeping every other round lazy.
-      if (iterations >= 3 && i == iterations / 2) {
-        a = a.localCheckpoint(); h = h.localCheckpoint()
-        a = normalize(a, "_m")
-          .select(col("node"), col("_m").cast(dec).as("_v"))
-        h = normalize(h, "_m")
+      a = halfStep(eBySrc, eByDst, h, "src", "dst", bcast)
+      if (i == iterations) a = pin(a)
+      h = halfStep(eByDst, eBySrc, a, "dst", "src", bcast)
+      // Exact renormalization of h every SECOND round bounds the
+      // decimal magnitude: unnormalized growth is ×(side mass) per
+      // half-step and K_{2000,500}-dense graphs overflow 38 digits
+      // by round 4 (found by ProbeScaleEval — the closing rescale's
+      // v·scale product went null). A 2-round stretch is the
+      // envelope the probe validates through 8 rounds. (The r10
+      // single-mid-point placement let 6-8-iteration runs regrow a
+      // 4-round stretch — exactly the undetected-overflow window
+      // ADVICE r10 flagged.)
+      if (iterations >= 3 && i % 2 == 0 && i < iterations) {
+        h = normalize(pin(h), "_m")
           .select(col("node"), col("_m").cast(dec).as("_v"))
       }
+      if (i == iterations) h = pin(h)
     }
-    // the totals AND the rescale consume each final frame — pin ONCE
-    // so the whole chain executes exactly once
-    a = a.localCheckpoint(); h = h.localCheckpoint()
 
-    def normalize(f: DataFrame, out: String): DataFrame = {
-      val tot = f.agg(sum(col("_v")).as("_tot"))
-      f.crossJoin(broadcast(tot)).crossJoin(broadcast(scaleRow))
-        .select(col("node"), {
-          val x = col("_v") * col("_scale")
-          ((x - pmod(x, col("_tot"))) / col("_tot")).cast("long").as(out)
-        })
-    }
     val out = nodes
       .join(normalize(h, "micro_hub"), Seq("node"), "left")
       .join(normalize(a, "micro_auth"), Seq("node"), "left")
@@ -89,7 +167,7 @@ object Hits {
         coalesce(col("micro_hub"), lit(0L)).as("micro_hub"),
         coalesce(col("micro_auth"), lit(0L)).as("micro_auth"))
       .localCheckpoint()
-    e.unpersist(); nodes.unpersist()
+    eBySrc.unpersist(); eByDst.unpersist(); nodes.unpersist()
     out
   }
 }

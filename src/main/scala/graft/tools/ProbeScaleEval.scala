@@ -103,12 +103,18 @@ object ProbeScaleEval {
     }
 
     // ── 3. HITS: complete bipartite regularity ────────────────────────
-    for ((s0, p0) <- Seq((2000L, 500L), (2000L, 1000L))) {
+    // 8 rounds is the FULL `require` envelope: with the every-2-round
+    // renormalization, K_{2000,500} density must survive all 8 (the
+    // r10 single-mid-point placement overflowed 38 digits on the
+    // rounds-5-8 stretch — exactly the window ADVICE r10 flagged; the
+    // normalize raise_error would now fail this probe loudly).
+    for ((s0, p0) <- Seq((2000L, 500L), (2000L, 1000L));
+         rounds <- Seq(4, 8)) {
       val edges = spark.range(s0 * p0).select(
         (col("id") / p0).cast("long").as("src"),
         (lit(s0) + pmod(col("id"), lit(p0))).as("dst"))
-      val out = t(s"HITS 4 rounds (K_{$s0,$p0}: ${s0 * p0} edges)") {
-        Hits.microHits(edges, 4).collect()
+      val out = t(s"HITS $rounds rounds (K_{$s0,$p0}: ${s0 * p0} edges)") {
+        Hits.microHits(edges, rounds).collect()
       }
       val nTot = s0 + p0
       val hub = nTot * 1000000L / s0

@@ -587,6 +587,59 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!planOf("q323_nmi_purity").contains("SortMergeJoin"))
   }
 
+  test("q321: a HITS half-step never re-shuffles the cached edge list " +
+      "(both regimes)") {
+    // the r10 shape shuffled the full edge list against the score
+    // frame twice per round — this pins the dual-cache fix: the edge
+    // side of every half-step is an InMemoryTableScan already
+    // clustered by the key the join (shj) or the aggregate (bcast)
+    // needs, so the only exchanges left are on the narrow score side
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // tree collect, not string match: InMemoryRelation renders its
+    // cache-BUILD plan (which legitimately contains the clustering
+    // exchange) into the string, but holds it as a field, not a
+    // child — traversal counts only the half-step's own shuffles
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      p.collect { case s: ShuffleExchangeLike => s }.size
+    }
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L))
+      .toDF("src", "dst")
+    val (eBySrc, eByDst) = graft.operators.Hits.edgeCaches(edges)
+    try {
+      eBySrc.count(); eByDst.count()
+      val h = spark.range(4).select(col("id").as("node"),
+        lit(1000000L).cast("decimal(38,0)").as("_v"))
+      // broadcast regime: scan + broadcast probe + PARTITION-LOCAL
+      // agg (the dst-clustered cache already satisfies the grouping)
+      // — zero shuffles anywhere
+      val bc = graft.operators.Hits
+        .halfStep(eBySrc, eByDst, h, "src", "dst", bcast = true)
+      assert(bc.queryExecution.executedPlan.toString()
+        .contains("BroadcastHashJoin"))
+      assert(shuffles(bc) == 0,
+        "broadcast half-step shuffles (agg no longer partition-local " +
+          "against the dst-clustered cache?):\n" +
+          bc.queryExecution.executedPlan)
+      // shuffle-hash regime: the score frame pays the join exchange
+      // and the aggregate pays one — the src-clustered edge cache
+      // pays NONE (a third exchange means the cache re-shuffled)
+      val shj = graft.operators.Hits
+        .halfStep(eBySrc, eByDst, h, "src", "dst", bcast = false)
+      assert(shj.queryExecution.executedPlan.toString()
+        .contains("ShuffledHashJoin"))
+      assert(shuffles(shj) == 2,
+        s"expected exactly 2 score-side exchanges, got ${shuffles(shj)}:\n" +
+          shj.queryExecution.executedPlan)
+    } finally { eBySrc.unpersist(); eByDst.unpersist() }
+  }
+
   test("q325: offsets cost at most the two-level prefix-sum scans; " +
       "bases ride a broadcast") {
     val plan = planOf("q325_packing_report")
