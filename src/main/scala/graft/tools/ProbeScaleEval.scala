@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Hits, TextEval}
@@ -123,6 +123,81 @@ object ProbeScaleEval {
         val (node, h, a) = (r.getLong(0), r.getLong(1), r.getLong(2))
         if (node < s0) h == hub && a == 0L else h == 0L && a == auth
       }, s"regular-graph invariant broken (want hub=$hub auth=$auth)")
+    }
+
+    // ── 4. SemDeDup: Σ|cell|² stays linear at 10-40× volume ──────────
+    // Corpus: signed md5-uniform 16-dim vectors (pairwise cosines
+    // concentrate near 0), a 6% near-identical hot cluster (all
+    // mutual cosines ≈ 1), and the first 1000 ids planted as exact
+    // twin pairs (2i, 2i+1 identical). Threshold 0.99 means the ONLY
+    // duplicates are twins and hot-cluster cell-mates, so the
+    // planted truths are: every odd twin is a dup of exactly its
+    // even partner, and the hot cluster's keep-count equals its
+    // final-cell count. Two legs per volume:
+    //   - adaptive first level (nlist=0): cells track targetCellSize
+    //     as n grows — no quadratic anywhere without a second level
+    //   - deliberately undersized first level (nlist=16): every cell
+    //     breaches 2·target, forcing the second-level split — the
+    //     Σ|cell|² bound must then come from the split alone
+    val tgt = 256L
+    def vecExpr(idc: Column): Column = {
+      // 16 signed doubles per id from two md5 draws (8 hex chars →
+      // uniform in [-1,1]); the hot cluster (6% of ids, chosen by a
+      // THIRD independent draw so twin pairs stay out) collapses
+      // onto one direction with an id-proportional 1e-6 jitter
+      def u(seed: String) = (0 until 8).map { i =>
+        (conv(substring(md5(concat(idc.cast("string"), lit(seed))),
+          i * 4 + 1, 4), 16, 10).cast("double") / 32767.5) - 1.0
+      }
+      val base = array((u("a") ++ u("b")).map(_.cast("float")): _*)
+      val hotv = array((Seq(
+        lit(10.0) + idc.cast("double") * 1e-6,
+        lit(10.0) - idc.cast("double") * 1e-6) ++
+        Seq.fill(14)(lit(0.0))).map(_.cast("float")): _*)
+      when(idc >= 1000 &&
+        substring(md5(concat(idc.cast("string"), lit("hot"))), 1, 2) < "10",
+        hotv).otherwise(base)
+    }
+    for (n <- Seq(20000L, 80000L); forcedNlist <- Seq(0, 16)) {
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        vecExpr(col("id")).as("embedding"))
+        .withColumn("embedding",
+          when(col("vec_id") < 1000 && pmod(col("vec_id"), lit(2)) === 1,
+            vecExpr(col("vec_id") - 1)).otherwise(col("embedding")))
+        .localCheckpoint()
+      val label = if (forcedNlist == 0) "adaptive nlist"
+        else s"forced nlist=$forcedNlist (every cell splits)"
+      val out = t(s"SemDeDup $n vectors, target cell $tgt, $label") {
+        graft.operators.SemanticDedup.semanticDedup(
+          vecs, "vec_id", "embedding", nlist = forcedNlist,
+          threshold = 0.99, targetCellSize = tgt)
+          .localCheckpoint()
+      }
+      // planted truth 1: odd twins are duplicates of exactly their
+      // even partner (nothing else reaches cosine 0.99 for them)
+      val twins = out.filter(col("vec_id") < 1000 &&
+        pmod(col("vec_id"), lit(2)) === 1)
+      val twinBad = twins.filter(col("dup_of").isNull ||
+        col("dup_of") =!= col("vec_id") - 1).count()
+      assert(twinBad == 0L, s"$twinBad twins mis-deduped")
+      // planted truth 2: hot-cluster survivors = its final cells
+      val hot = out.filter(col("vec_id") >= 1000 &&
+        substring(md5(concat(col("vec_id").cast("string"), lit("hot"))),
+          1, 2) < "10")
+      val hotKeep = hot.filter(col("keep")).count()
+      val hotCells = hot.select("cell").distinct().count()
+      assert(hotKeep == hotCells,
+        s"hot survivors $hotKeep != hot cells $hotCells")
+      // the scale bound: Σ|cell|² ≤ n · 4·target — linear in n with a
+      // constant tied to the target, never to the corpus
+      val sq = out.groupBy("cell").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("s"), max(col("c")).as("m"))
+        .head
+      val (sumSq, maxCell) = (sq.getLong(0), sq.getLong(1))
+      assert(sumSq <= n * 4 * tgt,
+        s"quadratic cells: sum sq $sumSq > ${n * 4 * tgt}")
+      println(f"[probe-scale-eval]   cells: max $maxCell, " +
+        f"sum-sq/n = ${sumSq.toDouble / n}%.0f (bound ${4 * tgt})")
     }
 
     println("[probe-scale-eval] all planted truths exact")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, max}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -70,6 +71,76 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(got == reference())
     // fixture sanity: at least one duplicate found and one survivor
     assert(got.values.exists(!_._3) && got.values.exists(_._3))
+  }
+
+  test("runaway cell splits at the second level: hot members spread " +
+      "over sub-cells, composite ids collide with nothing, identical " +
+      "pairs still caught, deterministic") {
+    // 60 near-identical vectors on a tight 1-D line (one first-level
+    // cell under nlist=2 captures them all: 60 > 2·targetCellSize=16)
+    // plus 6 scattered; two planted identical pairs inside the hot
+    // region must still dedup — identical values assign identically
+    // at BOTH levels
+    val hot = (0 until 60).map(j =>
+      (100L + j, Seq(10f + 0.001f * j, 10f - 0.001f * j, 0f)))
+    val planted = Seq(
+      (300L, Seq(10.5f, 10.5f, 0f)), (301L, Seq(10.5f, 10.5f, 0f)),
+      (302L, Seq(10.2f, 10.2f, 0.001f)), (303L, Seq(10.2f, 10.2f, 0.001f)))
+    val cold = Seq(
+      (1L, Seq(-5f, 0f, 0f)), (2L, Seq(0f, -5f, 0f)),
+      (3L, Seq(0f, 0f, -5f)), (4L, Seq(-3f, -3f, 0f)),
+      (5L, Seq(0f, -3f, 3f)), (6L, Seq(3f, 0f, -4f)))
+    val df = (hot ++ planted ++ cold).toDF("vec_id", "embedding")
+    def run() = SemanticDedup.semanticDedup(df, "vec_id", "embedding",
+        nlist = 2, threshold = 0.999, salt = Salt, targetCellSize = 8L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(4))).sortBy(_._1)
+    val out = run()
+    assert(out.map(_._1).toSeq == df.select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+    val hotIds = (hot ++ planted).map(_._1).toSet
+    val hotCells = out.filter(r => hotIds(r._1)).map(_._2).distinct
+    assert(hotCells.length >= 4,
+      s"oversized cell did not split: ${hotCells.toSeq}")
+    // composite id arithmetic: cell mod nlist recovers the
+    // first-level cell, so split ids never collide with the other
+    // first-level cell's
+    val cellSizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(cellSizes.values.max < 30,
+      s"split left a runaway cell: ${cellSizes.toMap}")
+    // identical planted pairs: the higher id is ALWAYS a duplicate
+    // (its twin shares every assignment decision, so they co-locate
+    // at both levels and cosine is exactly 1) — dup_of is the
+    // smallest qualifying cell-mate, which may be an even lower
+    // hot-line id in the same sub-cell
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(301L)._3.exists(_ <= 300L) && !byId(301L)._4)
+    assert(byId(303L)._3.exists(_ <= 302L) && !byId(303L)._4)
+    // within every final cell exactly the minimum id survives among
+    // mutually-duplicate hot members ⇒ keep-count equals cell count
+    // on the tight line (all mutual cosines > 0.999)
+    val lineIds = hot.map(_._1).toSet
+    val lineCells = out.filter(r => lineIds(r._1))
+    assert(lineCells.count(_._4) == lineCells.map(_._2).distinct.length)
+    // value-determinism: a second run replays bit-identically
+    assert(out.toSeq == run().toSeq)
+  }
+
+  test("adaptive nlist derives the first level from the corpus") {
+    assert(SemanticDedup.derivedNlist(100L, 65536L) == 16)
+    assert(SemanticDedup.derivedNlist(1000000L, 65536L) == 16)
+    assert(SemanticDedup.derivedNlist(10000000L, 65536L) == 153)
+    assert(SemanticDedup.derivedNlist(Long.MaxValue / 2, 65536L) == 65536)
+    // derived path end-to-end: 90 vectors, target 8 → 12 clamps to 16
+    val df = (0 until 90).map(j =>
+      (j.toLong, Seq((j % 9).toFloat, (j % 7).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = SemanticDedup.semanticDedup(df, "vec_id", "embedding",
+      nlist = 0, threshold = 0.9999, salt = Salt, targetCellSize = 8L)
+    assert(out.count() == 90)
+    assert(out.select(max(col("cell"))).head.getInt(0) < 16 * 1024)
   }
 
   test("keep is exactly dup_of IS NULL and dup_of is a lower id") {
