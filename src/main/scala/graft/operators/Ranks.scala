@@ -144,12 +144,32 @@ object Ranks {
     *
     * Output (1 row): n_rows, concordant, discordant, ties_x, ties_y,
     * tau_b (null when either side is constant — 0/0).
+    *
+    * The discreteness precondition is ENFORCED, not documented: the
+    * joint histogram is pinned (one corpus scan — it also feeds the
+    * grid, both marginals and the tie terms, which previously each
+    * re-aggregated the corpus), its two domain cardinalities are
+    * counted, and the zero-filled |X|·|Y| grid is only built when
+    * the product stays within `maxGridCells` — a near-continuous
+    * column fails fast with the sizes in hand instead of exploding
+    * quadratically through the crossJoin and the per-x windows.
     */
-  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String,
+      maxGridCells: Long = 4000000L): DataFrame = {
     val dec = "decimal(38,0)"
     val h = df.select(col(xCol).cast("long").as("_x"),
         col(yCol).cast("long").as("_y"))
       .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    val domRow = h.agg(countDistinct(col("_x")).as("_nx"),
+      countDistinct(col("_y")).as("_ny")).head
+    val (nx, ny) = (domRow.getLong(0), domRow.getLong(1))
+    require(nx * ny <= maxGridCells,
+      s"kendallTauB joint grid would hold $nx x $ny = ${nx * ny} " +
+        s"cells (> $maxGridCells): '$xCol'/'$yCol' are not discrete " +
+        "enough for the zero-filled-grid algorithm - bucket or " +
+        "quantize the wider column first (e.g. ntile/width_bucket), " +
+        "or raise maxGridCells if the grid genuinely fits")
     val grid = h.select(col("_x")).distinct()
       .crossJoin(h.select(col("_y")).distinct())
       .join(h, Seq("_x", "_y"), "left")

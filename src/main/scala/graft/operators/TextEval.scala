@@ -180,37 +180,6 @@ object TextEval {
       .orderBy(col("n"))
   }
 
-  /** Corpus chrF2 (Popović 2015) — the character-level MT/generation
-    * metric that credits morphology and typo-level overlap BLEU's
-    * word grams miss. Character n-grams n = 1..`maxN` (the paper's 6)
-    * over WHITESPACE-FREE strings (the caller strips separators —
-    * the chrF convention), clipped multiset matches micro-averaged
-    * over the corpus, β = 2 (recall weighted 2×).
-    *
-    * Exactness: with corpus totals C_n (candidate grams), R_n
-    * (reference grams) and clipped matches M_n, the per-order
-    * F-score collapses algebraically to
-    *
-    *   F_n = (1+β²)·P·R / (β²·P + R) = 5·M_n / (4·R_n + C_n)
-    *
-    * — ONE division of exact integers (carried as DECIMAL(38,0);
-    * int64 products overflow at 100-TB gram counts). The headline
-    * chrF = mean of F_n is computed on the exact half-up 1e-8
-    * lattice (fn_e8 = (10·M·10⁸ + den) div (2·den), the q291
-    * brevity-penalty trick — never a double round), so the ≤ maxN-row
-    * integer sum is order-independent and the final score is one
-    * more exact division. A dry order (no grams at either side)
-    * leaves f_n and chrf null rather than silently smoothing.
-    *
-    * Output: one row per order n:
-    * (n, clip_n, cand_total, ref_total, f_n, fn_e8, chrf).
-    *
-    * Scale shape: every order AND both sides ride ONE tagged
-    * (doc, n, gram) count aggregate (side-conditional counts make
-    * the clip join unnecessary), plus one corpus totals pass — 2
-    * scans and 1 shuffle regardless of maxN. The ≤ maxN rows
-    * checkpoint-pin before the scalar summary broadcasts back.
-    */
   /** Corpus ROUGE-L (Lin 2004) — the LCS-based summarization metric
     * that credits in-order (not necessarily contiguous) overlap,
     * the order-sensitive complement to [[rougeClipped]]'s n-grams.
@@ -275,6 +244,37 @@ object TextEval {
           .as("rouge_l_f"))
   }
 
+  /** Corpus chrF2 (Popović 2015) — the character-level MT/generation
+    * metric that credits morphology and typo-level overlap BLEU's
+    * word grams miss. Character n-grams n = 1..`maxN` (the paper's 6)
+    * over WHITESPACE-FREE strings (the caller strips separators —
+    * the chrF convention), clipped multiset matches micro-averaged
+    * over the corpus, β = 2 (recall weighted 2×).
+    *
+    * Exactness: with corpus totals C_n (candidate grams), R_n
+    * (reference grams) and clipped matches M_n, the per-order
+    * F-score collapses algebraically to
+    *
+    *   F_n = (1+β²)·P·R / (β²·P + R) = 5·M_n / (4·R_n + C_n)
+    *
+    * — ONE division of exact integers (carried as DECIMAL(38,0);
+    * int64 products overflow at 100-TB gram counts). The headline
+    * chrF = mean of F_n is computed on the exact half-up 1e-8
+    * lattice (fn_e8 = (10·M·10⁸ + den) div (2·den), the q291
+    * brevity-penalty trick — never a double round), so the ≤ maxN-row
+    * integer sum is order-independent and the final score is one
+    * more exact division. A dry order (no grams at either side)
+    * leaves f_n and chrf null rather than silently smoothing.
+    *
+    * Output: one row per order n:
+    * (n, clip_n, cand_total, ref_total, f_n, fn_e8, chrf).
+    *
+    * Scale shape: every order AND both sides ride ONE tagged
+    * (doc, n, gram) count aggregate (side-conditional counts make
+    * the clip join unnecessary), plus one corpus totals pass — 2
+    * scans and 1 shuffle regardless of maxN. The ≤ maxN rows
+    * checkpoint-pin before the scalar summary broadcasts back.
+    */
   def chrfCorpus(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 6): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"unreasonable chrF order: $maxN")

@@ -39,6 +39,22 @@ class RanksSpec extends AnyFunSuite {
     assert(const.isNullAt(5))
   }
 
+  test("kendall tau-b refuses a near-continuous column before " +
+      "building the grid") {
+    // 3000 distinct x times 3000 distinct y = 9M cells > the 4M
+    // default — the guard must fire with an actionable message, and
+    // raising maxGridCells must let the same input through
+    val rows = spark.range(3000).select(col("id").as("x"),
+      (col("id") * 7919 % 3000).as("y"))
+    val ex = intercept[IllegalArgumentException] {
+      Ranks.kendallTauB(rows.toDF(), "x", "y")
+    }
+    assert(ex.getMessage.contains("not discrete"), ex.getMessage)
+    assert(ex.getMessage.contains("3000 x 3000"), ex.getMessage)
+    assert(Ranks.kendallTauB(rows.toDF(), "x", "y",
+      maxGridCells = 10000000L).collect()(0).getLong(0) === 3000L)
+  }
+
   test("globalRankBy yields the exact 1..N permutation on shuffled input") {
     val n = 5000
     // adversarial physical layout: hash-scrambled insert order, then

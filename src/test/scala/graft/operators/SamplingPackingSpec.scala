@@ -143,6 +143,31 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(all == df.as[(Long, Double)].collect().map(_._1).toSet)
   }
 
+  test("score-histogram collects are driver-bounded: a continuous " +
+      "score fails loudly, a lattice score passes at the same cap") {
+    // 50 distinct raw doubles > cap 10 — both entry points must
+    // refuse before collecting, with the remedy in the message
+    val fine = (1 to 50).map(i => (i.toLong, i / 1234.567, 10L))
+      .toDF("id", "score", "tok")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.topFractionByScore(fine, "id", "score", 0.5,
+        maxScoreBins = 10)
+    }
+    assert(e1.getMessage.contains("round or bucket"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.budgetByScore(fine, "id", "score", "tok", 100L,
+        maxScoreBins = 10)
+    }
+    assert(e2.getMessage.contains("round or bucket"), e2.getMessage)
+    // same rows on a 10-value lattice fit the same cap
+    val lattice = fine.withColumn("score",
+      round(col("score") * 20, 1))
+    assert(Sampling.topFractionByScore(lattice, "id", "score", 0.5,
+      maxScoreBins = 10).count() === 25L)
+    assert(Sampling.budgetByScore(lattice, "id", "score", "tok", 100L,
+      maxScoreBins = 10).count() === 10L)
+  }
+
   test("temperatureAllocation: quotas sum to budget, alpha flattens the distribution") {
     // domains: big=900 docs, mid=90, small=10
     val df = (Seq.fill(900)("big") ++ Seq.fill(90)("mid") ++ Seq.fill(10)("small"))
