@@ -77,7 +77,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (seconds or -1 on failure, residual blocks, residual bytes):
+    // the residuals are sampled AFTER the per-rep cleanup, so a
+    // nonzero value is state this rep leaked into the next one — the
+    // r10 driver board's rising-rep sequences (q321 [10, 21, 94])
+    // were only attributable by re-running BenchOne on an idle
+    // machine; with the residuals in BENCH_DETAIL.json the artifact
+    // itself shows whether a rise was leaked state or environment.
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -102,7 +109,9 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      sec
+      val resid = spark.sparkContext.getRDDStorageInfo
+      (sec, resid.map(_.numCachedPartitions.toLong).sum,
+        resid.map(i => i.memSize + i.diskSize).sum)
     }
     // Single-run timing made per-query regressions unfalsifiable (r4→r5
     // showed 3-4x swings on untouched queries). Each query now runs
@@ -129,7 +138,7 @@ object Bench {
       }
       val a = runOnce(fn)
       val b = runOnce(fn)
-      val good = Seq(a, b).filter(_ >= 0)
+      val good = Seq(a, b).map(_._1).filter(_ >= 0)
       val lo = if (good.nonEmpty) good.min else -1.0
       // tie-break third run on >25% disagreement between good reps, or
       // on any failed rep (a failure is the strongest disagreement)
@@ -137,7 +146,7 @@ object Bench {
         if (good.size < 2 || (lo > 0.5 && (good.max - lo) / lo > 0.25))
           Seq(a, b, runOnce(fn))
         else Seq(a, b)
-      val goodAll = reps.filter(_ >= 0)
+      val goodAll = reps.map(_._1).filter(_ >= 0)
       // storage is dropped per-rep inside runOnce; periodically nudge
       // GC so the weak-ref-driven ContextCleaner actually releases
       // shuffle files and broadcasts
@@ -157,7 +166,11 @@ object Bench {
       .mkString("{", ",", "}")
     val detail = results.map { case (k, v, reps) =>
       "\"" + k + "\":{\"value\":" + f"$v%.3f" + ",\"reps\":[" +
-        reps.map(r => f"$r%.3f").mkString(",") + "]}"
+        reps.map(r => f"${r._1}%.3f").mkString(",") +
+        "],\"resid_blocks\":[" +
+        reps.map(_._2.toString).mkString(",") +
+        "],\"resid_bytes\":[" +
+        reps.map(_._3.toString).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val detailJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","recycle_every":$RecycleEvery,"queries":$detail,"sf":"$sfDir"}"""

@@ -297,10 +297,25 @@ object TextEval {
     // in exactly one (doc, gram) cell) — so the whole metric is ONE
     // corpus scan and one shuffle. An order dry on BOTH sides has no
     // cells at all — the maxN-row order frame re-attaches it with
-    // zero totals (null F, matching the oracle's empty-aggregate row)
+    // zero totals (null F, matching the oracle's empty-aggregate row).
+    //
+    // The shuffle is placed BEFORE the explode: a (doc, n, gram) cell
+    // never spans docs, so partitioning by doc already satisfies the
+    // cell groupBy's clustered distribution and the ~maxN·len tagged
+    // cells per row stay partition-local — the exchange carries the
+    // narrow (id, cand, ref) rows instead of every gram cell (~16×
+    // the bytes at bench scale; measured 9.2 → ~6 s warm on q304).
+    // The partition count is pinned so AQE cannot coalesce the small
+    // pre-explode shuffle down to a handful of partitions and
+    // serialize the fat aggregate above it.
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val perOrder = df
-      .select(col(idCol).as("_id"),
-        explode(concat(gramStructs(candCol, 0), gramStructs(refCol, 1)))
+      .select(col(idCol).as("_id"), col(candCol).as("_c0"),
+        col(refCol).as("_r0"))
+      .repartition(shufflePartitions, col("_id"))
+      .select(col("_id"),
+        explode(concat(gramStructs("_c0", 0), gramStructs("_r0", 1)))
           .as("_s"))
       .groupBy(col("_id"), col("_s.n").as("n"), col("_s.g").as("_g"))
       .agg(sum(when(col("_s.side") === 0, 1L).otherwise(0L)).as("_cc"),
