@@ -83,6 +83,24 @@ object ProductQuantization {
   /** Full ADC top-k search: lattice corpus + md5-sampled codebook +
     * md5-sampled query set → (q_id, rank, vec_id, adc_dist,
     * exact_dist). `dims` must equal m·subDim.
+    *
+    * Query-set regime (ProbeScaleEval §5 measures this): the ADC
+    * join expands every corpus code row by the broadcast distance
+    * tables, so work is Θ(N·m·|Q|) and wall grows LINEARLY in |Q| —
+    * no cliff, but also no sublinearity. This flat scan is the right
+    * shape for BOUNDED query sets (evaluation probes, dedup seeds,
+    * contamination checks: |Q| up to a few thousand); past that, two
+    * walls arrive together: the |Q|·m·k broadcast table stops being
+    * executor-trivial, and the N·|Q| partial-aggregate volume
+    * dominates the corpus scan itself. The cutover is IVF-pruned
+    * candidate generation ([[Similarity.ivfTopKPortable]], q32's
+    * path): assign the corpus to nlist coarse cells once, probe each
+    * query against its nearest cells only, and apply this ADC
+    * scoring to the ~N/nlist·nprobe candidates per query — same
+    * lattice/codebook determinism, work Θ(N·|Q|/nlist·nprobe).
+    * Large-|Q| deployments should treat this function as the
+    * RERANKER inside that pruned candidate stream, not the
+    * candidate generator.
     */
   def adcTopK(lattice: DataFrame, idCol: String, dims: Int, m: Int,
       k: Int, nQueries: Int, topK: Int, cbSalt: String,

@@ -200,6 +200,60 @@ object ProbeScaleEval {
         f"sum-sq/n = ${sumSq.toDouble / n}%.0f (bound ${4 * tgt})")
     }
 
+    // ── 5. PQ/ADC: the query-set regime is linear in |Q| ─────────────
+    // 40 K corpus vectors (16 dims, m=4, k=16) built from 4 PROTOTYPE
+    // subvectors per subspace, combo chosen by seed = id div 2 (so
+    // every vector has an exact twin and only 256 distinct vectors
+    // exist). Every corpus subvector then equals a codebook entry
+    // verbatim — PROVIDED the md5 codebook sample covers all 4
+    // prototypes per subspace, which the probe asserts explicitly —
+    // so encoding error is 0, ADC distance equals true prototype
+    // distance, and the planted truth is rank-1 adc_dist = 0 for
+    // EVERY query (its twin shares all codes). Timing across
+    // |Q| = 32 → 512 exposes the Θ(N·m·|Q|) scan the adcTopK
+    // scaladoc's cutover guidance is about: linear growth in |Q|, no
+    // sublinearity — past a few thousand queries, generate
+    // candidates with the IVF-pruned path and keep ADC as the
+    // reranker.
+    val pqN = 40000L
+    def proto(seed: Column, m: Int): Column =
+      pmod(floor(seed / math.pow(4, m)).cast("long"), lit(4L))
+    val pqVec = array((0 until 16).map { j =>
+      val (m, jj) = (j / 4, j % 4)
+      pmod(proto(col("_seed"), m) * 31L + lit(m * 17 + jj * 7),
+        lit(2001L)) - 1000L
+    }: _*)
+    val pqLat = spark.range(pqN)
+      .select(col("id").as("vec_id"),
+        floor(col("id") / 2).cast("long").as("_seed"))
+      .select(col("vec_id"), pqVec.as("v3"))
+      .localCheckpoint()
+    val cbRows = graft.operators.ProductQuantization
+      .mdRanked(pqLat, "vec_id", 16, "pqprobe_cb")
+      .select(floor(col("vec_id") / 2).cast("long").as("_seed"))
+      .collect().map(_.getLong(0))
+    for (m <- 0 until 4) {
+      val covered = cbRows.map(s => (s / math.pow(4, m).toLong) % 4).toSet
+      assert(covered == Set(0L, 1L, 2L, 3L),
+        s"codebook sample misses subspace-$m prototypes: $covered " +
+          "(pick a different cbSalt)")
+    }
+    for (nq <- Seq(32, 128, 512, 2048)) {
+      val top = t(s"PQ/ADC 40K corpus, |Q|=$nq, top-5") {
+        graft.operators.ProductQuantization.adcTopK(
+          pqLat, "vec_id", dims = 16, m = 4, k = 16,
+          nQueries = nq, topK = 5, cbSalt = "pqprobe_cb",
+          qSalt = "pqprobe_q").localCheckpoint()
+      }
+      val r1 = top.filter(col("rank") === 1)
+      val bad = r1.filter(col("adc_dist") =!= 0L).count()
+      val nq1 = r1.count()
+      assert(nq1 == nq && bad == 0L,
+        s"|Q|=$nq: $nq1 rank-1 rows, $bad with nonzero ADC distance " +
+          "(zero-quantization-error corpus: rank-1 must be a twin " +
+          "or another dist-0 combo)")
+    }
+
     println("[probe-scale-eval] all planted truths exact")
     spark.stop()
   }
