@@ -5437,10 +5437,14 @@ object SparkEntry {
         |                         UNION SELECT id_b FROM pairs))
         |  GROUP BY 1, 2),
         |sg AS (
-        |  SELECT id, s, MIN(md5('wmh_v1:' || CAST(s AS VARCHAR) || ':'
-        |    || t || ':' || CAST(j AS VARCHAR))) AS mh
+        |  SELECT id, s,
+        |    MIN((((s + 1) * 2654435761 % 2147483647) *
+        |         (('0x' || substr(md5('wmh_v1:' || t || ':'
+        |            || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+        |          % 2147483647)
+        |         + s * 40503 + 12345) % 2147483647) AS mh
         |  FROM tf, UNNEST(range(1, c + 1)) AS v(j),
-        |    UNNEST(range(1, 17)) AS w(s)
+        |    UNNEST(range(0, 16)) AS w(s)
         |  GROUP BY 1, 2),
         |e AS (
         |  SELECT p.id_a, p.id_b,

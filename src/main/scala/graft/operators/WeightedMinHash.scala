@@ -9,42 +9,63 @@ import graft.functions.TextFunctions
   * where term FREQUENCY matters (the plain MinHash families q26/q125
   * see sets, so "spam spam spam" ≡ "spam"): each token contributes
   * min(tf, cap) copies (token, 1), (token, 2), …, and the per-seed
-  * minimum of a portable md5 over (seed, token, copy) estimates the
-  * WEIGHTED Jaccard Σ min(tfₐ, tf_b)/Σ max(tfₐ, tf_b) (capped) —
-  * the standard reduction of weighted sets to plain MinHash over the
-  * expanded multiset. Deterministic md5 draws make the estimate
-  * itself hash-checkable, and the exact weighted Jaccard rides along
-  * (full-outer tf join) for the quality readout.
+  * minimum over the expanded multiset estimates the WEIGHTED Jaccard
+  * Σ min(tfₐ, tf_b)/Σ max(tfₐ, tf_b) (capped) — the standard
+  * reduction of weighted sets to plain MinHash over the expanded
+  * multiset. The per-seed draw is the family's portable affine
+  * recipe ([[PortableMinHash]] /
+  * [[graft.functions.expressions.TextExpressions.PortableMinHashSigExpr]]):
+  * ONE md5 per expanded element `salt:token:copy`, then
+  * h_j = (A_j·base + B_j) mod P per seed — bit-identical in SQL and
+  * 16× fewer digests than the md5-per-(seed, element) draw it
+  * replaced (which was q268's whole warm cost). Deterministic draws
+  * make the estimate itself hash-checkable, and the exact weighted
+  * Jaccard rides along (full-outer tf join) for the quality readout.
   *
-  * Scale shape: tf is one corpus aggregate; the expansion is ≤ cap
-  * copies × seeds rows per distinct (doc, token) — a constant-factor
-  * explode, shuffled once by (doc, seed) with map-side min; the
-  * exact verify runs only over the CALLER'S pair frame (generator-
-  * bounded, the q264 discipline).
+  * Scale shape: every aggregate here groups by (doc, …) and its
+  * cells never span docs, so ONE narrow shuffle of the (id, text)
+  * rows up front (partition count pinned against AQE coalescing —
+  * the q304 recipe) makes the tf aggregate, the expansion AND the
+  * per-(doc, seed) min all partition-local: token- and copy×seed-
+  * scale rows are exploded and reduced without ever crossing the
+  * wire. The exact verify runs only over the CALLER'S pair frame
+  * (generator-bounded, the q264 discipline).
   */
 object WeightedMinHash {
 
   private def tfFrame(df: DataFrame, idCol: String, textCol: String,
-      cap: Int): DataFrame =
-    df.select(col(idCol).as("_id"),
-        explode(TextFunctions.tokens(lower(col(textCol)))).as("_t"))
+      cap: Int): DataFrame = {
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.select(col(idCol).as("_id"), col(textCol).as("_tx"))
+      .repartition(shufflePartitions, col("_id"))
+      .select(col("_id"),
+        explode(TextFunctions.tokens(lower(col("_tx")))).as("_t"))
       .groupBy(col("_id"), col("_t"))
       .agg(least(count(lit(1)), lit(cap.toLong)).cast("int").as("_c"))
+  }
 
-  /** Per-(doc, seed) weighted-minhash values: (_id, _s, _mh). */
+  /** Per-(doc, seed) weighted-minhash values: (_id, _s, _mh) with
+    * _s = 0-based seed index and _mh the affine-family long. The
+    * expanded elements fold into one per-doc array (partition-local
+    * after tfFrame's doc clustering) and the compiled kernel takes
+    * one pass: one md5 per element, `seeds` affine mins.
+    */
   def signatures(df: DataFrame, idCol: String, textCol: String,
       seeds: Int = 16, cap: Int = 4, salt: String = "wmh_v1"): DataFrame = {
     require(seeds >= 1 && cap >= 1, s"bad parameters: seeds=$seeds cap=$cap")
-    val spark = df.sparkSession
-    val seedFrame = spark.range(1, seeds + 1L)
-      .select(col("id").cast("int").as("_s"))
     tfFrame(df, idCol, textCol, cap)
-      .select(col("_id"), col("_t"),
-        explode(sequence(lit(1), col("_c"))).as("_j"))
-      .crossJoin(broadcast(seedFrame))
-      .groupBy(col("_id"), col("_s"))
-      .agg(min(md5(concat_ws(":", lit(salt), col("_s").cast("string"),
-        col("_t"), col("_j").cast("string")))).as("_mh"))
+      .select(col("_id"),
+        explode(transform(sequence(lit(1), col("_c")),
+          j => concat_ws(":", lit(salt), col("_t"), j.cast("string"))))
+          .as("_e"))
+      .groupBy(col("_id"))
+      .agg(collect_list(col("_e")).as("_es"))
+      .withColumn("_sig", graft.functions.expressions.TextExpressions
+        .portable_minhash_sig(col("_es"), seeds))
+      .select(col("_id"), posexplode(col("_sig")))
+      .select(col("_id"), col("pos").cast("int").as("_s"),
+        col("col").as("_mh"))
   }
 
   /** Estimated AND exact capped weighted Jaccard for a bounded pair
