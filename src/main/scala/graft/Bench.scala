@@ -108,8 +108,18 @@ object Bench {
       // removes noise.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      val resid = spark.sparkContext.getRDDStorageInfo
+        .foreach(_.unpersist(blocking = true))
+      // clearCache's removals are asynchronous: sampling immediately
+      // would count in-flight cleanup as "leaked" and the telemetry
+      // would misattribute ordinary async removal. Poll briefly
+      // (outside the timed window) until storage settles; anything
+      // still pinned after the grace window is a genuine leak.
+      var resid = spark.sparkContext.getRDDStorageInfo
+      var waited = 0
+      while (resid.nonEmpty && waited < 2000) {
+        Thread.sleep(100); waited += 100
+        resid = spark.sparkContext.getRDDStorageInfo
+      }
       (sec, resid.map(_.numCachedPartitions.toLong).sum,
         resid.map(i => i.memSize + i.diskSize).sum)
     }

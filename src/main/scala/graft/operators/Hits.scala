@@ -76,6 +76,18 @@ object Hits {
       if (bcast) eOutKey.join(broadcast(s), Seq(joinKey))
       else eJoinKey.join(s.hint("shuffle_hash"), Seq(joinKey))
     joined.groupBy(col(outKey).as("node")).agg(sum(col("_v")).as("_v"))
+      // a DECIMAL(38,0) sum overflow yields null in non-ANSI mode,
+      // and the NEXT half-step's sum would skip that null per SQL
+      // semantics — a silently-wrong total the closing normalize
+      // guard can no longer see. Every half-step therefore fails
+      // loudly itself (inputs are non-null by construction, so a
+      // null sum here IS an overflow).
+      .select(col("node"),
+        when(col("_v").isNull, raise_error(concat(
+            lit("HITS decimal overflow in a half-step sum at node "),
+            col("node").cast("string"),
+            lit(" — graph too dense for the 2-round stretch envelope"))))
+          .otherwise(col("_v")).as("_v"))
   }
 
   /** @param broadcastThreshold node-count ceiling for the broadcast
@@ -108,13 +120,14 @@ object Hits {
         .select(col("node"), {
           val x = col("_v") * scale
           val q = ((x - pmod(x, col("_tot"))) / col("_tot")).cast("long")
-          // _v and _tot are non-null by construction (sums of
-          // non-null decimals over non-empty frames), so a null
-          // product here is exactly a DECIMAL(38,0) overflow that
-          // non-ANSI mode swallowed — and the closing left-join
-          // coalesce would silently turn it into a plausible 0 score.
-          // Fail loudly instead (ADVICE r10).
-          when(x.isNull, raise_error(concat(
+          // _v and _tot are non-null by construction (the half-steps
+          // raise on their own overflow), so a null QUOTIENT here is
+          // exactly a DECIMAL(38,0) overflow in x = v·scale or in
+          // the totals sum that non-ANSI mode swallowed — and the
+          // closing left-join coalesce would silently turn it into a
+          // plausible 0 score. Fail loudly instead (ADVICE r10);
+          // guarding q (not just x) also covers a null _tot.
+          when(q.isNull, raise_error(concat(
               lit("HITS decimal overflow in normalize at node "),
               col("node").cast("string"),
               lit(" — graph too dense for the 2-round stretch envelope"))))

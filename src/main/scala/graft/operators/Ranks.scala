@@ -164,8 +164,10 @@ object Ranks {
     val domRow = h.agg(countDistinct(col("_x")).as("_nx"),
       countDistinct(col("_y")).as("_ny")).head
     val (nx, ny) = (domRow.getLong(0), domRow.getLong(1))
-    require(nx * ny <= maxGridCells,
-      s"kendallTauB joint grid would hold $nx x $ny = ${nx * ny} " +
+    // BigInt product: two ~2^31+ domains would overflow a Long
+    // product and sail PAST the guard — the exact case it exists for
+    require(BigInt(nx) * BigInt(ny) <= BigInt(maxGridCells),
+      s"kendallTauB joint grid would hold $nx x $ny = ${BigInt(nx) * BigInt(ny)} " +
         s"cells (> $maxGridCells): '$xCol'/'$yCol' are not discrete " +
         "enough for the zero-filled-grid algorithm - bucket or " +
         "quantize the wider column first (e.g. ntile/width_bucket), " +

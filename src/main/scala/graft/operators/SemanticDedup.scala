@@ -74,6 +74,15 @@ object SemanticDedup {
     math.min(65536L, math.max(16L,
       (n + targetCellSize - 1) / targetCellSize)).toInt
 
+  /** @param secondLevelSplit disable ONLY at call sites whose
+    *        external mirror (e.g. q195's DuckDB oracle) replays the
+    *        FIRST level verbatim: with splitting on, a cell breaching
+    *        2·targetCellSize would re-partition on the Spark side
+    *        while the mirror does not — a cross-engine divergence
+    *        that appears only when the corpus grows. Pinned-mirror
+    *        call sites trade the skew cap for replayability; the
+    *        scale path keeps the default.
+    */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
@@ -81,7 +90,8 @@ object SemanticDedup {
       nlist: Int = 0,
       threshold: Double = 0.4,
       salt: String = "semdedup_v1",
-      targetCellSize: Long = 65536L): DataFrame = {
+      targetCellSize: Long = 65536L,
+      secondLevelSplit: Boolean = true): DataFrame = {
     require(targetCellSize >= 2, s"targetCellSize too small: $targetCellSize")
     val k =
       if (nlist > 0) nlist
@@ -111,12 +121,19 @@ object SemanticDedup {
     // corpus — a second linear scan is the honest price of skew
     // detection at volumes where caching (cell, id, vec) is itself
     // the problem.
-    val oversized: Array[(Int, Int)] = assign(df)
-      .groupBy("cell").agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 2L * targetCellSize)
-      .collect()
-      .map(r => (r.getInt(0),
-        ((r.getLong(1) + targetCellSize - 1) / targetCellSize).toInt))
+    // k_c is clamped at 1024 sub-cells (a >1024-way split means the
+    // first level was undersized by three orders of magnitude —
+    // MaxSubCentroids fails loudly well before the clamp binds in
+    // practice) and the clamp is what keeps the composite id
+    // cell + k·sub < 65536·1024 < 2³¹ collision-free in Int range.
+    val oversized: Array[(Int, Int)] =
+      if (!secondLevelSplit) Array.empty
+      else assign(df)
+        .groupBy("cell").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 2L * targetCellSize)
+        .collect()
+        .map(r => (r.getInt(0), math.min(1024L,
+          (r.getLong(1) + targetCellSize - 1) / targetCellSize).toInt))
     val assigned = assign(df)
 
     val cells =
@@ -129,7 +146,6 @@ object SemanticDedup {
             "undersized for this corpus — raise nlist or targetCellSize")
         val spark = df.sparkSession
         import spark.implicits._
-        val kOf = oversized.toMap
         val overCells = oversized.map(_._1)
         // per-cell portable sub-centroid draw: rank members by
         // (md5(id ":" salt "#2"), id) inside each oversized cell,
@@ -159,9 +175,13 @@ object SemanticDedup {
             first(col(vecCol)).as(vecCol))
           // two-level composite id: sub 0 keeps the first-level id,
           // so unsplit cells and split-cell survivors share one space
-          // with no cross-cell collisions (max id < 65536·1024)
+          // with no cross-cell collisions — Long arithmetic, bounded
+          // by the k_c ≤ 1024 clamp to < 65536·1024 before the Int
+          // cast (a 32-bit product would wrap silently in non-ANSI
+          // mode and merge unrelated cells)
           .select(col(idCol), col(vecCol),
-            (col("cell") + lit(k) * col("_m").getField("_sub"))
+            (col("cell").cast("long") +
+              lit(k.toLong) * col("_m").getField("_sub").cast("long"))
               .cast("int").as("cell"))
         assigned.filter(!col("cell").isin(overCells.map(Int.box): _*))
           .select(col(idCol), col(vecCol), col("cell"))

@@ -46,26 +46,32 @@ object WeightedMinHash {
   }
 
   /** Per-(doc, seed) weighted-minhash values: (_id, _s, _mh) with
-    * _s = 0-based seed index and _mh the affine-family long. The
-    * expanded elements fold into one per-doc array (partition-local
-    * after tfFrame's doc clustering) and the compiled kernel takes
-    * one pass: one md5 per element, `seeds` affine mins.
+    * _s = 0-based seed index and _mh the affine-family long
+    * (PortableMinHashSigExpr's exact constants, expressed as plain
+    * codegen'd column algebra). One md5 per expanded element yields
+    * the 60-bit base; each seed's affine image rides a cheap
+    * exploded row into a map-side-combinable min — bounded row
+    * sizes at any document length (a per-doc array fold would hold
+    * a giant document's whole expanded multiset in ONE row), and
+    * still exchange-free on top of tfFrame's doc clustering.
     */
   def signatures(df: DataFrame, idCol: String, textCol: String,
       seeds: Int = 16, cap: Int = 4, salt: String = "wmh_v1"): DataFrame = {
     require(seeds >= 1 && cap >= 1, s"bad parameters: seeds=$seeds cap=$cap")
+    val P = 2147483647L
     tfFrame(df, idCol, textCol, cap)
       .select(col("_id"),
         explode(transform(sequence(lit(1), col("_c")),
           j => concat_ws(":", lit(salt), col("_t"), j.cast("string"))))
           .as("_e"))
-      .groupBy(col("_id"))
-      .agg(collect_list(col("_e")).as("_es"))
-      .withColumn("_sig", graft.functions.expressions.TextExpressions
-        .portable_minhash_sig(col("_es"), seeds))
-      .select(col("_id"), posexplode(col("_sig")))
-      .select(col("_id"), col("pos").cast("int").as("_s"),
-        col("col").as("_mh"))
+      .select(col("_id"),
+        (conv(substring(md5(col("_e")), 1, 15), 16, 10)
+          .cast("long") % P).as("_h"))
+      .select(col("_id"), col("_h"),
+        explode(sequence(lit(0), lit(seeds - 1))).as("_s"))
+      .groupBy(col("_id"), col("_s"))
+      .agg(min((((col("_s") + 1) * lit(2654435761L) % P) * col("_h")
+        + col("_s") * lit(40503L) + lit(12345L)) % P).as("_mh"))
   }
 
   /** Estimated AND exact capped weighted Jaccard for a bounded pair

@@ -2061,9 +2061,13 @@ object ExtensionQueries {
     * [[graft.operators.SemanticDedup]]).
     */
   def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    // secondLevelSplit off: the DuckDB oracle mirrors the 16
+    // first-level cells verbatim, so the skew split must not engage
+    // here at ANY corpus size (it would diverge exactly when a cell
+    // outgrew 2·targetCellSize); the scale path keeps the default
     graft.operators.SemanticDedup.semanticDedup(
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
-      nlist = 16, threshold = 0.4)
+      nlist = 16, threshold = 0.4, secondLevelSplit = false)
 
   /** Linear quality-classifier scoring: pinned-coefficient logit over
     * ratio features, decision on the raw logit (no transcendentals —
