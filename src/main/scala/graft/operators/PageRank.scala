@@ -38,8 +38,13 @@ import org.apache.spark.sql.functions._
   * moves: broadcast to the edge scan when the node set fits an
   * executor (`broadcastThreshold`), else shuffle-hash-joined against
   * the src-partitioned cached edges (no per-round sort, no edge
-  * re-exchange). Partial aggregation map-side-combines the edge-side
-  * contributions before the one small per-round shuffle on dst.
+  * re-exchange). In the broadcast regime the edge cache streams
+  * clustered by the OUTPUT key `dst` (the join constrains nothing),
+  * so the per-round contribution agg is partition-local and a round
+  * has ZERO shuffles — the [[Hits]] half-step shape, bought by one
+  * extra setup shuffle. In the shuffle-hash regime partial
+  * aggregation map-side-combines the edge-side contributions before
+  * the one small per-round shuffle on dst.
   * `localCheckpoint` severs lineage every 8th round so the plan stays
   * O(1) deep over any iteration count (the CC recipe) — in the common
   * everyNodeHasInEdge broadcast regime a round is one join + one agg,
@@ -50,6 +55,26 @@ import org.apache.spark.sql.functions._
   * O(nodes) result are released on return.
   */
 object PageRank {
+
+  /** One PageRank contribution round: pull each node's rank across
+    * its out-edges, summing `R(u) div outdeg(u)` per destination.
+    * `eRound` must be the cached edge frame (src, dst, outdeg) —
+    * clustered by `dst` in the broadcast regime (the agg is then
+    * partition-local: scan + broadcast probe + local agg, ZERO
+    * shuffles) or by `src` in the shuffle-hash regime (the join
+    * co-partitions on src, the agg pays the one map-side-combined
+    * dst exchange). Package-private so the plan spec pins the exact
+    * production shape, like [[Hits.halfStep]].
+    */
+  private[graft] def contribStep(eRound: DataFrame, rank: DataFrame,
+      bcast: Boolean): DataFrame = {
+    val rankSide = rank.withColumnRenamed("node", "src")
+    eRound.join(
+        if (bcast) broadcast(rankSide) else rankSide.hint("shuffle_hash"),
+        Seq("src"))
+      .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("sc"))
+      .withColumnRenamed("dst", "node")
+  }
 
   /** @param edges directed (src, dst) pairs; feed both directions for
     *              an undirected graph.
@@ -113,21 +138,30 @@ object PageRank {
     // pay the precise count.
     val bcast = 2 * edgeCount <= broadcastThreshold ||
       nodes.count() <= broadcastThreshold
+    // broadcast regime: the join constrains nothing (the rank frame
+    // broadcasts), so stream the edge cache clustered by the OUTPUT
+    // key dst — HashPartitioning(dst) satisfies the contribution
+    // agg's clustered distribution and a round runs with ZERO
+    // shuffles: scan + broadcast probe + partition-local agg (the
+    // HITS half-step lesson, measured 4-5× there). One extra setup
+    // shuffle of the edge cache buys every round's agg exchange.
+    val eRound = if (bcast) e.repartition(col("dst")).persist() else e
     var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
     var pinned = rank
     for (i <- 1 to iterations) {
       // one pass over the cached edges: R(u) div outdeg(u) evaluates
       // per edge row (constant per src — identical to pre-dividing),
       // partial aggregation map-side-combines before the dst shuffle
-      val rankSide = rank.withColumnRenamed("node", "src")
-      val contribs = e.join(
-          if (bcast) broadcast(rankSide) else rankSide.hint("shuffle_hash"),
-          Seq("src"))
-        .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("sc"))
-        .withColumnRenamed("dst", "node")
+      // (shuffle-hash regime) or stays partition-local (broadcast)
+      val contribs = contribStep(eRound, rank, bcast)
+      // rebase join (general regime only): both sides are node-hash-
+      // partitioned already (nodes via its distinct, contribs via the
+      // dst-clustered cache), so the join is co-partitioned shuffle-
+      // hash with zero exchanges — no per-round broadcast build
       val next = (if (everyNodeHasInEdge) contribs
         else nodes.join(
-          if (bcast) broadcast(contribs) else contribs, Seq("node"), "left"))
+          if (bcast) contribs.hint("shuffle_hash") else contribs,
+          Seq("node"), "left"))
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
       // checkpoint every 8th round: a round is 1-2 joins + 1 agg, so
@@ -140,7 +174,7 @@ object PageRank {
         pinned = rank
       } else rank = next
     }
-    Seq(e, nodes).foreach(_.unpersist())
+    Seq(e, eRound, nodes).distinct.foreach(_.unpersist())
     rank.select(col("node"), col("r").as("micro_rank"))
   }
 
@@ -169,6 +203,7 @@ object PageRank {
       seeds: DataFrame,
       iterations: Int,
       distinctEdges: Boolean = false,
+      everyNodeHasOutEdge: Boolean = false,
       broadcastThreshold: Long = 4000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val clustered = edges.select(col("src"), col("dst"))
@@ -180,7 +215,13 @@ object PageRank {
           .partitionBy(col("src"))).cast("long"))
       .persist()
     val edgeCount = e.count()
-    val nodes = e.select(col("src").as("node"))
+    // the microPageRank node-set shortcut: no sink-only nodes (always
+    // true for undirected graphs) → exchange-free distinct over the
+    // src-clustered cache instead of a union-distinct that shuffles
+    // both endpoint columns of the whole edge list
+    val nodes = if (everyNodeHasOutEdge)
+      e.select(col("src").as("node")).distinct()
+    else e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val flag = seeds.select(col("node")).distinct()
       .withColumn("_s", lit(1L))
@@ -190,20 +231,25 @@ object PageRank {
       .persist()
     val bcast = 2 * edgeCount <= broadcastThreshold ||
       base.count() <= broadcastThreshold
+    // broadcast regime: dst-clustered edge cache → partition-local
+    // per-round contribution agg, zero shuffles (see microPageRank)
+    val eRound = if (bcast) e.repartition(col("dst")).persist() else e
     var rank = base
       .select(col("node"),
         when(col("base") > 0L, lit(1000000L)).otherwise(lit(0L)).as("r"))
       .localCheckpoint(true)
     var pinned = rank
     for (i <- 1 to iterations) {
-      val rankSide = rank.withColumnRenamed("node", "src")
-      val contribs = e.join(
-          if (bcast) broadcast(rankSide) else rankSide.hint("shuffle_hash"),
-          Seq("src"))
-        .groupBy(col("dst")).agg(sum(expr("r div outdeg")).as("sc"))
-        .withColumnRenamed("dst", "node")
+      val contribs = contribStep(eRound, rank, bcast)
+      // both sides are already node-hash-partitioned (base via the
+      // distinct that built the node set, contribs via the
+      // dst-clustered cache its partition-local agg streamed from),
+      // so the rebase is a co-partitioned shuffle-hash join with ZERO
+      // exchanges — a broadcast here would round-trip the contribs
+      // frame through the driver once per round for nothing
       val next = base.join(
-          if (bcast) broadcast(contribs) else contribs, Seq("node"), "left")
+          if (bcast) contribs.hint("shuffle_hash") else contribs,
+          Seq("node"), "left")
         .select(col("node"),
           (col("base") + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
       if (i % 8 == 0 || i == iterations) {
@@ -212,7 +258,7 @@ object PageRank {
         pinned = rank
       } else rank = next
     }
-    Seq(e, base).foreach(_.unpersist())
+    Seq(e, eRound, base).distinct.foreach(_.unpersist())
     rank.select(col("node"), col("r").as("micro_rank"))
   }
 }

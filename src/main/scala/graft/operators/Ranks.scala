@@ -157,10 +157,14 @@ object Ranks {
   def kendallTauB(df: DataFrame, xCol: String, yCol: String,
       maxGridCells: Long = 4000000L): DataFrame = {
     val dec = "decimal(38,0)"
+    // persist (not localCheckpoint): the histogram feeds five
+    // consumers but its lineage is one shallow aggregate, and persist
+    // is releasable below — a checkpointed h would pin its blocks for
+    // the session on every call (ADVICE r11)
     val h = df.select(col(xCol).cast("long").as("_x"),
         col(yCol).cast("long").as("_y"))
       .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_n"))
-      .localCheckpoint()
+      .persist()
     val domRow = h.agg(countDistinct(col("_x")).as("_nx"),
       countDistinct(col("_y")).as("_ny")).head
     val (nx, ny) = (domRow.getLong(0), domRow.getLong(1))
@@ -199,7 +203,7 @@ object Ranks {
       .agg(sum(col("_t").cast(dec) * (col("_t") - 1).cast(dec)).as("_tx2"))
     val ty = h.groupBy(col("_y")).agg(sum(col("_n")).as("_t"))
       .agg(sum(col("_t").cast(dec) * (col("_t") - 1).cast(dec)).as("_ty2"))
-    cd.crossJoin(broadcast(margs))
+    val out = cd.crossJoin(broadcast(margs))
       .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
       .select(col("_nr").as("n_rows"),
         col("_c").cast("long").as("concordant"),
@@ -214,5 +218,9 @@ object Ranks {
             ((col("_c") - col("_d")) * 2).cast("double") /
               sqrt((a * b).cast("double"))).as("tau_b")
         })
+    // eagerly pin the 1-row result, then release the histogram — the
+    // globalRankBy cache-release discipline; repeated library calls
+    // leave only a 1-row checkpoint behind, not the |X|·|Y| grid feed
+    try out.localCheckpoint() finally h.unpersist()
   }
 }

@@ -144,6 +144,15 @@ object SemanticDedup {
           s"second-level split needs $subTotal sub-centroids " +
             s"(> $MaxSubCentroids): the first-level nlist ($k) is " +
             "undersized for this corpus — raise nlist or targetCellSize")
+        // the k_c ≤ 1024 clamp bounds the composite id only when k
+        // itself is bounded: a caller-supplied nlist > ~2.1M would
+        // wrap the 32-bit cast below silently in non-ANSI mode and
+        // merge unrelated cells (ADVICE r11) — the derived path is
+        // capped at 65536 and never trips this
+        require(k.toLong * 1024L <= Int.MaxValue.toLong,
+          s"nlist $k too large for the Int composite cell id " +
+            s"(cell + nlist*sub needs nlist*1024 <= ${Int.MaxValue}): " +
+            "lower nlist or disable secondLevelSplit")
         val spark = df.sparkSession
         import spark.implicits._
         val overCells = oversized.map(_._1)

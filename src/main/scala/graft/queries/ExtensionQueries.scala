@@ -1592,8 +1592,10 @@ object ExtensionQueries {
     val seeds = tbl(s, dir, "lineitem")
       .filter(col("l_suppkey") < 5)
       .select(col("l_suppkey").cast("long").as("node"))
+    // undirected graph => every node has an out-edge: the node set is
+    // an exchange-free distinct over the src-clustered edge cache
     graft.operators.PageRank.microPersonalizedPageRank(
-      edges, seeds, iterations = 6)
+      edges, seeds, iterations = 6, everyNodeHasOutEdge = true)
   }
 
   /** CUPED readout: metric = 1995 customer revenue, covariate = 1994

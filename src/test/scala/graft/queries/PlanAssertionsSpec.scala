@@ -640,6 +640,50 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally { eBySrc.unpersist(); eByDst.unpersist() }
   }
 
+  test("q109/q175: a PageRank contribution round never re-shuffles the " +
+      "cached edge list (both regimes)") {
+    // the r11 shape paid one agg exchange per broadcast-regime round —
+    // this pins the HITS-lesson transfer: the edge cache streams
+    // clustered by the OUTPUT key dst, so the contribution agg is
+    // partition-local and a broadcast round has zero shuffles
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      p.collect { case s: ShuffleExchangeLike => s }.size
+    }
+    val e = Seq((1L, 10L, 2L), (1L, 11L, 2L), (2L, 10L, 1L), (3L, 11L, 1L))
+      .toDF("src", "dst", "outdeg")
+    val eByDst = e.repartition(col("dst")).persist()
+    val eBySrc = e.repartition(col("src")).persist()
+    try {
+      eByDst.count(); eBySrc.count()
+      val rank = spark.range(4).select((col("id") + 1).as("node"),
+        lit(1000000L).as("r"))
+      val bc = graft.operators.PageRank.contribStep(eByDst, rank, bcast = true)
+      assert(bc.queryExecution.executedPlan.toString()
+        .contains("BroadcastHashJoin"))
+      assert(shuffles(bc) == 0,
+        "broadcast contribution round shuffles (agg no longer " +
+          "partition-local against the dst-clustered cache?):\n" +
+          bc.queryExecution.executedPlan)
+      // shuffle-hash regime: the rank frame pays the join exchange and
+      // the aggregate pays one — the src-clustered edge cache pays NONE
+      val shj = graft.operators.PageRank.contribStep(eBySrc, rank,
+        bcast = false)
+      assert(shj.queryExecution.executedPlan.toString()
+        .contains("ShuffledHashJoin"))
+      assert(shuffles(shj) == 2,
+        s"expected exactly 2 rank-side exchanges, got ${shuffles(shj)}:\n" +
+          shj.queryExecution.executedPlan)
+    } finally { eByDst.unpersist(); eBySrc.unpersist() }
+  }
+
   test("q325: offsets cost at most the two-level prefix-sum scans; " +
       "bases ride a broadcast") {
     val plan = planOf("q325_packing_report")

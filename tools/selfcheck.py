@@ -9,6 +9,7 @@ columns by name + rows by all columns, and diffs values.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -45,6 +46,10 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = os.environ.get("SPARK_GRAFT_ONLY", "")
+    if only:
+        keep = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -84,7 +89,7 @@ def main():
         else:
             print(f"OK   {name}: {len(got)} rows")
     rows_only = set()
-    import glob, os
+    import glob
     for p in glob.glob(f"{out_dir}/*"):
         n = os.path.basename(p)
         if os.path.isdir(p) and n not in oracle:
