@@ -624,7 +624,13 @@ object SparkEntry {
     // streaming JSON-conformance monitor (real micro-batch replay)
     "q324_stream_json_audit" -> (X.qStreamJsonAudit _),
     // packing fragmentation per candidate context length
-    "q325_packing_report" -> (X.qPackingFragmentation _)
+    "q325_packing_report" -> (X.qPackingFragmentation _),
+    // IVF-pruned candidates reranked by ADC — the large-|Q| cutover
+    "q326_ivf_adc" -> (X.qIvfAdc _),
+    // q326's recall against q318's exact ground truth
+    "q327_ivf_adc_recall" -> (X.qIvfAdcRecall _),
+    // SemDeDup's shipped scale config: derived nlist + skew split
+    "q328_semdedup_split" -> (X.qSemanticDedupSplit _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3630,6 +3636,94 @@ object SparkEntry {
         |SELECT g.vec_id, g.cell, d.dup_of, d.max_dup_cos,
         |  d.dup_of IS NULL AS keep
         |FROM asg g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin,
+    // SemDeDup scale path: planted far clump (md5 key >= 'd', exact
+    // lattice jitter), corpus-derived nlist = ceil(n/8) in [16,65536],
+    // and the second-level md5-rank split of every cell over 16
+    // members — both quantizer levels and the composite cell id
+    // (cell + k·sub) replayed verbatim, ties to the lower cell/sub
+    "q328_semdedup_split" ->
+      """WITH pl AS (
+        |  SELECT vec_id,
+        |    CASE WHEN md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1')
+        |        >= 'd'
+        |      THEN list_transform(range(0, 8), j ->
+        |        1000.0 + CAST((vec_id * 7 + j * 13) % 97 AS DOUBLE)
+        |          / 1024.0)
+        |      ELSE list_transform(embedding[1:8],
+        |        x -> CAST(x AS DOUBLE))
+        |    END AS vec
+        |  FROM embeddings),
+        |k AS (
+        |  SELECT CAST(LEAST(65536, GREATEST(16, (COUNT(*) + 7) // 8))
+        |    AS INTEGER) AS k
+        |  FROM pl),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+        |      md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id)
+        |      AS INTEGER) - 1 AS cell,
+        |    vec AS cvec
+        |  FROM pl CROSS JOIN k
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id)
+        |    <= k.k),
+        |asg AS (
+        |  SELECT vec_id, vec, cell FROM (
+        |    SELECT p.vec_id, p.vec, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(p.vec, c.cvec),
+        |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |        c.cell ASC) AS rn
+        |    FROM pl p CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |over_ AS (
+        |  SELECT cell, COUNT(*) AS cn FROM asg GROUP BY cell
+        |  HAVING COUNT(*) > 16),
+        |kc AS (
+        |  SELECT cell, CAST(LEAST(1024, (cn + 7) // 8) AS INTEGER)
+        |    AS k_c
+        |  FROM over_),
+        |sc AS (
+        |  SELECT a.cell,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
+        |      md5(CAST(a.vec_id AS VARCHAR) || ':semdedup_v1#2'),
+        |      a.vec_id) AS INTEGER) - 1 AS sub,
+        |    a.vec AS cvec
+        |  FROM asg a JOIN kc USING (cell)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
+        |    md5(CAST(a.vec_id AS VARCHAR) || ':semdedup_v1#2'),
+        |    a.vec_id) <= kc.k_c),
+        |re AS (
+        |  SELECT vec_id, vec, CAST(cell + kk * sub AS INTEGER) AS cell
+        |  FROM (
+        |    SELECT a.vec_id, a.vec, a.cell, s.sub, k.k AS kk,
+        |      ROW_NUMBER() OVER (PARTITION BY a.cell, a.vec_id
+        |        ORDER BY
+        |        list_sum(list_transform(list_zip(a.vec, s.cvec),
+        |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+        |        s.sub ASC) AS rn
+        |    FROM asg a JOIN sc s USING (cell) CROSS JOIN k)
+        |  WHERE rn = 1),
+        |cells AS (
+        |  SELECT vec_id, vec, cell FROM asg
+        |  WHERE cell NOT IN (SELECT cell FROM over_)
+        |  UNION ALL
+        |  SELECT vec_id, vec, cell FROM re),
+        |pair AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.vec, b.vec),
+        |      x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(b.vec, x -> x * x))))
+        |      AS sim
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND b.vec_id < a.vec_id),
+        |dup AS (
+        |  SELECT id_a AS vec_id, MIN(id_b) AS dup_of,
+        |    ROUND(MAX(sim), 6) AS max_dup_cos
+        |  FROM pair WHERE sim >= 0.4 GROUP BY id_a)
+        |SELECT g.vec_id, g.cell, d.dup_of, d.max_dup_cos,
+        |  d.dup_of IS NULL AS keep
+        |FROM cells g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin,
     // Linear quality filter: each feature is one integer-count ratio,
     // the logit accumulates left-to-right — mirrored term for term;
     // keep decided on the UNROUNDED logit on both sides.
@@ -6222,6 +6316,35 @@ object SparkEntry {
         |FROM ex LEFT JOIN top t
         |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
         |GROUP BY 1""".stripMargin),
+    // IVF→ADC: q307's lattice/codebook/queries, candidates pruned to
+    // each query's 2 nearest of 8 coarse cells before the ADC rerank
+    "q326_ivf_adc" -> (ivfAdcCtes + """
+        |SELECT t.q_id, t.rank, t.vec_id, t.adc_dist,
+        |  CAST(list_sum(list_transform(range(1, 65), j ->
+        |    (qb.v3[j] - vb.v3[j]) * (qb.v3[j] - vb.v3[j])))
+        |    AS BIGINT) AS exact_dist
+        |FROM top t
+        |JOIN base vb ON vb.vec_id = t.vec_id
+        |JOIN base qb ON qb.vec_id = t.q_id""".stripMargin),
+    // IVF→ADC recall@5 against the SAME exact ground truth as q318 —
+    // the pruning loss priced separately from the quantization loss
+    "q327_ivf_adc_recall" -> (ivfAdcCtes + """
+        |, ex AS (
+        |  SELECT q.q_id, b.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), j ->
+        |        (q.qv3[j] - b.v3[j]) * (q.qv3[j] - b.v3[j]))),
+        |      b.vec_id) AS r
+        |  FROM base b CROSS JOIN qs q WHERE b.vec_id <> q.q_id
+        |  QUALIFY r <= 5)
+        |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+        |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overlap,
+        |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+        |FROM ex LEFT JOIN top t
+        |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
+        |GROUP BY 1""".stripMargin),
     // golden records: the q303 scoring CTEs, q200-style recursive
     // closure, min-struct survivorship per entity
     "q320_golden_records" ->
@@ -7980,11 +8103,12 @@ object SparkEntry {
     * brevity-penalty exponent. Per-order CTEs are generated so both
     * engines replay the same gram construction.
     */
-  /** Shared q307/q318 oracle CTEs: lattice corpus, md5-sampled
-    * codebook + queries, subspace distances, codes, ADC tables and
-    * the (adc, vec_id)-ordered top-5 per query.
+  /** Shared PQ oracle CTEs (q307/q318/q326/q327): lattice corpus,
+    * md5-sampled codebook + queries, subspace distances, codes and
+    * the per-query ADC lookup tables — everything before the
+    * candidate-generation choice (flat scan vs IVF pruning).
     */
-  private def pqAdcCtes: String =
+  private def pqLatticeCtes: String =
     """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x ->
         |    CAST(ROUND(ROUND(CAST(x AS DOUBLE), 3) * 1000.0, 0)
@@ -8021,11 +8145,66 @@ object SparkEntry {
         |        - c.c3[j])
         |      * (list_slice(q.qv3, c.m * 16 + 1, c.m * 16 + 16)[j]
         |        - c.c3[j]))) AS tdist
-        |  FROM qs q, cb c),
+        |  FROM qs q, cb c)""".stripMargin
+
+  /** q307/q318 flat-scan tail: every code row meets every query's
+    * tables, then the (adc, vec_id)-ordered top-5 per query.
+    */
+  private def pqAdcCtes: String = pqLatticeCtes +
+    """,
         |adc AS (
         |  SELECT t.q_id, e.vec_id, CAST(SUM(t.tdist) AS BIGINT)
         |    AS adc_dist
         |  FROM enc e JOIN tab t ON e.m = t.m AND e.mn.k = t.code
+        |  WHERE e.vec_id <> t.q_id
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT q_id, vec_id, adc_dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+        |  FROM adc QUALIFY rank <= 5)""".stripMargin
+
+  /** q326/q327 IVF-pruned tail: an 8-cell md5-sampled coarse
+    * quantizer assigns the corpus once (exact int64 distances, ties
+    * to the lower cell), each query probes its 2 nearest cells, and
+    * only those candidates meet the ADC tables — the oracle replays
+    * which pairs are NEVER scored, same as q32/q195's contract.
+    */
+  private def ivfAdcCtes: String = pqLatticeCtes +
+    """,
+        |ivf AS (
+        |  SELECT v3 AS cv3, CAST(ROW_NUMBER() OVER (ORDER BY
+        |      md5(CAST(vec_id AS VARCHAR) || ':pq_ivf1'), vec_id)
+        |      AS INTEGER) - 1 AS cell
+        |  FROM base
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_ivf1'), vec_id) <= 8),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT b.vec_id, i.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), j ->
+        |          (b.v3[j] - i.cv3[j]) * (b.v3[j] - i.cv3[j]))) ASC,
+        |        i.cell ASC) AS rn
+        |    FROM base b CROSS JOIN ivf i)
+        |  WHERE rn = 1),
+        |qc AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.q_id, i.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), j ->
+        |          (q.qv3[j] - i.cv3[j]) * (q.qv3[j] - i.cv3[j]))) ASC,
+        |        i.cell ASC) AS pr
+        |    FROM qs q CROSS JOIN ivf i)
+        |  WHERE pr <= 2),
+        |adc AS (
+        |  SELECT t.q_id, e.vec_id, CAST(SUM(t.tdist) AS BIGINT)
+        |    AS adc_dist
+        |  FROM enc e
+        |  JOIN asg a ON a.vec_id = e.vec_id
+        |  JOIN qc ON qc.cell = a.cell
+        |  JOIN tab t ON t.q_id = qc.q_id AND e.m = t.m
+        |    AND e.mn.k = t.code
         |  WHERE e.vec_id <> t.q_id
         |  GROUP BY 1, 2),
         |top AS (

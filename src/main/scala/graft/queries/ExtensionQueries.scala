@@ -2071,6 +2071,36 @@ object ExtensionQueries {
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       nlist = 16, threshold = 0.4, secondLevelSplit = false)
 
+  /** SemDeDup SCALE path (q328): the shipped default configuration —
+    * corpus-DERIVED nlist (targetCellSize = 8) WITH the second-level
+    * skew split engaged — hash-checked end to end (q195 pins the
+    * legacy fixed-nlist/no-split config; this query covers what
+    * actually ships at scale). The fixture plants exactly the skew
+    * the split exists for: rows whose first-level md5 draw key is ≥
+    * 'd' (≈3/16 of the corpus — never drawn as centroids, which are
+    * the k ≈ n/8 SMALLEST keys) swap their embedding for a tight
+    * far-away 8-dim cluster with an exact per-id lattice jitter, so
+    * one first-level cell captures the whole clump, breaches
+    * 2·targetCellSize, and re-partitions among its own md5-ranked
+    * members; everyone else keeps their first 8 real dims. Every
+    * decision — both quantizer levels, the composite cell id, the
+    * within-cell cosine prune — is replayed verbatim by the DuckDB
+    * oracle.
+    */
+  def qSemanticDedupSplit(s: SparkSession, dir: String): DataFrame = {
+    val clump = md5(concat(col("vec_id").cast("string"),
+      lit(":semdedup_v1"))) >= "d"
+    val planted = tbl(s, dir, "embeddings").select(col("vec_id"),
+      when(clump,
+        transform(sequence(lit(0), lit(7)), j =>
+          lit(1000.0) + ((col("vec_id") * 7 + j * 13) % 97)
+            .cast("double") / lit(1024.0)))
+        .otherwise(transform(slice(col("embedding"), 1, 8),
+          x => x.cast("double"))).as("vec"))
+    graft.operators.SemanticDedup.semanticDedup(
+      planted, "vec_id", "vec", threshold = 0.4, targetCellSize = 8L)
+  }
+
   /** Linear quality-classifier scoring: pinned-coefficient logit over
     * ratio features, decision on the raw logit (no transcendentals —
     * see [[graft.operators.QualityModel]]).
@@ -4395,6 +4425,34 @@ object ExtensionQueries {
         tbl(s, dir, "embeddings"), "vec_id", "embedding"),
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
       cbSalt = "pq_v1", qSalt = "pq_q1")
+
+  /** IVF→ADC top-k (q326): q307's lattice/codebook/query set with an
+    * 8-cell md5-sampled coarse quantizer (nprobe = 2) pruning
+    * candidates BEFORE the ADC rerank — the large-|Q| cutover
+    * adcTopK's guard points at, declared as a real operator. Output
+    * schema matches q307 so the flat and pruned boards read side by
+    * side.
+    */
+  def qIvfAdc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ProductQuantization.ivfAdcTopK(
+      graft.operators.ProductQuantization.latticeFrame(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding"),
+      "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
+      nlist = 8, nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
+      ivfSalt = "pq_ivf1")
+
+  /** IVF→ADC recall@5 (q327): q326's pruned cut against the SAME
+    * exact ground truth q318 measures — read together, the two
+    * recall boards price the nprobe/nlist candidate loss separately
+    * from the PQ quantization loss.
+    */
+  def qIvfAdcRecall(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ProductQuantization.ivfAdcRecall(
+      graft.operators.ProductQuantization.latticeFrame(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding"),
+      "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
+      nlist = 8, nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
+      ivfSalt = "pq_ivf1")
 
   /** DP Laplace histogram release (q306): the (lang, source) doc
     * histogram released under ε = 0.5 (invEps = 2) with the portable

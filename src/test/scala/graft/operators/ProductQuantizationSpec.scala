@@ -41,6 +41,75 @@ class ProductQuantizationSpec extends AnyFunSuite {
     }
   }
 
+  test("adcTopK: the |Q| regime guard fires past maxAdcQueries with " +
+      "the IVF cutover in the message") {
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Seq(i.toFloat, i + 0.5f, 2f * i, -i.toFloat)))
+    val lattice = ProductQuantization.latticeFrame(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      ProductQuantization.adcTopK(lattice, "vec_id",
+        dims = 4, m = 2, k = 8, nQueries = 5, topK = 3,
+        cbSalt = "t_cb", qSalt = "t_q", maxAdcQueries = 4)
+    }
+    assert(e.getMessage.contains("ivfAdcTopK"))
+    // at the cap it still runs (the guard is >, not >=)
+    assert(ProductQuantization.adcTopK(lattice, "vec_id",
+      dims = 4, m = 2, k = 8, nQueries = 4, topK = 3,
+      cbSalt = "t_cb", qSalt = "t_q", maxAdcQueries = 4).count() > 0)
+  }
+
+  test("ivfAdcTopK: nprobe = nlist degenerates to the flat ADC cut; " +
+      "pruning keeps only probed-cell candidates") {
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Seq(i.toFloat, i + 0.5f, 2f * i, -i.toFloat)))
+    val lattice = ProductQuantization.latticeFrame(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // probing every cell = no pruning: must equal adcTopK row for row
+    val flat = ProductQuantization.adcTopK(lattice, "vec_id",
+      dims = 4, m = 2, k = 8, nQueries = 2, topK = 3,
+      cbSalt = "t_cb", qSalt = "t_q").collect().toSet
+    val all = ProductQuantization.ivfAdcTopK(lattice, "vec_id",
+      dims = 4, m = 2, k = 8, nQueries = 2, topK = 3,
+      nlist = 4, nprobe = 4, cbSalt = "t_cb", qSalt = "t_q",
+      ivfSalt = "t_ivf").collect().toSet
+    assert(all === flat)
+    // real pruning: the pruned cut is a subset of each query's
+    // candidates, self-free, ranked densely from 1, ADC still exact
+    // (self-codebook) on every returned pair
+    val pruned = ProductQuantization.ivfAdcTopK(lattice, "vec_id",
+      dims = 4, m = 2, k = 8, nQueries = 2, topK = 3,
+      nlist = 4, nprobe = 2, cbSalt = "t_cb", qSalt = "t_q",
+      ivfSalt = "t_ivf").collect()
+    for (r <- pruned) assert(r.getLong(3) === r.getLong(4))
+    for ((q, rows) <- pruned.groupBy(_.getLong(0))) {
+      assert(rows.forall(_.getLong(2) !== q))
+      assert(rows.map(_.getInt(1)).sorted.toSeq ===
+        (1 to rows.length).toSeq)
+    }
+  }
+
+  test("ivfAdcRecall: full probing recalls the exact cut fully; " +
+      "pruned recall never exceeds it") {
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Seq(i.toFloat, i + 0.5f, 2f * i, -i.toFloat)))
+    val lattice = ProductQuantization.latticeFrame(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val full = ProductQuantization.ivfAdcRecall(lattice, "vec_id",
+      dims = 4, m = 2, k = 8, nQueries = 2, topK = 3,
+      nlist = 4, nprobe = 4, cbSalt = "t_cb", qSalt = "t_q",
+      ivfSalt = "t_ivf").collect()
+    for (r <- full) assert(r.getDouble(3) === 1.0)
+    val pruned = ProductQuantization.ivfAdcRecall(lattice, "vec_id",
+      dims = 4, m = 2, k = 8, nQueries = 2, topK = 3,
+      nlist = 4, nprobe = 1, cbSalt = "t_cb", qSalt = "t_q",
+      ivfSalt = "t_ivf").collect()
+    for (r <- pruned) {
+      assert(r.getLong(1) === 3L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("adcRecall: a self-codebook corpus recalls the exact cut fully") {
     val vecs = (0 until 8).map(i =>
       (i.toLong, Seq(i.toFloat, i + 0.5f, 2f * i, -i.toFloat)))

@@ -143,6 +143,21 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(out.select(max(col("cell"))).head.getInt(0) < 16 * 1024)
   }
 
+  test("an explicit nlist big enough to wrap the Int composite id " +
+      "fails fast when splitting engages") {
+    // 10 identical vectors all tie into cell 0 (> 2·targetCellSize=4,
+    // so the split engages); nlist=3M would make cell + nlist·sub
+    // overflow the 32-bit cast — the guard must fire BEFORE any
+    // reassignment instead of silently merging unrelated cells
+    val rows = (0L until 10L).map(i => (i, Seq(1.0f, 2.0f)))
+      .toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      SemanticDedup.semanticDedup(rows, "id", "vec",
+        nlist = 3000000, targetCellSize = 2L).collect()
+    }
+    assert(e.getMessage.contains("composite"))
+  }
+
   test("keep is exactly dup_of IS NULL and dup_of is a lower id") {
     val df = vecs.toDF("vec_id", "embedding")
     SemanticDedup.semanticDedup(df, "vec_id", "embedding",
