@@ -90,7 +90,14 @@ object ProbeScaleEval {
             lit(999)))))
         .otherwise(transform(sequence(lit(1), lit(28)),
           i => concat(lit("b"), i))).as("ref"))
-    for (n <- Seq(10000L, 20000L)) {
+    // 4× leg (r11 verdict item 5): q310 is the board's dearest
+    // non-iterative line — assert the per-pair fold stays LINEAR in
+    // pair volume (the DP is O(|C|·|R|²) per pair but |C|,|R| are
+    // caller-bounded constants, so corpus wall must scale with n).
+    // A quadratic regression would show ~16× wall at the 4× leg; the
+    // 8× gate is generous for scheduler noise yet catches it.
+    val rougeWalls = for (n <- Seq(10000L, 20000L, 40000L)) yield {
+      val t0 = System.nanoTime()
       val r = t(s"ROUGE-L ($n pairs, 24/28 tokens)") {
         TextEval.rougeLCorpus(rougePairs(n), "id", "cand", "ref")
           .collect()(0)
@@ -100,7 +107,10 @@ object ProbeScaleEval {
       // — cand has ONE copy of t24, so LCS is exactly 24)
       assert(r.getLong(1) == 24L * (n / 2),
         s"lcs ${r.getLong(1)} want ${24L * (n / 2)}")
+      (System.nanoTime() - t0) / 1e9
     }
+    assert(rougeWalls(2) <= 8.0 * math.max(rougeWalls(0), 0.2),
+      s"ROUGE-L wall superlinear across 4x volume: $rougeWalls")
 
     // ── 3. HITS: complete bipartite regularity ────────────────────────
     // 8 rounds is the FULL `require` envelope: with the every-2-round
@@ -240,10 +250,14 @@ object ProbeScaleEval {
     }
     for (nq <- Seq(32, 128, 512, 2048)) {
       val top = t(s"PQ/ADC 40K corpus, |Q|=$nq, top-5") {
+        // the 2048 leg deliberately measures the wall PAST the
+        // default maxAdcQueries guard (this probe is where the 1024
+        // default came from) — raise the cap explicitly, which is
+        // exactly the documented escape hatch
         graft.operators.ProductQuantization.adcTopK(
           pqLat, "vec_id", dims = 16, m = 4, k = 16,
           nQueries = nq, topK = 5, cbSalt = "pqprobe_cb",
-          qSalt = "pqprobe_q").localCheckpoint()
+          qSalt = "pqprobe_q", maxAdcQueries = 4096).localCheckpoint()
       }
       val r1 = top.filter(col("rank") === 1)
       val bad = r1.filter(col("adc_dist") =!= 0L).count()
