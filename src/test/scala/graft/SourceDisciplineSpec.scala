@@ -31,6 +31,7 @@ class SourceDisciplineSpec extends AnyFunSuite {
     "operators/Experiments.scala",   // k-bounded assignment tables
     "operators/Ranks.scala",         // P-row partition-count offsets
     "operators/Sampling.scala",      // histogram/threshold/offset rows
+    "operators/ProductQuantization.scala", // nlist-row coarse quantizer
     "operators/SemanticDedup.scala", // k-row sampled quantizer
     "operators/Similarity.scala",    // k-row sampled centroids
     "pipeline/PhaseClassifier.scala",// ≤k cluster rows (reference A1)

@@ -82,6 +82,22 @@ class PageRankSpec extends AnyFunSuite {
       8L -> 0L, 9L -> 0L))
   }
 
+  test("personalized: everyNodeHasOutEdge and the shuffle-hash regime " +
+      "are bit-equal on an undirected graph") {
+    val und = Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val base = PageRank.microPersonalizedPageRank(und, seeds, 6)
+      .as[(Long, Long)].collect().toMap
+    val fast = PageRank.microPersonalizedPageRank(und, seeds, 6,
+      everyNodeHasOutEdge = true).as[(Long, Long)].collect().toMap
+    val shj = PageRank.microPersonalizedPageRank(und, seeds, 6,
+      everyNodeHasOutEdge = true, broadcastThreshold = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == base)
+    assert(shj == base)
+  }
+
   test("personalized: the seed dominates; a pure sink's echo is damped") {
     // star around 1 (seed) plus a chain hung off one spoke. NOTE:
     // rank is NOT monotone in hop distance on undirected graphs —

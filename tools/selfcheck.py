@@ -92,6 +92,10 @@ def main():
     import glob
     for p in glob.glob(f"{out_dir}/*"):
         n = os.path.basename(p)
+        # with SPARK_GRAFT_ONLY set, outputs outside the filter are not
+        # rows-only queries — they're just not under check this run
+        if only and n not in keep:
+            continue
         if os.path.isdir(p) and n not in oracle:
             try:
                 cnt = len(pd.read_parquet(p))
