@@ -684,6 +684,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
     } finally { eByDst.unpersist(); eBySrc.unpersist() }
   }
 
+  test("q326: the IVF-pruned ADC pipeline is all broadcast probes — " +
+      "no corpus-side merge join, no cartesian") {
+    val plan = planOf("q326_ivf_adc")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the corpus never meets anything by shuffle: candidates, tables
+    // and winners all broadcast onto corpus-side scans
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q328: the within-cell pairwise rides the cell equi-key — " +
+      "never a nested loop or cartesian") {
+    val plan = planOf("q328_semdedup_split")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // losing the cell equi-key extraction would degrade the pairwise
+    // to a BroadcastNestedLoopJoin with the cosine folded into the
+    // loop condition (the q246 trap) — pin the equi-join form
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q325: offsets cost at most the two-level prefix-sum scans; " +
       "bases ride a broadcast") {
     val plan = planOf("q325_packing_report")
