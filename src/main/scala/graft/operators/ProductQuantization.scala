@@ -273,10 +273,10 @@ object ProductQuantization {
     */
   def adcRecall(lattice: DataFrame, idCol: String, dims: Int, m: Int,
       k: Int, nQueries: Int, topK: Int, cbSalt: String,
-      qSalt: String): DataFrame =
+      qSalt: String, maxAdcQueries: Int = 1024): DataFrame =
     recallAgainstExact(lattice, idCol, nQueries, topK, qSalt,
       adcTopK(lattice, idCol, dims, m, k, nQueries, topK,
-        cbSalt, qSalt).select(col("q_id"), col("vec_id")))
+        cbSalt, qSalt, maxAdcQueries).select(col("q_id"), col("vec_id")))
 
   /** Recall@k of the IVF→ADC pruned cut ([[ivfAdcTopK]]) against the
     * SAME exact ground truth [[adcRecall]] measures — the two recall
