@@ -268,6 +268,28 @@ object ProbeScaleEval {
           "or another dist-0 combo)")
     }
 
+    // ── 6. the composed IVF→ADC cutover at the wall §5 just hit ───────
+    // same corpus and query set at |Q| = 2048, candidates pruned to
+    // nprobe/nlist = 1/16 of the corpus per query. The planted twin
+    // shares its query's coarse cell by construction (identical
+    // vector, identical argmin + tie rule), and the query's rank-1
+    // probe IS its own assignment cell — so pruning cannot lose the
+    // planted rank-1 truth, and the wall that forced the flat scan
+    // into partial-aggregate spill divides by nlist/nprobe.
+    val ivfTop = t("IVF->ADC 40K corpus, |Q|=2048, nlist=64, nprobe=4, top-5") {
+      graft.operators.ProductQuantization.ivfAdcTopK(
+        pqLat, "vec_id", dims = 16, m = 4, k = 16,
+        nQueries = 2048, topK = 5, nlist = 64, nprobe = 4,
+        cbSalt = "pqprobe_cb", qSalt = "pqprobe_q",
+        ivfSalt = "pqprobe_ivf").localCheckpoint()
+    }
+    val ir1 = ivfTop.filter(col("rank") === 1)
+    val ibad = ir1.filter(col("adc_dist") =!= 0L).count()
+    val inq = ir1.count()
+    assert(inq == 2048L && ibad == 0L,
+      s"IVF->ADC |Q|=2048: $inq rank-1 rows, $ibad with nonzero ADC " +
+        "distance — pruning lost the planted twins")
+
     println("[probe-scale-eval] all planted truths exact")
     spark.stop()
   }
