@@ -6317,7 +6317,8 @@ object SparkEntry {
         |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
         |GROUP BY 1""".stripMargin),
     // IVF→ADC: q307's lattice/codebook/queries, candidates pruned to
-    // each query's 2 nearest of 8 coarse cells before the ADC rerank
+    // each query's 2 nearest of ceil(sqrt(N)) coarse cells (derived
+    // both engines) before the ADC rerank
     "q326_ivf_adc" -> (ivfAdcCtes + """
         |SELECT t.q_id, t.rank, t.vec_id, t.adc_dist,
         |  CAST(list_sum(list_transform(range(1, 65), j ->
@@ -8164,21 +8165,28 @@ object SparkEntry {
         |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
         |  FROM adc QUALIFY rank <= 5)""".stripMargin
 
-  /** q326/q327 IVF-pruned tail: an 8-cell md5-sampled coarse
-    * quantizer assigns the corpus once (exact int64 distances, ties
-    * to the lower cell), each query probes its 2 nearest cells, and
-    * only those candidates meet the ADC tables — the oracle replays
-    * which pairs are NEVER scored, same as q32/q195's contract.
+  /** q326/q327 IVF-pruned tail: a corpus-derived md5-sampled coarse
+    * quantizer (nlist = ceil(sqrt(N)) clamped to [16, 65536] — IEEE
+    * sqrt is correctly rounded, so both engines derive the same k)
+    * assigns the corpus once (exact int64 distances, ties to the
+    * lower cell), each query probes its 2 nearest cells, and only
+    * those candidates meet the ADC tables — the oracle replays which
+    * pairs are NEVER scored, same as q32/q195's contract.
     */
   private def ivfAdcCtes: String = pqLatticeCtes +
     """,
+        |kivf AS (
+        |  SELECT CAST(LEAST(65536, GREATEST(16,
+        |    CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))))) AS BIGINT) AS k
+        |  FROM base),
         |ivf AS (
         |  SELECT v3 AS cv3, CAST(ROW_NUMBER() OVER (ORDER BY
         |      md5(CAST(vec_id AS VARCHAR) || ':pq_ivf1'), vec_id)
         |      AS INTEGER) - 1 AS cell
-        |  FROM base
+        |  FROM base CROSS JOIN kivf
         |  QUALIFY ROW_NUMBER() OVER (ORDER BY
-        |    md5(CAST(vec_id AS VARCHAR) || ':pq_ivf1'), vec_id) <= 8),
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_ivf1'), vec_id)
+        |    <= kivf.k),
         |asg AS (
         |  SELECT vec_id, cell FROM (
         |    SELECT b.vec_id, i.cell,

@@ -197,20 +197,33 @@ object ProductQuantization {
     * all value-deterministic, so the WHOLE pruned pipeline remains
     * hash-checkable in SQL; [[ivfAdcRecall]] ships the honesty
     * metric against the exact top-k.
+    *
+    * `nlist = 0` (the default) DERIVES the cell count from the corpus
+    * as ⌈√N⌉ clamped to [16, 65536] — the FAISS sizing rule: cells
+    * stay ≈ √N so per-query candidate work is ≈ nprobe·√N, balanced
+    * against the |Q|·nlist probe expansion. The derivation is ONE
+    * exact integer-sqrt ceiling, so an external mirror replays it
+    * (IEEE sqrt is correctly rounded in every engine); a fixed
+    * nlist > 0 stays accepted for pinned-reproducibility call sites.
     */
   def ivfAdcTopK(lattice: DataFrame, idCol: String, dims: Int, m: Int,
-      k: Int, nQueries: Int, topK: Int, nlist: Int, nprobe: Int,
-      cbSalt: String, qSalt: String, ivfSalt: String): DataFrame = {
+      k: Int, nQueries: Int, topK: Int, nprobe: Int,
+      cbSalt: String, qSalt: String, ivfSalt: String,
+      nlist: Int = 0): DataFrame = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
-    require(nprobe >= 1 && nprobe <= nlist,
-      s"nprobe $nprobe out of range for nlist $nlist")
+    val nl =
+      if (nlist > 0) nlist
+      else math.min(65536L, math.max(16L,
+        math.ceil(math.sqrt(lattice.count().toDouble)).toLong)).toInt
+    require(nprobe >= 1 && nprobe <= nl,
+      s"nprobe $nprobe out of range for nlist $nl")
     val subDim = dims / m
 
     // coarse quantizer: nlist md5-ranked corpus rows — one bounded
     // collect; cell assignment is then ONE compiled corpus pass (the
     // SemanticDedup recipe). Lattice values are small integers, so
     // the double kernel is exact and matches the int64 oracle.
-    val coarseFrame = mdRanked(lattice, idCol, nlist, ivfSalt)
+    val coarseFrame = mdRanked(lattice, idCol, nl, ivfSalt)
       .select(col("rank0").cast("int").as("_cell"), col("v3").as("_cv3"))
     val coarse: Seq[Seq[Double]] = coarseFrame.orderBy(col("_cell"))
       .select(col("_cv3")).collect()
@@ -285,12 +298,12 @@ object ProductQuantization {
     * loss on top.
     */
   def ivfAdcRecall(lattice: DataFrame, idCol: String, dims: Int,
-      m: Int, k: Int, nQueries: Int, topK: Int, nlist: Int,
-      nprobe: Int, cbSalt: String, qSalt: String,
-      ivfSalt: String): DataFrame =
+      m: Int, k: Int, nQueries: Int, topK: Int, nprobe: Int,
+      cbSalt: String, qSalt: String, ivfSalt: String,
+      nlist: Int = 0): DataFrame =
     recallAgainstExact(lattice, idCol, nQueries, topK, qSalt,
-      ivfAdcTopK(lattice, idCol, dims, m, k, nQueries, topK, nlist,
-        nprobe, cbSalt, qSalt, ivfSalt)
+      ivfAdcTopK(lattice, idCol, dims, m, k, nQueries, topK,
+        nprobe, cbSalt, qSalt, ivfSalt, nlist)
         .select(col("q_id"), col("vec_id")))
 
   /** Exact top-k ground truth (one linear corpus scan per broadcast

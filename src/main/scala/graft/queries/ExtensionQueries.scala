@@ -4436,19 +4436,21 @@ object ExtensionQueries {
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
       cbSalt = "pq_v1", qSalt = "pq_q1")
 
-  /** IVF→ADC top-k (q326): q307's lattice/codebook/query set with an
-    * 8-cell md5-sampled coarse quantizer (nprobe = 2) pruning
-    * candidates BEFORE the ADC rerank — the large-|Q| cutover
-    * adcTopK's guard points at, declared as a real operator. Output
-    * schema matches q307 so the flat and pruned boards read side by
-    * side.
+  /** IVF→ADC top-k (q326): q307's lattice/codebook/query set with a
+    * corpus-DERIVED md5-sampled coarse quantizer (nlist = ⌈√N⌉ in
+    * [16, 65536] — the FAISS sizing rule, replayed exactly by the
+    * oracle since IEEE sqrt is correctly rounded) and nprobe = 2,
+    * pruning candidates BEFORE the ADC rerank — the large-|Q|
+    * cutover adcTopK's guard points at, declared as a real operator
+    * in its SCALE configuration. Output schema matches q307 so the
+    * flat and pruned boards read side by side.
     */
   def qIvfAdc(s: SparkSession, dir: String): DataFrame =
     graft.operators.ProductQuantization.ivfAdcTopK(
       graft.operators.ProductQuantization.latticeFrame(
         tbl(s, dir, "embeddings"), "vec_id", "embedding"),
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
-      nlist = 8, nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
+      nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
       ivfSalt = "pq_ivf1")
 
   /** IVF→ADC recall@5 (q327): q326's pruned cut against the SAME
@@ -4461,7 +4463,7 @@ object ExtensionQueries {
       graft.operators.ProductQuantization.latticeFrame(
         tbl(s, dir, "embeddings"), "vec_id", "embedding"),
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
-      nlist = 8, nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
+      nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
       ivfSalt = "pq_ivf1")
 
   /** DP Laplace histogram release (q306): the (lang, source) doc
