@@ -59,6 +59,19 @@ object ProbeScale {
     }
     println(s"[probe-scale] pagerank rows: shuffle-hash=$shRows broadcast=$bcRows")
 
+    // PPR on the same graph (r12: shares contribStep's zero-shuffle
+    // broadcast rounds + the co-partitioned rebase; the seeded base
+    // join is the extra per-round piece worth probing at 40×)
+    val seeds = spark.range(100).select(col("id").as("node"))
+    val pprRows = t("ppr 6r shuffle-hash (same graph, 100 seeds)") {
+      PageRank.microPersonalizedPageRank(graph, seeds, 6).count()
+    }
+    val pprBc = t("ppr 6r forced-broadcast (same graph)") {
+      PageRank.microPersonalizedPageRank(graph, seeds, 6,
+        broadcastThreshold = 100000000L).count()
+    }
+    println(s"[probe-scale] ppr rows: shuffle-hash=$pprRows broadcast=$pprBc")
+
     // ── 2. LPA at 3 M nodes (undirected) ───────────────────────────────
     val lnN = 3000000L
     val half = spark.range(9000000L).select(
