@@ -89,6 +89,24 @@ class ProductQuantizationSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAdcTopK: the derived nlist (ceil-sqrt clamped to 16) equals " +
+      "the explicit value") {
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Seq(i.toFloat, i + 0.5f, 2f * i, -i.toFloat)))
+    val lattice = ProductQuantization.latticeFrame(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // ceil(sqrt(8)) = 3 clamps to the floor of 16
+    val derived = ProductQuantization.ivfAdcTopK(lattice, "vec_id",
+      dims = 4, m = 2, k = 8, nQueries = 2, topK = 3, nprobe = 2,
+      cbSalt = "t_cb", qSalt = "t_q", ivfSalt = "t_ivf")
+      .collect().toSet
+    val explicit = ProductQuantization.ivfAdcTopK(lattice, "vec_id",
+      dims = 4, m = 2, k = 8, nQueries = 2, topK = 3, nprobe = 2,
+      cbSalt = "t_cb", qSalt = "t_q", ivfSalt = "t_ivf", nlist = 16)
+      .collect().toSet
+    assert(derived === explicit)
+  }
+
   test("ivfAdcRecall: full probing recalls the exact cut fully; " +
       "pruned recall never exceeds it") {
     val vecs = (0 until 8).map(i =>
