@@ -603,6 +603,50 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Length of the longest common subsequence of two token arrays —
+    * the ROUGE-L kernel. Classic two-row integer DP: O(|C|·|R|) time,
+    * O(|R|) space per pair, vs the O(|C|·|R|²) the monotone-row
+    * list-transform fold paid (each row's prefix-max ran as an
+    * array-reallocating aggregate). The result is a UNIQUE integer —
+    * no floats, no ties — so any correct evaluation strategy (this
+    * compiled loop, the fold it replaced, the oracle's bounded
+    * recursive CTE) produces the same value, and the cross-engine
+    * hash contract is untouched by the kernel swap.
+    */
+  case class LcsLengthExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val m = b.numElements()
+      if (n == 0 || m == 0) return java.lang.Long.valueOf(0L)
+      val bs = new Array[UTF8String](m)
+      var j = 0
+      while (j < m) { bs(j) = b.getUTF8String(j); j += 1 }
+      var prev = new Array[Int](m + 1)
+      var cur = new Array[Int](m + 1)
+      var i = 0
+      while (i < n) {
+        val av = a.getUTF8String(i)
+        var k = 0
+        while (k < m) {
+          cur(k + 1) =
+            if (java.util.Objects.equals(av, bs(k))) prev(k) + 1
+            else math.max(prev(k + 1), cur(k))
+          k += 1
+        }
+        val t = prev; prev = cur; cur = t
+        java.util.Arrays.fill(cur, 0)
+        i += 1
+      }
+      java.lang.Long.valueOf(prev(m).toLong)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ── Column wrappers ─────────────────────────────────────────────────
 
   private def expr(c: Column) = ColumnBridge.expression(c)
@@ -623,6 +667,8 @@ object TextExpressions {
     toCol(NearestCentroidExpr(expr(v), centroids))
   def jaccard_sim(a: Column, b: Column): Column =
     toCol(JaccardSimExpr(expr(a), expr(b)))
+  def lcs_length(cand: Column, ref: Column): Column =
+    toCol(LcsLengthExpr(expr(cand), expr(ref)))
   def word_set_count(toks: Column, words: Seq[String]): Column =
     toCol(WordSetCountExpr(expr(toks), words))
   def rolling_fingerprint(toks: Column): Column =

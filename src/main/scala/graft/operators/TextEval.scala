@@ -184,19 +184,22 @@ object TextEval {
     * that credits in-order (not necessarily contiguous) overlap,
     * the order-sensitive complement to [[rougeClipped]]'s n-grams.
     *
-    * The LCS dynamic program runs as one fold over the candidate
-    * tokens carrying the DP row. The row UPDATE uses the
+    * The LCS length per pair is a UNIQUE integer (no floats, no
+    * ties), so the engine and the oracle are free to compute it with
+    * DIFFERENT correct algorithms and still hash-match. The Spark
+    * side runs the compiled two-row DP kernel
+    * ([[graft.functions.expressions.TextExpressions.lcs_length]],
+    * O(|C|·|R|) per pair — the r12 swap off an O(|C|·|R|²)
+    * list-transform fold, 10× on the kernel). The ORACLE replays the
     * monotone-row identity
     *
     *   N[j] = max(P[j], max_{k ≤ j} M[k]),
     *   M[k] = P[k−1]+1 when cand_tok = ref[k] else 0
     *
-    * (valid because LCS rows are non-decreasing in j), which has NO
-    * sequential dependence inside the row — so the same arithmetic
-    * is expressible as pure list transforms in any engine (the
-    * oracle replays it with a bounded recursive CTE). Work is
-    * O(|C|·|R|²) array ops per pair — the caller bounds the slices
-    * (the q291 24/28-token convention).
+    * (valid because LCS rows are non-decreasing in j), which has no
+    * sequential dependence inside the row and is therefore
+    * expressible as pure list transforms in a bounded recursive CTE.
+    * The caller bounds the slices (the q291 24/28-token convention).
     *
     * Corpus micro-average (exactly [[bleuCorpus]]'s convention):
     * P = ΣLCS/Σ|C|, R = ΣLCS/Σ|R|, and the β=1 F collapses to
@@ -208,25 +211,8 @@ object TextEval {
       refCol: String): DataFrame = {
     val cand = col(candCol)
     val ref = col(refCol)
-    val folded = aggregate(cand,
-      array_repeat(lit(0L), size(ref) + 1),
-      (p, c) => {
-        // M built once per row; its prefix max rides a second fold
-        // whose step is ONE compare against the last element (the
-        // slice-and-rescan form recomputed M per position — 4× the
-        // work and an array allocation per cell)
-        val m = transform(sequence(lit(1), size(ref)), k =>
-          when(c === element_at(ref, k), element_at(p, k) + 1L)
-            .otherwise(lit(0L)))
-        val pm = aggregate(m, array().cast("array<bigint>"),
-          (acc, x) => concat(acc, array(greatest(x,
-            coalesce(element_at(acc, -1), lit(0L))))))
-        concat(array(lit(0L)),
-          zip_with(slice(p, lit(2), size(ref)), pm,
-            (up, run) => greatest(up, run)))
-      })
-    val lcs = when(size(ref) === 0 || size(cand) === 0, lit(0L))
-      .otherwise(element_at(folded, -1))
+    val lcs = graft.functions.expressions.TextExpressions
+      .lcs_length(cand, ref)
 
     df.agg(
         count(lit(1)).as("n_pairs"),

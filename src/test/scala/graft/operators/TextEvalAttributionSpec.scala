@@ -207,6 +207,29 @@ class TextEvalAttributionSpec extends AnyFunSuite {
     assert(out("c") === ((3L, 0L, 0L, 1L)))
   }
 
+  test("ROUGE-L: the compiled LCS kernel matches a plain-Scala DP " +
+      "reference on 200 random pairs") {
+    def lcsRef(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length).toLong
+    }
+    val rnd = new scala.util.Random(20260815L)
+    // small alphabet forces dense matches; lengths hit 0 and repeats
+    val pairs = (1 to 200).map { i =>
+      def arr(n: Int) = Seq.fill(n)("t" + rnd.nextInt(5))
+      (i.toLong, arr(rnd.nextInt(16)), arr(rnd.nextInt(20)))
+    }
+    val want = pairs.map { case (_, c, r) => lcsRef(c, r) }.sum
+    val got = TextEval.rougeLCorpus(
+      pairs.toDF("id", "cand", "ref"), "id", "cand", "ref")
+      .collect()(0).getLong(1)
+    assert(got === want)
+  }
+
   test("ROUGE-L: LCS is order-sensitive, repeats don't double-count, " +
       "micro-average over pairs") {
     // pair 1: LCS(a b c d | a x c d y) = 3 (a,c,d)
