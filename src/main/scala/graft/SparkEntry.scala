@@ -593,7 +593,8 @@ object SparkEntry {
     "q308_conformal" -> (X.qConformal _),
     // JSON sidecar schema-conformance audit (guarded extraction)
     "q309_json_audit" -> (X.qJsonAudit _),
-    // corpus ROUGE-L (monotone-row LCS fold, micro-averaged)
+    // corpus ROUGE-L (compiled two-row LCS kernel, micro-averaged;
+    // oracle replays the monotone-row fold identity)
     "q310_rouge_l" -> (X.qRougeL _),
     // sentence-boundary RAG chunking with one-sentence overlap
     "q311_sentence_chunks" -> (X.qSentenceChunks _),
@@ -5398,7 +5399,8 @@ object SparkEntry {
         |    / CAST(n_sentences AS DOUBLE), 6) <= 0.5) AS keep
         |FROM d""".stripMargin,
     // Edit verify: the q246 SNM candidate CTEs re-rooted, then one
-    // levenshtein per candidate (identical unit-cost DP both engines)
+    // banded levenshtein per candidate (maxDist=64: exact in-band,
+    // NULL beyond — the oracle replays the band with a full-DP CASE)
     "q264_edit_verify" -> (plantedDupSql + ",\n" +
       """k AS (SELECT doc_id AS id, list_filter(
         |    regexp_split_to_array(lower(text), '\s+'),
@@ -5420,10 +5422,13 @@ object SparkEntry {
         |      list_distinct(b.tk))) AS DOUBLE)
         |    / CAST(len(list_distinct(a.tk || b.tk)) AS DOUBLE) >= 0.5)
         |SELECT id_a, id_b,
-        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+        |  CASE WHEN levenshtein(ta.text, tb.text) <= 64
+        |    THEN CAST(levenshtein(ta.text, tb.text) AS BIGINT)
+        |    ELSE NULL END AS edit_distance,
         |  CAST(length(ta.text) AS BIGINT) AS n_chars_a,
         |  CAST(length(tb.text) AS BIGINT) AS n_chars_b,
-        |  CASE WHEN greatest(length(ta.text), length(tb.text)) = 0 THEN 1.0
+        |  CASE WHEN levenshtein(ta.text, tb.text) > 64 THEN NULL
+        |    WHEN greatest(length(ta.text), length(tb.text)) = 0 THEN 1.0
         |    ELSE ROUND(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
         |      / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE),
         |      6) END AS edit_sim

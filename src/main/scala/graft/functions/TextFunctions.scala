@@ -241,4 +241,36 @@ object TextFunctions {
         regexp_replace(text, emailRe, "<EMAIL>"),
         urlRe, "<URL>"),
       longDigitsRe, "<NUM>")
+
+  // ── Edit distance ───────────────────────────────────────────────────
+
+  /** Exact Levenshtein distance via a doubling-threshold ladder —
+    * identical VALUES to `levenshtein(a, b)` at a fraction of the
+    * cost on similar pairs, which is the only regime a dedup verify
+    * stage ever feeds it (candidate pairs from SNM/LSH generators are
+    * near-dups by construction).
+    *
+    * Spark's thresholded built-in runs the Ukkonen k-banded DP —
+    * O(k·min(|a|,|b|)) instead of O(|a|·|b|) — and returns −1 when
+    * the distance exceeds k. Chaining rungs k = 2, 8, 32, 128 in a
+    * lazily-evaluated CASE gives exact-distance-or-certified-miss at
+    * each rung, with total work geometric in the TRUE distance; only
+    * pairs genuinely ≥ 128 edits apart fall through to the full DP.
+    * Each rung is skipped outright when the length difference alone
+    * certifies distance > k (|‖a‖−‖b‖| is a Levenshtein lower bound
+    * and And short-circuits in both codegen and interpreted mode).
+    * All rungs are the codegen'd built-in — no custom kernel, and
+    * the cross-engine contract is untouched because every path
+    * returns the exact distance.
+    */
+  def levenshteinExact(a: Column, b: Column): Column = {
+    val ldiff = abs(length(a) - length(b))
+    // null = "this rung can't answer": either skipped outright by the
+    // length lower bound or a certified miss (−1) — coalesce then
+    // falls through to the next rung lazily, so per-pair work is
+    // geometric in the TRUE distance, not in max(len)
+    def rung(k: Int): Column =
+      when(ldiff <= k, nullif(levenshtein(a, b, k), lit(-1)))
+    coalesce(rung(2), rung(8), rung(32), rung(128), levenshtein(a, b))
+  }
 }

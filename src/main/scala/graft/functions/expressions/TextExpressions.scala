@@ -632,8 +632,11 @@ object TextExpressions {
         val av = a.getUTF8String(i)
         var k = 0
         while (k < m) {
+          // null tokens never match (SQL `=` on null is non-true) —
+          // Objects.equals(null, null) would diverge from both the
+          // fold this kernel replaced and the oracle's '=' semantics
           cur(k + 1) =
-            if (java.util.Objects.equals(av, bs(k))) prev(k) + 1
+            if (av != null && av.equals(bs(k))) prev(k) + 1
             else math.max(prev(k + 1), cur(k))
           k += 1
         }

@@ -147,6 +147,15 @@ object PageRank {
     // shuffle of the edge cache buys every round's agg exchange.
     val eRound = if (bcast) e.repartition(col("dst")).persist() else e
     var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
+    if (bcast) {
+      // nodes' cache and rank's checkpoint are already materialized
+      // (the eager checkpoint above scanned them), so eRound is the
+      // loop's ONLY remaining edge consumer: materialize it and drop
+      // the src-clustered cache — the run then holds one edge copy,
+      // not two, for all `iterations` rounds (ADVICE r12)
+      eRound.count()
+      e.unpersist()
+    }
     var pinned = rank
     for (i <- 1 to iterations) {
       // one pass over the cached edges: R(u) div outdeg(u) evaluates
@@ -238,6 +247,13 @@ object PageRank {
       .select(col("node"),
         when(col("base") > 0L, lit(1000000L)).otherwise(lit(0L)).as("r"))
       .localCheckpoint(true)
+    if (bcast) {
+      // same single-edge-copy discipline as microPageRank: base's
+      // cache is populated (rank's eager checkpoint scanned it), so
+      // only the dst-clustered copy is consumed in-loop
+      eRound.count()
+      e.unpersist()
+    }
     var pinned = rank
     for (i <- 1 to iterations) {
       val contribs = contribStep(eRound, rank, bcast)

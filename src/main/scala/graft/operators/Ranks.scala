@@ -165,62 +165,67 @@ object Ranks {
         col(yCol).cast("long").as("_y"))
       .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_n"))
       .persist()
-    val domRow = h.agg(countDistinct(col("_x")).as("_nx"),
-      countDistinct(col("_y")).as("_ny")).head
-    val (nx, ny) = (domRow.getLong(0), domRow.getLong(1))
-    // BigInt product: two ~2^31+ domains would overflow a Long
-    // product and sail PAST the guard — the exact case it exists for
-    require(BigInt(nx) * BigInt(ny) <= BigInt(maxGridCells),
-      s"kendallTauB joint grid would hold $nx x $ny = ${BigInt(nx) * BigInt(ny)} " +
-        s"cells (> $maxGridCells): '$xCol'/'$yCol' are not discrete " +
-        "enough for the zero-filled-grid algorithm - bucket or " +
-        "quantize the wider column first (e.g. ntile/width_bucket), " +
-        "or raise maxGridCells if the grid genuinely fits")
-    val grid = h.select(col("_x")).distinct()
-      .crossJoin(h.select(col("_y")).distinct())
-      .join(h, Seq("_x", "_y"), "left")
-      .withColumn("_n", coalesce(col("_n"), lit(0L)))
-    // Σ_{y'<y} and Σ_{y'>y} within each x, then Σ_{x'<x} of those
-    val wyLt = Window.partitionBy(col("_x")).orderBy(col("_y"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wyGt = Window.partitionBy(col("_x")).orderBy(col("_y"))
-      .rowsBetween(1, Window.unboundedFollowing)
-    val wxLt = Window.partitionBy(col("_y")).orderBy(col("_x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val staged = grid
-      .withColumn("_cyl", coalesce(sum(col("_n")).over(wyLt), lit(0L)))
-      .withColumn("_cyg", coalesce(sum(col("_n")).over(wyGt), lit(0L)))
-    val scanned = staged
-      .withColumn("_slt", coalesce(sum(col("_cyl")).over(wxLt), lit(0L)))
-      .withColumn("_sgt", coalesce(sum(col("_cyg")).over(wxLt), lit(0L)))
-    val cd = scanned.agg(
-      sum(col("_n").cast(dec) * col("_slt").cast(dec)).as("_c"),
-      sum(col("_n").cast(dec) * col("_sgt").cast(dec)).as("_d"))
-    val margs = h.agg(
-      sum(col("_n")).as("_nr"),
-      sum(col("_n").cast(dec) * (col("_n") - 1).cast(dec)).as("_txy2"))
-    val tx = h.groupBy(col("_x")).agg(sum(col("_n")).as("_t"))
-      .agg(sum(col("_t").cast(dec) * (col("_t") - 1).cast(dec)).as("_tx2"))
-    val ty = h.groupBy(col("_y")).agg(sum(col("_n")).as("_t"))
-      .agg(sum(col("_t").cast(dec) * (col("_t") - 1).cast(dec)).as("_ty2"))
-    val out = cd.crossJoin(broadcast(margs))
-      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
-      .select(col("_nr").as("n_rows"),
-        col("_c").cast("long").as("concordant"),
-        col("_d").cast("long").as("discordant"),
-        (col("_tx2") / 2).cast("long").as("ties_x"),
-        (col("_ty2") / 2).cast("long").as("ties_y"),
-        {
-          val n0x2 = col("_nr").cast(dec) * (col("_nr") - 1).cast(dec)
-          val a = n0x2 - col("_tx2")
-          val b = n0x2 - col("_ty2")
-          when(a > 0 && b > 0,
-            ((col("_c") - col("_d")) * 2).cast("double") /
-              sqrt((a * b).cast("double"))).as("tau_b")
-        })
-    // eagerly pin the 1-row result, then release the histogram — the
-    // globalRankBy cache-release discipline; repeated library calls
-    // leave only a 1-row checkpoint behind, not the |X|·|Y| grid feed
-    try out.localCheckpoint() finally h.unpersist()
+    // finally, not just on success: the maxGridCells fail-fast
+    // below must not leak the cached histogram on exactly the
+    // oversized-input case it exists for (ADVICE r12)
+    try {
+      val domRow = h.agg(countDistinct(col("_x")).as("_nx"),
+        countDistinct(col("_y")).as("_ny")).head
+      val (nx, ny) = (domRow.getLong(0), domRow.getLong(1))
+      // BigInt product: two ~2^31+ domains would overflow a Long
+      // product and sail PAST the guard — the exact case it exists for
+      require(BigInt(nx) * BigInt(ny) <= BigInt(maxGridCells),
+        s"kendallTauB joint grid would hold $nx x $ny = ${BigInt(nx) * BigInt(ny)} " +
+          s"cells (> $maxGridCells): '$xCol'/'$yCol' are not discrete " +
+          "enough for the zero-filled-grid algorithm - bucket or " +
+          "quantize the wider column first (e.g. ntile/width_bucket), " +
+          "or raise maxGridCells if the grid genuinely fits")
+      val grid = h.select(col("_x")).distinct()
+        .crossJoin(h.select(col("_y")).distinct())
+        .join(h, Seq("_x", "_y"), "left")
+        .withColumn("_n", coalesce(col("_n"), lit(0L)))
+      // Σ_{y'<y} and Σ_{y'>y} within each x, then Σ_{x'<x} of those
+      val wyLt = Window.partitionBy(col("_x")).orderBy(col("_y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wyGt = Window.partitionBy(col("_x")).orderBy(col("_y"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val wxLt = Window.partitionBy(col("_y")).orderBy(col("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val staged = grid
+        .withColumn("_cyl", coalesce(sum(col("_n")).over(wyLt), lit(0L)))
+        .withColumn("_cyg", coalesce(sum(col("_n")).over(wyGt), lit(0L)))
+      val scanned = staged
+        .withColumn("_slt", coalesce(sum(col("_cyl")).over(wxLt), lit(0L)))
+        .withColumn("_sgt", coalesce(sum(col("_cyg")).over(wxLt), lit(0L)))
+      val cd = scanned.agg(
+        sum(col("_n").cast(dec) * col("_slt").cast(dec)).as("_c"),
+        sum(col("_n").cast(dec) * col("_sgt").cast(dec)).as("_d"))
+      val margs = h.agg(
+        sum(col("_n")).as("_nr"),
+        sum(col("_n").cast(dec) * (col("_n") - 1).cast(dec)).as("_txy2"))
+      val tx = h.groupBy(col("_x")).agg(sum(col("_n")).as("_t"))
+        .agg(sum(col("_t").cast(dec) * (col("_t") - 1).cast(dec)).as("_tx2"))
+      val ty = h.groupBy(col("_y")).agg(sum(col("_n")).as("_t"))
+        .agg(sum(col("_t").cast(dec) * (col("_t") - 1).cast(dec)).as("_ty2"))
+      val out = cd.crossJoin(broadcast(margs))
+        .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .select(col("_nr").as("n_rows"),
+          col("_c").cast("long").as("concordant"),
+          col("_d").cast("long").as("discordant"),
+          (col("_tx2") / 2).cast("long").as("ties_x"),
+          (col("_ty2") / 2).cast("long").as("ties_y"),
+          {
+            val n0x2 = col("_nr").cast(dec) * (col("_nr") - 1).cast(dec)
+            val a = n0x2 - col("_tx2")
+            val b = n0x2 - col("_ty2")
+            when(a > 0 && b > 0,
+              ((col("_c") - col("_d")) * 2).cast("double") /
+                sqrt((a * b).cast("double"))).as("tau_b")
+          })
+      // eagerly pin the 1-row result — the globalRankBy
+      // cache-release discipline; repeated library calls leave only
+      // a 1-row checkpoint behind, not the |X|·|Y| grid feed
+      out.localCheckpoint()
+    } finally h.unpersist()
   }
 }

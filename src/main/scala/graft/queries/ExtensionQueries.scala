@@ -3141,13 +3141,19 @@ object ExtensionQueries {
   /** Edit-distance verification of the q246 SNM candidates over the
     * planted-dup corpus — the exact final verify on a generator-
     * bounded pair set (the Levenshtein kernel never meets a
-    * quadratic candidate volume).
+    * quadratic candidate volume). maxDist = 64: the dup decision
+    * band — in-band pairs get their exact distance from ONE Ukkonen
+    * banded DP (O(64·len), not O(len²)), certified-far pairs stay in
+    * the audit with NULL distance (set-Jaccard windows keep many
+    * sequence-far pairs, and "289 edits" decides nothing "> 64"
+    * doesn't).
     */
   def qEditVerify(s: SparkSession, dir: String): DataFrame = {
     val pd = plantedDupDocs(s, dir)
     val pairs = graft.operators.SortedNeighborhood.nearDupPairs(
       pd, "doc_id", "text", window = 3, threshold = 0.5)
-    graft.operators.Dedup.editVerify(pairs, pd, "doc_id", "text")
+    graft.operators.Dedup.editVerify(pairs, pd, "doc_id", "text",
+      maxDist = 64)
   }
 
   /** JL sign projection of the embedding corpus 64 → 16 dims. */

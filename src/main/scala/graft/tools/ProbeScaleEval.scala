@@ -97,17 +97,24 @@ object ProbeScaleEval {
     // A quadratic regression would show ~16× wall at the 4× leg; the
     // 8× gate is generous for scheduler noise yet catches it.
     val rougeWalls = for (n <- Seq(10000L, 20000L, 40000L)) yield {
-      val t0 = System.nanoTime()
-      val r = t(s"ROUGE-L ($n pairs, 24/28 tokens)") {
-        TextEval.rougeLCorpus(rougePairs(n), "id", "cand", "ref")
-          .collect()(0)
+      // min of 2 runs per leg: the gate below compares wall-clock
+      // ratios, and a single run can draw a scheduler hiccup that
+      // fails the ratio on a busy host even though the kernel is
+      // linear (ADVICE r12) — min is the noise-robust wall statistic
+      val walls = for (_ <- 1 to 2) yield {
+        val t0 = System.nanoTime()
+        val r = t(s"ROUGE-L ($n pairs, 24/28 tokens)") {
+          TextEval.rougeLCorpus(rougePairs(n), "id", "cand", "ref")
+            .collect()(0)
+        }
+        // evens: the cand tokens all appear in-order in ref (ref's
+        // tail repeats token 24, which the LCS may reuse once at most
+        // — cand has ONE copy of t24, so LCS is exactly 24)
+        assert(r.getLong(1) == 24L * (n / 2),
+          s"lcs ${r.getLong(1)} want ${24L * (n / 2)}")
+        (System.nanoTime() - t0) / 1e9
       }
-      // evens: the cand tokens all appear in-order in ref (ref's
-      // tail repeats token 24, which the LCS may reuse once at most
-      // — cand has ONE copy of t24, so LCS is exactly 24)
-      assert(r.getLong(1) == 24L * (n / 2),
-        s"lcs ${r.getLong(1)} want ${24L * (n / 2)}")
-      (System.nanoTime() - t0) / 1e9
+      walls.min
     }
     assert(rougeWalls(2) <= 8.0 * math.max(rougeWalls(0), 0.2),
       s"ROUGE-L wall superlinear across 4x volume: $rougeWalls")

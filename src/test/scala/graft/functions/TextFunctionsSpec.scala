@@ -137,4 +137,33 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[String]("room 42 at 10:30", TextFunctions.scrubPii(col("text")))
       == "room 42 at 10:30")
   }
+  test("levenshteinExact matches the built-in on random and adversarial pairs") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    // deterministic generator: token soups with planted edits at every
+    // rung of the ladder (0, 1-2, ~5, ~20, ~60, ~200 edits) plus
+    // length-skewed and empty/degenerate pairs
+    val rnd = new scala.util.Random(4242)
+    def word() = rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString
+    def text(n: Int) = Seq.fill(n)(word()).mkString(" ")
+    def mutate(s: String, edits: Int): String = {
+      val sb = new StringBuilder(s)
+      for (_ <- 1 to edits if sb.nonEmpty) rnd.nextInt(3) match {
+        case 0 => sb.setCharAt(rnd.nextInt(sb.length), word().head)
+        case 1 => sb.deleteCharAt(rnd.nextInt(sb.length))
+        case 2 => sb.insert(rnd.nextInt(sb.length + 1), word().head)
+      }
+      sb.toString
+    }
+    val pairs = (for (_ <- 1 to 40; e <- Seq(0, 1, 2, 5, 20, 60, 200)) yield {
+      val a = text(10 + rnd.nextInt(60))
+      (a, mutate(a, e))
+    }) ++ Seq(("", ""), ("", "abc"), ("abc", ""), ("a", text(100)),
+      (text(100), "a"), ("identical twin", "identical twin"))
+    val got = pairs.toDF("a", "b").select(
+      graft.functions.TextFunctions.levenshteinExact($"a", $"b").as("fast"),
+      levenshtein($"a", $"b").as("full")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"ladder ${r.getInt(0)} != full DP ${r.getInt(1)}"))
+  }
 }

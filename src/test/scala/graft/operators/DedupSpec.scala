@@ -274,4 +274,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out((1L, 4L)) === ((6L, 0.0)))      // vs empty: all deletes
     assert(out((4L, 4L)) === ((0L, 1.0)))      // both empty pinned to 1
   }
+
+  test("editVerify banded mode: exact in-band, NULL beyond maxDist, " +
+      "every pair retained") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"), (3L, "a completely different " +
+        "sentence with nothing shared at all"), (4L, "kitten!")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val rows = Dedup.editVerify(pairs, docs, "doc_id", "text",
+      maxDist = 3).collect()
+    assert(rows.length == 3) // far pairs stay in the audit
+    val byPair = rows.map(r => ((r.getLong(0), r.getLong(1)), r)).toMap
+    // in-band: exact distance and similarity, identical to full DP
+    assert(byPair((1L, 2L)).getLong(2) == 3L)
+    assert(byPair((1L, 2L)).getDouble(5) == 0.571429)
+    assert(byPair((1L, 4L)).getLong(2) == 1L)
+    // beyond band: certified miss -> NULL distance AND similarity
+    assert(byPair((1L, 3L)).isNullAt(2))
+    assert(byPair((1L, 3L)).isNullAt(5))
+    // the band boundary itself is in-band (d == maxDist)
+    val edge = Dedup.editVerify(Seq((1L, 2L)).toDF("id_a", "id_b"),
+      docs, "doc_id", "text", maxDist = 3).collect()(0)
+    assert(edge.getLong(2) == 3L)
+  }
 }
