@@ -631,7 +631,15 @@ object SparkEntry {
     // q326's recall against q318's exact ground truth
     "q327_ivf_adc_recall" -> (X.qIvfAdcRecall _),
     // SemDeDup's shipped scale config: derived nlist + skew split
-    "q328_semdedup_split" -> (X.qSemanticDedupSplit _)
+    "q328_semdedup_split" -> (X.qSemanticDedupSplit _),
+    // IVFADC proper: residual-encoded PQ on the planted clustered
+    // fixture (the FAISS IndexIVFPQ shape)
+    "q329_ivfadc_residual" -> (X.qIvfAdcResidual _),
+    // q329's recall@5 vs the exact top-5 on the planted fixture
+    "q330_ivfadc_residual_recall" -> (X.qIvfAdcResidualRecall _),
+    // the control row: raw-encoding recall on the SAME fixture —
+    // q330 − q331 is the residual-encoding evidence
+    "q331_ivfadc_raw_planted_recall" -> (X.qIvfAdcRawPlantedRecall _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6351,6 +6359,23 @@ object SparkEntry {
         |FROM ex LEFT JOIN top t
         |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
         |GROUP BY 1""".stripMargin),
+    // IVFADC proper (residual encoding) on the planted clustered
+    // fixture: codes describe v − c(v), tables q − c per probed cell
+    "q329_ivfadc_residual" -> (plantedResidualCtes + """
+        |SELECT t.q_id, t.rank, t.vec_id, t.adc_dist,
+        |  CAST(list_sum(list_transform(range(1, 65), j ->
+        |    (qb.v3[j] - vb.v3[j]) * (qb.v3[j] - vb.v3[j])))
+        |    AS BIGINT) AS exact_dist
+        |FROM top t
+        |JOIN base vb ON vb.vec_id = t.vec_id
+        |JOIN base qb ON qb.vec_id = t.q_id""".stripMargin),
+    // residual-IVFADC recall@5 vs the exact planted-fixture top-5
+    "q330_ivfadc_residual_recall" ->
+      (plantedResidualCtes + plantedRecallTail),
+    // the control: raw-encoding recall on the SAME planted fixture —
+    // q330 − q331 is the residual-encoding delta, hash-checked twice
+    "q331_ivfadc_raw_planted_recall" ->
+      (plantedRawCtes + plantedRecallTail),
     // golden records: the q303 scoring CTEs, q200-style recursive
     // closure, min-struct survivorship per entity
     "q320_golden_records" ->
@@ -8225,6 +8250,192 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
         |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
         |  FROM adc QUALIFY rank <= 5)""".stripMargin
+
+  /** q329-q331 shared head: the PLANTED CLUSTERED lattice (w_j =
+    * lat3(e_j) + (((g+1)·7919 + j·104729) % 9 − 4)·500, g = vec_id %
+    * 16 — all mod operands positive, no division, exact int64 in both
+    * engines), 32 md5-sampled queries, and the same derived-⌈√N⌉
+    * coarse quantizer / assignment / nprobe=2 probe CTEs as q326 —
+    * rebuilt here over the planted base. The raw embeddings table is
+    * isotropic (residual norm² = 1.44× raw norm² to its nearest
+    * coarse centroid), so raw-vs-residual encoding is a coin flip
+    * there; the clustered fixture is the regime IVF indexes exist for
+    * and where the q330 − q331 recall delta prices residual encoding
+    * honestly (the q328 planted-fixture precedent).
+    */
+  private def plantedIvfCtes: String =
+    """WITH base AS (
+        |  SELECT vec_id, list_transform(range(1, 65), j ->
+        |    CAST(ROUND(ROUND(CAST(embedding[j] AS DOUBLE), 3) * 1000.0,
+        |      0) AS BIGINT)
+        |    + ((((vec_id % 16) + 1) * 7919 + j * 104729) % 9 - 4) * 500)
+        |    AS v3
+        |  FROM embeddings),
+        |qs AS (
+        |  SELECT vec_id AS q_id, v3 AS qv3, ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_q1'), vec_id) - 1 AS qr
+        |  FROM base QUALIFY qr < 32),
+        |ms AS (SELECT UNNEST(range(0, 4)) AS m),
+        |kivf AS (
+        |  SELECT CAST(LEAST(65536, GREATEST(16,
+        |    CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))))) AS BIGINT) AS k
+        |  FROM base),
+        |ivf AS (
+        |  SELECT v3 AS cv3, CAST(ROW_NUMBER() OVER (ORDER BY
+        |      md5(CAST(vec_id AS VARCHAR) || ':pq_ivf1'), vec_id)
+        |      AS INTEGER) - 1 AS cell
+        |  FROM base CROSS JOIN kivf
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_ivf1'), vec_id)
+        |    <= kivf.k),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT b.vec_id, i.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), j ->
+        |          (b.v3[j] - i.cv3[j]) * (b.v3[j] - i.cv3[j]))) ASC,
+        |        i.cell ASC) AS rn
+        |    FROM base b CROSS JOIN ivf i)
+        |  WHERE rn = 1),
+        |qc AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.q_id, i.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), j ->
+        |          (q.qv3[j] - i.cv3[j]) * (q.qv3[j] - i.cv3[j]))) ASC,
+        |        i.cell ASC) AS pr
+        |    FROM qs q CROSS JOIN ivf i)
+        |  WHERE pr <= 2)""".stripMargin
+
+  /** q329/q330 residual tail: corpus residuals v − c(v) (exact int64
+    * differences on the lattice), the SHARED md5-sampled residual
+    * codebook (one codebook for every cell — the residual contract),
+    * per-(vector, cell) codes, per-(query, probed cell) residual
+    * distance tables, and the same packed top-5 cut as q326.
+    */
+  private def plantedResidualCtes: String = plantedIvfCtes +
+    """,
+        |res AS (
+        |  SELECT b.vec_id, a.cell,
+        |    list_transform(range(1, 65), j -> b.v3[j] - i.cv3[j]) AS r3
+        |  FROM base b JOIN asg a USING (vec_id) JOIN ivf i USING (cell)),
+        |cbr0 AS (
+        |  SELECT vec_id, r3, ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_v1'), vec_id) - 1 AS k
+        |  FROM res QUALIFY k < 8),
+        |cbr AS (SELECT k AS code, m,
+        |    list_slice(r3, m * 16 + 1, m * 16 + 16) AS c3
+        |  FROM cbr0, ms),
+        |subr AS (SELECT vec_id, cell, m,
+        |    list_slice(r3, m * 16 + 1, m * 16 + 16) AS s3
+        |  FROM res, ms),
+        |encr0 AS (
+        |  SELECT s.vec_id, s.cell, s.m, c.code,
+        |    list_sum(list_transform(range(1, 17), j ->
+        |      (s.s3[j] - c.c3[j]) * (s.s3[j] - c.c3[j]))) AS dist
+        |  FROM subr s JOIN cbr c USING (m)),
+        |encr AS (
+        |  SELECT vec_id, cell, m,
+        |    MIN(struct_pack(d := dist, k := code)) AS mn
+        |  FROM encr0 GROUP BY 1, 2, 3),
+        |qres AS (
+        |  SELECT q.q_id, qc.cell,
+        |    list_transform(range(1, 65), j -> q.qv3[j] - i.cv3[j]) AS qr3
+        |  FROM qs q JOIN qc USING (q_id) JOIN ivf i USING (cell)),
+        |tabr AS (
+        |  SELECT qr.q_id, qr.cell, c.m, c.code,
+        |    list_sum(list_transform(range(1, 17), j ->
+        |      (list_slice(qr.qr3, c.m * 16 + 1, c.m * 16 + 16)[j]
+        |        - c.c3[j])
+        |      * (list_slice(qr.qr3, c.m * 16 + 1, c.m * 16 + 16)[j]
+        |        - c.c3[j]))) AS tdist
+        |  FROM qres qr, cbr c),
+        |adc AS (
+        |  SELECT t.q_id, e.vec_id, CAST(SUM(t.tdist) AS BIGINT)
+        |    AS adc_dist
+        |  FROM encr e
+        |  JOIN tabr t ON t.cell = e.cell AND e.m = t.m
+        |    AND e.mn.k = t.code
+        |  WHERE e.vec_id <> t.q_id
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT q_id, vec_id, adc_dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+        |  FROM adc QUALIFY rank <= 5)""".stripMargin
+
+  /** q331 raw-encoding tail on the planted base: q326's pipeline
+    * verbatim (whole-space codebook, raw codes/tables, IVF-pruned
+    * candidates) — the control the q330 residual recall reads
+    * against.
+    */
+  private def plantedRawCtes: String = plantedIvfCtes +
+    """,
+        |cb0 AS (
+        |  SELECT vec_id, v3, ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_v1'), vec_id) - 1 AS k
+        |  FROM base QUALIFY k < 8),
+        |cb AS (SELECT k AS code, m,
+        |    list_slice(v3, m * 16 + 1, m * 16 + 16) AS c3
+        |  FROM cb0, ms),
+        |sub AS (SELECT vec_id, m,
+        |    list_slice(v3, m * 16 + 1, m * 16 + 16) AS s3
+        |  FROM base, ms),
+        |enc0 AS (
+        |  SELECT s.vec_id, s.m, c.code,
+        |    list_sum(list_transform(range(1, 17), j ->
+        |      (s.s3[j] - c.c3[j]) * (s.s3[j] - c.c3[j]))) AS dist
+        |  FROM sub s JOIN cb c USING (m)),
+        |enc AS (
+        |  SELECT vec_id, m,
+        |    MIN(struct_pack(d := dist, k := code)) AS mn
+        |  FROM enc0 GROUP BY 1, 2),
+        |tab AS (
+        |  SELECT q.q_id, c.m, c.code,
+        |    list_sum(list_transform(range(1, 17), j ->
+        |      (list_slice(q.qv3, c.m * 16 + 1, c.m * 16 + 16)[j]
+        |        - c.c3[j])
+        |      * (list_slice(q.qv3, c.m * 16 + 1, c.m * 16 + 16)[j]
+        |        - c.c3[j]))) AS tdist
+        |  FROM qs q, cb c),
+        |adc AS (
+        |  SELECT t.q_id, e.vec_id, CAST(SUM(t.tdist) AS BIGINT)
+        |    AS adc_dist
+        |  FROM enc e
+        |  JOIN asg a ON a.vec_id = e.vec_id
+        |  JOIN qc ON qc.cell = a.cell
+        |  JOIN tab t ON t.q_id = qc.q_id AND e.m = t.m
+        |    AND e.mn.k = t.code
+        |  WHERE e.vec_id <> t.q_id
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT q_id, vec_id, adc_dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+        |  FROM adc QUALIFY rank <= 5)""".stripMargin
+
+  /** Shared q330/q331 recall closing: exact top-5 under the same
+    * (dist, vec_id) order over the planted base, overlap one exact
+    * division per query (q318/q327's closing verbatim).
+    */
+  private def plantedRecallTail: String =
+    """
+        |, ex AS (
+        |  SELECT q.q_id, b.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), j ->
+        |        (q.qv3[j] - b.v3[j]) * (q.qv3[j] - b.v3[j]))),
+        |      b.vec_id) AS r
+        |  FROM base b CROSS JOIN qs q WHERE b.vec_id <> q.q_id
+        |  QUALIFY r <= 5)
+        |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+        |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overlap,
+        |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+        |FROM ex LEFT JOIN top t
+        |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
+        |GROUP BY 1""".stripMargin
 
   /** q321 oracle: 4 HUGEINT power-iteration rounds unrolled with the
     * operator's ONE exact mid-point renormalization after round 2

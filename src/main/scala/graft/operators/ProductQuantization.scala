@@ -205,44 +205,27 @@ object ProductQuantization {
     * exact integer-sqrt ceiling, so an external mirror replays it
     * (IEEE sqrt is correctly rounded in every engine); a fixed
     * nlist > 0 stays accepted for pinned-reproducibility call sites.
+    * `nCorpus > 0` supplies N from the caller's stats (a catalog row,
+    * an aggregate the caller already ran) so derivation costs ZERO
+    * jobs — without it the ⌈√N⌉ rule pays one extra corpus-count pass
+    * per invocation, a real (if linear) cost at 100-TB volume (r12
+    * verdict nit #1).
     */
   def ivfAdcTopK(lattice: DataFrame, idCol: String, dims: Int, m: Int,
       k: Int, nQueries: Int, topK: Int, nprobe: Int,
       cbSalt: String, qSalt: String, ivfSalt: String,
-      nlist: Int = 0): DataFrame = {
+      nlist: Int = 0, nCorpus: Long = 0L): DataFrame = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
-    val nl =
-      if (nlist > 0) nlist
-      else math.min(65536L, math.max(16L,
-        math.ceil(math.sqrt(lattice.count().toDouble)).toLong)).toInt
+    val nl = deriveNlist(lattice, nlist, nCorpus)
     require(nprobe >= 1 && nprobe <= nl,
       s"nprobe $nprobe out of range for nlist $nl")
     val subDim = dims / m
 
-    // coarse quantizer: nlist md5-ranked corpus rows — one bounded
-    // collect; cell assignment is then ONE compiled corpus pass (the
-    // SemanticDedup recipe). Lattice values are small integers, so
-    // the double kernel is exact and matches the int64 oracle.
-    val coarseFrame = mdRanked(lattice, idCol, nl, ivfSalt)
-      .select(col("rank0").cast("int").as("_cell"), col("v3").as("_cv3"))
-    val coarse: Seq[Seq[Double]] = coarseFrame.orderBy(col("_cell"))
-      .select(col("_cv3")).collect()
-      .map(_.getSeq[Long](0).map(_.toDouble).toSeq).toSeq
-    val assigned = lattice.withColumn("_cell",
-      graft.functions.expressions.TextExpressions.nearest_centroid(
-        transform(col("v3"), x => x.cast("double")), coarse))
+    val (coarseFrame, assigned) = coarseAssign(lattice, idCol, nl, ivfSalt)
 
     val queries = mdRanked(lattice, idCol, nQueries, qSalt)
       .select(col(idCol).as("q_id"), col("v3").as("qv3"))
-    // each query probes its nprobe nearest coarse cells: a |Q|·nlist
-    // expansion against the broadcast centroid table, exact int64
-    // distances, ties to the lower cell — same rule as assignment
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("_cdist").asc, col("_cell").asc)
-    val qCells = queries.crossJoin(broadcast(coarseFrame))
-      .withColumn("_cdist", sqDist(col("qv3"), col("_cv3")))
-      .withColumn("_pr", row_number().over(wProbe))
-      .filter(col("_pr") <= nprobe)
+    val qCells = probeCells(queries, coarseFrame, nprobe)
       .select(col("q_id"), col("_cell"))
 
     val codebook = subspaces(
@@ -274,6 +257,147 @@ object ProductQuantization {
     topKReadout(adc, lattice, queries, idCol, topK)
   }
 
+  /** ⌈√N⌉ clamped to [16, 65536] (the FAISS sizing rule) when
+    * `nlist = 0`; `nCorpus > 0` supplies N without the corpus-count
+    * job (see [[ivfAdcTopK]]).
+    */
+  private def deriveNlist(lattice: DataFrame, nlist: Int,
+      nCorpus: Long): Int =
+    if (nlist > 0) nlist
+    else {
+      val n = if (nCorpus > 0L) nCorpus else lattice.count()
+      math.min(65536L, math.max(16L,
+        math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    }
+
+  /** Coarse quantizer + corpus assignment: `nl` md5-ranked corpus
+    * rows — one bounded collect; cell assignment is then ONE compiled
+    * corpus pass (the SemanticDedup recipe). Lattice values are small
+    * integers, so the double kernel is exact and matches the int64
+    * oracle. Returns (centroid frame (_cell, _cv3), lattice + _cell).
+    */
+  private def coarseAssign(lattice: DataFrame, idCol: String, nl: Int,
+      ivfSalt: String): (DataFrame, DataFrame) = {
+    val coarseFrame = mdRanked(lattice, idCol, nl, ivfSalt)
+      .select(col("rank0").cast("int").as("_cell"), col("v3").as("_cv3"))
+    val coarse: Seq[Seq[Double]] = coarseFrame.orderBy(col("_cell"))
+      .select(col("_cv3")).collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toSeq).toSeq
+    val assigned = lattice.withColumn("_cell",
+      graft.functions.expressions.TextExpressions.nearest_centroid(
+        transform(col("v3"), x => x.cast("double")), coarse))
+    (coarseFrame, assigned)
+  }
+
+  /** Each query's `nprobe` nearest coarse cells: a |Q|·nlist
+    * expansion against the broadcast centroid table, exact int64
+    * distances, ties to the lower cell — same rule as assignment.
+    * Returns (q_id, qv3, _cell, _cv3) so residual callers can derive
+    * the per-probed-cell query residual without a second join.
+    */
+  private def probeCells(queries: DataFrame, coarseFrame: DataFrame,
+      nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("_cdist").asc, col("_cell").asc)
+    queries.crossJoin(broadcast(coarseFrame))
+      .withColumn("_cdist", sqDist(col("qv3"), col("_cv3")))
+      .withColumn("_pr", row_number().over(wProbe))
+      .filter(col("_pr") <= nprobe)
+      .select(col("q_id"), col("qv3"), col("_cell"), col("_cv3"))
+  }
+
+  /** IVFADC proper — residual encoding (Jégou, Douze & Schmid 2011
+    * §III, the shape FAISS ships as `IndexIVFPQ`): each vector is
+    * PQ-encoded as its RESIDUAL v − c(v) to its coarse centroid, and
+    * a query builds distance tables from its OWN residual q − c to
+    * each probed cell's centroid. This is what lets coarse and fine
+    * quantization compose: the coarse term anchors the estimate to
+    * the right region of space, the fine codes only have to describe
+    * the (translation-invariant) within-cell offset, so ONE shared
+    * codebook serves every cell — with raw encoding ([[ivfAdcTopK]])
+    * k codes must tile the whole space and clustered corpora collapse
+    * whole cells onto one code, destroying within-cell ranking.
+    *
+    * Determinism: residuals are exact int64 differences on the same
+    * 1e-3 lattice (closed under subtraction), the codebook is the
+    * md5-ranked sample of the corpus RESIDUALS, distance tables are
+    * exact per-(query, probed cell) int64 sums, and the cut rides the
+    * same unique packed-score heap — the whole pruned+residual
+    * pipeline stays hash-checkable in SQL.
+    *
+    * Scale shape: identical to [[ivfAdcTopK]] plus one broadcast join
+    * of the nl-row centroid table against the corpus (the residual
+    * subtraction, fused into the same scan as the assignment); the
+    * distance tables grow to |Q|·nprobe·m·k rows — still broadcast-
+    * trivial — and candidate scoring stays Θ(candidates·m) with zero
+    * corpus shuffles.
+    */
+  def ivfAdcResidualTopK(lattice: DataFrame, idCol: String, dims: Int,
+      m: Int, k: Int, nQueries: Int, topK: Int, nprobe: Int,
+      cbSalt: String, qSalt: String, ivfSalt: String,
+      nlist: Int = 0, nCorpus: Long = 0L): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val nl = deriveNlist(lattice, nlist, nCorpus)
+    require(nprobe >= 1 && nprobe <= nl,
+      s"nprobe $nprobe out of range for nlist $nl")
+    val subDim = dims / m
+
+    val (coarseFrame, assigned) = coarseAssign(lattice, idCol, nl, ivfSalt)
+    // residual corpus: v − c(v), exact int64, fused into the
+    // assignment scan by the broadcast centroid join
+    val resFrame = assigned.join(broadcast(coarseFrame), Seq("_cell"))
+      .select(col(idCol), col("_cell"),
+        zip_with(col("v3"), col("_cv3"), (a, b) => a - b).as("v3"))
+
+    // the shared residual codebook: md5-ranked sample of the corpus
+    // residuals — one codebook for ALL cells, the residual contract
+    val codebook = subspaces(
+      mdRanked(resFrame, idCol, k, cbSalt)
+        .select(col("rank0").as("code"), col("v3")),
+      m, subDim, out = "c3")
+    val codes = encode(subspaces(resFrame, m, subDim), idCol, codebook,
+      carry = Seq("_cell"))
+
+    val queries = mdRanked(lattice, idCol, nQueries, qSalt)
+      .select(col(idCol).as("q_id"), col("v3").as("qv3"))
+    // per probed cell the query's residual q − c, then its m·k
+    // distance tables — |Q|·nprobe·m·k rows, broadcast
+    val qRes = probeCells(queries, coarseFrame, nprobe)
+      .select(col("q_id"), col("_cell"),
+        zip_with(col("qv3"), col("_cv3"), (a, b) => a - b).as("v3"))
+    val tables = subspaces(qRes, m, subDim, out = "qsub")
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("tdist", sqDist(col("qsub"), col("c3")))
+      .select(col("q_id"), col("_cell"), col("m"), col("code"),
+        col("tdist"))
+
+    // pruning rides the table join itself: tables exist only for
+    // probed (query, cell) pairs, so matching on _cell both prunes
+    // and selects the right per-cell residual tables in one probe
+    val adc = codes.join(broadcast(tables), Seq("_cell", "m", "code"))
+      .filter(col(idCol) =!= col("q_id"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("tdist")).as("adc_dist"))
+
+    topKReadout(adc, lattice, queries, idCol, topK)
+  }
+
+  /** Recall@k of the residual-encoded IVFADC cut ([[ivfAdcResidualTopK]])
+    * against the SAME exact ground truth as [[adcRecall]] /
+    * [[ivfAdcRecall]] — read against the raw-encoding recall on the
+    * same fixture, the delta prices exactly what residual encoding
+    * buys (same coarse cells, same k/m, same queries; only the
+    * encoding differs).
+    */
+  def ivfAdcResidualRecall(lattice: DataFrame, idCol: String, dims: Int,
+      m: Int, k: Int, nQueries: Int, topK: Int, nprobe: Int,
+      cbSalt: String, qSalt: String, ivfSalt: String,
+      nlist: Int = 0, nCorpus: Long = 0L): DataFrame =
+    recallAgainstExact(lattice, idCol, nQueries, topK, qSalt,
+      ivfAdcResidualTopK(lattice, idCol, dims, m, k, nQueries, topK,
+        nprobe, cbSalt, qSalt, ivfSalt, nlist, nCorpus)
+        .select(col("q_id"), col("vec_id")))
+
   /** Recall@k of the ADC cut against the exact top-k — the quality
     * number an ANN index ships with. Both cuts use the SAME unique
     * packed-score rule (dist·10⁶ + id), so ground truth is as
@@ -300,10 +424,10 @@ object ProductQuantization {
   def ivfAdcRecall(lattice: DataFrame, idCol: String, dims: Int,
       m: Int, k: Int, nQueries: Int, topK: Int, nprobe: Int,
       cbSalt: String, qSalt: String, ivfSalt: String,
-      nlist: Int = 0): DataFrame =
+      nlist: Int = 0, nCorpus: Long = 0L): DataFrame =
     recallAgainstExact(lattice, idCol, nQueries, topK, qSalt,
       ivfAdcTopK(lattice, idCol, dims, m, k, nQueries, topK,
-        nprobe, cbSalt, qSalt, ivfSalt, nlist)
+        nprobe, cbSalt, qSalt, ivfSalt, nlist, nCorpus)
         .select(col("q_id"), col("vec_id")))
 
   /** Exact top-k ground truth (one linear corpus scan per broadcast
