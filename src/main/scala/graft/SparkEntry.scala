@@ -639,7 +639,10 @@ object SparkEntry {
     "q330_ivfadc_residual_recall" -> (X.qIvfAdcResidualRecall _),
     // the control row: raw-encoding recall on the SAME fixture —
     // q330 − q331 is the residual-encoding evidence
-    "q331_ivfadc_raw_planted_recall" -> (X.qIvfAdcRawPlantedRecall _)
+    "q331_ivfadc_raw_planted_recall" -> (X.qIvfAdcRawPlantedRecall _),
+    // the convergence exit ENGAGED: PageRank on a planted ring sits
+    // at the integer fixed point from round 1 (rounds_run = 1 of 8)
+    "q332_pagerank_converged" -> (X.qPageRankConverged _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -980,8 +983,58 @@ object SparkEntry {
        |outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
-       |$rounds
-       |SELECT node, r AS micro_rank FROM r$iters""".stripMargin
+       |$rounds,
+       |${convergenceCtes(iters, checkEvery = 4)}
+       |SELECT node, r AS micro_rank, rr.rounds_run FROM r$iters, rr""".stripMargin
+  }
+
+  /** The engine's convergence stop test replayed over the unrolled
+    * rounds: rounds_run = the first CHECKED round (multiples of the
+    * engine's `convergeCheckEvery` cadence, final round excluded —
+    * the engine never tests it) whose rank frame equals its
+    * predecessor's (ranks are exact integers — no epsilon), else the
+    * full round count. The final rank SELECT stays r_iters: a fixed
+    * point at any checked round pins every later round to the same
+    * values, so the engine's early-stopped frame and the oracle's
+    * fully-unrolled one are bit-identical by construction.
+    */
+  private def convergenceCtes(iters: Int, checkEvery: Int): String = {
+    val checked = (1 until iters).filter(_ % checkEvery == 0)
+    val chg = checked.map { i =>
+      s"""SELECT $i AS i, (SELECT COUNT(*) FROM r$i a
+         |    JOIN r${i - 1} b ON a.node = b.node AND a.r <> b.r) AS c""".stripMargin
+    }.mkString(" UNION ALL\n")
+    s"""chg AS ($chg),
+       |rr AS (SELECT CAST(COALESCE(MIN(CASE WHEN c = 0 THEN i END),
+       |  $iters) AS INTEGER) AS rounds_run FROM chg)""".stripMargin
+  }
+
+  /** q332 oracle: the planted fast-converging fixture — a directed
+    * ring over the customer keys (outdeg = indeg = 1 everywhere), so
+    * round 1 reproduces round 0 exactly (150000 + 85·10⁶ div 100 =
+    * 10⁶) and the replayed stop test reads rounds_run = 1 while the
+    * unrolled r8 carries the same values.
+    */
+  private def pagerankRingSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |    CAST(150000 + (CAST(85 AS BIGINT) * COALESCE(s.sc, 0)) // 100
+         |      AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.r // o.outdeg) AS sc
+         |    FROM e JOIN r${i - 1} p ON e.src = p.node
+         |    JOIN outd o ON e.src = o.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS src FROM customer),
+       |e AS (SELECT src, COALESCE(LEAD(src) OVER (ORDER BY src),
+       |  (SELECT MIN(src) FROM c)) AS dst FROM c),
+       |outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds,
+       |${convergenceCtes(iters, checkEvery = 1)}
+       |SELECT node, r AS micro_rank, rr.rounds_run FROM r$iters, rr""".stripMargin
   }
 
   /** Bootstrap-CI oracle: the same md5 draw arithmetic (nibble sum ≡
@@ -1052,8 +1105,9 @@ object SparkEntry {
        |r0 AS (SELECT node,
        |  CAST(CASE WHEN node < 5 THEN 1000000 ELSE 0 END AS BIGINT) AS r
        |  FROM nodes),
-       |$rounds
-       |SELECT node, r AS micro_rank FROM r$iters""".stripMargin
+       |$rounds,
+       |${convergenceCtes(iters, checkEvery = 3)}
+       |SELECT node, r AS micro_rank, rr.rounds_run FROM r$iters, rr""".stripMargin
   }
 
   /** Decimal-carried exact sum, surfaced as double (see RelationalQueries). */
@@ -6376,6 +6430,9 @@ object SparkEntry {
     // q330 − q331 is the residual-encoding delta, hash-checked twice
     "q331_ivfadc_raw_planted_recall" ->
       (plantedRawCtes + plantedRecallTail),
+    // PageRank ring fixture: rounds_run = 1 via the replayed stop
+    // test; the unrolled r8 carries the identical fixed-point ranks
+    "q332_pagerank_converged" -> pagerankRingSql(8),
     // golden records: the q303 scoring CTEs, q200-style recursive
     // closure, min-struct survivorship per entity
     "q320_golden_records" ->
@@ -8470,16 +8527,22 @@ h2n AS (SELECT node, v * sc.scale // th2.tot AS v FROM h2, th2, sc)"""
       |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS v FROM nodes)""".stripMargin +
       r12 + renorm + r34 + """
       |, ta AS (SELECT SUM(v) AS tot FROM a4),
-      |th AS (SELECT SUM(v) AS tot FROM h4)
+      |th AS (SELECT SUM(v) AS tot FROM h4),
+      |chgh AS (
+      |  SELECT COUNT(*) AS c FROM h2n a JOIN h0 b
+      |  ON a.node = b.node AND a.v <> b.v),
+      |rr AS (SELECT CAST(CASE WHEN (SELECT c FROM chgh) = 0
+      |  THEN 2 ELSE 4 END AS INTEGER) AS rounds_run)
       |SELECT n.node,
       |  CAST(COALESCE(h4.v * sc.scale // th.tot, 0) AS BIGINT)
       |    AS micro_hub,
       |  CAST(COALESCE(a4.v * sc.scale // ta.tot, 0) AS BIGINT)
-      |    AS micro_auth
+      |    AS micro_auth,
+      |  rr.rounds_run
       |FROM nodes n
       |LEFT JOIN h4 ON h4.node = n.node
       |LEFT JOIN a4 ON a4.node = n.node
-      |CROSS JOIN sc CROSS JOIN ta CROSS JOIN th""".stripMargin
+      |CROSS JOIN sc CROSS JOIN ta CROSS JOIN th CROSS JOIN rr""".stripMargin
   }
 
   /** q304 oracle: the q291 planted pairs joined separator-free, char

@@ -94,11 +94,35 @@ object Hits {
     *              regime (the [[PageRank]] knob); above it the score
     *              frame shuffle-hash-joins against the clustered
     *              edge caches instead.
+    * @param convergeEarly stop at a renorm boundary whose NORMALIZED
+    *              hub frame equals the previous boundary's — the HITS
+    *              analog of [[PageRank]]'s exact fixed-point test.
+    *              Raw decimals grow every half-step by design, so the
+    *              only round-comparable representation is the
+    *              normalized long frame, and that exists exactly at
+    *              the 2-round renorm boundaries the magnitude
+    *              envelope already forces — the test therefore rides
+    *              a frame the loop ALREADY materializes (one extra
+    *              co-partitioned join + cache-read probe per
+    *              boundary, nothing per round). Boundary equality is
+    *              exact convergence: two rounds + renorm is a pure
+    *              integer function of the normalized hub frame, so a
+    *              repeated boundary state pins every later stretch,
+    *              and for EVEN `iterations` the remaining rounds are
+    *              whole stretches — the early result is bit-identical
+    *              to the full run (odd iteration counts break that
+    *              parity, so the test only engages when `iterations`
+    *              is even; it is then also skipped at boundaries the
+    *              magnitude envelope already renormalizes away, i.e.
+    *              none). Adds `rounds_run` (= the boundary round at
+    *              the fixed point, else `iterations`).
     * @return (node, micro_hub, micro_auth) after `iterations` full
-    *         hub+authority rounds; Σ of each side ≈ N·10⁶.
+    *         hub+authority rounds; Σ of each side ≈ N·10⁶ — plus
+    *         `rounds_run` when `convergeEarly` is set.
     */
   def microHits(edges: DataFrame, iterations: Int,
-      broadcastThreshold: Long = 4000000L): DataFrame = {
+      broadcastThreshold: Long = 4000000L,
+      convergeEarly: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 8,
       s"iterations out of the decimal-headroom envelope: $iterations")
     val (eBySrc, eByDst) = edgeCaches(edges)
@@ -152,8 +176,17 @@ object Hits {
     def pin(f: DataFrame): DataFrame = f.localCheckpoint()
     var h = nodes.select(col("node"),
       lit(1000000L).cast(dec).as("_v"))
+    // the convergence test's previous-boundary state: the initial hub
+    // frame IS its own normalized form (Σ = N·10⁶ exactly)
+    var prevNorm: DataFrame =
+      if (convergeEarly) nodes.select(col("node"), lit(1000000L).as("_m"))
+      else null
     var a: DataFrame = null
-    for (i <- 1 to iterations) {
+    var earlyHub: DataFrame = null
+    var roundsRun = iterations
+    var i = 1
+    var stop = false
+    while (i <= iterations && !stop) {
       a = halfStep(eBySrc, eByDst, h, "src", "dst", bcast)
       if (i == iterations) a = pin(a)
       h = halfStep(eByDst, eBySrc, a, "dst", "src", bcast)
@@ -167,18 +200,48 @@ object Hits {
       // 4-round stretch — exactly the undetected-overflow window
       // ADVICE r10 flagged.)
       if (iterations >= 3 && i % 2 == 0 && i < iterations) {
-        h = normalize(pin(h), "_m")
-          .select(col("node"), col("_m").cast(dec).as("_v"))
+        val hN = normalize(pin(h), "_m")
+        if (convergeEarly && iterations % 2 == 0) {
+          // boundary fixed-point test on the frame the renorm already
+          // built: co-partitioned join (both sides node-hash-
+          // partitioned), one cache-read emptiness probe
+          val ck = hN.join(
+              prevNorm.withColumnRenamed("_m", "_pm").hint("shuffle_hash"),
+              Seq("node"))
+            .localCheckpoint(true)
+          if (ck.filter(col("_m") =!= col("_pm")).isEmpty) {
+            // boundary state repeated: every remaining stretch replays
+            // it, so micro_hub = this normalized frame and micro_auth
+            // = normalize(a at this boundary) — bit-identical to the
+            // full run (see the convergeEarly scaladoc)
+            roundsRun = i
+            stop = true
+            earlyHub = ck.select(col("node"), col("_m"))
+            a = pin(a)
+          } else {
+            prevNorm = ck.select(col("node"), col("_m"))
+            h = prevNorm.select(col("node"), col("_m").cast(dec).as("_v"))
+          }
+        } else {
+          h = hN.select(col("node"), col("_m").cast(dec).as("_v"))
+        }
       }
       if (i == iterations) h = pin(h)
+      i += 1
     }
 
-    val out = nodes
-      .join(normalize(h, "micro_hub"), Seq("node"), "left")
+    val hubSide =
+      if (earlyHub != null) earlyHub.withColumnRenamed("_m", "micro_hub")
+      else normalize(h, "micro_hub")
+    val out0 = nodes
+      .join(hubSide, Seq("node"), "left")
       .join(normalize(a, "micro_auth"), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("micro_hub"), lit(0L)).as("micro_hub"),
         coalesce(col("micro_auth"), lit(0L)).as("micro_auth"))
+    val out = (if (convergeEarly)
+        out0.withColumn("rounds_run", lit(roundsRun).cast("int"))
+      else out0)
       .localCheckpoint()
     eBySrc.unpersist(); eByDst.unpersist(); nodes.unpersist()
     out

@@ -555,9 +555,40 @@ object ExtensionQueries {
       .union(b.select(col("p").as("src"), col("s").as("dst")))
     // dedup ONCE after the union (two narrow scans + one shuffle) rather
     // than pair-distincting b and paying the distinct on both union
-    // branches; undirected => every node has both an out- and an in-edge
+    // branches; undirected => every node has both an out- and an in-edge.
+    // convergence exit armed at cadence 4 (one checked round at i=4:
+    // rounds 1-4 batch into the checked job, 5-8 into the closing
+    // checkpoint — near the un-armed job count): rounds_run rides
+    // along; this graph does not settle within 8 rounds, so the
+    // declared result pins the non-converged branch while q332 pins
+    // the engaged exit
     graft.operators.PageRank.microPageRank(edges, 8,
-      everyNodeHasOutEdge = true, everyNodeHasInEdge = true)
+      everyNodeHasOutEdge = true, everyNodeHasInEdge = true,
+      convergeCheckEvery = 4)
+  }
+
+  /** PageRank with the convergence exit ENGAGED (q332): the planted
+    * fast-converging fixture — a directed ring over the customer
+    * keys (every node outdeg = indeg = 1), which sits AT the integer
+    * fixed point from round 1: R₁(v) = 150000 + (85·(10⁶ div 1)) div
+    * 100 = 10⁶ = R₀(v). With iterations = 8 and check cadence 1 the
+    * run stops after one round (rounds_run = 1), and the oracle
+    * replays the same stop test over its unrolled rounds — the r12
+    * verdict's "exit engaged on a planted fast-converging fixture",
+    * hash-checked. (The ring construction's global-order window is
+    * fixture setup, not the operator under test.)
+    */
+  def qPageRankConverged(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("src"))
+    val ring = tbl(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("src"))
+      .select(col("src"), coalesce(lead(col("src"), 1).over(w),
+        min(col("src")).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))).as("dst"))
+    graft.operators.PageRank.microPageRank(ring, 8,
+      distinctEdges = true, everyNodeHasOutEdge = true,
+      everyNodeHasInEdge = true, convergeCheckEvery = 1)
   }
 
   // ── Sessionization / event-time (batch analog of streaming ops) ─────
@@ -1594,8 +1625,11 @@ object ExtensionQueries {
       .select(col("l_suppkey").cast("long").as("node"))
     // undirected graph => every node has an out-edge: the node set is
     // an exchange-free distinct over the src-clustered edge cache
+    // convergence exit armed at cadence 3 (one checked round at i=3;
+    // see q109's cadence note)
     graft.operators.PageRank.microPersonalizedPageRank(
-      edges, seeds, iterations = 6, everyNodeHasOutEdge = true)
+      edges, seeds, iterations = 6, everyNodeHasOutEdge = true,
+      convergeCheckEvery = 3)
   }
 
   /** CUPED readout: metric = 1995 customer revenue, covariate = 1994
@@ -4654,7 +4688,8 @@ object ExtensionQueries {
     val edges = tbl(s, dir, "lineitem").select(
       col("l_suppkey").cast("long").as("src"),
       (col("l_partkey").cast("long") + 10000000L).as("dst"))
-    graft.operators.Hits.microHits(edges, iterations = 4)
+    graft.operators.Hits.microHits(edges, iterations = 4,
+      convergeEarly = true)
   }
 
   /** ER end-to-end: golden records (q320) — the survivorship stage

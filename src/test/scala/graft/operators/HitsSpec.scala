@@ -27,6 +27,35 @@ class HitsSpec extends AnyFunSuite {
     assert(out(11L) === ((0L, 1500000L)))
   }
 
+  test("convergeEarly: a perfect matching repeats its boundary state " +
+      "and stops at round 4 of 6, bit-equal to the full run") {
+    // matching 1→11, 2→12, 3→13: every half-step carries 10⁶ per
+    // node, but the FIRST boundary renormalizes the 3-src hub frame
+    // to scale N·10⁶ (N = 6 nodes) = 2·10⁶ each ≠ the 10⁶ initial
+    // state, so the exit legitimately waits for the second boundary
+    // (h4n == h2n) — the test is support-aware, not magnitude-naive
+    val edges = Seq((1L, 11L), (2L, 12L), (3L, 13L)).toDF("src", "dst")
+    val plain = Hits.microHits(edges, iterations = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val early = Hits.microHits(edges, iterations = 6, convergeEarly = true)
+      .collect()
+    assert(early.forall(_.getInt(3) == 4))
+    assert(early.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == plain)
+  }
+
+  test("convergeEarly: a non-converged bipartite graph runs all 4 " +
+      "rounds, bit-equal to the plain path") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val plain = Hits.microHits(edges, iterations = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val early = Hits.microHits(edges, iterations = 4, convergeEarly = true)
+      .collect()
+    assert(early.forall(_.getInt(3) == 4))
+    assert(early.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet == plain)
+  }
+
   test("duplicate edges collapse before the rounds") {
     val edges = Seq((1L, 10L), (1L, 10L), (2L, 10L)).toDF("src", "dst")
     val once = Hits.microHits(Seq((1L, 10L), (2L, 10L))

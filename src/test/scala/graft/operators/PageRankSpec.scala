@@ -98,6 +98,62 @@ class PageRankSpec extends AnyFunSuite {
     assert(shj == base)
   }
 
+  test("convergeEarly: a non-converged graph runs all R rounds and " +
+      "stays bit-equal to the plain path") {
+    // sanity: the star/chain fixture really has no fixed point in 8
+    // rounds (otherwise this test would silently weaken)
+    val ref = reference(edges, 8)
+    assert(reference(edges, 7) != ref)
+    val got = PageRank.microPageRank(edges.toDF("src", "dst"), 8,
+      everyNodeHasOutEdge = true, everyNodeHasInEdge = true,
+      convergeCheckEvery = 1).collect()
+    assert(got.forall(_.getInt(2) == 8))
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap == ref)
+  }
+
+  test("convergeEarly: the exit engages on a ring at round 1 (the " +
+      "integer fixed point) in both join regimes") {
+    val ring = (1L to 6L).map(i => (i, i % 6 + 1)).toDF("src", "dst")
+    for (thr <- Seq(4000000L, 1L)) {
+      val got = PageRank.microPageRank(ring, 8, distinctEdges = true,
+        everyNodeHasOutEdge = true, everyNodeHasInEdge = true,
+        broadcastThreshold = thr, convergeCheckEvery = 1).collect()
+      assert(got.length == 6)
+      assert(got.forall(_.getInt(2) == 1))
+      assert(got.forall(_.getLong(1) == 1000000L))
+    }
+  }
+
+  test("check cadence > 1: the exit fires at the first CHECKED round " +
+      "and the values stay the full-run fixed point") {
+    // ring converges at round 1, but with cadence 4 the first test
+    // happens at round 4 — rounds_run must read 4, values unchanged
+    val ring = (1L to 6L).map(i => (i, i % 6 + 1)).toDF("src", "dst")
+    val got = PageRank.microPageRank(ring, 8, distinctEdges = true,
+      everyNodeHasOutEdge = true, everyNodeHasInEdge = true,
+      convergeCheckEvery = 4).collect()
+    assert(got.forall(_.getInt(2) == 4))
+    assert(got.forall(_.getLong(1) == 1000000L))
+  }
+
+  test("personalized convergeEarly: a pure self-loop graph is its own " +
+      "fixed point (rounds_run = 1); a chain is not (all R rounds)") {
+    val loops = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val conv = PageRank.microPersonalizedPageRank(loops, seeds, 6,
+      convergeCheckEvery = 1).collect()
+    assert(conv.forall(_.getInt(2) == 1))
+    assert(conv.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1000000L, 2L -> 0L, 3L -> 0L))
+    val chain = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val plain = PageRank.microPersonalizedPageRank(chain, seeds, 2)
+      .as[(Long, Long)].collect().toMap
+    val early = PageRank.microPersonalizedPageRank(chain, seeds, 2,
+      convergeCheckEvery = 1).collect()
+    assert(early.forall(_.getInt(2) == 2))
+    assert(early.map(r => r.getLong(0) -> r.getLong(1)).toMap == plain)
+  }
+
   test("personalized: the seed dominates; a pure sink's echo is damped") {
     // star around 1 (seed) plus a chain hung off one spoke. NOTE:
     // rank is NOT monotone in hop distance on undirected graphs —
