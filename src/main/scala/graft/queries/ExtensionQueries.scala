@@ -4485,26 +4485,33 @@ object ExtensionQueries {
     * in its SCALE configuration. Output schema matches q307 so the
     * flat and pruned boards read side by side.
     */
-  def qIvfAdc(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ProductQuantization.ivfAdcTopK(
-      graft.operators.ProductQuantization.latticeFrame(
-        tbl(s, dir, "embeddings"), "vec_id", "embedding"),
+  def qIvfAdc(s: SparkSession, dir: String): DataFrame = {
+    val lat = graft.operators.ProductQuantization.latticeFrame(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding")
+    // the ⌈√N⌉ derivation reads the session stats memo instead of
+    // paying a counting pass per call (r12 verdict nit #1): one count
+    // per JVM serves q326/q327 and the q329-q331 planted family alike
+    graft.operators.ProductQuantization.ivfAdcTopK(lat,
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
       nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
-      ivfSalt = "pq_ivf1")
+      ivfSalt = "pq_ivf1",
+      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings", lat))
+  }
 
   /** IVF→ADC recall@5 (q327): q326's pruned cut against the SAME
     * exact ground truth q318 measures — read together, the two
     * recall boards price the nprobe/nlist candidate loss separately
     * from the PQ quantization loss.
     */
-  def qIvfAdcRecall(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ProductQuantization.ivfAdcRecall(
-      graft.operators.ProductQuantization.latticeFrame(
-        tbl(s, dir, "embeddings"), "vec_id", "embedding"),
+  def qIvfAdcRecall(s: SparkSession, dir: String): DataFrame = {
+    val lat = graft.operators.ProductQuantization.latticeFrame(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding")
+    graft.operators.ProductQuantization.ivfAdcRecall(lat,
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
       nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
-      ivfSalt = "pq_ivf1")
+      ivfSalt = "pq_ivf1",
+      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings", lat))
+  }
 
   /** The planted CLUSTERED embedding lattice for the residual-IVFADC
     * family (q329-q331): w_j = lat3(embedding_j) + off(g)_j with
@@ -4539,12 +4546,15 @@ object ExtensionQueries {
     * k/m/nprobe and the derived-⌈√N⌉ coarse quantizer. Same output
     * schema as q307/q326 so the three ADC boards read side by side.
     */
-  def qIvfAdcResidual(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ProductQuantization.ivfAdcResidualTopK(
-      plantedClusteredLattice(s, dir),
+  def qIvfAdcResidual(s: SparkSession, dir: String): DataFrame = {
+    val lat = plantedClusteredLattice(s, dir)
+    // same row count as the embeddings table (1:1 planted transform)
+    graft.operators.ProductQuantization.ivfAdcResidualTopK(lat,
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 32, topK = 5,
       nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
-      ivfSalt = "pq_ivf1")
+      ivfSalt = "pq_ivf1",
+      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings", lat))
+  }
 
   /** Residual-IVFADC recall@5 (q330): q329's cut against the exact
     * top-5 on the planted clustered fixture — read against q331 (the
@@ -4557,12 +4567,14 @@ object ExtensionQueries {
     * sf0.01: residual 0.194 vs raw 0.125 mean recall@5; at sf0.1:
     * 0.069 vs 0.025 (2.8×).
     */
-  def qIvfAdcResidualRecall(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ProductQuantization.ivfAdcResidualRecall(
-      plantedClusteredLattice(s, dir),
+  def qIvfAdcResidualRecall(s: SparkSession, dir: String): DataFrame = {
+    val lat = plantedClusteredLattice(s, dir)
+    graft.operators.ProductQuantization.ivfAdcResidualRecall(lat,
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 32, topK = 5,
       nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
-      ivfSalt = "pq_ivf1")
+      ivfSalt = "pq_ivf1",
+      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings", lat))
+  }
 
   /** Raw-encoding IVF-ADC recall@5 on the planted clustered fixture
     * (q331): q330's control row — identical pipeline except vectors
@@ -4570,12 +4582,14 @@ object ExtensionQueries {
     * codebook. The q330 − q331 delta is the residual-encoding
     * evidence, hash-checked on both sides.
     */
-  def qIvfAdcRawPlantedRecall(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ProductQuantization.ivfAdcRecall(
-      plantedClusteredLattice(s, dir),
+  def qIvfAdcRawPlantedRecall(s: SparkSession, dir: String): DataFrame = {
+    val lat = plantedClusteredLattice(s, dir)
+    graft.operators.ProductQuantization.ivfAdcRecall(lat,
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 32, topK = 5,
       nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
-      ivfSalt = "pq_ivf1")
+      ivfSalt = "pq_ivf1",
+      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings", lat))
+  }
 
   /** DP Laplace histogram release (q306): the (lang, source) doc
     * histogram released under ε = 0.5 (invEps = 2) with the portable

@@ -694,6 +694,51 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q329: the residual IVFADC pipeline keeps q326's shape — all " +
+      "broadcast probes, no corpus-side merge join, no cartesian") {
+    val plan = planOf("q329_ivfadc_residual")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ivfAdcTopK(nlist=0): a caller-supplied corpus count removes " +
+      "the derivation's counting job (r12 verdict nit #1)") {
+    val lattice = graft.operators.ProductQuantization.latticeFrame(
+      spark.read.parquet(sfDir + "/embeddings.parquet"),
+      "vec_id", "embedding")
+    val n = lattice.count()
+    // count the jobs the CALL itself schedules (plan construction:
+    // the coarse-quantizer collect, plus — without nCorpus — the
+    // ⌈√N⌉ derivation's counting pass)
+    def jobsDuring(tag: String)(f: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
+      try f finally spark.sparkContext.clearJobGroup()
+      // the status tracker is fed asynchronously; poll to stability
+      def ids = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+      var last = -1
+      var cur = ids
+      var spins = 0
+      while (cur != last && spins < 100) {
+        Thread.sleep(50); last = cur; cur = ids; spins += 1
+      }
+      cur
+    }
+    def call(nCorpus: Long): Unit =
+      graft.operators.ProductQuantization.ivfAdcTopK(lattice, "vec_id",
+        dims = 64, m = 4, k = 8, nQueries = 4, topK = 5, nprobe = 2,
+        cbSalt = "pq_v1", qSalt = "pq_q1", ivfSalt = "pq_ivf1",
+        nCorpus = nCorpus)
+    val derived = jobsDuring("ivf-derived") { call(0L) }
+    val supplied = jobsDuring("ivf-supplied") { call(n) }
+    // supplied keeps ONLY the coarse-quantizer collect; the derivation
+    // path additionally pays the corpus count (1-2 jobs under AQE)
+    assert(supplied == 1,
+      s"expected only the coarse collect with nCorpus supplied, got $supplied")
+    assert(derived > supplied,
+      s"counting pass not removed: derived=$derived supplied=$supplied")
+  }
+
   test("q328: the within-cell pairwise rides the cell equi-key — " +
       "never a nested loop or cartesian") {
     val plan = planOf("q328_semdedup_split")
