@@ -187,7 +187,8 @@ object SparkEntry {
     "q107_resample_locf" -> (X.qResampleLocf _),
     // SCD2 dimension-history builder
     "q108_scd2_history" -> (X.qScd2History _),
-    // iterative graph centrality, 6-dp quantized => oracle-exact
+    // iterative graph centrality, 6-dp quantized => oracle-exact;
+    // convergence exit armed (rounds_run replayed by the oracle)
     "q109_pagerank" -> (X.qPageRank _),
     // hot-key join via salt+replicate (oracle: the plain join)
     "q110_salted_join" -> (X.qSaltedJoin _),
@@ -322,7 +323,8 @@ object SparkEntry {
     "q173_rolling_active" -> (X.qRollingActive _),
     // CUPED variance-reduced readout from decimal moments
     "q174_cuped" -> (X.qCuped _),
-    // personalized PageRank (seed-gated base, integer fixed point)
+    // personalized PageRank (seed-gated base, integer fixed point;
+    // convergence exit armed, rounds_run replayed)
     "q175_ppr" -> (X.qPersonalizedPageRank _),
     // deterministic md5 bootstrap CI for the mean
     "q176_bootstrap_ci" -> (X.qBootstrapCI _),
@@ -616,7 +618,8 @@ object SparkEntry {
     "q319_ulaw_pcm" -> (X.qUlawPcm _),
     // ER golden records: FS links -> transitive closure -> survivorship
     "q320_golden_records" -> (X.qGoldenRecords _),
-    // HITS hubs/authorities (integer L1-normalized fixed point)
+    // HITS hubs/authorities (integer L1-normalized fixed point;
+    // boundary convergence test armed, rounds_run replayed)
     "q321_hits" -> (X.qHits _),
     // exact Kendall tau-b over the bounded joint histogram
     "q322_kendall_tau" -> (X.qKendallTau _),
@@ -8497,7 +8500,12 @@ object SparkEntry {
   /** q321 oracle: 4 HUGEINT power-iteration rounds unrolled with the
     * operator's ONE exact mid-point renormalization after round 2
     * (magnitude cap) and the closing L1 normalization — every rescale
-    * the same exact floor division.
+    * the same exact floor division. The engine's boundary convergence
+    * test replays as chgh (normalized h at the round-2 boundary vs
+    * the initial state, compared on the h frame's src support — the
+    * same inner-join predicate the engine evaluates): rounds_run = 2
+    * on a repeated boundary state, else 4; the rank SELECTs stay the
+    * unrolled round-4 frames, bit-identical either way.
     */
   private def hitsSql: String = {
     def stepPair(i: Int, hp: String): String =
