@@ -297,6 +297,88 @@ object ProbeScaleEval {
       s"IVF->ADC |Q|=2048: $inq rank-1 rows, $ibad with nonzero ADC " +
         "distance — pruning lost the planted twins")
 
+    // ── 7. residual IVFADC at the same wall (r13: IVFADC proper) ──────
+    // same 40 K corpus and |Q| = 2048 as §6 — the residual pipeline
+    // must hold the SAME Θ(candidates·m) wall (its only additions are
+    // the broadcast centroid join for the corpus residuals and the
+    // per-probed-cell tables, |Q|·nprobe·m·k rows). Planted truth,
+    // exact by construction: every query's twin shares its coarse
+    // cell (identical vector → identical argmin + tie rule) AND its
+    // residual, so the twin's ADC distance is the minimum possible
+    // over the codebook — Σ_m min_k ‖qres_m − c_k‖² — and no
+    // candidate can sit below that floor: rank-1 adc_dist must EQUAL
+    // the independently recomputed floor for all 2048 queries.
+    val resTop = t("residual IVFADC 40K corpus, |Q|=2048, nlist=64, nprobe=4, top-5") {
+      graft.operators.ProductQuantization.ivfAdcResidualTopK(
+        pqLat, "vec_id", dims = 16, m = 4, k = 16,
+        nQueries = 2048, topK = 5, nlist = 64, nprobe = 4,
+        cbSalt = "pqprobe_cb", qSalt = "pqprobe_q",
+        ivfSalt = "pqprobe_ivf").localCheckpoint()
+    }
+    // independent floor replay from the operator's public pieces.
+    // The exact sandwich: per probed cell, the query residual's
+    // min-code sum Σ_m min_k ‖qres(cell)_m − c_k‖² lower-bounds every
+    // candidate scored IN that cell, so rank-1 ≥ the min of the four
+    // per-cell floors; and the twin (same cell, same residual as the
+    // query) ACHIEVES the own-cell floor, so rank-1 ≤ floor(own cell).
+    // Both bounds are exact integers — no epsilon.
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val coarse = graft.operators.ProductQuantization
+      .mdRanked(pqLat, "vec_id", 64, "pqprobe_ivf")
+      .select(col("rank0").cast("int").as("_cell"), col("v3").as("_cv3"))
+      .localCheckpoint()
+    val asg = pqLat.crossJoin(broadcast(coarse))
+      .withColumn("_d", sq(col("v3"), col("_cv3")))
+      .withColumn("_rn", row_number().over(org.apache.spark.sql
+        .expressions.Window.partitionBy(col("vec_id"))
+        .orderBy(col("_d").asc, col("_cell").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("_cell"), col("_cv3"))
+    val resAll = asg.join(pqLat, Seq("vec_id"))
+      .select(col("vec_id"),
+        zip_with(col("v3"), col("_cv3"), (a, b) => a - b).as("v3"))
+      .localCheckpoint()
+    val cbRes = graft.operators.ProductQuantization.subspaces(
+      graft.operators.ProductQuantization
+        .mdRanked(resAll, "vec_id", 16, "pqprobe_cb")
+        .select(col("rank0").as("code"), col("v3")),
+      4, 4, out = "c3")
+    // per-(query, probed cell) residuals: the same nprobe=4 window
+    // rule as the operator, own cell = probe rank 1
+    val qFrame = graft.operators.ProductQuantization
+      .mdRanked(pqLat, "vec_id", 2048, "pqprobe_q")
+      .select(col("vec_id").as("q_id"), col("v3").as("qv3"))
+    val qProbes = qFrame.crossJoin(broadcast(coarse))
+      .withColumn("_d", sq(col("qv3"), col("_cv3")))
+      .withColumn("_pr", row_number().over(org.apache.spark.sql
+        .expressions.Window.partitionBy(col("q_id"))
+        .orderBy(col("_d").asc, col("_cell").asc)))
+      .filter(col("_pr") <= 4)
+      .select(col("q_id"), col("_pr"),
+        zip_with(col("qv3"), col("_cv3"), (a, b) => a - b).as("v3"))
+    val cellFloors = graft.operators.ProductQuantization
+      .subspaces(qProbes, 4, 4, out = "qsub")
+      .join(broadcast(cbRes), Seq("m"))
+      .withColumn("_td", sq(col("qsub"), col("c3")))
+      .groupBy(col("q_id"), col("_pr"), col("m"))
+      .agg(min(col("_td")).as("_mn"))
+      .groupBy(col("q_id"), col("_pr")).agg(sum(col("_mn")).as("_f"))
+    val floorFrame = cellFloors.groupBy(col("q_id")).agg(
+      min(col("_f")).as("_floor_min"),
+      min(when(col("_pr") === 1, col("_f"))).as("_floor_own"))
+    val r1j = resTop.filter(col("rank") === 1)
+      .join(floorFrame, Seq("q_id")).localCheckpoint()
+    val offFloor = r1j.filter(col("adc_dist") > col("_floor_own") ||
+      col("adc_dist") < col("_floor_min")).count()
+    val rnq = r1j.count()
+    assert(rnq == 2048L && offFloor == 0L,
+      s"residual IVFADC: $rnq rank-1 rows, $offFloor outside the " +
+        "exact [min-cell floor, own-cell floor] sandwich — the twin " +
+        "achieves the own-cell floor and no scored candidate can " +
+        "undercut its cell's floor")
+
     println("[probe-scale-eval] all planted truths exact")
     spark.stop()
   }
