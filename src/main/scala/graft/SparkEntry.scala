@@ -1003,6 +1003,11 @@ object SparkEntry {
     */
   private def convergenceCtes(iters: Int, checkEvery: Int): String = {
     val checked = (1 until iters).filter(_ % checkEvery == 0)
+    require(checked.nonEmpty,
+      s"convergenceCtes($iters, $checkEvery): no checked round before " +
+        "the final one — the engine never tests at this cadence and " +
+        "'chg AS ()' would not parse; drop the rounds_run mirror or " +
+        "lower the cadence")
     val chg = checked.map { i =>
       s"""SELECT $i AS i, (SELECT COUNT(*) FROM r$i a
          |    JOIN r${i - 1} b ON a.node = b.node AND a.r <> b.r) AS c""".stripMargin

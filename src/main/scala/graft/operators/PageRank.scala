@@ -231,28 +231,29 @@ object PageRank {
     else out
   }
 
-  /** convergeEarly round closer at ONE action per round: the round
-    * joins its predecessor's rank (both sides node-hash-partitioned —
-    * contribution agg / rebase output vs the previous cut — so the
-    * join is a co-partitioned zero-exchange shuffle-hash), persists,
-    * and a single fused aggregate both materializes the cache and
-    * counts changed ranks. Lineage is then cut with a zero-job RDD
-    * rebase (reads resolve to the populated cache): the naive shape —
-    * eager checkpoint + separate emptiness probe — paid two scheduled
-    * jobs per round and measured ~2× the whole exit's cost on the
-    * q109 graph. Returns (cache handle for the unpersist chain, the
-    * cut (node, r) frame, fixed-point verdict).
+  /** Checked-round closer: the round joins its predecessor's rank
+    * (both sides node-hash-partitioned — contribution agg / rebase
+    * output vs the previous round's checkpoint — so the join is a
+    * co-partitioned zero-exchange shuffle-hash), eagerly checkpoints
+    * (severing lineage — the prev frame is consumed twice per checked
+    * round, so an uncut logical tree would double per round, the HITS
+    * lesson — while PRESERVING the hash partitioning for the next
+    * round's joins), then probes the cached frame for any changed
+    * rank: a limit-1 cache read that stops at the first difference.
+    * Two scheduled jobs per CHECKED round (materialize + probe) is
+    * what `convergeCheckEvery` exists to amortize; an RDD-rebase
+    * fusion was tried and rejected — it saved the probe job but
+    * discarded the frame's outputPartitioning (re-exchanging every
+    * later checked round) and paid a full serde round trip. Returns
+    * (cache handle for the unpersist chain, the (node, r) cut,
+    * fixed-point verdict).
     */
   private def persistWithChange(next: DataFrame,
       prev: DataFrame): (DataFrame, DataFrame, Boolean) = {
     val prevR = prev.hint("shuffle_hash").withColumnRenamed("r", "_pr")
-    val ck = next.join(prevR, Seq("node")).persist()
-    val changed = ck.agg(
-      count(when(col("r") =!= col("_pr"), lit(1))).as("c"))
-      .first().getLong(0)
-    val cut = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-      .select(col("node"), col("r"))
-    (ck, cut, changed == 0L)
+    val ck = next.join(prevR, Seq("node")).localCheckpoint(true)
+    val converged = ck.filter(col("r") =!= col("_pr")).isEmpty
+    (ck, ck.select(col("node"), col("r")), converged)
   }
 
   /** Personalized PageRank: restart mass flows only to the SEED set —

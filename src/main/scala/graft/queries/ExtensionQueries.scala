@@ -4490,7 +4490,7 @@ object ExtensionQueries {
       tbl(s, dir, "embeddings"), "vec_id", "embedding")
     // the ⌈√N⌉ derivation reads the session stats memo instead of
     // paying a counting pass per call (r12 verdict nit #1): one count
-    // per JVM serves q326/q327 and the q329-q331 planted family alike
+    // per JVM per frame serves q326/q327 and every bench rep
     graft.operators.ProductQuantization.ivfAdcTopK(lat,
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 4, topK = 5,
       nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
@@ -4548,12 +4548,14 @@ object ExtensionQueries {
     */
   def qIvfAdcResidual(s: SparkSession, dir: String): DataFrame = {
     val lat = plantedClusteredLattice(s, dir)
-    // same row count as the embeddings table (1:1 planted transform)
+    // keyed by the PLANTED frame, not the raw table: the memo must
+    // name the frame it counted (first-caller-wins would otherwise
+    // decide which of two frames backs a shared key — review r13)
     graft.operators.ProductQuantization.ivfAdcResidualTopK(lat,
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 32, topK = 5,
       nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
       ivfSalt = "pq_ivf1",
-      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings", lat))
+      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings:planted16", lat))
   }
 
   /** Residual-IVFADC recall@5 (q330): q329's cut against the exact
@@ -4573,7 +4575,7 @@ object ExtensionQueries {
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 32, topK = 5,
       nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
       ivfSalt = "pq_ivf1",
-      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings", lat))
+      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings:planted16", lat))
   }
 
   /** Raw-encoding IVF-ADC recall@5 on the planted clustered fixture
@@ -4588,7 +4590,7 @@ object ExtensionQueries {
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 32, topK = 5,
       nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
       ivfSalt = "pq_ivf1",
-      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings", lat))
+      nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings:planted16", lat))
   }
 
   /** DP Laplace histogram release (q306): the (lang, source) doc

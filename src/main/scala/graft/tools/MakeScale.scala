@@ -96,12 +96,18 @@ object MakeScale {
       },
       "documents" -> replicate(tbl("documents")) { (d, i) =>
         // length-preserving rotation: copy 0 is the original corpus,
-        // copy i rotates each text by 37·i chars (mod its length)
-        val rot = (lit(37 * i) % greatest(length(col("text")), lit(1)))
+        // copy i rotates each text by 37·i chars (mod its length) —
+        // bumped to 1 when the modulus lands on 0 for a text longer
+        // than one char, so every non-trivial replica is genuinely
+        // distinct from the original (review r13); the tail slice
+        // takes the text's own length, never a fixed cap
+        val len = length(col("text"))
+        val rot0 = lit(37 * i) % greatest(len, lit(1))
+        val rot = when(rot0 === 0 && len > 1, lit(1)).otherwise(rot0)
         val text =
           if (i == 0) col("text")
           else concat(
-            substring(col("text"), (rot + 1).cast("int"), lit(1000000)),
+            substring(col("text"), (rot + 1).cast("int"), len),
             substring(col("text"), lit(1), rot.cast("int")))
         d.select(shift("doc_id", oDoc, i), text.as("text"), col("lang"),
           col("source"), col("n_chars"))
