@@ -645,7 +645,12 @@ object SparkEntry {
     "q331_ivfadc_raw_planted_recall" -> (X.qIvfAdcRawPlantedRecall _),
     // the convergence exit ENGAGED: PageRank on a planted ring sits
     // at the integer fixed point from round 1 (rounds_run = 1 of 8)
-    "q332_pagerank_converged" -> (X.qPageRankConverged _)
+    "q332_pagerank_converged" -> (X.qPageRankConverged _),
+    // span-level quality: worst/best 16-bigram window under the KN LM
+    "q333_windowed_perplexity" -> (X.qWindowedPerplexity _),
+    // LSH band-plan calibration: measured bucket workload + exact
+    // pinned-chain S-curve per (bands, rows) split of the signature
+    "q334_lsh_band_plan" -> (X.qLshBandPlan _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6441,6 +6446,65 @@ object SparkEntry {
     // PageRank ring fixture: rounds_run = 1 via the replayed stop
     // test; the unrolled r8 carries the identical fixed-point ranks
     "q332_pagerank_converged" -> pagerankRingSql(8),
+    "q333_windowed_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS win,
+        |    tk[CAST(i AS INTEGER)] AS w1,
+        |    tk[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM tk, UNNEST(range(1, len(tk))) t(i)
+        |  WHERE len(tk) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(n_bigram) AS tot, COUNT(*) AS n1fw
+        |       FROM c12 GROUP BY 1),
+        |cw2 AS (SELECT w2, COUNT(*) AS n1pw FROM c12 GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS ntypes FROM c12),
+        |model AS (
+        |  SELECT c12.w1, c12.w2,
+        |    CAST(ROUND(ln(
+        |      ROUND(greatest(CAST(c12.n_bigram AS DOUBLE) - 0.75, 0.0)
+        |          / CAST(c1.tot AS DOUBLE)
+        |        + ((0.75 * CAST(c1.n1fw AS DOUBLE)) / CAST(c1.tot AS DOUBLE))
+        |          * (CAST(cw2.n1pw AS DOUBLE) / CAST(nn.ntypes AS DOUBLE)), 6)
+        |    ) * 100000000.0) AS BIGINT) AS lt
+        |  FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN nn),
+        |ws AS (
+        |  SELECT bg.doc_id, bg.win, COUNT(*) AS n, SUM(m.lt) AS sw,
+        |    ROUND(-((CAST(SUM(m.lt) AS DOUBLE) / 100000000.0)
+        |      / CAST(COUNT(*) AS DOUBLE)), 6) AS score
+        |  FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT doc_id, win, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, win ASC) AS rw,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score ASC, win ASC) AS rb
+        |  FROM ws),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(sw) AS BIGINT) AS stot
+        |  FROM ws GROUP BY 1)
+        |SELECT a.doc_id, a.n_windows, a.n_bigrams,
+        |  ROUND(-((CAST(a.stot AS DOUBLE) / 100000000.0)
+        |    / CAST(a.n_bigrams AS DOUBLE)), 6) AS avg_neg_logp,
+        |  CAST(w.win AS INTEGER) AS worst_window,
+        |  w.score AS worst_neg_logp,
+        |  CAST(b.win AS INTEGER) AS best_window,
+        |  b.score AS best_neg_logp
+        |FROM agg a
+        |JOIN ranked w ON w.doc_id = a.doc_id AND w.rw = 1
+        |JOIN ranked b ON b.doc_id = a.doc_id AND b.rb = 1""".stripMargin,
+    // LSH band-plan calibration: the q26 portable-minhash mirror at
+    // 128 slots / 2-word shingles, per plan the (band, key) bucket
+    // workload, S-curve cells as the SAME pinned left-fold double
+    // chains the engine computes (every factor CAST AS DOUBLE so
+    // DuckDB runs IEEE ops, not decimal arithmetic)
+    "q334_lsh_band_plan" -> lshBandPlanSql,
     // golden records: the q303 scoring CTEs, q200-style recursive
     // closure, min-struct survivorship per entity
     "q320_golden_records" ->
@@ -8501,6 +8565,58 @@ object SparkEntry {
         |FROM ex LEFT JOIN top t
         |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
         |GROUP BY 1""".stripMargin
+
+  /** q334 oracle: the q26 portable-minhash mirror at 128 slots and
+    * 2-word shingles; per plan one (band, key) group-by for the
+    * bucket workload (Σ n·(n−1)/2 — never a pair row), and each
+    * S-curve cell spelled out as the engine's EXACT left-fold double
+    * chain (every literal cast to DOUBLE so DuckDB performs the same
+    * correctly-rounded IEEE multiplies, not decimal arithmetic).
+    */
+  private def lshBandPlanSql: String = {
+    val plans = Seq(32, 16, 8, 4)
+    val calib = Seq("scurve_50" -> "0.5", "scurve_70" -> "0.7",
+      "scurve_80" -> "0.8", "scurve_90" -> "0.9")
+    def chain(sLit: String, r: Int, b: Int): String = {
+      val sr = List.fill(r)(s"CAST($sLit AS DOUBLE)").mkString(" * ")
+      val t = s"(CAST(1.0 AS DOUBLE) - ($sr))"
+      val tb = List.fill(b)(t).mkString(" * ")
+      s"CAST(ROUND((CAST(1.0 AS DOUBLE) - ($tb)) * 1000000.0) AS BIGINT)"
+    }
+    val perPlan = plans.map { b =>
+      val r = 128 / b
+      val sc = calib.map { case (n, v) => s"${chain(v, r, b)} AS $n" }
+        .mkString(",\n    ")
+      s"""SELECT CAST($b AS INTEGER) AS bands,
+         |  CAST($r AS INTEGER) AS rows_per_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS bucket_pairs,
+         |    $sc
+         |FROM (
+         |  SELECT band, band_key, COUNT(*) AS n FROM (
+         |    SELECT doc_id, CAST(j // $r AS INTEGER) AS band,
+         |      string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j) AS band_key
+         |    FROM mh GROUP BY doc_id, j // $r)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i + 1])) AS toks
+      |  FROM tk WHERE len(tk) >= 2),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM sh),
+      |mh AS (
+      |  SELECT doc_id, j.j AS j,
+      |    MIN((((j.j + 1) * 2654435761 % 2147483647)
+      |         * (('0x' || substr(md5(term), 1, 15))::BIGINT % 2147483647)
+      |         + j.j * 40503 + 12345) % 2147483647) AS mh
+      |  FROM tok CROSS JOIN (SELECT unnest(range(128)) AS j) j
+      |  GROUP BY doc_id, j.j)
+      |""".stripMargin + perPlan
+  }
 
   /** q321 oracle: 4 HUGEINT power-iteration rounds unrolled with the
     * operator's ONE exact mid-point renormalization after round 2

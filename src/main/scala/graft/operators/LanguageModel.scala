@@ -114,6 +114,67 @@ object LanguageModel {
           / col("n_bigrams").cast("double")), 6).as("avg_neg_logp"))
   }
 
+  /** Per-document WINDOWED perplexity profile — span-level quality
+    * localization, the CCNet paragraph-filter shape (Wenzek et al.
+    * 2020 score paragraphs, not documents, because boilerplate and
+    * lexical soup hide INSIDE otherwise-fine pages) adapted to
+    * unstructured text: the bigram stream splits into fixed
+    * `windowTokens`-bigram windows (window k = bigram positions
+    * [k·w+1, (k+1)·w] — a partition of the stream, every bigram
+    * scored exactly once; the remainder tail is a short final
+    * window), each window scores against the corpus's own KN model,
+    * and the doc ships its worst/best window next to the whole-doc
+    * mean — filter on the worst window to catch span-level rot the
+    * doc mean averages away.
+    *
+    * Exactness: per-position log-probs are [[perplexityScore]]'s
+    * ln-lattice integers, window sums exact longs, both readout
+    * scores one pinned double chain, and worst/best selection orders
+    * by (score, window index) — the doubles are identical in any
+    * engine, so the argmax/argmin replay exactly.
+    *
+    * Scale shape: [[perplexityScore]]'s model join plus ONE extra
+    * map-side-combinable (doc, window) aggregate before the per-doc
+    * rollup; the window id is pure arithmetic on the bigram position
+    * — no second scan, nothing quadratic, no per-doc arrays.
+    */
+  def windowedPerplexity(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 16, discount: Double = 0.75): DataFrame = {
+    require(windowTokens >= 2, s"window too small: $windowTokens")
+    val model = knBigramProbs(df, textCol, discount)
+      .select(col("w1"), col("w2"),
+        round(log(col("p_kn")) * 1e8).cast("long").as("_lt"))
+    val tk = TextFunctions.tokens(lower(col(textCol)))
+    val occ = df.select(col(idCol), tk.as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(col(idCol), posexplode(zip_with(
+        slice(col("_tk"), lit(1), size(col("_tk")) - 1),
+        slice(col("_tk"), lit(2), size(col("_tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col(idCol), (col("pos") / windowTokens).cast("int").as("win"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val wScore = occ.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol), col("win"))
+      .agg(count(lit(1)).as("_n"), sum(col("_lt")).as("_s"))
+      .withColumn("_score", round(-((col("_s").cast("double") / 1e8)
+        / col("_n").cast("double")), 6))
+    wScore.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("_n")).as("n_bigrams"),
+        sum(col("_s")).as("_tot"),
+        max(struct(col("_score"), (-col("win")).as("_ni")))
+          .as("_worst"),
+        min(struct(col("_score"), col("win").as("_pi")))
+          .as("_best"))
+      .select(col(idCol), col("n_windows"), col("n_bigrams"),
+        round(-((col("_tot").cast("double") / 1e8)
+          / col("n_bigrams").cast("double")), 6).as("avg_neg_logp"),
+        (-col("_worst._ni")).cast("int").as("worst_window"),
+        col("_worst._score").as("worst_neg_logp"),
+        col("_best._pi").cast("int").as("best_window"),
+        col("_best._score").as("best_neg_logp"))
+  }
+
   /** Min-K% probability membership audit (Shi et al. 2023) — the
     * pretraining-data detection signal: average the K% LOWEST
     * per-position log-probabilities instead of all of them. Seen

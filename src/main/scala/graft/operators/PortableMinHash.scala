@@ -115,6 +115,83 @@ object PortableMinHash {
     out
   }
 
+  /** LSH band-plan calibration — choose (bands, rows) BEFORE running
+    * the dedup, from measurement instead of folklore. For each
+    * candidate plan splitting the SAME `numHashes`-slot signature:
+    *
+    *   - MEASURED: the banding workload on the actual corpus —
+    *     Σ_buckets C(|bucket|, 2) (exactly the candidate-pair volume
+    *     the verify stage would pay, counted per bucket without
+    *     materializing a single pair — the planner's cost axis stays
+    *     linear even on a pathological corpus) plus the bucket count.
+    *   - ANALYTIC: the S-curve catch probability 1 − (1 − s^rows)^bands
+    *     at fixed calibration similarities (the planner's recall
+    *     axis), evaluated as one PINNED left-fold multiplication
+    *     chain — every step a correctly-rounded IEEE double op, so
+    *     an external engine replaying the same chain produces the
+    *     bit-identical value — scaled to 10⁶ integers.
+    *
+    * Read across plans: picking more bands catches lower-similarity
+    * pairs (recall up) at more candidate volume (cost up); the
+    * operator puts the real corpus's cost next to the theory's
+    * recall so the pick is one table lookup.
+    *
+    * Scale shape: signatures once ([[signatures]], persisted), then
+    * per plan one narrow (band, key) explode + two aggregations —
+    * all map-side-combinable counts; output is |plans| rows.
+    */
+  def bandPlanCalibration(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      shingleWords: Int = 2,
+      plans: Seq[Int] = Seq(32, 16, 8, 4),
+      calib: Seq[(String, Double)] = Seq(
+        "scurve_50" -> 0.5, "scurve_70" -> 0.7,
+        "scurve_80" -> 0.8, "scurve_90" -> 0.9)): DataFrame = {
+    require(plans.nonEmpty && plans.forall(b => b > 0 && numHashes % b == 0),
+      s"every plan must divide numHashes=$numHashes: $plans")
+    val sigs = signatures(df, idCol, textCol, numHashes, shingleWords)
+      .persist()
+    val planRows = plans.map { b =>
+      val r = numHashes / b
+      val banded = sigs.select(
+        explode(transform(sequence(lit(0), lit(b - 1)),
+          bb => struct(bb.as("band_idx"),
+            concat_ws("|", transform(
+              slice(col("sig"), bb * r + lit(1), lit(r)),
+              x => x.cast("string"))).as("band_key")))).as("bk"))
+        .select(col("bk.band_idx").as("band_idx"),
+          col("bk.band_key").as("band_key"))
+      val scurves = calib.map { case (name, s) =>
+        lit(sCurveScaled(s, r, b)).as(name)
+      }
+      banded.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("_n * (_n - 1) div 2")).as("bucket_pairs"))
+        .select(lit(b).as("bands") +: lit(r).as("rows_per_band") +:
+          col("n_buckets") +: col("bucket_pairs") +: scurves: _*)
+    }
+    val out = planRows.reduce(_ unionByName _).localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
+
+  /** 1 − (1 − s^r)^b as the pinned left-fold double chain (s^r and
+    * t^b each a strict left-to-right multiply — the exact op sequence
+    * the SQL mirror spells out), scaled to a 10⁶ integer.
+    */
+  private[graft] def sCurveScaled(s: Double, r: Int, b: Int): Long = {
+    var p = s
+    for (_ <- 2 to r) p *= s
+    val t = 1.0 - p
+    var tb = t
+    for (_ <- 2 to b) tb *= t
+    math.round((1.0 - tb) * 1000000.0)
+  }
+
   /** INCREMENTAL near-dup: a new batch against an existing base —
     * the production ingest shape. Recomputing all-pairs LSH per
     * ingest is O(corpus) per day; the incremental contract is

@@ -578,6 +578,30 @@ object ExtensionQueries {
     * hash-checked. (The ring construction's global-order window is
     * fixture setup, not the operator under test.)
     */
+  /** Windowed perplexity profile (q333): per document the
+    * worst/best/mean 16-bigram-window score under the corpus's own
+    * KN bigram model — span-level quality localization (the CCNet
+    * paragraph-filter shape for unstructured text: filter on the
+    * worst window to catch rot the doc mean averages away).
+    */
+  def qWindowedPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.windowedPerplexity(
+      tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", windowTokens = 16)
+
+  /** LSH band-plan calibration (q334): for each (bands, rows) split
+    * of the 128-slot portable MinHash signature, the measured
+    * candidate workload on the real corpus (Σ C(|bucket|,2), counted
+    * without materializing pairs) next to the exact pinned-chain
+    * S-curve catch probability at four calibration similarities —
+    * the dedup-tuning table a pipeline reads before committing to a
+    * banding plan.
+    */
+  def qLshBandPlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PortableMinHash.bandPlanCalibration(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      numHashes = 128, shingleWords = 2)
+
   def qPageRankConverged(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("src"))
     val ring = tbl(s, dir, "customer")

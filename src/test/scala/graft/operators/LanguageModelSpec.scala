@@ -68,6 +68,38 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got(2L)._2 < got(1L)._2)
   }
 
+  test("windowed perplexity: doc mean equals the flat perplexityScore, " +
+      "worst >= avg >= best, and an oversized window collapses to one") {
+    // corpus with enough bigrams for several 4-bigram windows
+    val docs = Seq(
+      (1L, "a b a c a b a c a b a c a b"),
+      (2L, "b a b a b a b"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val flat = LanguageModel.perplexityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val win = LanguageModel.windowedPerplexity(docs, "doc_id", "text",
+      windowTokens = 4).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getDouble(5), r.getInt(6), r.getDouble(7)))
+    }.toMap
+    for ((id, (n, avg)) <- flat) {
+      val (nw, nb, wavg, wwin, worst, bwin, best) = win(id)
+      assert(nb == n, s"doc $id bigram count $nb vs flat $n")
+      assert(nw == (n + 3) / 4, s"doc $id windows $nw for $n bigrams")
+      assert(wavg == avg, s"doc $id mean $wavg vs flat $avg")
+      assert(worst >= wavg - 1e-9 && wavg >= best - 1e-9,
+        s"doc $id order: worst=$worst avg=$wavg best=$best")
+      assert(wwin >= 0 && wwin < nw && bwin >= 0 && bwin < nw)
+    }
+    // window wider than any doc: one window, worst == best == avg
+    val one = LanguageModel.windowedPerplexity(docs, "doc_id", "text",
+      windowTokens = 64).collect()
+    assert(one.forall(r => r.getLong(1) == 1L))
+    assert(one.forall(r =>
+      r.getDouble(5) == r.getDouble(3) && r.getDouble(7) == r.getDouble(3)))
+  }
+
   test("min-K%: bottom-ceil(n/5) mean over the lattice log-probs") {
     def lt(p: Double): Long = math.round(math.log(p) * 1e8)
     def score(lts: Seq[Long]): Double =

@@ -72,6 +72,34 @@ class PortableMinHashSpec extends AnyFunSuite {
     assert(got(1L) == got(2L))
   }
 
+  test("band-plan calibration: identical docs give the exact bucket " +
+      "arithmetic and the S-curve cells behave like an S-curve") {
+    // 4 byte-identical docs: every signature is equal, so each plan
+    // sees exactly `bands` buckets of size 4 -> C(4,2) = 6 pairs each
+    val docs = (1L to 4L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = PortableMinHash.bandPlanCalibration(docs, "doc_id", "text",
+      numHashes = 128, shingleWords = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got.keySet == Set(32, 16, 8, 4))
+    for ((b, (r, nb, pairs, s50, s70, s80, s90)) <- got) {
+      assert(b * r == 128)
+      assert(nb == b.toLong, s"plan $b: $nb buckets")
+      assert(pairs == 6L * b, s"plan $b: $pairs pairs")
+      // more similar -> caught more often; every cell a probability
+      assert(s50 <= s70 && s70 <= s80 && s80 <= s90)
+      assert(s50 >= 0L && s90 <= 1000000L)
+    }
+    // more bands catch low-similarity pairs more often
+    assert(got(32)._4 > got(4)._4)
+    // the pinned chain matches an independent BigDecimal evaluation
+    // loosely (the chain is IEEE, the reference exact): within 1e-9
+    val ref = 1.0 - math.pow(1.0 - math.pow(0.7, 8.0), 16.0)
+    assert(math.abs(got(16)._5 / 1e6 - ref) < 1e-6)
+  }
+
   test("emitted pairs = band-collision AND jaccard, exhaustively checked") {
     val texts = Map(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
