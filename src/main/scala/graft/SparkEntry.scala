@@ -650,7 +650,9 @@ object SparkEntry {
     "q333_windowed_perplexity" -> (X.qWindowedPerplexity _),
     // LSH band-plan calibration: measured bucket workload + exact
     // pinned-chain S-curve per (bands, rows) split of the signature
-    "q334_lsh_band_plan" -> (X.qLshBandPlan _)
+    "q334_lsh_band_plan" -> (X.qLshBandPlan _),
+    // Gopher self-repetition gates: modal/duplicated n-gram coverage
+    "q335_self_repetition" -> (X.qSelfRepetition _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6505,6 +6507,10 @@ object SparkEntry {
     // chains the engine computes (every factor CAST AS DOUBLE so
     // DuckDB runs IEEE ops, not decimal arithmetic)
     "q334_lsh_band_plan" -> lshBandPlanSql,
+    // Gopher self-repetition: per doc the modal-n-gram and
+    // duplicated-n-gram token coverage (exact span union via the
+    // same LAG/SUM islands the engine runs), composite keep gate
+    "q335_self_repetition" -> selfRepetitionSql,
     // golden records: the q303 scoring CTEs, q200-style recursive
     // closure, min-struct survivorship per entity
     "q320_golden_records" ->
@@ -8616,6 +8622,82 @@ object SparkEntry {
       |  FROM tok CROSS JOIN (SELECT unnest(range(128)) AS j) j
       |  GROUP BY doc_id, j.j)
       |""".stripMargin + perPlan
+  }
+
+  /** q335 oracle: per n one positional-gram CTE (list-slice +
+    * array_to_string — the positionalKGrams mirror), the modal gram
+    * by (count DESC, gram ASC), duplicated grams by windowed count
+    * ≥ 2, and exact union coverage via the LAG/SUM-island recipe;
+    * fractions and the keep gate restated over the rounded doubles.
+    */
+  private def selfRepetitionSql: String = {
+    val tops = Seq(2, 3, 4)
+    val dups = Seq(5, 10)
+    def gramCte(n: Int): String =
+      s"""g$n AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |    array_to_string(tk[i:i + $n - 1], ' ') AS g
+         |  FROM tk, UNNEST(range(1, len(tk) - $n + 2)) t(i)
+         |  WHERE len(tk) >= $n)""".stripMargin
+    def islands(src: String, n: Int, out: String): String =
+      s"""$out AS (
+         |  SELECT doc_id, CAST(SUM(len) AS BIGINT) AS cov FROM (
+         |    SELECT doc_id, island, MAX(pos) + $n - MIN(pos) AS len FROM (
+         |      SELECT doc_id, pos,
+         |        SUM(CASE WHEN pos - lp > $n THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |      FROM (SELECT doc_id, pos,
+         |              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+         |            FROM $src))
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    val topCtes = tops.map { n =>
+      s"""tc$n AS (SELECT doc_id, g, COUNT(*) AS c FROM g$n GROUP BY 1, 2),
+         |tt$n AS (SELECT doc_id, g FROM (
+         |  SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY c DESC, g ASC) AS rn FROM tc$n) WHERE rn = 1),
+         |tf$n AS (SELECT p.doc_id, p.pos FROM g$n p
+         |  JOIN tt$n t ON t.doc_id = p.doc_id AND t.g = p.g),
+         |${islands(s"tf$n", n, s"tv$n")}""".stripMargin
+    }
+    val dupCtes = dups.map { n =>
+      s"""df$n AS (SELECT doc_id, pos FROM (
+         |  SELECT doc_id, pos,
+         |    COUNT(*) OVER (PARTITION BY doc_id, g) AS c FROM g$n)
+         |  WHERE c >= 2),
+         |${islands(s"df$n", n, s"dv$n")}""".stripMargin
+    }
+    def fracExpr(tbl: String, n: Int): String =
+      s"""CASE WHEN b.n_tokens = 0 THEN 0.0
+         |    ELSE ROUND(CAST(COALESCE($tbl.cov, 0) AS DOUBLE)
+         |      / CAST(b.n_tokens AS DOUBLE), 6) END""".stripMargin
+    val selCols =
+      tops.map(n => s"  ${fracExpr(s"tv$n", n)} AS top${n}gram_frac")
+        .mkString(",\n") + ",\n" +
+      dups.map(n => s"  ${fracExpr(s"dv$n", n)} AS dup${n}gram_frac")
+        .mkString(",\n")
+    val joins =
+      (tops.map(n => s"LEFT JOIN tv$n ON tv$n.doc_id = b.doc_id") ++
+       dups.map(n => s"LEFT JOIN dv$n ON dv$n.doc_id = b.doc_id"))
+        .mkString("\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |${(tops ++ dups).map(gramCte).mkString(",\n")},
+       |${topCtes.mkString(",\n")},
+       |${dupCtes.mkString(",\n")},
+       |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk),
+       |sel AS (
+       |  SELECT b.doc_id, b.n_tokens,
+       |$selCols
+       |  FROM base b
+       |$joins)
+       |SELECT *,
+       |  (top2gram_frac < 0.20 AND top3gram_frac < 0.18
+       |    AND top4gram_frac < 0.16 AND dup5gram_frac < 0.15
+       |    AND dup10gram_frac < 0.10) AS keep
+       |FROM sel""".stripMargin
   }
 
   /** q321 oracle: 4 HUGEINT power-iteration rounds unrolled with the

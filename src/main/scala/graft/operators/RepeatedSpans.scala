@@ -103,6 +103,106 @@ object RepeatedSpans {
         col("n_grams"))
   }
 
+  /** WITHIN-document self-repetition profile — the Gopher/MassiveText
+    * repetition rules (Rae et al. 2021 Table A1) adapted to token
+    * units: for each small n the fraction of token positions covered
+    * by occurrences of the document's MODAL n-gram (loops, boiler
+    * banners), and for each large n the fraction covered by n-grams
+    * the document repeats at all (copy-paste blocks) — the two
+    * within-doc axes the cross-doc operators above deliberately
+    * don't see. All fractions are exact UNION coverage (each token
+    * counted once however many overlapping occurrences cover it —
+    * bounded by 1, unlike the occurrence-mass shortcut) via the same
+    * gaps-and-islands the span operator uses, so everything is
+    * ratios of integers and hash-checks end to end. The modal gram
+    * ties break lexicographically (deterministic in any engine).
+    *
+    * `keep` applies the Gopher-shaped gates (top-gram coverage <
+    * 0.20 / 0.18 / 0.16 for n = 2/3/4; duplicated-gram coverage <
+    * 0.15 / 0.10 for n = 5/10 — the paper's thresholds restated over
+    * token coverage).
+    *
+    * Scale shape: per n one narrow positional-gram explode, a
+    * per-(doc, gram) count, a per-doc flag + island window bounded
+    * by document length — linear legs joined back on the doc id;
+    * nothing corpus-pairwise anywhere.
+    */
+  def selfRepetitionProfile(df: DataFrame, idCol: String,
+      textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10),
+      topMax: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+      dupMax: Map[Int, Double] = Map(5 -> 0.15, 10 -> 0.10)): DataFrame = {
+    require(topNs.forall(topMax.contains) && dupNs.forall(dupMax.contains),
+      "every profiled n needs a threshold")
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val base = df.select(col(idCol), toks.as("_tk"))
+      .select(col(idCol), col("_tk"),
+        size(col("_tk")).cast("long").as("n_tokens"))
+      .persist()
+
+    // union coverage of the flagged gram positions: touching/overlap
+    // merge via the island window, length = Σ (max+n − min) per island
+    def coverage(flagged: DataFrame, n: Int, out: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      val newSpan = when(col("pos") - lag(col("pos"), 1).over(w) > n, 1)
+        .otherwise(0)
+      flagged
+        .withColumn("_island", sum(newSpan).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col(idCol), col("_island"))
+        .agg((max(col("pos")) + n - min(col("pos"))).as("_len"))
+        .groupBy(col(idCol))
+        .agg(sum(col("_len")).cast("long").as(out))
+    }
+
+    def grams(n: Int): DataFrame = base
+      .filter(col("n_tokens") >= n)
+      .select(col(idCol), posexplode(positionalKGrams(col("_tk"), n)))
+      .select(col(idCol), col("pos"), col("col").as("_g"))
+
+    val topLegs = topNs.map { n =>
+      val counted = grams(n).groupBy(col(idCol), col("_g"))
+        .agg(count(lit(1)).as("_c"), collect_list(col("pos")).as("_ps"))
+      // modal gram: highest count, lexicographically smallest on ties
+      val wTop = Window.partitionBy(col(idCol))
+        .orderBy(col("_c").desc, col("_g").asc)
+      val flagged = counted
+        .withColumn("_rn", row_number().over(wTop))
+        .filter(col("_rn") === 1)
+        .select(col(idCol), explode(col("_ps")).as("pos"))
+      coverage(flagged, n, s"_cov_top$n")
+    }
+    val dupLegs = dupNs.map { n =>
+      val flagged = grams(n)
+        .withColumn("_c", count(lit(1)).over(
+          Window.partitionBy(col(idCol), col("_g"))))
+        .filter(col("_c") >= 2)
+        .select(col(idCol), col("pos"))
+      coverage(flagged, n, s"_cov_dup$n")
+    }
+
+    def frac(cov: String) =
+      when(col("n_tokens") === 0L, lit(0.0))
+        .otherwise(round(coalesce(col(cov), lit(0L)).cast("double")
+          / col("n_tokens").cast("double"), 6))
+    val joined = (topLegs ++ dupLegs).foldLeft(
+      base.select(col(idCol), col("n_tokens"))) {
+      (acc, leg) => acc.join(leg, Seq(idCol), "left")
+    }
+    val topCols = topNs.map(n => frac(s"_cov_top$n").as(s"top${n}gram_frac"))
+    val dupCols = dupNs.map(n => frac(s"_cov_dup$n").as(s"dup${n}gram_frac"))
+    val keep = (topNs.map(n => col(s"top${n}gram_frac") < topMax(n)) ++
+      dupNs.map(n => col(s"dup${n}gram_frac") < dupMax(n)))
+      .reduce(_ && _)
+    val out = joined
+      .select(col(idCol) +: col("n_tokens") +: (topCols ++ dupCols): _*)
+      .withColumn("keep", keep)
+      .localCheckpoint(true)
+    base.unpersist()
+    out
+  }
+
   /** Corpus-level repeated-text budget: per document, total tokens,
     * tokens inside repeated spans, and the repeated fraction — the
     * number a span-dedup pass reports before cutting. Documents with

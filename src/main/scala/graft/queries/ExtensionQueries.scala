@@ -602,6 +602,16 @@ object ExtensionQueries {
       tbl(s, dir, "documents"), "doc_id", "text",
       numHashes = 128, shingleWords = 2)
 
+  /** Within-doc self-repetition profile (q335): the Gopher
+    * repetition gates over token units — modal-n-gram coverage
+    * (n = 2/3/4) and duplicated-n-gram coverage (n = 5/10), each an
+    * exact union of occurrence spans, plus the composite keep flag.
+    * The within-doc complement of q216/q217's cross-doc spans.
+    */
+  def qSelfRepetition(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RepeatedSpans.selfRepetitionProfile(
+      tbl(s, dir, "documents"), "doc_id", "text")
+
   def qPageRankConverged(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("src"))
     val ring = tbl(s, dir, "customer")

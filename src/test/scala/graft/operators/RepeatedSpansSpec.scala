@@ -59,6 +59,33 @@ class RepeatedSpansSpec extends AnyFunSuite {
     assert(b(2) === ((3L, 10L, 0L, 0L, 0.0)))
   }
 
+  test("self-repetition profile: hand-computed coverage on planted docs") {
+    // doc 1 "a b a b a b c": modal 2-gram "a b" (count 3, pos 0/2/4)
+    //   → touching spans union [0,6) → top2 = 6/7; 5-grams all
+    //   distinct → dup5 = 0; too short for 10-grams → dup10 = 0
+    // doc 2 "x y z w": all grams unique; modal 2-gram = lexicographic
+    //   min "x y" (pos 0) → top2 = 2/4; modal 3-gram "x y z" → 3/4
+    // doc 3: a 5-gram repeated with a gap — "p q r s t u u p q r s t"
+    //   5-grams: pos 0 [p q r s t], pos 7 [p q r s t] repeat →
+    //   spans [0,5) ∪ [7,12) → dup5 = 10/12
+    val docs = Seq(
+      (1L, "a b a b a b c"),
+      (2L, "x y z w"),
+      (3L, "p q r s t u u p q r s t")).toDF("doc_id", "text")
+    val got = RepeatedSpans.selfRepetitionProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getBoolean(7)))).toMap
+    val (n1, t2a, _, _, d5a, d10a, keep1) = got(1L)
+    assert(n1 == 7L && t2a == math.rint(6.0 / 7.0 * 1e6) / 1e6)
+    assert(d5a == 0.0 && d10a == 0.0 && !keep1) // top2 0.857 ≥ 0.20
+    val (n2, t2b, t3b, _, _, _, _) = got(2L)
+    assert(n2 == 4L && t2b == 0.5 && t3b == 0.75)
+    val (n3, _, _, _, d5c, _, keep3) = got(3L)
+    assert(n3 == 12L && d5c == math.rint(10.0 / 12.0 * 1e6) / 1e6)
+    assert(!keep3)
+  }
+
   test("no repeats → empty spans") {
     val df = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
       .toDF("doc_id", "text")
