@@ -652,7 +652,10 @@ object SparkEntry {
     // pinned-chain S-curve per (bands, rows) split of the signature
     "q334_lsh_band_plan" -> (X.qLshBandPlan _),
     // Gopher self-repetition gates: modal/duplicated n-gram coverage
-    "q335_self_repetition" -> (X.qSelfRepetition _)
+    "q335_self_repetition" -> (X.qSelfRepetition _),
+    // IVF nprobe calibration: recall@5 + candidate volume per plan
+    // (the q334 pattern applied to the probe knob)
+    "q336_ivf_nprobe_calibration" -> (X.qIvfNprobeCalibration _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6495,6 +6498,9 @@ object SparkEntry {
         |  ROUND(-((CAST(a.stot AS DOUBLE) / 100000000.0)
         |    / CAST(a.n_bigrams AS DOUBLE)), 6) AS avg_neg_logp,
         |  CAST(w.win AS INTEGER) AS worst_window,
+        |  CAST(w.win * 16 AS INTEGER) AS worst_start,
+        |  CAST(least((w.win + 1) * 16, a.n_bigrams) AS INTEGER)
+        |    AS worst_end,
         |  w.score AS worst_neg_logp,
         |  CAST(b.win AS INTEGER) AS best_window,
         |  b.score AS best_neg_logp
@@ -6511,6 +6517,9 @@ object SparkEntry {
     // duplicated-n-gram token coverage (exact span union via the
     // same LAG/SUM islands the engine runs), composite keep gate
     "q335_self_repetition" -> selfRepetitionSql,
+    // IVF nprobe calibration: the q329/q330 planted residual pipeline
+    // with probe rank carried, per plan the candidate cut + recall@5
+    "q336_ivf_nprobe_calibration" -> nprobeCalibrationSql,
     // golden records: the q303 scoring CTEs, q200-style recursive
     // closure, min-struct survivorship per entity
     "q320_golden_records" ->
@@ -8571,6 +8580,136 @@ object SparkEntry {
         |FROM ex LEFT JOIN top t
         |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
         |GROUP BY 1""".stripMargin
+
+  /** q336 oracle: the planted-fixture residual-IVFADC pipeline of
+    * q329/q330 with the probe rank CARRIED (pr ≤ 8, the widest plan)
+    * instead of pinned at 2, then per plan ∈ {1,2,4,8} the candidate
+    * cut `pr <= nprobe`, its (adc_dist, vec_id)-ordered top-5, and
+    * the overlap against the exact planted top-5 — candidates /
+    * k_exact_total / n_overlap_total exact integers, mean_recall one
+    * IEEE division. Spelled out in full (not string-edited from the
+    * q329 CTEs) because these mirrors are hash-load-bearing.
+    */
+  private def nprobeCalibrationSql: String =
+    """WITH base AS (
+        |  SELECT vec_id, list_transform(range(1, 65), j ->
+        |    CAST(ROUND(ROUND(CAST(embedding[j] AS DOUBLE), 3) * 1000.0,
+        |      0) AS BIGINT)
+        |    + ((((vec_id % 16) + 1) * 7919 + j * 104729) % 9 - 4) * 500)
+        |    AS v3
+        |  FROM embeddings),
+        |qs AS (
+        |  SELECT vec_id AS q_id, v3 AS qv3, ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_q1'), vec_id) - 1 AS qr
+        |  FROM base QUALIFY qr < 32),
+        |ms AS (SELECT UNNEST(range(0, 4)) AS m),
+        |kivf AS (
+        |  SELECT CAST(LEAST(65536, GREATEST(16,
+        |    CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))))) AS BIGINT) AS k
+        |  FROM base),
+        |ivf AS (
+        |  SELECT v3 AS cv3, CAST(ROW_NUMBER() OVER (ORDER BY
+        |      md5(CAST(vec_id AS VARCHAR) || ':pq_ivf1'), vec_id)
+        |      AS INTEGER) - 1 AS cell
+        |  FROM base CROSS JOIN kivf
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_ivf1'), vec_id)
+        |    <= kivf.k),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT b.vec_id, i.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), j ->
+        |          (b.v3[j] - i.cv3[j]) * (b.v3[j] - i.cv3[j]))) ASC,
+        |        i.cell ASC) AS rn
+        |    FROM base b CROSS JOIN ivf i)
+        |  WHERE rn = 1),
+        |qc AS (
+        |  SELECT q_id, cell, pr FROM (
+        |    SELECT q.q_id, i.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), j ->
+        |          (q.qv3[j] - i.cv3[j]) * (q.qv3[j] - i.cv3[j]))) ASC,
+        |        i.cell ASC) AS pr
+        |    FROM qs q CROSS JOIN ivf i)
+        |  WHERE pr <= 8),
+        |res AS (
+        |  SELECT b.vec_id, a.cell,
+        |    list_transform(range(1, 65), j -> b.v3[j] - i.cv3[j]) AS r3
+        |  FROM base b JOIN asg a USING (vec_id) JOIN ivf i USING (cell)),
+        |cbr0 AS (
+        |  SELECT vec_id, r3, ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(vec_id AS VARCHAR) || ':pq_v1'), vec_id) - 1 AS k
+        |  FROM res QUALIFY k < 8),
+        |cbr AS (SELECT k AS code, m,
+        |    list_slice(r3, m * 16 + 1, m * 16 + 16) AS c3
+        |  FROM cbr0, ms),
+        |subr AS (SELECT vec_id, cell, m,
+        |    list_slice(r3, m * 16 + 1, m * 16 + 16) AS s3
+        |  FROM res, ms),
+        |encr0 AS (
+        |  SELECT s.vec_id, s.cell, s.m, c.code,
+        |    list_sum(list_transform(range(1, 17), j ->
+        |      (s.s3[j] - c.c3[j]) * (s.s3[j] - c.c3[j]))) AS dist
+        |  FROM subr s JOIN cbr c USING (m)),
+        |encr AS (
+        |  SELECT vec_id, cell, m,
+        |    MIN(struct_pack(d := dist, k := code)) AS mn
+        |  FROM encr0 GROUP BY 1, 2, 3),
+        |qres AS (
+        |  SELECT q.q_id, qc.cell, qc.pr,
+        |    list_transform(range(1, 65), j -> q.qv3[j] - i.cv3[j]) AS qr3
+        |  FROM qs q JOIN qc USING (q_id) JOIN ivf i USING (cell)),
+        |tabr AS (
+        |  SELECT qr.q_id, qr.cell, qr.pr, c.m, c.code,
+        |    list_sum(list_transform(range(1, 17), j ->
+        |      (list_slice(qr.qr3, c.m * 16 + 1, c.m * 16 + 16)[j]
+        |        - c.c3[j])
+        |      * (list_slice(qr.qr3, c.m * 16 + 1, c.m * 16 + 16)[j]
+        |        - c.c3[j]))) AS tdist
+        |  FROM qres qr, cbr c),
+        |adc AS (
+        |  SELECT t.q_id, e.vec_id, MIN(t.pr) AS pr,
+        |    CAST(SUM(t.tdist) AS BIGINT) AS adc_dist
+        |  FROM encr e
+        |  JOIN tabr t ON t.cell = e.cell AND e.m = t.m
+        |    AND e.mn.k = t.code
+        |  WHERE e.vec_id <> t.q_id
+        |  GROUP BY 1, 2),
+        |plans AS (SELECT CAST(UNNEST([1, 2, 4, 8]) AS INTEGER)
+        |  AS nprobe),
+        |cand AS (
+        |  SELECT p.nprobe, a.q_id, a.vec_id, a.adc_dist
+        |  FROM plans p JOIN adc a ON a.pr <= p.nprobe),
+        |top AS (
+        |  SELECT nprobe, q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+        |      ORDER BY adc_dist, vec_id) AS rank
+        |  FROM cand QUALIFY rank <= 5),
+        |ex AS (
+        |  SELECT q.q_id, b.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |      list_sum(list_transform(range(1, 65), j ->
+        |        (q.qv3[j] - b.v3[j]) * (q.qv3[j] - b.v3[j]))),
+        |      b.vec_id) AS r
+        |  FROM base b CROSS JOIN qs q WHERE b.vec_id <> q.q_id
+        |  QUALIFY r <= 5),
+        |ov AS (
+        |  SELECT p.nprobe, CAST(COUNT(*) AS BIGINT) AS k_exact_total,
+        |    CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_overlap_total
+        |  FROM plans p CROSS JOIN ex
+        |  LEFT JOIN top t ON t.nprobe = p.nprobe
+        |    AND t.q_id = ex.q_id AND t.vec_id = ex.vec_id
+        |  GROUP BY 1),
+        |cnt AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS candidates
+        |  FROM cand GROUP BY 1)
+        |SELECT ov.nprobe,
+        |  CAST(COALESCE(cnt.candidates, 0) AS BIGINT) AS candidates,
+        |  ov.k_exact_total, ov.n_overlap_total,
+        |  CAST(ov.n_overlap_total AS DOUBLE)
+        |    / CAST(ov.k_exact_total AS DOUBLE) AS mean_recall
+        |FROM ov LEFT JOIN cnt USING (nprobe)""".stripMargin
 
   /** q334 oracle: the q26 portable-minhash mirror at 128 slots and
     * 2-word shingles; per plan one (band, key) group-by for the

@@ -170,6 +170,14 @@ object LanguageModel {
         round(-((col("_tot").cast("double") / 1e8)
           / col("n_bigrams").cast("double")), 6).as("avg_neg_logp"),
         (-col("_worst._ni")).cast("int").as("worst_window"),
+        // actionable span bounds (r13 verdict #7): the worst window
+        // scores 0-based bigram positions [worst_start, worst_end) —
+        // equivalently tokens [worst_start, worst_end] inclusive — so
+        // a downstream span cut acts without recomputing windows
+        ((-col("_worst._ni")) * windowTokens).cast("int")
+          .as("worst_start"),
+        least(((-col("_worst._ni")) + 1) * windowTokens,
+          col("n_bigrams")).cast("int").as("worst_end"),
         col("_worst._score").as("worst_neg_logp"),
         col("_best._pi").cast("int").as("best_window"),
         col("_best._score").as("best_neg_logp"))

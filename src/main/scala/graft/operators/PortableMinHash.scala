@@ -170,7 +170,12 @@ object PortableMinHash {
       banded.groupBy(col("band_idx"), col("band_key"))
         .agg(count(lit(1)).as("_n"))
         .agg(count(lit(1)).as("n_buckets"),
-          sum(expr("_n * (_n - 1) div 2")).as("bucket_pairs"))
+          // coalesce: on a degenerate corpus (no doc reaches
+          // shingleWords tokens) the banding is empty, the grouped
+          // frame has zero rows and SUM is NULL — the oracle mirror
+          // spells COALESCE(SUM(..),0), so the engine must too
+          coalesce(sum(expr("_n * (_n - 1) div 2")), lit(0L))
+            .as("bucket_pairs"))
         .select(lit(b).as("bands") +: lit(r).as("rows_per_band") +:
           col("n_buckets") +: col("bucket_pairs") +: scurves: _*)
     }

@@ -398,6 +398,106 @@ object ProductQuantization {
         nprobe, cbSalt, qSalt, ivfSalt, nlist, nCorpus)
         .select(col("q_id"), col("vec_id")))
 
+  /** nprobe calibration sweep over the residual-encoded IVFADC index
+    * (the q334 band-plan pattern applied to the IVF probe knob — the
+    * FAISS tuning table: recall@k and candidate volume as a function
+    * of nprobe). ONE shared coarse quantizer / residual codebook /
+    * encoded corpus; queries probe up to max(nprobes) cells with the
+    * probe RANK carried, so every narrower plan is a rank filter
+    * over the same persisted candidate frame. Per plan: the total
+    * candidate pairs actually scored (the ADC work knob, ∝ nprobe by
+    * construction) next to the overlap with the SAME exact ground
+    * truth [[adcRecall]] measures — candidates / k_exact_total /
+    * n_overlap_total exact integers, mean_recall ONE IEEE division
+    * of two of them (k_exact is uniform across queries whenever the
+    * corpus exceeds topK, so the micro ratio IS the mean recall@k).
+    *
+    * Scale shape: everything expensive — assignment, residual
+    * encode, distance tables, candidate scoring, the exact baseline
+    * scan — happens ONCE at the widest plan; per-plan work is a rank
+    * filter + bounded heap + broadcast overlap join, so the sweep
+    * costs one ivfAdcResidualTopK(max nprobe) run plus |plans| cheap
+    * cuts, not |plans| full runs.
+    */
+  def ivfAdcResidualNprobeSweep(lattice: DataFrame, idCol: String,
+      dims: Int, m: Int, k: Int, nQueries: Int, topK: Int,
+      nprobes: Seq[Int], cbSalt: String, qSalt: String,
+      ivfSalt: String, nlist: Int = 0, nCorpus: Long = 0L): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    require(nprobes.nonEmpty && nprobes == nprobes.distinct.sorted &&
+      nprobes.head >= 1,
+      s"plans must be distinct ascending >= 1: $nprobes")
+    val nl = deriveNlist(lattice, nlist, nCorpus)
+    require(nprobes.last <= nl,
+      s"widest plan ${nprobes.last} out of range for nlist $nl")
+    val subDim = dims / m
+
+    val (coarseFrame, assigned) = coarseAssign(lattice, idCol, nl, ivfSalt)
+    val resFrame = assigned.join(broadcast(coarseFrame), Seq("_cell"))
+      .select(col(idCol), col("_cell"),
+        zip_with(col("v3"), col("_cv3"), (a, b) => a - b).as("v3"))
+    val codebook = subspaces(
+      mdRanked(resFrame, idCol, k, cbSalt)
+        .select(col("rank0").as("code"), col("v3")),
+      m, subDim, out = "c3")
+    val codes = encode(subspaces(resFrame, m, subDim), idCol, codebook,
+      carry = Seq("_cell"))
+
+    val queries = mdRanked(lattice, idCol, nQueries, qSalt)
+      .select(col(idCol).as("q_id"), col("v3").as("qv3"))
+    // probe ranks up to the WIDEST plan, rank kept on the row
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("_cdist").asc, col("_cell").asc)
+    val qRes = queries.crossJoin(broadcast(coarseFrame))
+      .withColumn("_cdist", sqDist(col("qv3"), col("_cv3")))
+      .withColumn("_pr", row_number().over(wProbe))
+      .filter(col("_pr") <= nprobes.last)
+      .select(col("q_id"), col("_cell"), col("_pr"),
+        zip_with(col("qv3"), col("_cv3"), (a, b) => a - b).as("v3"))
+    val tables = subspaces(qRes, m, subDim, out = "qsub")
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("tdist", sqDist(col("qsub"), col("c3")))
+      .select(col("q_id"), col("_cell"), col("_pr"), col("m"),
+        col("code"), col("tdist"))
+
+    // every candidate scores through its OWN cell's residual table,
+    // so _pr (the rank at which that cell enters the probe set) is
+    // constant per (q_id, vec_id) group — min() just reads it
+    val adc = codes.join(broadcast(tables), Seq("_cell", "m", "code"))
+      .filter(col(idCol) =!= col("q_id"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("tdist")).as("adc_dist"), min(col("_pr")).as("_pr"))
+      .persist()
+    val exact = exactTopKPairs(lattice, idCol, queries, topK).persist()
+
+    val planRows = nprobes.map { np =>
+      val cand = adc.filter(col("_pr") <= np)
+      val nCand = cand.agg(count(lit(1)).as("candidates"))
+      val top = cand
+        .withColumn("_packed", col("adc_dist") * 1000000L + col(idCol))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.expressions.TopKByAgg
+          .topKBy((-col("_packed")).cast("double"), col(idCol), topK)
+          .as("_top"))
+        .select(col("q_id"), explode(col("_top")).as("_e"))
+        .select(col("q_id"), col("_e.id").as("vec_id"),
+          lit(1L).as("_hit"))
+      val overlap = exact
+        .join(broadcast(top), Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("k_exact_total"),
+          coalesce(sum(col("_hit")), lit(0L)).as("n_overlap_total"))
+      nCand.crossJoin(overlap)
+        .select(lit(np).as("nprobe"), col("candidates"),
+          col("k_exact_total"), col("n_overlap_total"),
+          (col("n_overlap_total").cast("double")
+            / col("k_exact_total").cast("double")).as("mean_recall"))
+    }
+    val out = planRows.reduce(_ unionByName _).localCheckpoint(true)
+    adc.unpersist()
+    exact.unpersist()
+    out
+  }
+
   /** Recall@k of the ADC cut against the exact top-k — the quality
     * number an ANN index ships with. Both cuts use the SAME unique
     * packed-score rule (dist·10⁶ + id), so ground truth is as
@@ -439,16 +539,7 @@ object ProductQuantization {
       approx: DataFrame): DataFrame = {
     val queries = mdRanked(lattice, idCol, nQueries, qSalt)
       .select(col(idCol).as("q_id"), col("v3").as("qv3"))
-    val exact = lattice.withColumnRenamed(idCol, "vec_id")
-      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("_packed",
-        sqDist(col("qv3"), col("v3")) * 1000000L + col("vec_id"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.expressions.TopKByAgg
-        .topKBy((-col("_packed")).cast("double"), col("vec_id"), topK)
-        .as("_top"))
-      .select(col("q_id"), explode(col("_top")).as("_e"))
-      .select(col("q_id"), col("_e.id").as("vec_id"))
+    val exact = exactTopKPairs(lattice, idCol, queries, topK)
     exact.join(approx.withColumn("_hit", lit(1L)),
         Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
@@ -458,4 +549,23 @@ object ProductQuantization {
         (col("n_overlap").cast("double") / col("k_exact").cast("double"))
           .as("recall_at_k"))
   }
+
+  /** The exact top-k (q_id, vec_id) pairs for a bounded query frame:
+    * one linear corpus scan against the broadcast queries, cut by
+    * the same unique packed-score heap as every approximate path —
+    * the shared ground truth of [[recallAgainstExact]] and
+    * [[ivfAdcResidualNprobeSweep]].
+    */
+  private def exactTopKPairs(lattice: DataFrame, idCol: String,
+      queries: DataFrame, topK: Int): DataFrame =
+    lattice.withColumnRenamed(idCol, "vec_id")
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("_packed",
+        sqDist(col("qv3"), col("v3")) * 1000000L + col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.expressions.TopKByAgg
+        .topKBy((-col("_packed")).cast("double"), col("vec_id"), topK)
+        .as("_top"))
+      .select(col("q_id"), explode(col("_top")).as("_e"))
+      .select(col("q_id"), col("_e.id").as("vec_id"))
 }

@@ -91,11 +91,17 @@ object SemanticDedup {
       threshold: Double = 0.4,
       salt: String = "semdedup_v1",
       targetCellSize: Long = 65536L,
-      secondLevelSplit: Boolean = true): DataFrame = {
+      secondLevelSplit: Boolean = true,
+      nCorpus: Long = 0L): DataFrame = {
     require(targetCellSize >= 2, s"targetCellSize too small: $targetCellSize")
+    // nlist = 0 derives ⌈n/targetCellSize⌉; `nCorpus > 0` supplies n
+    // from the caller's stats (a catalog row, the CorpusStats session
+    // memo) so the derivation schedules no counting job — the same
+    // cutover ivfAdcTopK ships (r13 verdict #3 unified the pattern)
     val k =
       if (nlist > 0) nlist
-      else derivedNlist(df.count(), targetCellSize)
+      else derivedNlist(if (nCorpus > 0L) nCorpus else df.count(),
+        targetCellSize)
 
     // bounded collect: exactly k centroid rows (the portable draw)
     val centroids: Array[Array[Double]] = df

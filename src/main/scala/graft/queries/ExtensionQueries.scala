@@ -575,8 +575,8 @@ object ExtensionQueries {
     * run stops after one round (rounds_run = 1), and the oracle
     * replays the same stop test over its unrolled rounds — the r12
     * verdict's "exit engaged on a planted fast-converging fixture",
-    * hash-checked. (The ring construction's global-order window is
-    * fixture setup, not the operator under test.)
+    * hash-checked. (The ring is built with the range-partitioned
+    * two-level successor recipe — no global-order window.)
     */
   /** Windowed perplexity profile (q333): per document the
     * worst/best/mean 16-bigram-window score under the corpus's own
@@ -613,13 +613,33 @@ object ExtensionQueries {
       tbl(s, dir, "documents"), "doc_id", "text")
 
   def qPageRankConverged(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("src"))
-    val ring = tbl(s, dir, "customer")
+    // ring = successor in global key order, max wrapping to min —
+    // built with the range-partitioned two-level recipe
+    // (Packing.packByTokenBudget's): per-partition lead() for the
+    // local successor, then a #partitions-row frame (broadcast back)
+    // supplies each partition-last row the NEXT partition's first key
+    // and the global last its wrap target. No unpartitioned window
+    // ever sees the full key column (r13 verdict #5 — the old
+    // Window.orderBy(src) serialized every key through one task).
+    val parted = tbl(s, dir, "customer")
       .select(col("c_custkey").cast("long").as("src"))
-      .select(col("src"), coalesce(lead(col("src"), 1).over(w),
-        min(col("src")).over(
-          w.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing))).as("dst"))
+      .repartitionByRange(col("src"))
+      .withColumn("_pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("_pid")).orderBy(col("src"))
+    val local = parted.withColumn("_next", lead(col("src"), 1).over(wIn))
+    // one row per non-empty partition; the single-partition windows
+    // below are O(#partitions), not O(rows)
+    val wP = Window.orderBy(col("_pid"))
+    val seams = parted.groupBy(col("_pid"))
+      .agg(min(col("src")).as("_pfirst"))
+      .withColumn("_next_first", lead(col("_pfirst"), 1).over(wP))
+      .withColumn("_gmin", min(col("_pfirst")).over(
+        wP.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("_pid"), col("_next_first"), col("_gmin"))
+    val ring = local.join(broadcast(seams), Seq("_pid"))
+      .select(col("src"),
+        coalesce(col("_next"), col("_next_first"), col("_gmin")).as("dst"))
     graft.operators.PageRank.microPageRank(ring, 8,
       distinctEdges = true, everyNodeHasOutEdge = true,
       everyNodeHasInEdge = true, convergeCheckEvery = 1)
@@ -2165,8 +2185,13 @@ object ExtensionQueries {
             .cast("double") / lit(1024.0)))
         .otherwise(transform(slice(col("embedding"), 1, 8),
           x => x.cast("double"))).as("vec"))
+    // the planted fixture keys the stats memo under its OWN tag (it
+    // happens to be a 1:1 projection of embeddings, but the memo
+    // contract is frame-honest keys, never the source table's)
     graft.operators.SemanticDedup.semanticDedup(
-      planted, "vec_id", "vec", threshold = 0.4, targetCellSize = 8L)
+      planted, "vec_id", "vec", threshold = 0.4, targetCellSize = 8L,
+      nCorpus = graft.core.CorpusStats.rowCount(
+        dir + ":embeddings:semdedup_planted", planted))
   }
 
   /** Linear quality-classifier scoring: pinned-coefficient logit over
@@ -4625,6 +4650,26 @@ object ExtensionQueries {
       nprobe = 2, cbSalt = "pq_v1", qSalt = "pq_q1",
       ivfSalt = "pq_ivf1",
       nCorpus = graft.core.CorpusStats.rowCount(dir + ":embeddings:planted16", lat))
+  }
+
+  /** IVF nprobe calibration (q336): the q334 band-plan pattern
+    * applied to the probe knob — the FAISS tuning table. For
+    * nprobe ∈ {1, 2, 4, 8} over the planted clustered fixture with
+    * q329's residual-encoded index (same coarse quantizer, codebook,
+    * queries — shared across plans, each plan a rank filter), the
+    * mean recall@5 against the exact ground truth next to the total
+    * candidate pairs scored. Read with q334: the two calibration
+    * boards are the index-tuning surface a pipeline consults before
+    * committing an nprobe/band plan.
+    */
+  def qIvfNprobeCalibration(s: SparkSession, dir: String): DataFrame = {
+    val lat = plantedClusteredLattice(s, dir)
+    graft.operators.ProductQuantization.ivfAdcResidualNprobeSweep(lat,
+      "vec_id", dims = 64, m = 4, k = 8, nQueries = 32, topK = 5,
+      nprobes = Seq(1, 2, 4, 8), cbSalt = "pq_v1", qSalt = "pq_q1",
+      ivfSalt = "pq_ivf1",
+      nCorpus = graft.core.CorpusStats.rowCount(
+        dir + ":embeddings:planted16", lat))
   }
 
   /** DP Laplace histogram release (q306): the (lang, source) doc

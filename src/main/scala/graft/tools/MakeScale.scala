@@ -43,7 +43,7 @@ object MakeScale {
     def tbl(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
     def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).first().getLong(0) + 1L
+      df.agg(max(col(c).cast("long"))).first().getLong(0) + 1L
 
     val oCust = maxOf(tbl("customer"), "c_custkey")
     val oSupp = maxOf(tbl("supplier"), "s_suppkey")
@@ -96,14 +96,17 @@ object MakeScale {
       },
       "documents" -> replicate(tbl("documents")) { (d, i) =>
         // length-preserving rotation: copy 0 is the original corpus,
-        // copy i rotates each text by 37·i chars (mod its length) —
-        // bumped to 1 when the modulus lands on 0 for a text longer
-        // than one char, so every non-trivial replica is genuinely
-        // distinct from the original (review r13); the tail slice
-        // takes the text's own length, never a fixed cap
+        // copy i rotates each text by 37·i chars (mod its length).
+        // When the modulus lands on 0 for a text longer than one
+        // char, the fallback is (i-1) mod (len-1) + 1 — in [1,len-1]
+        // AND replica-dependent, so two replicas of one doc (e.g.
+        // len=37 at i=1 and i=2) cannot collide on a shared constant
+        // fallback (advice r13); the tail slice takes the text's own
+        // length, never a fixed cap
         val len = length(col("text"))
         val rot0 = lit(37 * i) % greatest(len, lit(1))
-        val rot = when(rot0 === 0 && len > 1, lit(1)).otherwise(rot0)
+        val rot = when(rot0 === 0 && len > 1,
+          (lit(i - 1) % greatest(len - 1, lit(1))) + 1).otherwise(rot0)
         val text =
           if (i == 0) col("text")
           else concat(

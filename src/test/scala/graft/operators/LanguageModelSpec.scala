@@ -80,24 +80,36 @@ class LanguageModelSpec extends AnyFunSuite {
         ((r.getLong(1), r.getDouble(2)))).toMap
     val win = LanguageModel.windowedPerplexity(docs, "doc_id", "text",
       windowTokens = 4).collect().map { r =>
-      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getInt(4), r.getDouble(5), r.getInt(6), r.getDouble(7)))
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_neg_logp"),
+        r.getAs[Int]("worst_window"), r.getAs[Int]("worst_start"),
+        r.getAs[Int]("worst_end"), r.getAs[Double]("worst_neg_logp"),
+        r.getAs[Int]("best_window"), r.getAs[Double]("best_neg_logp")))
     }.toMap
     for ((id, (n, avg)) <- flat) {
-      val (nw, nb, wavg, wwin, worst, bwin, best) = win(id)
+      val (nw, nb, wavg, wwin, wst, wen, worst, bwin, best) = win(id)
       assert(nb == n, s"doc $id bigram count $nb vs flat $n")
       assert(nw == (n + 3) / 4, s"doc $id windows $nw for $n bigrams")
       assert(wavg == avg, s"doc $id mean $wavg vs flat $avg")
       assert(worst >= wavg - 1e-9 && wavg >= best - 1e-9,
         s"doc $id order: worst=$worst avg=$wavg best=$best")
       assert(wwin >= 0 && wwin < nw && bwin >= 0 && bwin < nw)
+      // span bounds: window w scores bigram positions [w·4, min((w+1)·4, n))
+      assert(wst == wwin * 4, s"doc $id worst_start $wst for window $wwin")
+      assert(wen == math.min((wwin + 1) * 4L, nb),
+        s"doc $id worst_end $wen for window $wwin, $nb bigrams")
+      assert(wen > wst, s"doc $id empty span [$wst, $wen)")
     }
-    // window wider than any doc: one window, worst == best == avg
+    // window wider than any doc: one window, worst == best == avg,
+    // span = the whole bigram stream
     val one = LanguageModel.windowedPerplexity(docs, "doc_id", "text",
       windowTokens = 64).collect()
-    assert(one.forall(r => r.getLong(1) == 1L))
+    assert(one.forall(r => r.getAs[Long]("n_windows") == 1L))
     assert(one.forall(r =>
-      r.getDouble(5) == r.getDouble(3) && r.getDouble(7) == r.getDouble(3)))
+      r.getAs[Double]("worst_neg_logp") == r.getAs[Double]("avg_neg_logp") &&
+        r.getAs[Double]("best_neg_logp") == r.getAs[Double]("avg_neg_logp")))
+    assert(one.forall(r => r.getAs[Int]("worst_start") == 0 &&
+      r.getAs[Int]("worst_end") == r.getAs[Long]("n_bigrams")))
   }
 
   test("min-K%: bottom-ceil(n/5) mean over the lattice log-probs") {

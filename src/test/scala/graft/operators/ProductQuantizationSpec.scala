@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -140,6 +141,54 @@ class ProductQuantizationSpec extends AnyFunSuite {
     for (r <- out) {
       assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
       assert(r.getDouble(3) === 1.0)
+    }
+  }
+
+  test("ivfAdcResidualNprobeSweep: each plan row aggregates the " +
+      "per-query residual recall at that nprobe; candidates grow with " +
+      "probe width; malformed plans are rejected") {
+    val vecs = (0 until 32).map(i =>
+      (i.toLong, Seq(i.toFloat, (i % 7).toFloat, 2f * (i % 5), -i.toFloat)))
+    val lattice = ProductQuantization.latticeFrame(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val plans = Seq(1, 2, 4)
+    val sweep = ProductQuantization.ivfAdcResidualNprobeSweep(lattice,
+      "vec_id", dims = 4, m = 2, k = 8, nQueries = 4, topK = 3,
+      nprobes = plans, cbSalt = "t_cb", qSalt = "t_q",
+      ivfSalt = "t_ivf", nlist = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(sweep.keySet === plans.toSet)
+    // the sweep's shared-frame cut must agree with the standalone
+    // per-plan operator: same overlap totals, recall = one division
+    for (np <- plans) {
+      val rec = ProductQuantization.ivfAdcResidualRecall(lattice,
+        "vec_id", dims = 4, m = 2, k = 8, nQueries = 4, topK = 3,
+        nprobe = np, cbSalt = "t_cb", qSalt = "t_q",
+        ivfSalt = "t_ivf", nlist = 4)
+        .agg(sum(col("k_exact")), sum(col("n_overlap"))).head()
+      val (cand, ke, ov, mr) = sweep(np)
+      assert(ke === rec.getLong(0), s"nprobe $np k_exact")
+      assert(ov === rec.getLong(1), s"nprobe $np overlap")
+      assert(mr === ov.toDouble / ke.toDouble)
+      assert(cand > 0L)
+    }
+    val cands = plans.map(sweep(_)._1)
+    assert(cands === cands.sorted && cands.last > cands.head,
+      s"candidates must grow with probe width: $cands")
+    // plans must be distinct ascending and fit under nlist
+    intercept[IllegalArgumentException] {
+      ProductQuantization.ivfAdcResidualNprobeSweep(lattice, "vec_id",
+        dims = 4, m = 2, k = 8, nQueries = 4, topK = 3,
+        nprobes = Seq(2, 1), cbSalt = "t_cb", qSalt = "t_q",
+        ivfSalt = "t_ivf", nlist = 4)
+    }
+    intercept[IllegalArgumentException] {
+      ProductQuantization.ivfAdcResidualNprobeSweep(lattice, "vec_id",
+        dims = 4, m = 2, k = 8, nQueries = 4, topK = 3,
+        nprobes = Seq(1, 8), cbSalt = "t_cb", qSalt = "t_q",
+        ivfSalt = "t_ivf", nlist = 4)
     }
   }
 }

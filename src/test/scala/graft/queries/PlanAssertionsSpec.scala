@@ -732,9 +732,43 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val derived = jobsDuring("ivf-derived") { call(0L) }
     val supplied = jobsDuring("ivf-supplied") { call(n) }
     // supplied keeps ONLY the coarse-quantizer collect; the derivation
-    // path additionally pays the corpus count (1-2 jobs under AQE)
-    assert(supplied == 1,
-      s"expected only the coarse collect with nCorpus supplied, got $supplied")
+    // path additionally pays the corpus count. The relative property
+    // is the contract — an exact supplied==1 would break spuriously if
+    // an AQE/scheduler change ever split the collect into extra jobs
+    // (advice r13), so allow a small bounded range instead
+    assert(supplied >= 1 && supplied <= 2,
+      s"expected just the coarse collect (1-2 jobs) with nCorpus " +
+        s"supplied, got $supplied")
+    assert(derived > supplied,
+      s"counting pass not removed: derived=$derived supplied=$supplied")
+  }
+
+  test("semanticDedup(nlist=0): a caller-supplied corpus count removes " +
+      "the derivation's counting job (r13 verdict #3 — the ivfAdcTopK " +
+      "cutover, unified)") {
+    val emb = spark.read.parquet(sfDir + "/embeddings.parquet")
+    val n = emb.count()
+    def jobsDuring(tag: String)(f: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
+      try f finally spark.sparkContext.clearJobGroup()
+      def ids = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+      var last = -1
+      var cur = ids
+      var spins = 0
+      while (cur != last && spins < 100) {
+        Thread.sleep(50); last = cur; cur = ids; spins += 1
+      }
+      cur
+    }
+    // split off so the call's eager work is exactly: [count when
+    // deriving] + the bounded centroid collect — job counts compare
+    // cleanly without the audit pass
+    def call(nCorpus: Long): Unit =
+      graft.operators.SemanticDedup.semanticDedup(emb, "vec_id",
+        "embedding", nlist = 0, targetCellSize = 8L,
+        secondLevelSplit = false, nCorpus = nCorpus)
+    val derived = jobsDuring("sd-derived") { call(0L) }
+    val supplied = jobsDuring("sd-supplied") { call(n) }
     assert(derived > supplied,
       s"counting pass not removed: derived=$derived supplied=$supplied")
   }
