@@ -176,11 +176,13 @@ object Hits {
     def pin(f: DataFrame): DataFrame = f.localCheckpoint()
     var h = nodes.select(col("node"),
       lit(1000000L).cast(dec).as("_v"))
-    // the convergence test's previous-boundary state: the initial hub
-    // frame IS its own normalized form (Σ = N·10⁶ exactly)
-    var prevNorm: DataFrame =
-      if (convergeEarly) nodes.select(col("node"), lit(1000000L).as("_m"))
-      else null
+    // the convergence test's previous-boundary state. The INITIAL hub
+    // frame is its own normalized form (Σ = N·10⁶ exactly) and is
+    // CONSTANT — so the first boundary's test is a literal filter
+    // (no join, no shuffle of a synthetic all-10⁶ frame); only later
+    // boundaries compare frame against frame (r13 verdict #4: the
+    // boundary join priced ~+1 s on q321's single-boundary run)
+    var prevNorm: DataFrame = null
     var a: DataFrame = null
     var earlyHub: DataFrame = null
     var roundsRun = iterations
@@ -203,24 +205,31 @@ object Hits {
         val hN = normalize(pin(h), "_m")
         if (convergeEarly && iterations % 2 == 0) {
           // boundary fixed-point test on the frame the renorm already
-          // built: co-partitioned join (both sides node-hash-
-          // partitioned), one cache-read emptiness probe
-          val ck = hN.join(
-              prevNorm.withColumnRenamed("_m", "_pm").hint("shuffle_hash"),
-              Seq("node"))
-            .localCheckpoint(true)
-          if (ck.filter(col("_m") =!= col("_pm")).isEmpty) {
+          // built: ONE eager pin materializes the boundary state,
+          // then the test is a cache-read probe — against the
+          // LITERAL 10⁶ at the first boundary (the previous state is
+          // the constant initial frame), a co-partitioned cache-vs-
+          // cache join only at later boundaries
+          val hNp = hN.localCheckpoint(true)
+          val converged =
+            if (prevNorm == null)
+              hNp.filter(col("_m") =!= 1000000L).isEmpty
+            else hNp.join(
+                prevNorm.withColumnRenamed("_m", "_pm")
+                  .hint("shuffle_hash"), Seq("node"))
+              .filter(col("_m") =!= col("_pm")).isEmpty
+          if (converged) {
             // boundary state repeated: every remaining stretch replays
             // it, so micro_hub = this normalized frame and micro_auth
             // = normalize(a at this boundary) — bit-identical to the
             // full run (see the convergeEarly scaladoc)
             roundsRun = i
             stop = true
-            earlyHub = ck.select(col("node"), col("_m"))
+            earlyHub = hNp
             a = pin(a)
           } else {
-            prevNorm = ck.select(col("node"), col("_m"))
-            h = prevNorm.select(col("node"), col("_m").cast(dec).as("_v"))
+            prevNorm = hNp
+            h = hNp.select(col("node"), col("_m").cast(dec).as("_v"))
           }
         } else {
           h = hN.select(col("node"), col("_m").cast(dec).as("_v"))
