@@ -655,7 +655,11 @@ object SparkEntry {
     "q335_self_repetition" -> (X.qSelfRepetition _),
     // IVF nprobe calibration: recall@5 + candidate volume per plan
     // (the q334 pattern applied to the probe knob)
-    "q336_ivf_nprobe_calibration" -> (X.qIvfNprobeCalibration _)
+    "q336_ivf_nprobe_calibration" -> (X.qIvfNprobeCalibration _),
+    // the CCNet-style worst-window cut acting on q333's span bounds
+    "q337_perplexity_span_cut" -> (X.qPerplexitySpanCut _),
+    // the band-plan commit on top of q334's calibration table
+    "q338_lsh_band_plan_select" -> (X.qLshBandPlanSelect _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6451,49 +6455,8 @@ object SparkEntry {
     // PageRank ring fixture: rounds_run = 1 via the replayed stop
     // test; the unrolled r8 carries the identical fixed-point ranks
     "q332_pagerank_converged" -> pagerankRingSql(8),
-    "q333_windowed_perplexity" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(
-        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS win,
-        |    tk[CAST(i AS INTEGER)] AS w1,
-        |    tk[CAST(i AS INTEGER) + 1] AS w2
-        |  FROM tk, UNNEST(range(1, len(tk))) t(i)
-        |  WHERE len(tk) >= 2),
-        |c12 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
-        |c1 AS (SELECT w1, SUM(n_bigram) AS tot, COUNT(*) AS n1fw
-        |       FROM c12 GROUP BY 1),
-        |cw2 AS (SELECT w2, COUNT(*) AS n1pw FROM c12 GROUP BY 1),
-        |nn AS (SELECT COUNT(*) AS ntypes FROM c12),
-        |model AS (
-        |  SELECT c12.w1, c12.w2,
-        |    CAST(ROUND(ln(
-        |      ROUND(greatest(CAST(c12.n_bigram AS DOUBLE) - 0.75, 0.0)
-        |          / CAST(c1.tot AS DOUBLE)
-        |        + ((0.75 * CAST(c1.n1fw AS DOUBLE)) / CAST(c1.tot AS DOUBLE))
-        |          * (CAST(cw2.n1pw AS DOUBLE) / CAST(nn.ntypes AS DOUBLE)), 6)
-        |    ) * 100000000.0) AS BIGINT) AS lt
-        |  FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN nn),
-        |ws AS (
-        |  SELECT bg.doc_id, bg.win, COUNT(*) AS n, SUM(m.lt) AS sw,
-        |    ROUND(-((CAST(SUM(m.lt) AS DOUBLE) / 100000000.0)
-        |      / CAST(COUNT(*) AS DOUBLE)), 6) AS score
-        |  FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
-        |  GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT doc_id, win, score,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, win ASC) AS rw,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY score ASC, win ASC) AS rb
-        |  FROM ws),
-        |agg AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
-        |    CAST(SUM(n) AS BIGINT) AS n_bigrams,
-        |    CAST(SUM(sw) AS BIGINT) AS stot
-        |  FROM ws GROUP BY 1)
+    "q333_windowed_perplexity" -> (windowedPerplexityCtes +
+      """
         |SELECT a.doc_id, a.n_windows, a.n_bigrams,
         |  ROUND(-((CAST(a.stot AS DOUBLE) / 100000000.0)
         |    / CAST(a.n_bigrams AS DOUBLE)), 6) AS avg_neg_logp,
@@ -6506,7 +6469,37 @@ object SparkEntry {
         |  b.score AS best_neg_logp
         |FROM agg a
         |JOIN ranked w ON w.doc_id = a.doc_id AND w.rw = 1
-        |JOIN ranked b ON b.doc_id = a.doc_id AND b.rb = 1""".stripMargin,
+        |JOIN ranked b ON b.doc_id = a.doc_id AND b.rb = 1""".stripMargin),
+    // the worst-window CUT: same CTEs, then the margin decision, the
+    // 1-based token-slice removal and the kept-content md5 digest
+    "q337_perplexity_span_cut" -> (windowedPerplexityCtes +
+      """,
+        |sel AS (
+        |  SELECT a.doc_id, a.n_windows,
+        |    ROUND(-((CAST(a.stot AS DOUBLE) / 100000000.0)
+        |      / CAST(a.n_bigrams AS DOUBLE)), 6) AS avg_neg_logp,
+        |    CAST(w.win * 16 AS INTEGER) AS worst_start,
+        |    CAST(least((w.win + 1) * 16, a.n_bigrams) AS INTEGER)
+        |      AS worst_end,
+        |    w.score AS worst_neg_logp
+        |  FROM agg a
+        |  JOIN ranked w ON w.doc_id = a.doc_id AND w.rw = 1),
+        |kept AS (
+        |  SELECT s.doc_id,
+        |    (s.n_windows >= 2 AND s.worst_neg_logp
+        |      >= s.avg_neg_logp + CAST(0.25 AS DOUBLE)) AS cut,
+        |    s.worst_start, s.worst_end, t.tk,
+        |    CASE WHEN (s.n_windows >= 2 AND s.worst_neg_logp
+        |        >= s.avg_neg_logp + CAST(0.25 AS DOUBLE))
+        |      THEN list_concat(t.tk[1:s.worst_start],
+        |        t.tk[(s.worst_end + 2):len(t.tk)])
+        |      ELSE t.tk END AS kp
+        |  FROM sel s JOIN tk t USING (doc_id))
+        |SELECT doc_id, cut, worst_start, worst_end,
+        |  CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(len(kp) AS INTEGER) AS n_tokens_kept,
+        |  md5(array_to_string(kp, ' ')) AS kept_md5
+        |FROM kept""".stripMargin),
     // LSH band-plan calibration: the q26 portable-minhash mirror at
     // 128 slots / 2-word shingles, per plan the (band, key) bucket
     // workload, S-curve cells as the SAME pinned left-fold double
@@ -6520,6 +6513,8 @@ object SparkEntry {
     // IVF nprobe calibration: the q329/q330 planted residual pipeline
     // with probe rank carried, per plan the candidate cut + recall@5
     "q336_ivf_nprobe_calibration" -> nprobeCalibrationSql,
+    // the band-plan commit rule over the q334 calibration table
+    "q338_lsh_band_plan_select" -> lshBandPlanSelectSql,
     // golden records: the q303 scoring CTEs, q200-style recursive
     // closure, min-struct survivorship per entity
     "q320_golden_records" ->
@@ -8581,6 +8576,55 @@ object SparkEntry {
         |  ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id
         |GROUP BY 1""".stripMargin
 
+  /** q333/q337 shared head: tokenize, fixed 16-bigram windows on the
+    * bigram stream, the KN model on the exact ln-lattice, per-window
+    * scores, per-doc worst/best ranks and totals (everything through
+    * the `agg` CTE — the two finals differ only in what they read).
+    */
+  private def windowedPerplexityCtes: String =
+    """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS win,
+        |    tk[CAST(i AS INTEGER)] AS w1,
+        |    tk[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM tk, UNNEST(range(1, len(tk))) t(i)
+        |  WHERE len(tk) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(n_bigram) AS tot, COUNT(*) AS n1fw
+        |       FROM c12 GROUP BY 1),
+        |cw2 AS (SELECT w2, COUNT(*) AS n1pw FROM c12 GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS ntypes FROM c12),
+        |model AS (
+        |  SELECT c12.w1, c12.w2,
+        |    CAST(ROUND(ln(
+        |      ROUND(greatest(CAST(c12.n_bigram AS DOUBLE) - 0.75, 0.0)
+        |          / CAST(c1.tot AS DOUBLE)
+        |        + ((0.75 * CAST(c1.n1fw AS DOUBLE)) / CAST(c1.tot AS DOUBLE))
+        |          * (CAST(cw2.n1pw AS DOUBLE) / CAST(nn.ntypes AS DOUBLE)), 6)
+        |    ) * 100000000.0) AS BIGINT) AS lt
+        |  FROM c12 JOIN c1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN nn),
+        |ws AS (
+        |  SELECT bg.doc_id, bg.win, COUNT(*) AS n, SUM(m.lt) AS sw,
+        |    ROUND(-((CAST(SUM(m.lt) AS DOUBLE) / 100000000.0)
+        |      / CAST(COUNT(*) AS DOUBLE)), 6) AS score
+        |  FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT doc_id, win, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, win ASC) AS rw,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score ASC, win ASC) AS rb
+        |  FROM ws),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(sw) AS BIGINT) AS stot
+        |  FROM ws GROUP BY 1)""".stripMargin
+
   /** q336 oracle: the planted-fixture residual-IVFADC pipeline of
     * q329/q330 with the probe rank CARRIED (pr ≤ 8, the widest plan)
     * instead of pinned at 2, then per plan ∈ {1,2,4,8} the candidate
@@ -8718,7 +8762,7 @@ object SparkEntry {
     * chain (every literal cast to DOUBLE so DuckDB performs the same
     * correctly-rounded IEEE multiplies, not decimal arithmetic).
     */
-  private def lshBandPlanSql: String = {
+  private def lshBandPlanParts: (String, String) = {
     val plans = Seq(32, 16, 8, 4)
     val calib = Seq("scurve_50" -> "0.5", "scurve_70" -> "0.7",
       "scurve_80" -> "0.8", "scurve_90" -> "0.9")
@@ -8744,7 +8788,7 @@ object SparkEntry {
          |    FROM mh GROUP BY doc_id, j // $r)
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString("\nUNION ALL\n")
-    """WITH tk AS (
+    val prefix = """WITH tk AS (
       |  SELECT doc_id, list_filter(
       |    regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0) AS tk
       |  FROM documents),
@@ -8760,7 +8804,34 @@ object SparkEntry {
       |         + j.j * 40503 + 12345) % 2147483647) AS mh
       |  FROM tok CROSS JOIN (SELECT unnest(range(128)) AS j) j
       |  GROUP BY doc_id, j.j)
-      |""".stripMargin + perPlan
+      |""".stripMargin
+    (prefix, perPlan)
+  }
+
+  private def lshBandPlanSql: String = {
+    val (prefix, perPlan) = lshBandPlanParts
+    prefix + perPlan
+  }
+
+  /** q338 oracle: the q334 per-plan table as a derived relation, then
+    * the commit rule — qualifying plans (scurve_80 ≥ 900000) first,
+    * within them the smallest bucket_pairs, fallback ordered by best
+    * recall; ties to fewer bands. The predicate is repeated verbatim
+    * in ORDER BY (no alias references) for engine portability.
+    */
+  private def lshBandPlanSelectSql: String = {
+    val (prefix, perPlan) = lshBandPlanParts
+    prefix +
+      s"""SELECT bands, rows_per_band, n_buckets, bucket_pairs, scurve_80,
+         |  (scurve_80 >= 900000) AS qualified
+         |FROM (
+         |$perPlan
+         |) cal
+         |ORDER BY (scurve_80 >= 900000) DESC,
+         |  CASE WHEN scurve_80 >= 900000 THEN bucket_pairs
+         |    ELSE -scurve_80 END ASC,
+         |  bands ASC
+         |LIMIT 1""".stripMargin
   }
 
   /** q335 oracle: per n one positional-gram CTE (list-slice +

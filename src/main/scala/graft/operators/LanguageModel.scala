@@ -183,6 +183,53 @@ object LanguageModel {
         col("_best._score").as("best_neg_logp"))
   }
 
+  /** Act on [[windowedPerplexity]]'s span bounds — the CCNet-style
+    * worst-window CUT: a document whose worst `windowTokens`-bigram
+    * window scores at least `margin` above its own mean has that
+    * window's token span removed (localized rot the doc mean averages
+    * away — boilerplate, lexical soup, corrupted spans); everything
+    * else passes unchanged. The downstream pass q333's bounds exist
+    * for, shipped as an operator.
+    *
+    * Exactness: the cut decision compares two pinned 6-dp doubles
+    * plus one IEEE add of a power-of-two margin — replayable in any
+    * engine — and the cut itself is pure token-array slicing on the
+    * span bounds ([start, end] inclusive 0-based token positions).
+    * The kept content is hash-checked: `kept_md5` digests the kept
+    * tokens joined by single spaces, so an external mirror verifies
+    * the actual post-cut text, not just the counts.
+    *
+    * Scale shape: [[windowedPerplexity]]'s aggregates plus ONE
+    * re-tokenizing pass joined per doc — linear, no per-doc state
+    * beyond the (length-bounded) token array already implied by the
+    * tokenizer.
+    */
+  def worstWindowCut(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 16, margin: Double = 0.25): DataFrame = {
+    val prof = windowedPerplexity(df, idCol, textCol, windowTokens)
+    val tk = TextFunctions.tokens(lower(col(textCol)))
+    val toks = df.select(col(idCol), tk.as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+    toks.join(prof, Seq(idCol))
+      .withColumn("cut", col("n_windows") >= 2 &&
+        col("worst_neg_logp") >= col("avg_neg_logp") + lit(margin))
+      // tokens [worst_start, worst_end] (0-based, inclusive) drop:
+      // kept = tk[1..worst_start] ++ tk[worst_end+2..n] in 1-based
+      // slice terms; both slices bottom out at empty, never negative
+      .withColumn("_kept", when(col("cut"),
+        concat(
+          slice(col("_tk"), lit(1), col("worst_start")),
+          slice(col("_tk"), col("worst_end") + lit(2),
+            greatest(size(col("_tk")) - col("worst_end") - lit(1),
+              lit(0)))))
+        .otherwise(col("_tk")))
+      .select(col(idCol), col("cut"),
+        col("worst_start"), col("worst_end"),
+        size(col("_tk")).as("n_tokens"),
+        size(col("_kept")).as("n_tokens_kept"),
+        md5(concat_ws(" ", col("_kept"))).as("kept_md5"))
+  }
+
   /** Min-K% probability membership audit (Shi et al. 2023) — the
     * pretraining-data detection signal: average the K% LOWEST
     * per-position log-probabilities instead of all of them. Seen

@@ -184,6 +184,37 @@ object PortableMinHash {
     out
   }
 
+  /** COMMIT to a band plan from [[bandPlanCalibration]]'s table —
+    * the decision a pipeline makes before running banded LSH: the
+    * qualifying plan (catch probability at s = 0.8 of at least
+    * `minCatch`/10⁶) with the SMALLEST measured candidate workload,
+    * ties to fewer bands. If no plan qualifies on this corpus's
+    * signature budget, fall back to the best-recall plan (largest
+    * scurve_80, i.e. the most bands) rather than returning nothing —
+    * a dedup run with weaker-than-asked recall beats no dedup run,
+    * and the `qualified` flag makes the downgrade visible. One row;
+    * every ordering key an exact integer or boolean, so the choice
+    * replays in SQL.
+    */
+  def bandPlanSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      shingleWords: Int = 2,
+      plans: Seq[Int] = Seq(32, 16, 8, 4),
+      minCatch: Long = 900000L): DataFrame =
+    bandPlanCalibration(df, idCol, textCol, numHashes, shingleWords,
+      plans)
+      .withColumn("qualified", col("scurve_80") >= minCatch)
+      .orderBy(col("qualified").desc,
+        when(col("qualified"), col("bucket_pairs"))
+          .otherwise(-col("scurve_80")).asc,
+        col("bands").asc)
+      .limit(1)
+      .select(col("bands"), col("rows_per_band"), col("n_buckets"),
+        col("bucket_pairs"), col("scurve_80"), col("qualified"))
+
   /** 1 − (1 − s^r)^b as the pinned left-fold double chain (s^r and
     * t^b each a strict left-to-right multiply — the exact op sequence
     * the SQL mirror spells out), scaled to a 10⁶ integer.

@@ -602,6 +602,25 @@ object ExtensionQueries {
       tbl(s, dir, "documents"), "doc_id", "text",
       numHashes = 128, shingleWords = 2)
 
+  /** Band-plan COMMIT (q338): the decision on top of q334's table —
+    * the qualifying plan (catch ≥ 0.90 at s = 0.8) with the smallest
+    * measured candidate workload, fallback to best recall with the
+    * downgrade flagged. The row a dedup pipeline actually reads.
+    */
+  def qLshBandPlanSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PortableMinHash.bandPlanSelect(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      numHashes = 128, shingleWords = 2)
+
+  /** Worst-window span CUT (q337): act on q333's bounds — docs whose
+    * worst 16-bigram window scores ≥ 0.25 above their own mean drop
+    * that token span; `kept_md5` hash-checks the post-cut content.
+    */
+  def qPerplexitySpanCut(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.worstWindowCut(
+      tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", windowTokens = 16, margin = 0.25)
+
   /** Within-doc self-repetition profile (q335): the Gopher
     * repetition gates over token units — modal-n-gram coverage
     * (n = 2/3/4) and duplicated-n-gram coverage (n = 5/10), each an

@@ -112,6 +112,38 @@ class LanguageModelSpec extends AnyFunSuite {
       r.getAs[Int]("worst_end") == r.getAs[Long]("n_bigrams")))
   }
 
+  test("worstWindowCut: margin gates the cut; a cut drops exactly the " +
+      "[worst_start, worst_end] token span and the kept digest matches") {
+    val docs = Seq(
+      (1L, "a b a c a b a c a b a c a b"),
+      (2L, "a b")).toDF("doc_id", "text")
+    // unreachable margin: nothing cuts, kept = the full token stream
+    val none = LanguageModel.worstWindowCut(docs, "doc_id", "text",
+      windowTokens = 4, margin = 1000.0).collect()
+    assert(none.nonEmpty)
+    assert(none.forall(!_.getAs[Boolean]("cut")))
+    for (r <- none)
+      assert(r.getAs[Int]("n_tokens_kept") == r.getAs[Int]("n_tokens"))
+    // margin 0: every multi-window doc cuts its worst window
+    val cut = LanguageModel.worstWindowCut(docs, "doc_id", "text",
+        windowTokens = 4, margin = 0.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = cut(1L)
+    assert(r1.getAs[Boolean]("cut"))
+    val ws = r1.getAs[Int]("worst_start")
+    val we = r1.getAs[Int]("worst_end")
+    assert(r1.getAs[Int]("n_tokens_kept") ===
+      r1.getAs[Int]("n_tokens") - (we - ws + 1))
+    val toks = "a b a c a b a c a b a c a b".split(" ").toSeq
+    val kept = toks.take(ws) ++ toks.drop(we + 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(kept.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r1.getAs[String]("kept_md5") === md)
+    // a single-window doc never cuts, even at margin 0
+    assert(!cut(2L).getAs[Boolean]("cut"))
+  }
+
   test("min-K%: bottom-ceil(n/5) mean over the lattice log-probs") {
     def lt(p: Double): Long = math.round(math.log(p) * 1e8)
     def score(lts: Seq[Long]): Double =

@@ -100,6 +100,33 @@ class PortableMinHashSpec extends AnyFunSuite {
     assert(math.abs(got(16)._5 / 1e6 - ref) < 1e-6)
   }
 
+  test("band-plan select: cheapest qualifying plan wins; an impossible " +
+      "bar falls back to best recall with the downgrade flagged") {
+    val docs = (1L to 4L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val cal = PortableMinHash.bandPlanCalibration(docs, "doc_id", "text",
+      numHashes = 128, shingleWords = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(3), r.getLong(6)))).toMap // bands -> (pairs, s80)
+    val pick = PortableMinHash.bandPlanSelect(docs, "doc_id", "text",
+      numHashes = 128, shingleWords = 2).collect()
+    assert(pick.length === 1)
+    val chosen = pick.head
+    assert(chosen.getAs[Boolean]("qualified"))
+    val qualifying = cal.filter(_._2._2 >= 900000L)
+    assert(qualifying.nonEmpty)
+    val bestPairs = qualifying.map(_._2._1).min
+    assert(chosen.getAs[Long]("bucket_pairs") === bestPairs)
+    assert(chosen.getAs[Long]("scurve_80") >= 900000L)
+    // a bar above 10^6 is unsatisfiable: fallback = best recall,
+    // qualified = false
+    val fb = PortableMinHash.bandPlanSelect(docs, "doc_id", "text",
+      numHashes = 128, shingleWords = 2, minCatch = 1000001L).collect()
+    assert(fb.length === 1)
+    assert(!fb.head.getAs[Boolean]("qualified"))
+    assert(fb.head.getAs[Long]("scurve_80") === cal.values.map(_._2).max)
+  }
+
   test("emitted pairs = band-collision AND jaccard, exhaustively checked") {
     val texts = Map(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
