@@ -468,33 +468,47 @@ object ProductQuantization {
       .groupBy(col("q_id"), col(idCol))
       .agg(sum(col("tdist")).as("adc_dist"), min(col("_pr")).as("_pr"))
       .persist()
-    val exact = exactTopKPairs(lattice, idCol, queries, topK).persist()
 
-    val planRows = nprobes.map { np =>
-      val cand = adc.filter(col("_pr") <= np)
-      val nCand = cand.agg(count(lit(1)).as("candidates"))
-      val top = cand
-        .withColumn("_packed", col("adc_dist") * 1000000L + col(idCol))
-        .groupBy(col("q_id"))
-        .agg(graft.functions.expressions.TopKByAgg
-          .topKBy((-col("_packed")).cast("double"), col(idCol), topK)
-          .as("_top"))
-        .select(col("q_id"), explode(col("_top")).as("_e"))
-        .select(col("q_id"), col("_e.id").as("vec_id"),
-          lit(1L).as("_hit"))
-      val overlap = exact
-        .join(broadcast(top), Seq("q_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("k_exact_total"),
-          coalesce(sum(col("_hit")), lit(0L)).as("n_overlap_total"))
-      nCand.crossJoin(overlap)
-        .select(lit(np).as("nprobe"), col("candidates"),
-          col("k_exact_total"), col("n_overlap_total"),
-          (col("n_overlap_total").cast("double")
-            / col("k_exact_total").cast("double")).as("mean_recall"))
-    }
-    val out = planRows.reduce(_ unionByName _).localCheckpoint(true)
+    // ALL plans in single passes, not |plans| job chains: the plan
+    // id explodes onto each candidate row it qualifies for (≤ |plans|
+    // small copies of an already-pruned frame), so candidate counts
+    // are one aggregate, the per-plan heaps one grouped aggregate,
+    // and the overlap one broadcast join — the sweep's readout costs
+    // 3 jobs over the persisted frame instead of 3·|plans|
+    val planArr = array(nprobes.map(lit): _*)
+    val cand = adc
+      .select(col("q_id"), col(idCol), col("adc_dist"), col("_pr"),
+        explode(planArr).as("nprobe"))
+      .filter(col("_pr") <= col("nprobe"))
+    val nCand = cand.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("candidates"))
+    val top = cand
+      .withColumn("_packed", col("adc_dist") * 1000000L + col(idCol))
+      .groupBy(col("nprobe"), col("q_id"))
+      .agg(graft.functions.expressions.TopKByAgg
+        .topKBy((-col("_packed")).cast("double"), col(idCol), topK)
+        .as("_top"))
+      .select(col("nprobe"), col("q_id"), explode(col("_top")).as("_e"))
+      .select(col("nprobe"), col("q_id"), col("_e.id").as("vec_id"),
+        lit(1L).as("_hit"))
+    // drive from exact × plans so a plan with ZERO candidates still
+    // emits its row (candidates coalesced to 0) — the oracle's
+    // `ov LEFT JOIN cnt` shape
+    val overlap = exactTopKPairs(lattice, idCol, queries, topK)
+      .select(col("q_id"), col("vec_id"), explode(planArr).as("nprobe"))
+      .join(broadcast(top), Seq("nprobe", "q_id", "vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("k_exact_total"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_overlap_total"))
+    val out = overlap
+      .join(broadcast(nCand), Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("candidates"), lit(0L)).as("candidates"),
+        col("k_exact_total"), col("n_overlap_total"),
+        (col("n_overlap_total").cast("double")
+          / col("k_exact_total").cast("double")).as("mean_recall"))
+      .localCheckpoint(true)
     adc.unpersist()
-    exact.unpersist()
     out
   }
 
