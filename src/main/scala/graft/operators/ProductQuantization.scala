@@ -296,14 +296,49 @@ object ProductQuantization {
     * the per-probed-cell query residual without a second join.
     */
   private def probeCells(queries: DataFrame, coarseFrame: DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, carryRank: Boolean = false): DataFrame = {
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("_cdist").asc, col("_cell").asc)
-    queries.crossJoin(broadcast(coarseFrame))
+    val probed = queries.crossJoin(broadcast(coarseFrame))
       .withColumn("_cdist", sqDist(col("qv3"), col("_cv3")))
       .withColumn("_pr", row_number().over(wProbe))
       .filter(col("_pr") <= nprobe)
-      .select(col("q_id"), col("qv3"), col("_cell"), col("_cv3"))
+    // carryRank: keep the probe rank on the row (nprobe-sweep callers
+    // cut narrower plans as rank filters over one widest-plan frame)
+    if (carryRank)
+      probed.select(col("q_id"), col("qv3"), col("_cell"), col("_cv3"),
+        col("_pr"))
+    else
+      probed.select(col("q_id"), col("qv3"), col("_cell"), col("_cv3"))
+  }
+
+  /** The shared residual-encoded index build ([[ivfAdcResidualTopK]]
+    * and [[ivfAdcResidualNprobeSweep]] — one definition so the
+    * residual contract, codebook sampling and cell carry can never
+    * drift between the single-plan and sweep paths): coarse
+    * assignment, exact int64 residuals v − c(v), the ONE shared
+    * md5-ranked residual codebook, and the per-(vector, cell) codes.
+    * Returns (coarse centroid frame, residual codebook, codes).
+    */
+  private def residualIndex(lattice: DataFrame, idCol: String,
+      dims: Int, m: Int, k: Int, nl: Int, cbSalt: String,
+      ivfSalt: String): (DataFrame, DataFrame, DataFrame) = {
+    val subDim = dims / m
+    val (coarseFrame, assigned) = coarseAssign(lattice, idCol, nl, ivfSalt)
+    // residual corpus: v − c(v), exact int64, fused into the
+    // assignment scan by the broadcast centroid join
+    val resFrame = assigned.join(broadcast(coarseFrame), Seq("_cell"))
+      .select(col(idCol), col("_cell"),
+        zip_with(col("v3"), col("_cv3"), (a, b) => a - b).as("v3"))
+    // the shared residual codebook: md5-ranked sample of the corpus
+    // residuals — one codebook for ALL cells, the residual contract
+    val codebook = subspaces(
+      mdRanked(resFrame, idCol, k, cbSalt)
+        .select(col("rank0").as("code"), col("v3")),
+      m, subDim, out = "c3")
+    val codes = encode(subspaces(resFrame, m, subDim), idCol, codebook,
+      carry = Seq("_cell"))
+    (coarseFrame, codebook, codes)
   }
 
   /** IVFADC proper — residual encoding (Jégou, Douze & Schmid 2011
@@ -341,22 +376,8 @@ object ProductQuantization {
     require(nprobe >= 1 && nprobe <= nl,
       s"nprobe $nprobe out of range for nlist $nl")
     val subDim = dims / m
-
-    val (coarseFrame, assigned) = coarseAssign(lattice, idCol, nl, ivfSalt)
-    // residual corpus: v − c(v), exact int64, fused into the
-    // assignment scan by the broadcast centroid join
-    val resFrame = assigned.join(broadcast(coarseFrame), Seq("_cell"))
-      .select(col(idCol), col("_cell"),
-        zip_with(col("v3"), col("_cv3"), (a, b) => a - b).as("v3"))
-
-    // the shared residual codebook: md5-ranked sample of the corpus
-    // residuals — one codebook for ALL cells, the residual contract
-    val codebook = subspaces(
-      mdRanked(resFrame, idCol, k, cbSalt)
-        .select(col("rank0").as("code"), col("v3")),
-      m, subDim, out = "c3")
-    val codes = encode(subspaces(resFrame, m, subDim), idCol, codebook,
-      carry = Seq("_cell"))
+    val (coarseFrame, codebook, codes) =
+      residualIndex(lattice, idCol, dims, m, k, nl, cbSalt, ivfSalt)
 
     val queries = mdRanked(lattice, idCol, nQueries, qSalt)
       .select(col(idCol).as("q_id"), col("v3").as("qv3"))
@@ -431,27 +452,14 @@ object ProductQuantization {
     require(nprobes.last <= nl,
       s"widest plan ${nprobes.last} out of range for nlist $nl")
     val subDim = dims / m
-
-    val (coarseFrame, assigned) = coarseAssign(lattice, idCol, nl, ivfSalt)
-    val resFrame = assigned.join(broadcast(coarseFrame), Seq("_cell"))
-      .select(col(idCol), col("_cell"),
-        zip_with(col("v3"), col("_cv3"), (a, b) => a - b).as("v3"))
-    val codebook = subspaces(
-      mdRanked(resFrame, idCol, k, cbSalt)
-        .select(col("rank0").as("code"), col("v3")),
-      m, subDim, out = "c3")
-    val codes = encode(subspaces(resFrame, m, subDim), idCol, codebook,
-      carry = Seq("_cell"))
+    val (coarseFrame, codebook, codes) =
+      residualIndex(lattice, idCol, dims, m, k, nl, cbSalt, ivfSalt)
 
     val queries = mdRanked(lattice, idCol, nQueries, qSalt)
       .select(col(idCol).as("q_id"), col("v3").as("qv3"))
     // probe ranks up to the WIDEST plan, rank kept on the row
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("_cdist").asc, col("_cell").asc)
-    val qRes = queries.crossJoin(broadcast(coarseFrame))
-      .withColumn("_cdist", sqDist(col("qv3"), col("_cv3")))
-      .withColumn("_pr", row_number().over(wProbe))
-      .filter(col("_pr") <= nprobes.last)
+    val qRes = probeCells(queries, coarseFrame, nprobes.last,
+        carryRank = true)
       .select(col("q_id"), col("_cell"), col("_pr"),
         zip_with(col("qv3"), col("_cv3"), (a, b) => a - b).as("v3"))
     val tables = subspaces(qRes, m, subDim, out = "qsub")

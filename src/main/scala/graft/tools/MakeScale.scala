@@ -95,18 +95,19 @@ object MakeScale {
           col("props"))
       },
       "documents" -> replicate(tbl("documents")) { (d, i) =>
-        // length-preserving rotation: copy 0 is the original corpus,
-        // copy i rotates each text by 37·i chars (mod its length).
-        // When the modulus lands on 0 for a text longer than one
-        // char, the fallback is (i-1) mod (len-1) + 1 — in [1,len-1]
-        // AND replica-dependent, so two replicas of one doc (e.g.
-        // len=37 at i=1 and i=2) cannot collide on a shared constant
-        // fallback (advice r13); the tail slice takes the text's own
-        // length, never a fixed cap
+        // length-preserving rotation: copy 0 is the original corpus.
+        // Distinctness across replicas of ONE doc is the property the
+        // scale board leans on, so the rotation must be INJECTIVE in
+        // i wherever lengths allow (review r14: any fixed-stride
+        // (37·i) mod len collides whenever len divides 37·(i−j), e.g.
+        // len = 74 at i ∈ {1, 3} — the r13-advice fallback only fixed
+        // the rot = 0 class). Rule: texts longer than 37·(k−1) chars
+        // rotate by 37·i (no mod wrap — absolutely distinct); shorter
+        // texts rotate by i itself (distinct whenever len ≥ k; below
+        // k distinct rotations cannot exist by pigeonhole)
         val len = length(col("text"))
-        val rot0 = lit(37 * i) % greatest(len, lit(1))
-        val rot = when(rot0 === 0 && len > 1,
-          (lit(i - 1) % greatest(len - 1, lit(1))) + 1).otherwise(rot0)
+        val rot = when(len > lit(37 * (k - 1)), lit(37 * i))
+          .otherwise(lit(i) % greatest(len, lit(1)))
         val text =
           if (i == 0) col("text")
           else concat(

@@ -115,9 +115,31 @@ object ProbeScaleBoard {
       val rows =
         if (!needRows) ""
         else {
-          def cnt(dir: String): String =
+          // the count probe rides the SAME watchdog as the timed
+          // reps — a DNF leg must not re-run unbounded here (review
+          // r14: a hung scaled leg would stall the whole sweep at
+          // the adjudication it triggered)
+          def cnt(dir: String): String = {
+            val tag = s"board-rows:$name:$dir:${System.nanoTime()}"
+            spark.sparkContext.setJobGroup(tag, tag,
+              interruptOnCancel = true)
+            @volatile var done = false
+            val sc = spark.sparkContext
+            val watchdog = new Thread(() => {
+              val deadline = System.nanoTime() + timeoutSec * 1e9.toLong
+              while (!done && System.nanoTime() < deadline)
+                Thread.sleep(500)
+              if (!done) sc.cancelJobGroup(tag)
+            })
+            watchdog.setDaemon(true)
+            watchdog.start()
             try fn(spark, dir).count().toString
             catch { case _: Throwable => "DNF" }
+            finally {
+              done = true
+              spark.sparkContext.clearJobGroup()
+            }
+          }
           val ra = cnt(baseDir); cleanup()
           val rb = cnt(scaledDir); cleanup()
           s" rows_base=$ra rows_scaled=$rb"

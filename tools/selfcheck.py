@@ -51,8 +51,12 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: selfcheck.py <sfDir> <outDir> [--json OUT.json]")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    if len(argv) != 2:
+        sys.exit("usage: selfcheck.py <sfDir> <outDir> [--json OUT.json]")
     sf_dir, out_dir = argv[0], argv[1]
     board = {}
 
