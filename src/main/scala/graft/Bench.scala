@@ -191,5 +191,12 @@ object Bench {
     } catch { case _: Throwable => () }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // Driver-proof compact record (r14 verdict #1): the per-query line
+    // above embeds the full query map, and a bounded tail capture can
+    // truncate its FRONT before "metric"/"value" are readable
+    // (BENCH_r13/r14 both recorded parsed:null). This final stdout
+    // line carries totals only — short enough that ANY tail window
+    // reaching the last line holds one complete parseable record.
+    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
   }
 }

@@ -659,7 +659,13 @@ object SparkEntry {
     // the CCNet-style worst-window cut acting on q333's span bounds
     "q337_perplexity_span_cut" -> (X.qPerplexitySpanCut _),
     // the band-plan commit on top of q334's calibration table
-    "q338_lsh_band_plan_select" -> (X.qLshBandPlanSelect _)
+    "q338_lsh_band_plan_select" -> (X.qLshBandPlanSelect _),
+    // the nprobe commit on top of q336's calibration table — the
+    // q338 rule applied to the IVF probe knob
+    "q339_ivf_nprobe_select" -> (X.qIvfNprobeSelect _),
+    // margin calibration for q337's worst-window cut: docs cut /
+    // tokens removed / corpus share per candidate margin
+    "q340_span_cut_margin_calibration" -> (X.qSpanCutMarginCalibration _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -6515,6 +6521,50 @@ object SparkEntry {
     "q336_ivf_nprobe_calibration" -> nprobeCalibrationSql,
     // the band-plan commit rule over the q334 calibration table
     "q338_lsh_band_plan_select" -> lshBandPlanSelectSql,
+    // the nprobe commit rule over the q336 calibration table — the
+    // same CTE head as q336 by construction (nprobeCalibrationParts)
+    "q339_ivf_nprobe_select" -> nprobeSelectSql,
+    // margin calibration for the worst-window cut: the q333/q337 CTE
+    // head, the per-doc profile joined to token counts, then each
+    // margin ∈ {1/8, 1/4, 1/2, 1} (every literal CAST AS DOUBLE so
+    // DuckDB performs the engine's IEEE add, not decimal arithmetic)
+    // as one pure-arithmetic grouped decision; tokens removed per cut
+    // doc is worst_end + 1 − worst_start — exactly q337's
+    // n_tokens − n_tokens_kept by the slice algebra
+    "q340_span_cut_margin_calibration" -> (windowedPerplexityCtes +
+      """,
+        |sel AS (
+        |  SELECT a.doc_id, a.n_windows,
+        |    ROUND(-((CAST(a.stot AS DOUBLE) / 100000000.0)
+        |      / CAST(a.n_bigrams AS DOUBLE)), 6) AS avg_neg_logp,
+        |    CAST(w.win * 16 AS INTEGER) AS worst_start,
+        |    CAST(least((w.win + 1) * 16, a.n_bigrams) AS INTEGER)
+        |      AS worst_end,
+        |    w.score AS worst_neg_logp
+        |  FROM agg a
+        |  JOIN ranked w ON w.doc_id = a.doc_id AND w.rw = 1),
+        |doc AS (
+        |  SELECT s.n_windows, s.avg_neg_logp, s.worst_neg_logp,
+        |    CAST(s.worst_end + 1 - s.worst_start AS BIGINT) AS rm,
+        |    CAST(len(t.tk) AS BIGINT) AS nt
+        |  FROM sel s JOIN tk t USING (doc_id)),
+        |mg AS (SELECT CAST(UNNEST([0.125, 0.25, 0.5, 1.0]) AS DOUBLE)
+        |  AS margin)
+        |SELECT m.margin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.n_windows >= 2
+        |      AND d.worst_neg_logp >= d.avg_neg_logp + m.margin
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_cut,
+        |  CAST(SUM(d.nt) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN d.n_windows >= 2
+        |      AND d.worst_neg_logp >= d.avg_neg_logp + m.margin
+        |    THEN d.rm ELSE 0 END) AS BIGINT) AS tokens_removed,
+        |  CAST(SUM(CASE WHEN d.n_windows >= 2
+        |      AND d.worst_neg_logp >= d.avg_neg_logp + m.margin
+        |    THEN d.rm ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(d.nt) AS DOUBLE) AS removed_share
+        |FROM mg m CROSS JOIN doc d
+        |GROUP BY 1""".stripMargin),
     // golden records: the q303 scoring CTEs, q200-style recursive
     // closure, min-struct survivorship per entity
     "q320_golden_records" ->
@@ -8634,8 +8684,18 @@ object SparkEntry {
     * IEEE division. Spelled out in full (not string-edited from the
     * q329 CTEs) because these mirrors are hash-load-bearing.
     */
-  private def nprobeCalibrationSql: String =
-    """WITH base AS (
+  private def nprobeCalibrationSql: String = {
+    val (ctes, fin) = nprobeCalibrationParts
+    ctes + "\n" + fin
+  }
+
+  /** q336's mirror split as (CTE head, final readout SELECT) so the
+    * q339 commit mirror derives from the SAME head the way q338's
+    * derives from q334's (lshBandPlanParts) — the calibration table
+    * and the decision on top of it cannot drift.
+    */
+  private def nprobeCalibrationParts: (String, String) = {
+    val ctes = """WITH base AS (
         |  SELECT vec_id, list_transform(range(1, 65), j ->
         |    CAST(ROUND(ROUND(CAST(embedding[j] AS DOUBLE), 3) * 1000.0,
         |      0) AS BIGINT)
@@ -8747,13 +8807,42 @@ object SparkEntry {
         |    AND t.q_id = ex.q_id AND t.vec_id = ex.vec_id
         |  GROUP BY 1),
         |cnt AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS candidates
-        |  FROM cand GROUP BY 1)
-        |SELECT ov.nprobe,
+        |  FROM cand GROUP BY 1)""".stripMargin
+    val fin = """SELECT ov.nprobe,
         |  CAST(COALESCE(cnt.candidates, 0) AS BIGINT) AS candidates,
         |  ov.k_exact_total, ov.n_overlap_total,
         |  CAST(ov.n_overlap_total AS DOUBLE)
         |    / CAST(ov.k_exact_total AS DOUBLE) AS mean_recall
         |FROM ov LEFT JOIN cnt USING (nprobe)""".stripMargin
+    (ctes, fin)
+  }
+
+  /** q339 oracle: q336's table as a derived relation (the SAME CTE
+    * head by construction), then the commit rule — qualifying plans
+    * (overlap·10⁶ ≥ 200000·k_exact, exact BIGINT arithmetic, never a
+    * float compare) first, within them the smallest nprobe, fallback
+    * ordered by best overlap (k_exact_total is uniform across plans,
+    * so overlap order IS recall order). The predicate is repeated
+    * verbatim in ORDER BY (no alias references) for engine
+    * portability — the q338 mirror's shape.
+    */
+  private def nprobeSelectSql: String = {
+    val (ctes, fin) = nprobeCalibrationParts
+    ctes + s"""
+      |SELECT nprobe, candidates, k_exact_total, n_overlap_total,
+      |  mean_recall,
+      |  (n_overlap_total * 1000000 >= 200000 * k_exact_total)
+      |    AS qualified
+      |FROM (
+      |$fin
+      |) cal
+      |ORDER BY (n_overlap_total * 1000000 >= 200000 * k_exact_total)
+      |    DESC,
+      |  CASE WHEN n_overlap_total * 1000000 >= 200000 * k_exact_total
+      |    THEN CAST(nprobe AS BIGINT) ELSE -n_overlap_total END ASC,
+      |  nprobe ASC
+      |LIMIT 1""".stripMargin
+  }
 
   /** q334 oracle: the q26 portable-minhash mirror at 128 slots and
     * 2-word shingles; per plan one (band, key) group-by for the

@@ -230,6 +230,59 @@ object LanguageModel {
         md5(concat_ws(" ", col("_kept"))).as("kept_md5"))
   }
 
+  /** Margin calibration for [[worstWindowCut]] — the
+    * calibrate-before-commit pattern (the q334 band-plan / q336
+    * nprobe tables) applied to the cut knob: for each candidate
+    * margin, how many documents the worst-window rule would cut, how
+    * many tokens it would remove, and what share of the corpus that
+    * is — the table a pipeline consults before pinning a cut
+    * threshold. Margins should be exact power-of-two doubles (the
+    * defaults are 1/8, 1/4, 1/2, 1) so the one IEEE add in the cut
+    * test replays in any engine; cut-rate is monotone non-increasing
+    * in margin by construction (the test is `worst ≥ mean + margin`).
+    *
+    * Tokens removed per cut doc is worst_end + 1 − worst_start —
+    * exactly [[worstWindowCut]]'s n_tokens − n_tokens_kept (kept =
+    * worst_start + (n − worst_end − 1) and worst_end ≤ n − 1 always),
+    * so the margin-default row of this table is consistent with the
+    * cut operator by arithmetic, not by re-measurement.
+    *
+    * Scale shape: the [[windowedPerplexity]] profile is computed
+    * ONCE; each margin is then pure arithmetic on the per-doc row
+    * (the margin id explodes onto a 5-column frame, |margins| small
+    * copies), closed by one map-side-combinable aggregate — the
+    * calibration costs one profile run plus |margins| cheap
+    * decisions, never |margins| profile runs.
+    */
+  def worstWindowCutCalibration(df: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int = 16,
+      margins: Seq[Double] = Seq(0.125, 0.25, 0.5, 1.0)): DataFrame = {
+    require(margins.nonEmpty && margins == margins.distinct.sorted &&
+      margins.head > 0.0,
+      s"margins must be distinct ascending > 0: $margins")
+    val prof = windowedPerplexity(df, idCol, textCol, windowTokens)
+    val tk = TextFunctions.tokens(lower(col(textCol)))
+    val toks = df.select(col(idCol), size(tk).cast("long").as("_nt"))
+    toks.join(prof, Seq(idCol))
+      .select(col("_nt"), col("n_windows"), col("avg_neg_logp"),
+        col("worst_neg_logp"),
+        (col("worst_end") + lit(1) - col("worst_start")).cast("long")
+          .as("_rm"),
+        explode(array(margins.map(lit): _*)).as("margin"))
+      .withColumn("_cut", col("n_windows") >= 2 &&
+        col("worst_neg_logp") >= col("avg_neg_logp") + col("margin"))
+      .groupBy(col("margin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_cut"), 1L).otherwise(0L)).as("docs_cut"),
+        sum(col("_nt")).as("tokens_total"),
+        sum(when(col("_cut"), col("_rm")).otherwise(0L))
+          .as("tokens_removed"))
+      .select(col("margin"), col("n_docs"), col("docs_cut"),
+        col("tokens_total"), col("tokens_removed"),
+        (col("tokens_removed").cast("double")
+          / col("tokens_total").cast("double")).as("removed_share"))
+  }
+
   /** Min-K% probability membership audit (Shi et al. 2023) — the
     * pretraining-data detection signal: average the K% LOWEST
     * per-position log-probabilities instead of all of them. Seen

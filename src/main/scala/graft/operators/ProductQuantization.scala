@@ -150,6 +150,32 @@ object ProductQuantization {
     topKReadout(adc, lattice, queries, idCol, topK)
   }
 
+  /** The ONE deterministic packed-score heap cut every top-k path
+    * rides ([[topKReadout]], [[ivfAdcResidualNprobeSweep]],
+    * [[exactTopKPairs]] — shared so the cut rule cannot drift, r14
+    * advice #1): packed = dist·10⁶ + id, grouped by `groupCols`,
+    * bounded heap keeps `topK` per group as the `_top` struct array
+    * (score = −packed as double, id).
+    *
+    * Correctness PRECONDITIONS, stated once here for every caller:
+    * uniqueness of packed (no heap ties) requires id < 10⁶, and both
+    * the double heap score and the long cast back require
+    * packed < 2⁵³. Both hold with wide headroom on the 1e-3 lattice
+    * fixtures (dist ≤ dims·(2·10³)² ≈ 2.6·10⁸ at dims = 64, so
+    * packed ≤ ~2.6·10¹⁴ ≪ 2⁵³ ≈ 9·10¹⁵) — a future corpus with ids
+    * at 10⁶+ or distances past 2⁴⁷/10⁶ would silently desync from
+    * the integer-ordered oracle, which is why the bound lives in one
+    * place instead of per call site.
+    */
+  private def packedTopKAgg(scored: DataFrame, groupCols: Seq[Column],
+      dist: Column, id: Column, topK: Int): DataFrame =
+    scored
+      .withColumn("_packed", dist * 1000000L + id)
+      .groupBy(groupCols: _*)
+      .agg(graft.functions.expressions.TopKByAgg
+        .topKBy((-col("_packed")).cast("double"), id, topK)
+        .as("_top"))
+
   /** Shared closing stage of the flat and IVF-pruned ADC paths: the
     * deterministic packed top-k cut plus the exact-distance readout.
     * `queries` must be (q_id, qv3).
@@ -157,12 +183,8 @@ object ProductQuantization {
   private def topKReadout(adc: DataFrame, lattice: DataFrame,
       queries: DataFrame, idCol: String, topK: Int): DataFrame = {
     // unique packed score → deterministic heap cut
-    val top = adc
-      .withColumn("_packed", col("adc_dist") * 1000000L + col(idCol))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.expressions.TopKByAgg
-        .topKBy((-col("_packed")).cast("double"), col(idCol), topK)
-        .as("_top"))
+    val top = packedTopKAgg(adc, Seq(col("q_id")),
+        col("adc_dist"), col(idCol), topK)
       .select(col("q_id"), posexplode(col("_top")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("vec_id"),
@@ -490,12 +512,8 @@ object ProductQuantization {
       .filter(col("_pr") <= col("nprobe"))
     val nCand = cand.groupBy(col("nprobe"))
       .agg(count(lit(1)).as("candidates"))
-    val top = cand
-      .withColumn("_packed", col("adc_dist") * 1000000L + col(idCol))
-      .groupBy(col("nprobe"), col("q_id"))
-      .agg(graft.functions.expressions.TopKByAgg
-        .topKBy((-col("_packed")).cast("double"), col(idCol), topK)
-        .as("_top"))
+    val top = packedTopKAgg(cand, Seq(col("nprobe"), col("q_id")),
+        col("adc_dist"), col(idCol), topK)
       .select(col("nprobe"), col("q_id"), explode(col("_top")).as("_e"))
       .select(col("nprobe"), col("q_id"), col("_e.id").as("vec_id"),
         lit(1L).as("_hit"))
@@ -519,6 +537,44 @@ object ProductQuantization {
     adc.unpersist()
     out
   }
+
+  /** COMMIT to an nprobe from [[ivfAdcResidualNprobeSweep]]'s tuning
+    * table — [[graft.operators.PortableMinHash.bandPlanSelect]]'s
+    * decision rule applied to the IVF probe knob, completing the
+    * calibrate→commit symmetry (r14 verdict next #3): the SMALLEST
+    * nprobe whose mean recall@topK reaches `minRecallMicro`/10⁶.
+    * Candidate volume is ∝ nprobe by construction, so smallest
+    * qualifying nprobe IS the smallest scoring workload. The
+    * qualification test is pure exact-integer arithmetic —
+    * n_overlap_total·10⁶ ≥ minRecallMicro·k_exact_total — never a
+    * float compare, so the decision replays bit-exactly in SQL. If
+    * no plan qualifies on this index/corpus, fall back to the
+    * best-recall plan (largest overlap; k_exact_total is uniform
+    * across plans, so overlap order IS recall order), ties to the
+    * smaller nprobe, with the downgrade visible in the `qualified`
+    * flag — an ANN deployment with weaker-than-asked recall beats no
+    * deployment.
+    *
+    * Scale shape: exactly the sweep's (one shared index + rank-filter
+    * cuts) plus a 1-row driver-free sort of the |plans|-row table.
+    */
+  def ivfAdcResidualNprobeSelect(lattice: DataFrame, idCol: String,
+      dims: Int, m: Int, k: Int, nQueries: Int, topK: Int,
+      nprobes: Seq[Int], cbSalt: String, qSalt: String,
+      ivfSalt: String, nlist: Int = 0, nCorpus: Long = 0L,
+      minRecallMicro: Long = 200000L): DataFrame =
+    ivfAdcResidualNprobeSweep(lattice, idCol, dims, m, k, nQueries,
+      topK, nprobes, cbSalt, qSalt, ivfSalt, nlist, nCorpus)
+      .withColumn("qualified",
+        col("n_overlap_total") * lit(1000000L)
+          >= lit(minRecallMicro) * col("k_exact_total"))
+      .orderBy(col("qualified").desc,
+        when(col("qualified"), col("nprobe").cast("long"))
+          .otherwise(-col("n_overlap_total")).asc,
+        col("nprobe").asc)
+      .limit(1)
+      .select(col("nprobe"), col("candidates"), col("k_exact_total"),
+        col("n_overlap_total"), col("mean_recall"), col("qualified"))
 
   /** Recall@k of the ADC cut against the exact top-k — the quality
     * number an ANN index ships with. Both cuts use the SAME unique
@@ -580,14 +636,11 @@ object ProductQuantization {
     */
   private def exactTopKPairs(lattice: DataFrame, idCol: String,
       queries: DataFrame, topK: Int): DataFrame =
-    lattice.withColumnRenamed(idCol, "vec_id")
-      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("_packed",
-        sqDist(col("qv3"), col("v3")) * 1000000L + col("vec_id"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.expressions.TopKByAgg
-        .topKBy((-col("_packed")).cast("double"), col("vec_id"), topK)
-        .as("_top"))
+    packedTopKAgg(
+      lattice.withColumnRenamed(idCol, "vec_id")
+        .join(broadcast(queries), col("vec_id") =!= col("q_id")),
+      Seq(col("q_id")), sqDist(col("qv3"), col("v3")), col("vec_id"),
+      topK)
       .select(col("q_id"), explode(col("_top")).as("_e"))
       .select(col("q_id"), col("_e.id").as("vec_id"))
 }

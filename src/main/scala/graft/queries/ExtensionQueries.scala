@@ -621,6 +621,19 @@ object ExtensionQueries {
       tbl(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", windowTokens = 16, margin = 0.25)
 
+  /** Cut-margin calibration (q340): the q334/q336 calibration
+    * pattern applied to q337's margin knob — for margin ∈
+    * {1/8, 1/4, 1/2, 1} (exact power-of-two doubles) the docs cut,
+    * tokens removed and corpus share under the worst-window rule.
+    * Profile computed once, each margin pure arithmetic; cut-rate
+    * monotone non-increasing in margin, the 1/4 row consistent with
+    * q337 by construction.
+    */
+  def qSpanCutMarginCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.worstWindowCutCalibration(
+      tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", windowTokens = 16)
+
   /** Within-doc self-repetition profile (q335): the Gopher
     * repetition gates over token units — modal-n-gram coverage
     * (n = 2/3/4) and duplicated-n-gram coverage (n = 5/10), each an
@@ -4684,6 +4697,25 @@ object ExtensionQueries {
   def qIvfNprobeCalibration(s: SparkSession, dir: String): DataFrame = {
     val lat = plantedClusteredLattice(s, dir)
     graft.operators.ProductQuantization.ivfAdcResidualNprobeSweep(lat,
+      "vec_id", dims = 64, m = 4, k = 8, nQueries = 32, topK = 5,
+      nprobes = Seq(1, 2, 4, 8), cbSalt = "pq_v1", qSalt = "pq_q1",
+      ivfSalt = "pq_ivf1",
+      nCorpus = graft.core.CorpusStats.rowCount(
+        dir + ":embeddings:planted16", lat))
+  }
+
+  /** nprobe COMMIT (q339): the q338 decision rule applied to q336's
+    * tuning table, completing the calibrate→commit symmetry — the
+    * smallest nprobe whose mean recall@5 reaches 0.20 (exact-integer
+    * compare on the 10⁶ lattice: overlap·10⁶ ≥ 200000·k_exact),
+    * fallback to best recall with the downgrade flagged. The row an
+    * ANN deployment actually reads. Same shared index / queries /
+    * ground truth as q336, so the committed row matches q336's table
+    * by construction.
+    */
+  def qIvfNprobeSelect(s: SparkSession, dir: String): DataFrame = {
+    val lat = plantedClusteredLattice(s, dir)
+    graft.operators.ProductQuantization.ivfAdcResidualNprobeSelect(lat,
       "vec_id", dims = 64, m = 4, k = 8, nQueries = 32, topK = 5,
       nprobes = Seq(1, 2, 4, 8), cbSalt = "pq_v1", qSalt = "pq_q1",
       ivfSalt = "pq_ivf1",

@@ -103,16 +103,22 @@ object MakeScale {
         // len = 74 at i ∈ {1, 3} — the r13-advice fallback only fixed
         // the rot = 0 class). Rule: texts longer than 37·(k−1) chars
         // rotate by 37·i (no mod wrap — absolutely distinct); shorter
-        // texts rotate by i itself (distinct whenever len ≥ k; below
-        // k distinct rotations cannot exist by pigeonhole)
+        // texts rotate by i itself — distinct whenever len ≥ k. Below
+        // k chars, k distinct rotations cannot exist by pigeonhole
+        // (r14 advice: i % len == 0 replicas were byte-identical to
+        // copy 0, a silent exact-dup class), so THAT class appends
+        // the replica index instead — distinct by construction, at
+        // the documented cost that n_chars understates those rows by
+        // the digits of i (only docs shorter than k chars).
         val len = length(col("text"))
         val rot = when(len > lit(37 * (k - 1)), lit(37 * i))
           .otherwise(lit(i) % greatest(len, lit(1)))
         val text =
           if (i == 0) col("text")
-          else concat(
-            substring(col("text"), (rot + 1).cast("int"), len),
-            substring(col("text"), lit(1), rot.cast("int")))
+          else when(len < lit(k), concat(col("text"), lit(i.toString)))
+            .otherwise(concat(
+              substring(col("text"), (rot + 1).cast("int"), len),
+              substring(col("text"), lit(1), rot.cast("int"))))
         d.select(shift("doc_id", oDoc, i), text.as("text"), col("lang"),
           col("source"), col("n_chars"))
       },

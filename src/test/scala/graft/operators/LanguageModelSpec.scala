@@ -144,6 +144,55 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(!cut(2L).getAs[Boolean]("cut"))
   }
 
+  test("worstWindowCutCalibration: the profile-once margin table is " +
+      "monotone in margin and equals worstWindowCut's own aggregate " +
+      "at every margin") {
+    val docs = Seq(
+      (1L, "a b a c a b a c a b a c a b"),
+      (2L, "a b"),
+      (3L, "a c a c b b a b a c b a")).toDF("doc_id", "text")
+    val margins = Seq(0.125, 0.25, 0.5, 1.0)
+    val cal = LanguageModel.worstWindowCutCalibration(docs, "doc_id",
+        "text", windowTokens = 4, margins = margins)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(cal.keySet === margins.toSet)
+    // the population and token totals are margin-independent
+    assert(margins.map(cal(_)._1).distinct.size === 1)
+    assert(margins.map(cal(_)._3).distinct.size === 1)
+    // cut-rate and removal are monotone non-increasing in margin
+    val cuts = margins.map(cal(_)._2)
+    assert(cuts === cuts.sorted.reverse, s"docs_cut not monotone: $cuts")
+    val rms = margins.map(cal(_)._4)
+    assert(rms === rms.sorted.reverse, s"tokens_removed not monotone: $rms")
+    // every margin row equals the cut operator's own aggregate — the
+    // q337-consistency contract, checked at all four margins
+    for (m <- margins) {
+      val ww = LanguageModel.worstWindowCut(docs, "doc_id", "text",
+        windowTokens = 4, margin = m).collect()
+      val (nDocs, docsCut, tokTotal, tokRemoved, share) = cal(m)
+      assert(nDocs === ww.length.toLong, s"margin $m n_docs")
+      assert(docsCut === ww.count(_.getAs[Boolean]("cut")).toLong,
+        s"margin $m docs_cut")
+      assert(tokTotal === ww.map(_.getAs[Int]("n_tokens").toLong).sum,
+        s"margin $m tokens_total")
+      assert(tokRemoved === ww.map(r => (r.getAs[Int]("n_tokens")
+        - r.getAs[Int]("n_tokens_kept")).toLong).sum,
+        s"margin $m tokens_removed")
+      assert(share === tokRemoved.toDouble / tokTotal.toDouble)
+    }
+    // margins must be distinct ascending and positive
+    intercept[IllegalArgumentException] {
+      LanguageModel.worstWindowCutCalibration(docs, "doc_id", "text",
+        windowTokens = 4, margins = Seq(0.5, 0.25))
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.worstWindowCutCalibration(docs, "doc_id", "text",
+        windowTokens = 4, margins = Seq.empty)
+    }
+  }
+
   test("min-K%: bottom-ceil(n/5) mean over the lattice log-probs") {
     def lt(p: Double): Long = math.round(math.log(p) * 1e8)
     def score(lts: Seq[Long]): Double =

@@ -191,4 +191,49 @@ class ProductQuantizationSpec extends AnyFunSuite {
         ivfSalt = "t_ivf", nlist = 4)
     }
   }
+
+  test("ivfAdcResidualNprobeSelect: commits the smallest qualifying " +
+      "plan from the sweep's own table; unreachable targets fall back " +
+      "to best recall with the downgrade flagged") {
+    val vecs = (0 until 32).map(i =>
+      (i.toLong, Seq(i.toFloat, (i % 7).toFloat, 2f * (i % 5), -i.toFloat)))
+    val lattice = ProductQuantization.latticeFrame(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val plans = Seq(1, 2, 4)
+    def sel(target: Long) =
+      ProductQuantization.ivfAdcResidualNprobeSelect(lattice, "vec_id",
+        dims = 4, m = 2, k = 8, nQueries = 4, topK = 3,
+        nprobes = plans, cbSalt = "t_cb", qSalt = "t_q",
+        ivfSalt = "t_ivf", nlist = 4, minRecallMicro = target)
+        .collect()
+    val sweep = ProductQuantization.ivfAdcResidualNprobeSweep(lattice,
+      "vec_id", dims = 4, m = 2, k = 8, nQueries = 4, topK = 3,
+      nprobes = plans, cbSalt = "t_cb", qSalt = "t_q",
+      ivfSalt = "t_ivf", nlist = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // target = the widest plan's exact micro recall, so at least that
+    // plan qualifies; the commit must be the SMALLEST qualifier and
+    // carry that plan's sweep row verbatim
+    val (_, keW, ovW, _) = sweep(plans.last)
+    val target = ovW * 1000000L / keW
+    val qualifying = plans.filter(np =>
+      sweep(np)._3 * 1000000L >= target * sweep(np)._2)
+    assert(qualifying.nonEmpty)
+    val got = sel(target)
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getBoolean(5), "chosen plan must be flagged qualified")
+    assert(r.getInt(0) === qualifying.min)
+    val (c, ke, ov, mr) = sweep(r.getInt(0))
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      === ((c, ke, ov, mr)))
+    // recall cannot exceed 1, so a >10⁶ target disqualifies every
+    // plan → fallback = largest overlap, ties to the smaller nprobe,
+    // qualified = false
+    val fb = sel(1000001L).head
+    assert(!fb.getBoolean(5), "fallback must be flagged unqualified")
+    assert(fb.getInt(0) === plans.minBy(np => (-sweep(np)._3, np)))
+  }
 }

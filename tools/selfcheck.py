@@ -61,10 +61,13 @@ def main():
     board = {}
 
     def record(name, rows_match, schema_match, hash_match,
-               spark_rows=None, oracle_rows=None, err=None):
+               spark_rows=None, oracle_rows=None, err=None, mode="oracle"):
+        # err stays null on every success; rows-only successes carry
+        # mode='rows_only' instead (r14 advice: a consumer treating
+        # err != null as failure must not misclassify them)
         board[name] = {"rows_match": rows_match, "schema_match": schema_match,
                        "hash_match": hash_match, "spark_rows": spark_rows,
-                       "oracle_rows": oracle_rows, "err": err}
+                       "oracle_rows": oracle_rows, "err": err, "mode": mode}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -141,16 +144,18 @@ def main():
                     # indistinguishable from a broken one — fail it
                     print(f"FAIL {n}: rows-only query returned 0 rows")
                     record(n, False, None, None, spark_rows=0,
-                           err="rows-only query returned 0 rows")
+                           err="rows-only query returned 0 rows",
+                           mode="rows_only")
                     failures += 1
                 else:
                     print(f"ROWS {n}: {cnt} rows (no oracle)")
                     record(n, True, None, None, spark_rows=cnt,
-                           err="rows-only (no oracle SQL)")
+                           mode="rows_only")
             except Exception as e:
                 print(f"FAIL {n}: unreadable rows-only output ({e})")
                 record(n, False, None, None,
-                       err=f"unreadable rows-only output: {str(e)[:200]}")
+                       err=f"unreadable rows-only output: {str(e)[:200]}",
+                       mode="rows_only")
                 failures += 1
     if json_out:
         with open(json_out, "w") as f:
