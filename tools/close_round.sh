@@ -86,7 +86,13 @@ if [[ "$SKIP_SCALE" == 0 ]]; then
     SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.tools.MakeScale $SF1 $SCALED 10" 2>&1 \
       | grep '\[makescale\]' | tail -3
   fi
-  SPARK_GRAFT_ONLY="$SCALE_ONLY" SPARK_GRAFT_CPUS=32 \
+  # only export the subset filter when non-empty: ProbeScaleBoard
+  # treats an empty SPARK_GRAFT_ONLY as "select nothing", not "all"
+  ONLY_ENV=()
+  if [[ -n "$SCALE_ONLY" ]]; then
+    ONLY_ENV=(SPARK_GRAFT_ONLY="$SCALE_ONLY")
+  fi
+  env "${ONLY_ENV[@]}" SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.tools.ProbeScaleBoard $SF1 $SCALED" 2>&1 \
     | grep '\[scale-board\]' | tee "$SCALE_OUT"
   echo "[close] scale board -> $SCALE_OUT ($(grep -c 'ratio=' "$SCALE_OUT" || true) lines)"
