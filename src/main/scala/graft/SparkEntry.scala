@@ -665,7 +665,14 @@ object SparkEntry {
     "q339_ivf_nprobe_select" -> (X.qIvfNprobeSelect _),
     // margin calibration for q337's worst-window cut: docs cut /
     // tokens removed / corpus share per candidate margin
-    "q340_span_cut_margin_calibration" -> (X.qSpanCutMarginCalibration _)
+    "q340_span_cut_margin_calibration" -> (X.qSpanCutMarginCalibration _),
+    // SemDeDup threshold calibration: per cosine threshold the docs
+    // removed + corpus share, cells/pairwise computed once
+    "q341_semdedup_threshold_calibration" ->
+      (X.qSemDedupThresholdCalibration _),
+    // the threshold commit on q341's table — most aggressive dedup
+    // within the removal budget, mildest-threshold fallback flagged
+    "q342_semdedup_threshold_select" -> (X.qSemDedupThresholdSelect _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3690,43 +3697,15 @@ object SparkEntry {
     // feeding a within-cell lower-id cosine prune — the oracle replays
     // cell assignment and the pairwise predicate, so which pairs are
     // NEVER compared (cross-cell) is part of the checked contract.
-    "q195_semantic_dedup" ->
-      """WITH cent AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY
-        |      md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id)
-        |      AS INTEGER) - 1 AS cell,
-        |    embedding AS cvec
-        |  FROM embeddings
-        |  QUALIFY ROW_NUMBER() OVER (ORDER BY
-        |    md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id) <= 16),
-        |asg AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c.cell,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(e.embedding, c.cvec),
-        |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |             * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
-        |        c.cell ASC) AS rn
-        |    FROM embeddings e CROSS JOIN cent c)
-        |  WHERE rn = 1),
-        |pair AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(ea.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(eb.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-        |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
-        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-        |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+    "q195_semantic_dedup" -> (semDedupCtes +
+      """,
         |dup AS (
         |  SELECT id_a AS vec_id, MIN(id_b) AS dup_of,
         |    ROUND(MAX(sim), 6) AS max_dup_cos
         |  FROM pair WHERE sim >= 0.4 GROUP BY id_a)
         |SELECT g.vec_id, g.cell, d.dup_of, d.max_dup_cos,
         |  d.dup_of IS NULL AS keep
-        |FROM asg g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin,
+        |FROM asg g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin),
     // SemDeDup scale path: planted far clump (md5 key >= 'd', exact
     // lattice jitter), corpus-derived nlist = ceil(n/8) in [16,65536],
     // and the second-level md5-rank split of every cell over 16
@@ -6524,6 +6503,12 @@ object SparkEntry {
     // the nprobe commit rule over the q336 calibration table — the
     // same CTE head as q336 by construction (nprobeCalibrationParts)
     "q339_ivf_nprobe_select" -> nprobeSelectSql,
+    // SemDeDup threshold calibration + commit: q195's quantizer/pair
+    // CTEs (shared via semDedupCtes), the per-doc max-lower-cosine
+    // profile once, then per-threshold counts / the budget rule
+    "q341_semdedup_threshold_calibration" ->
+      semDedupThresholdCalibrationSql,
+    "q342_semdedup_threshold_select" -> semDedupThresholdSelectSql,
     // margin calibration for the worst-window cut: the q333/q337 CTE
     // head, the per-doc profile joined to token counts, then each
     // margin ∈ {1/8, 1/4, 1/2, 1} (every literal CAST AS DOUBLE so
@@ -8841,6 +8826,97 @@ object SparkEntry {
       |  CASE WHEN n_overlap_total * 1000000 >= 200000 * k_exact_total
       |    THEN CAST(nprobe AS BIGINT) ELSE -n_overlap_total END ASC,
       |  nprobe ASC
+      |LIMIT 1""".stripMargin
+  }
+
+  /** q195/q341/q342 shared head (the nprobeCalibrationParts pattern):
+    * the pinned 16-cell md5-rank quantizer, the tie-to-lower-cell
+    * assignment, and the within-cell lower-id cosine pair relation —
+    * ONE definition so the dedup mirror and its tuning mirrors cannot
+    * drift.
+    */
+  private def semDedupCtes: String =
+    """WITH cent AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id)
+      |      AS INTEGER) - 1 AS cell,
+      |    embedding AS cvec
+      |  FROM embeddings
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY
+      |    md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id) <= 16),
+      |asg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.embedding, c.cvec),
+      |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |             * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) ASC,
+      |        c.cell ASC) AS rn
+      |    FROM embeddings e CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |pair AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(ea.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(eb.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id)""".stripMargin
+
+  /** q341 oracle parts: the shared head plus the threshold-free
+    * per-doc max-lower-cosine profile, then the per-threshold counts
+    * as the final readout — every threshold an exact binary double
+    * (CAST AS DOUBLE so DuckDB compares the engine's IEEE value, not
+    * a decimal).
+    */
+  private def semDedupCalibrationParts: (String, String) = {
+    val ctes = semDedupCtes +
+      """,
+        |mx AS (SELECT id_a AS vec_id, MAX(sim) AS mc
+        |  FROM pair GROUP BY 1),
+        |doc AS (
+        |  SELECT g.vec_id, m.mc
+        |  FROM asg g LEFT JOIN mx m ON m.vec_id = g.vec_id),
+        |th AS (SELECT CAST(UNNEST([0.25, 0.375, 0.5, 0.625, 0.75])
+        |  AS DOUBLE) AS threshold)""".stripMargin
+    val fin = """SELECT t.threshold,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.mc IS NOT NULL AND d.mc >= t.threshold
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+      |  CAST(SUM(CASE WHEN d.mc IS NOT NULL AND d.mc >= t.threshold
+      |    THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS removed_share
+      |FROM th t CROSS JOIN doc d
+      |GROUP BY 1""".stripMargin
+    (ctes, fin)
+  }
+
+  private def semDedupThresholdCalibrationSql: String = {
+    val (ctes, fin) = semDedupCalibrationParts
+    ctes + "\n" + fin
+  }
+
+  /** q342 oracle: q341's table as a derived relation (same head by
+    * construction), then the commit rule — qualifying thresholds
+    * (removed·10⁶ ≤ 100000·n_docs, exact BIGINT arithmetic) first,
+    * within them the smallest threshold (most aggressive dedup
+    * within budget), fallback ordered mildest-first; the predicate
+    * repeated verbatim in ORDER BY for engine portability.
+    */
+  private def semDedupThresholdSelectSql: String = {
+    val (ctes, fin) = semDedupCalibrationParts
+    ctes + s"""
+      |SELECT threshold, n_docs, docs_removed, removed_share,
+      |  (docs_removed * 1000000 <= 100000 * n_docs) AS qualified
+      |FROM (
+      |$fin
+      |) cal
+      |ORDER BY (docs_removed * 1000000 <= 100000 * n_docs) DESC,
+      |  CASE WHEN docs_removed * 1000000 <= 100000 * n_docs
+      |    THEN threshold ELSE -threshold END ASC
       |LIMIT 1""".stripMargin
   }
 

@@ -93,6 +93,36 @@ object SemanticDedup {
       targetCellSize: Long = 65536L,
       secondLevelSplit: Boolean = true,
       nCorpus: Long = 0L): DataFrame = {
+    val cells = cellAssign(df, idCol, vecCol, nlist, salt,
+      targetCellSize, secondLevelSplit, nCorpus)
+
+    val dups = lowerPairs(cells, idCol, vecCol)
+      .filter(col("_cos") >= threshold)
+      .groupBy(col("_id_a"))
+      .agg(min(col("_id_b")).as("dup_of"),
+        round(max(col("_cos")), 6).as("max_dup_cos"))
+
+    cells
+      .join(dups, cells(idCol) === dups("_id_a"), "left")
+      .select(col(idCol), col("cell"), col("dup_of"), col("max_dup_cos"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  /** The shared two-level quantizer + cell assignment of
+    * [[semanticDedup]], [[thresholdCalibration]] and
+    * [[thresholdSelect]] — one definition so the centroid draw, skew
+    * split and composite cell id can never drift between the dedup
+    * operator and its tuning surface. Returns (idCol, vecCol, cell).
+    */
+  private def cellAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      salt: String,
+      targetCellSize: Long,
+      secondLevelSplit: Boolean,
+      nCorpus: Long): DataFrame = {
     require(targetCellSize >= 2, s"targetCellSize too small: $targetCellSize")
     // nlist = 0 derives ⌈n/targetCellSize⌉; `nCorpus > 0` supplies n
     // from the caller's stats (a catalog row, the CorpusStats session
@@ -202,24 +232,109 @@ object SemanticDedup {
           .select(col(idCol), col(vecCol), col("cell"))
           .unionByName(reassigned)
       }
+    cells
+  }
 
-    // within-cell pairwise: only (cell, id, vec) rows shuffle, keyed by
-    // cell — members of different cells never meet
+  /** Within-cell lower-id pairs with their cosine — the shared
+    * pairwise stage: only (cell, id, vec) rows shuffle, keyed by
+    * cell, so members of different cells never meet. Threshold-FREE:
+    * [[semanticDedup]] filters `_cos >= threshold` on top;
+    * [[thresholdCalibration]] keeps every pair's max per doc.
+    */
+  private def lowerPairs(cells: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val a = cells.select(col("cell"), col(idCol).as("_id_a"),
       col(vecCol).as("_v_a"))
     val b = cells.select(col("cell"), col(idCol).as("_id_b"),
       col(vecCol).as("_v_b"))
-    val dups = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .filter(col("_id_b") < col("_id_a"))
       .withColumn("_cos", VectorFunctions.cosine(col("_v_a"), col("_v_b")))
-      .filter(col("_cos") >= threshold)
-      .groupBy(col("_id_a"))
-      .agg(min(col("_id_b")).as("dup_of"),
-        round(max(col("_cos")), 6).as("max_dup_cos"))
-
-    cells
-      .join(dups, cells(idCol) === dups("_id_a"), "left")
-      .select(col(idCol), col("cell"), col("dup_of"), col("max_dup_cos"),
-        col("dup_of").isNull.as("keep"))
   }
+
+  /** Threshold calibration for [[semanticDedup]] — the calibrate-
+    * before-commit pattern (the q334/q336 band-plan and nprobe
+    * tables, the q340 margin table) applied to the cosine knob: per
+    * candidate threshold, how many documents the dedup would remove
+    * and what share of the corpus that is. The expensive part —
+    * quantizer cells plus the within-cell pairwise — is computed
+    * ONCE, threshold-independently, as each doc's MAXIMUM cosine to
+    * any lower-id cell member: semanticDedup(t) removes exactly the
+    * docs with that max ≥ t (∃ lower member ≥ t ⟺ max ≥ t), so every
+    * candidate threshold is one pure-arithmetic decision over the
+    * per-doc profile (the margin-explode shape), never a re-run of
+    * the pairwise.
+    *
+    * Exactness: the max rides the UNROUNDED cosine doubles — the
+    * same pinned IEEE chain the q195 oracle already replays for its
+    * `sim >= 0.4` filter — and each threshold is an exact
+    * binary-representable literal, so the compare replays in SQL.
+    * Thresholds must be strictly ascending; removal is monotone
+    * NON-INCREASING in threshold by construction.
+    */
+  def thresholdCalibration(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      thresholds: Seq[Double] = Seq(0.25, 0.375, 0.5, 0.625, 0.75),
+      nlist: Int = 0,
+      salt: String = "semdedup_v1",
+      targetCellSize: Long = 65536L,
+      secondLevelSplit: Boolean = true,
+      nCorpus: Long = 0L): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.distinct.sorted,
+      s"thresholds must be distinct ascending: $thresholds")
+    val cells = cellAssign(df, idCol, vecCol, nlist, salt,
+      targetCellSize, secondLevelSplit, nCorpus)
+    val mx = lowerPairs(cells, idCol, vecCol)
+      .groupBy(col("_id_a"))
+      .agg(max(col("_cos")).as("_mc"))
+    val ids = cells.select(col(idCol))
+    ids.join(mx, ids(idCol) === mx("_id_a"), "left")
+      .select(col("_mc"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .withColumn("_rm",
+        col("_mc").isNotNull && col("_mc") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_rm"), 1L).otherwise(0L)).as("docs_removed"))
+      .select(col("threshold"), col("n_docs"), col("docs_removed"),
+        (col("docs_removed").cast("double")
+          / col("n_docs").cast("double")).as("removed_share"))
+  }
+
+  /** COMMIT to a threshold from [[thresholdCalibration]]'s table —
+    * the q338/q339 decision rule applied to the dedup knob: the
+    * SMALLEST threshold (the most aggressive dedup — removal is
+    * monotone non-increasing in threshold) whose removal share stays
+    * within the budget, tested as exact integers
+    * (docs_removed·10⁶ ≤ maxRemovalMicro·n_docs — never a float
+    * compare). If even the mildest candidate over-removes, fall back
+    * to the LARGEST threshold (least removal) with the downgrade
+    * visible in the `qualified` flag. One row; ordering keys are a
+    * boolean plus exact-literal doubles, so the choice replays in
+    * SQL.
+    */
+  def thresholdSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      thresholds: Seq[Double] = Seq(0.25, 0.375, 0.5, 0.625, 0.75),
+      nlist: Int = 0,
+      salt: String = "semdedup_v1",
+      targetCellSize: Long = 65536L,
+      secondLevelSplit: Boolean = true,
+      nCorpus: Long = 0L,
+      maxRemovalMicro: Long = 100000L): DataFrame =
+    thresholdCalibration(df, idCol, vecCol, thresholds, nlist, salt,
+      targetCellSize, secondLevelSplit, nCorpus)
+      .withColumn("qualified",
+        col("docs_removed") * lit(1000000L)
+          <= lit(maxRemovalMicro) * col("n_docs"))
+      .orderBy(col("qualified").desc,
+        when(col("qualified"), col("threshold"))
+          .otherwise(-col("threshold")).asc)
+      .limit(1)
+      .select(col("threshold"), col("n_docs"), col("docs_removed"),
+        col("removed_share"), col("qualified"))
 }

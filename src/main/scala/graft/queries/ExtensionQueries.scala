@@ -2191,6 +2191,31 @@ object ExtensionQueries {
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       nlist = 16, threshold = 0.4, secondLevelSplit = false)
 
+  /** SemDeDup threshold calibration (q341): the calibrate-before-
+    * commit pattern applied to the last un-tabled knob — per
+    * threshold ∈ {1/4, 3/8, 1/2, 5/8, 3/4} (exact binary doubles)
+    * the docs the dedup would remove and the corpus share. Cells +
+    * within-cell pairwise computed ONCE (the per-doc max lower-id
+    * cosine IS the sufficient statistic: semanticDedup(t) removes
+    * exactly max ≥ t); q195's pinned quantizer config so the DuckDB
+    * mirror replays the first level verbatim.
+    */
+  def qSemDedupThresholdCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemanticDedup.thresholdCalibration(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      nlist = 16, secondLevelSplit = false)
+
+  /** SemDeDup threshold COMMIT (q342): the q338/q339 rule on q341's
+    * table — the smallest (most aggressive) threshold whose removal
+    * share stays within the 10% budget, exact-integer test
+    * (removed·10⁶ ≤ 100000·n_docs), fallback to the mildest
+    * threshold flagged. The row a dedup pipeline actually reads.
+    */
+  def qSemDedupThresholdSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemanticDedup.thresholdSelect(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      nlist = 16, secondLevelSplit = false)
+
   /** SemDeDup SCALE path (q328): the shipped default configuration —
     * corpus-DERIVED nlist (targetCellSize = 8) WITH the second-level
     * skew split engaged — hash-checked end to end (q195 pins the

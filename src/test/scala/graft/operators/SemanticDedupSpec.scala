@@ -169,4 +169,83 @@ class SemanticDedupSpec extends AnyFunSuite {
         dupOf.foreach(d => assert(d < id))
       }
   }
+
+  test("thresholdCalibration: the profile-once table is monotone and " +
+      "equals semanticDedup's own removal count at every threshold") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val thresholds = Seq(0.25, 0.5, 0.75, 0.9375)
+    val cal = SemanticDedup.thresholdCalibration(df, "vec_id",
+        "embedding", thresholds = thresholds, nlist = Nlist, salt = Salt)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(cal.keySet === thresholds.toSet)
+    // population constant across thresholds; removal monotone
+    // non-increasing in threshold
+    assert(thresholds.map(cal(_)._1).distinct === Seq(vecs.size.toLong))
+    val rms = thresholds.map(cal(_)._2)
+    assert(rms === rms.sorted.reverse, s"not monotone: $rms")
+    // each row equals the dedup operator's own removal count — the
+    // sufficient-statistic contract (max lower cos >= t ⟺ removed)
+    for (t <- thresholds) {
+      val removed = SemanticDedup.semanticDedup(df, "vec_id",
+          "embedding", nlist = Nlist, threshold = t, salt = Salt)
+        .filter(!col("keep")).count()
+      assert(cal(t)._2 === removed, s"threshold $t")
+      assert(cal(t)._3 === removed.toDouble / vecs.size.toDouble)
+    }
+    intercept[IllegalArgumentException] {
+      SemanticDedup.thresholdCalibration(df, "vec_id", "embedding",
+        thresholds = Seq(0.5, 0.25), nlist = Nlist, salt = Salt)
+    }
+  }
+
+  test("thresholdSelect: commits the most aggressive threshold within " +
+      "the removal budget; an impossible budget falls back mildest, " +
+      "flagged") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val thresholds = Seq(0.25, 0.5, 0.75, 0.9375)
+    val cal = SemanticDedup.thresholdCalibration(df, "vec_id",
+        "embedding", thresholds = thresholds, nlist = Nlist, salt = Salt)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    def sel(budget: Long) = SemanticDedup.thresholdSelect(df, "vec_id",
+      "embedding", thresholds = thresholds, nlist = Nlist, salt = Salt,
+      maxRemovalMicro = budget).collect()
+    // budget = exactly the mildest threshold's share → at least one
+    // qualifies; the commit is the SMALLEST qualifying threshold
+    val (n, rmMild) = cal(thresholds.last)
+    val budget = rmMild * 1000000L / n
+    val qualifying = thresholds.filter(t =>
+      cal(t)._2 * 1000000L <= budget * n)
+    assert(qualifying.nonEmpty)
+    val got = sel(budget)
+    assert(got.length === 1)
+    assert(got.head.getBoolean(4))
+    assert(got.head.getDouble(0) === qualifying.min)
+    assert(got.head.getLong(2) === cal(qualifying.min)._2)
+    // a budget below the mildest share (when it removes anything)
+    // disqualifies every plan → fallback = mildest, flagged — only
+    // meaningful when rmMild > 0, which this fixture guarantees
+    assert(rmMild > 0L, "fixture must have a dup at the top threshold")
+    val fb = sel(budget - 1L)
+    assert(fb.length === 1)
+    if (qualifying.size == thresholds.size && cal(thresholds.head)._2 == rmMild) {
+      // degenerate: all thresholds remove the same count — budget-1
+      // disqualifies all, fallback mildest
+      assert(!fb.head.getBoolean(4))
+      assert(fb.head.getDouble(0) === thresholds.last)
+    } else {
+      // budget-1 at least disqualifies the mildest-share plans that
+      // sat exactly on the budget; the commit stays consistent with
+      // the calibration table by the same rule
+      val q2 = thresholds.filter(t => cal(t)._2 * 1000000L <= (budget - 1L) * n)
+      if (q2.isEmpty) {
+        assert(!fb.head.getBoolean(4))
+        assert(fb.head.getDouble(0) === thresholds.last)
+      } else {
+        assert(fb.head.getBoolean(4))
+        assert(fb.head.getDouble(0) === q2.min)
+      }
+    }
+  }
 }
