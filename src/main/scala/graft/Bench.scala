@@ -189,6 +189,19 @@ object Bench {
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (detailJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // Capture-independent record (r15 verdict #3): BENCH_r13-r15 all
+    // recorded parsed:null because the driver parses a bounded stdout
+    // capture — even the compact tail line evidently didn't survive
+    // its stream handling. Write the summary (totals + the same
+    // short-key per-query map as the stdout line) straight to a repo-
+    // root FILE so the round's bench record exists with zero stdout
+    // dependence; close_round.sh verifies it parses after every rep.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        (f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""" + "\n")
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // Driver-proof compact record (r14 verdict #1): the per-query line

@@ -672,7 +672,26 @@ object SparkEntry {
       (X.qSemDedupThresholdCalibration _),
     // the threshold commit on q341's table — most aggressive dedup
     // within the removal budget, mildest-threshold fallback flagged
-    "q342_semdedup_threshold_select" -> (X.qSemDedupThresholdSelect _)
+    "q342_semdedup_threshold_select" -> (X.qSemDedupThresholdSelect _),
+    // calibrate→commit→APPLY: SemDeDup run AT q342's committed
+    // threshold, the 1-row commit broadcast-joined in-engine
+    "q343_semdedup_apply_committed" -> (X.qSemDedupApplyCommitted _),
+    // calibrate→commit→APPLY, MinHash side: the banded verify run
+    // UNDER q338's committed (bands, rows) — the plan arrives as
+    // columns from the broadcast commit row
+    "q344_lsh_apply_committed_plan" -> (X.qLshApplyCommittedPlan _),
+    // q341's calibration re-pinned on the SHIPPED scale config: the
+    // corpus-derived two-level quantizer on q328's planted corpus
+    "q345_semdedup_threshold_calibration_scale" ->
+      (X.qSemDedupThresholdCalibrationScale _),
+    // the scale-config threshold commit on q345's table — the row a
+    // production run would use
+    "q346_semdedup_threshold_select_scale" ->
+      (X.qSemDedupThresholdSelectScale _),
+    // the full production composition: calibrate→commit→APPLY under
+    // the shipped scale config on q328's corpus
+    "q347_semdedup_apply_committed_scale" ->
+      (X.qSemDedupApplyCommittedScale _)
   )
 
   /** Shortest-paths oracle: full Bellman-Ford unrolled — each round
@@ -3711,89 +3730,15 @@ object SparkEntry {
     // and the second-level md5-rank split of every cell over 16
     // members — both quantizer levels and the composite cell id
     // (cell + k·sub) replayed verbatim, ties to the lower cell/sub
-    "q328_semdedup_split" ->
-      """WITH pl AS (
-        |  SELECT vec_id,
-        |    CASE WHEN md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1')
-        |        >= 'd'
-        |      THEN list_transform(range(0, 8), j ->
-        |        1000.0 + CAST((vec_id * 7 + j * 13) % 97 AS DOUBLE)
-        |          / 1024.0)
-        |      ELSE list_transform(embedding[1:8],
-        |        x -> CAST(x AS DOUBLE))
-        |    END AS vec
-        |  FROM embeddings),
-        |k AS (
-        |  SELECT CAST(LEAST(65536, GREATEST(16, (COUNT(*) + 7) // 8))
-        |    AS INTEGER) AS k
-        |  FROM pl),
-        |cent AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY
-        |      md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id)
-        |      AS INTEGER) - 1 AS cell,
-        |    vec AS cvec
-        |  FROM pl CROSS JOIN k
-        |  QUALIFY ROW_NUMBER() OVER (ORDER BY
-        |    md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id)
-        |    <= k.k),
-        |asg AS (
-        |  SELECT vec_id, vec, cell FROM (
-        |    SELECT p.vec_id, p.vec, c.cell,
-        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(p.vec, c.cvec),
-        |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
-        |        c.cell ASC) AS rn
-        |    FROM pl p CROSS JOIN cent c)
-        |  WHERE rn = 1),
-        |over_ AS (
-        |  SELECT cell, COUNT(*) AS cn FROM asg GROUP BY cell
-        |  HAVING COUNT(*) > 16),
-        |kc AS (
-        |  SELECT cell, CAST(LEAST(1024, (cn + 7) // 8) AS INTEGER)
-        |    AS k_c
-        |  FROM over_),
-        |sc AS (
-        |  SELECT a.cell,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
-        |      md5(CAST(a.vec_id AS VARCHAR) || ':semdedup_v1#2'),
-        |      a.vec_id) AS INTEGER) - 1 AS sub,
-        |    a.vec AS cvec
-        |  FROM asg a JOIN kc USING (cell)
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
-        |    md5(CAST(a.vec_id AS VARCHAR) || ':semdedup_v1#2'),
-        |    a.vec_id) <= kc.k_c),
-        |re AS (
-        |  SELECT vec_id, vec, CAST(cell + kk * sub AS INTEGER) AS cell
-        |  FROM (
-        |    SELECT a.vec_id, a.vec, a.cell, s.sub, k.k AS kk,
-        |      ROW_NUMBER() OVER (PARTITION BY a.cell, a.vec_id
-        |        ORDER BY
-        |        list_sum(list_transform(list_zip(a.vec, s.cvec),
-        |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
-        |        s.sub ASC) AS rn
-        |    FROM asg a JOIN sc s USING (cell) CROSS JOIN k)
-        |  WHERE rn = 1),
-        |cells AS (
-        |  SELECT vec_id, vec, cell FROM asg
-        |  WHERE cell NOT IN (SELECT cell FROM over_)
-        |  UNION ALL
-        |  SELECT vec_id, vec, cell FROM re),
-        |pair AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_sum(list_transform(list_zip(a.vec, b.vec),
-        |      x -> x[1] * x[2]))
-        |    / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
-        |     * sqrt(list_sum(list_transform(b.vec, x -> x * x))))
-        |      AS sim
-        |  FROM cells a JOIN cells b
-        |    ON a.cell = b.cell AND b.vec_id < a.vec_id),
+    "q328_semdedup_split" -> (semDedupSplitCtes +
+      """,
         |dup AS (
         |  SELECT id_a AS vec_id, MIN(id_b) AS dup_of,
         |    ROUND(MAX(sim), 6) AS max_dup_cos
         |  FROM pair WHERE sim >= 0.4 GROUP BY id_a)
         |SELECT g.vec_id, g.cell, d.dup_of, d.max_dup_cos,
         |  d.dup_of IS NULL AS keep
-        |FROM cells g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin,
+        |FROM cells g LEFT JOIN dup d ON d.vec_id = g.vec_id""".stripMargin),
     // Linear quality filter: each feature is one integer-count ratio,
     // the logit accumulates left-to-right — mirrored term for term;
     // keep decided on the UNROUNDED logit on both sides.
@@ -6509,6 +6454,20 @@ object SparkEntry {
     "q341_semdedup_threshold_calibration" ->
       semDedupThresholdCalibrationSql,
     "q342_semdedup_threshold_select" -> semDedupThresholdSelectSql,
+    // calibrate→commit→APPLY: the q342 commit row nested verbatim and
+    // CROSS JOINed into the dedup's own sim-threshold filter — the
+    // same cells/pair CTEs feed calibration, commit, and dedup
+    "q343_semdedup_apply_committed" -> semDedupApplySql,
+    // MinHash calibrate→commit→APPLY: q338's commit row drives the
+    // banding (j // rows_per_band read from the commit, never a
+    // literal), then the q26-shape candidate + exact-Jaccard verify
+    "q344_lsh_apply_committed_plan" -> lshApplyCommittedSql,
+    // the scale-config twins: q341/q342/q343 re-pinned on the SHIPPED
+    // two-level quantizer (q328's CTE head shared by construction)
+    "q345_semdedup_threshold_calibration_scale" ->
+      semDedupScaleCalibrationSql,
+    "q346_semdedup_threshold_select_scale" -> semDedupScaleSelectSql,
+    "q347_semdedup_apply_committed_scale" -> semDedupScaleApplySql,
     // margin calibration for the worst-window cut: the q333/q337 CTE
     // head, the per-doc profile joined to token counts, then each
     // margin ∈ {1/8, 1/4, 1/2, 1} (every literal CAST AS DOUBLE so
@@ -8866,20 +8825,108 @@ object SparkEntry {
       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
       |  JOIN embeddings eb ON eb.vec_id = b.vec_id)""".stripMargin
 
-  /** q341 oracle parts: the shared head plus the threshold-free
-    * per-doc max-lower-cosine profile, then the per-threshold counts
-    * as the final readout — every threshold an exact binary double
-    * (CAST AS DOUBLE so DuckDB compares the engine's IEEE value, not
-    * a decimal).
+  /** q328/q345-q347 shared head (the semDedupCtes pattern at the
+    * SHIPPED scale config): the planted-skew corpus, the corpus-
+    * DERIVED first level k = ⌈n/8⌉ in [16, 65536], the second-level
+    * md5-rank split of every cell over 2·8 members, the composite
+    * cell id (cell + k·sub), and the within-(final-)cell lower-id
+    * cosine pair relation — ONE definition so the scale dedup mirror
+    * and its tuning/apply mirrors cannot drift.
     */
-  private def semDedupCalibrationParts: (String, String) = {
-    val ctes = semDedupCtes +
-      """,
+  private def semDedupSplitCtes: String =
+    """WITH pl AS (
+      |  SELECT vec_id,
+      |    CASE WHEN md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1')
+      |        >= 'd'
+      |      THEN list_transform(range(0, 8), j ->
+      |        1000.0 + CAST((vec_id * 7 + j * 13) % 97 AS DOUBLE)
+      |          / 1024.0)
+      |      ELSE list_transform(embedding[1:8],
+      |        x -> CAST(x AS DOUBLE))
+      |    END AS vec
+      |  FROM embeddings),
+      |k AS (
+      |  SELECT CAST(LEAST(65536, GREATEST(16, (COUNT(*) + 7) // 8))
+      |    AS INTEGER) AS k
+      |  FROM pl),
+      |cent AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id)
+      |      AS INTEGER) - 1 AS cell,
+      |    vec AS cvec
+      |  FROM pl CROSS JOIN k
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY
+      |    md5(CAST(vec_id AS VARCHAR) || ':semdedup_v1'), vec_id)
+      |    <= k.k),
+      |asg AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT p.vec_id, p.vec, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(p.vec, c.cvec),
+      |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+      |        c.cell ASC) AS rn
+      |    FROM pl p CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |over_ AS (
+      |  SELECT cell, COUNT(*) AS cn FROM asg GROUP BY cell
+      |  HAVING COUNT(*) > 16),
+      |kc AS (
+      |  SELECT cell, CAST(LEAST(1024, (cn + 7) // 8) AS INTEGER)
+      |    AS k_c
+      |  FROM over_),
+      |sc AS (
+      |  SELECT a.cell,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
+      |      md5(CAST(a.vec_id AS VARCHAR) || ':semdedup_v1#2'),
+      |      a.vec_id) AS INTEGER) - 1 AS sub,
+      |    a.vec AS cvec
+      |  FROM asg a JOIN kc USING (cell)
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
+      |    md5(CAST(a.vec_id AS VARCHAR) || ':semdedup_v1#2'),
+      |    a.vec_id) <= kc.k_c),
+      |re AS (
+      |  SELECT vec_id, vec, CAST(cell + kk * sub AS INTEGER) AS cell
+      |  FROM (
+      |    SELECT a.vec_id, a.vec, a.cell, s.sub, k.k AS kk,
+      |      ROW_NUMBER() OVER (PARTITION BY a.cell, a.vec_id
+      |        ORDER BY
+      |        list_sum(list_transform(list_zip(a.vec, s.cvec),
+      |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+      |        s.sub ASC) AS rn
+      |    FROM asg a JOIN sc s USING (cell) CROSS JOIN k)
+      |  WHERE rn = 1),
+      |cells AS (
+      |  SELECT vec_id, vec, cell FROM asg
+      |  WHERE cell NOT IN (SELECT cell FROM over_)
+      |  UNION ALL
+      |  SELECT vec_id, vec, cell FROM re),
+      |pair AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(list_zip(a.vec, b.vec),
+      |      x -> x[1] * x[2]))
+      |    / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+      |     * sqrt(list_sum(list_transform(b.vec, x -> x * x))))
+      |      AS sim
+      |  FROM cells a JOIN cells b
+      |    ON a.cell = b.cell AND b.vec_id < a.vec_id)""".stripMargin
+
+  /** q341/q345 oracle parts over a given CTE head: the threshold-free
+    * per-doc max-lower-cosine profile (from the head's `pair`
+    * relation, population from `docRel`), then the per-threshold
+    * counts as the final readout — every threshold an exact binary
+    * double (CAST AS DOUBLE so DuckDB compares the engine's IEEE
+    * value, not a decimal). Parameterized so the pinned-config
+    * (semDedupCtes/asg) and scale-config (semDedupSplitCtes/cells)
+    * mirrors share one readout definition.
+    */
+  private def semDedupCalibParts(head: String, docRel: String): (String, String) = {
+    val ctes = head +
+      s""",
         |mx AS (SELECT id_a AS vec_id, MAX(sim) AS mc
         |  FROM pair GROUP BY 1),
         |doc AS (
         |  SELECT g.vec_id, m.mc
-        |  FROM asg g LEFT JOIN mx m ON m.vec_id = g.vec_id),
+        |  FROM $docRel g LEFT JOIN mx m ON m.vec_id = g.vec_id),
         |th AS (SELECT CAST(UNNEST([0.25, 0.375, 0.5, 0.625, 0.75])
         |  AS DOUBLE) AS threshold)""".stripMargin
     val fin = """SELECT t.threshold,
@@ -8894,20 +8941,32 @@ object SparkEntry {
     (ctes, fin)
   }
 
+  private def semDedupCalibrationParts: (String, String) =
+    semDedupCalibParts(semDedupCtes, "asg")
+
+  private def semDedupScaleCalibrationParts: (String, String) =
+    semDedupCalibParts(semDedupSplitCtes, "cells")
+
   private def semDedupThresholdCalibrationSql: String = {
     val (ctes, fin) = semDedupCalibrationParts
     ctes + "\n" + fin
   }
 
-  /** q342 oracle: q341's table as a derived relation (same head by
-    * construction), then the commit rule — qualifying thresholds
-    * (removed·10⁶ ≤ 100000·n_docs, exact BIGINT arithmetic) first,
-    * within them the smallest threshold (most aggressive dedup
-    * within budget), fallback ordered mildest-first; the predicate
-    * repeated verbatim in ORDER BY for engine portability.
+  private def semDedupScaleCalibrationSql: String = {
+    val (ctes, fin) = semDedupScaleCalibrationParts
+    ctes + "\n" + fin
+  }
+
+  /** q342/q346 oracle: the calibration table as a derived relation
+    * (same head by construction), then the commit rule — qualifying
+    * thresholds (removed·10⁶ ≤ 100000·n_docs, exact BIGINT
+    * arithmetic) first, within them the smallest threshold (most
+    * aggressive dedup within budget), fallback ordered mildest-first;
+    * the predicate repeated verbatim in ORDER BY for engine
+    * portability.
     */
-  private def semDedupThresholdSelectSql: String = {
-    val (ctes, fin) = semDedupCalibrationParts
+  private def semDedupSelectSqlOver(parts: (String, String)): String = {
+    val (ctes, fin) = parts
     ctes + s"""
       |SELECT threshold, n_docs, docs_removed, removed_share,
       |  (docs_removed * 1000000 <= 100000 * n_docs) AS qualified
@@ -8919,6 +8978,52 @@ object SparkEntry {
       |    THEN threshold ELSE -threshold END ASC
       |LIMIT 1""".stripMargin
   }
+
+  private def semDedupThresholdSelectSql: String =
+    semDedupSelectSqlOver(semDedupCalibrationParts)
+
+  private def semDedupScaleSelectSql: String =
+    semDedupSelectSqlOver(semDedupScaleCalibrationParts)
+
+  /** q343/q347 oracle: calibrate → commit → APPLY as ONE statement —
+    * the commit row (the q342/q346 rule, nested verbatim over the
+    * shared calibration readout) drives the dedup's own `sim >=
+    * threshold` filter via a CROSS JOIN, exactly the engine's
+    * broadcast-commit join; the final select is q195/q328's per-doc
+    * dedup readout with the committed threshold and budget flag
+    * carried on every row.
+    */
+  private def semDedupApplySqlOver(parts: (String, String),
+      cellRel: String): String = {
+    val (ctes, fin) = parts
+    ctes + s""",
+      |commit AS (
+      |  SELECT threshold,
+      |    (docs_removed * 1000000 <= 100000 * n_docs) AS qualified
+      |  FROM (
+      |$fin
+      |  ) cal
+      |  ORDER BY (docs_removed * 1000000 <= 100000 * n_docs) DESC,
+      |    CASE WHEN docs_removed * 1000000 <= 100000 * n_docs
+      |      THEN threshold ELSE -threshold END ASC
+      |  LIMIT 1),
+      |dupc AS (
+      |  SELECT p.id_a AS vec_id, MIN(p.id_b) AS dup_of,
+      |    ROUND(MAX(p.sim), 6) AS max_dup_cos
+      |  FROM pair p CROSS JOIN commit c
+      |  WHERE p.sim >= c.threshold
+      |  GROUP BY 1)
+      |SELECT g.vec_id, g.cell, c.threshold, d.dup_of, d.max_dup_cos,
+      |  d.dup_of IS NULL AS keep, c.qualified
+      |FROM $cellRel g CROSS JOIN commit c
+      |LEFT JOIN dupc d ON d.vec_id = g.vec_id""".stripMargin
+  }
+
+  private def semDedupApplySql: String =
+    semDedupApplySqlOver(semDedupCalibrationParts, "asg")
+
+  private def semDedupScaleApplySql: String =
+    semDedupApplySqlOver(semDedupScaleCalibrationParts, "cells")
 
   /** q334 oracle: the q26 portable-minhash mirror at 128 slots and
     * 2-word shingles; per plan one (band, key) group-by for the
@@ -8997,6 +9102,49 @@ object SparkEntry {
          |    ELSE -scurve_80 END ASC,
          |  bands ASC
          |LIMIT 1""".stripMargin
+  }
+
+  /** q344 oracle: calibrate → commit → APPLY as ONE statement — the
+    * commit row (the q338 rule, nested verbatim over the shared
+    * per-plan table) drives the banding itself: band index and band
+    * key group by `j // rows_per_band` with rows_per_band read from
+    * the commit CROSS JOIN (never a literal), then the q26-shape
+    * candidate self-join and exact-Jaccard verify over the SAME
+    * 2-word shingle sets the signatures hashed; the committed plan
+    * carried on every output pair.
+    */
+  private def lshApplyCommittedSql: String = {
+    val (prefix, perPlan) = lshBandPlanParts
+    prefix +
+      s""",commit AS (
+         |  SELECT bands, rows_per_band, (scurve_80 >= 900000) AS qualified
+         |  FROM (
+         |$perPlan
+         |  ) cal
+         |  ORDER BY (scurve_80 >= 900000) DESC,
+         |    CASE WHEN scurve_80 >= 900000 THEN bucket_pairs
+         |      ELSE -scurve_80 END ASC,
+         |    bands ASC
+         |  LIMIT 1),
+         |bnd AS (
+         |  SELECT m.doc_id, CAST(m.j // c.rows_per_band AS INTEGER) AS band,
+         |    string_agg(CAST(m.mh AS VARCHAR), '|' ORDER BY m.j) AS band_key
+         |  FROM mh m CROSS JOIN commit c
+         |  GROUP BY m.doc_id, m.j // c.rows_per_band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bnd a JOIN bnd b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |    / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6)
+         |    AS jaccard_sim,
+         |  c.bands, c.rows_per_band, c.qualified
+         |FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+         |CROSS JOIN commit c
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |  / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE) >= 0.5""".stripMargin
   }
 
   /** q335 oracle: per n one positional-gram CTE (list-slice +

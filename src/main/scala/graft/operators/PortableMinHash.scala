@@ -150,10 +150,26 @@ object PortableMinHash {
       calib: Seq[(String, Double)] = Seq(
         "scurve_50" -> 0.5, "scurve_70" -> 0.7,
         "scurve_80" -> 0.8, "scurve_90" -> 0.9)): DataFrame = {
-    require(plans.nonEmpty && plans.forall(b => b > 0 && numHashes % b == 0),
-      s"every plan must divide numHashes=$numHashes: $plans")
     val sigs = signatures(df, idCol, textCol, numHashes, shingleWords)
       .persist()
+    val out = planTable(sigs, numHashes, plans, calib)
+    sigs.unpersist()
+    out
+  }
+
+  /** The per-plan calibration table over an already-computed (and
+    * ideally persisted) signature frame — shared by
+    * [[bandPlanCalibration]] and [[nearDupPairsAtCommittedPlan]] so
+    * the table a commit is made from and the one the apply path
+    * re-derives its commit from are one definition.
+    */
+  private def planTable(
+      sigs: DataFrame,
+      numHashes: Int,
+      plans: Seq[Int],
+      calib: Seq[(String, Double)]): DataFrame = {
+    require(plans.nonEmpty && plans.forall(b => b > 0 && numHashes % b == 0),
+      s"every plan must divide numHashes=$numHashes: $plans")
     val planRows = plans.map { b =>
       val r = numHashes / b
       val banded = sigs.select(
@@ -179,9 +195,7 @@ object PortableMinHash {
         .select(lit(b).as("bands") +: lit(r).as("rows_per_band") +:
           col("n_buckets") +: col("bucket_pairs") +: scurves: _*)
     }
-    val out = planRows.reduce(_ unionByName _).localCheckpoint(true)
-    sigs.unpersist()
-    out
+    planRows.reduce(_ unionByName _).localCheckpoint(true)
   }
 
   /** COMMIT to a band plan from [[bandPlanCalibration]]'s table —
@@ -204,8 +218,19 @@ object PortableMinHash {
       shingleWords: Int = 2,
       plans: Seq[Int] = Seq(32, 16, 8, 4),
       minCatch: Long = 900000L): DataFrame =
-    bandPlanCalibration(df, idCol, textCol, numHashes, shingleWords,
-      plans)
+    commitRule(
+      bandPlanCalibration(df, idCol, textCol, numHashes, shingleWords,
+        plans),
+      minCatch)
+
+  /** The commit rule over a calibration table — one definition shared
+    * by [[bandPlanSelect]] and [[nearDupPairsAtCommittedPlan]] so the
+    * standalone commit row and the one the apply path bands under can
+    * never diverge.
+    */
+  private def commitRule(calibTable: DataFrame,
+      minCatch: Long): DataFrame =
+    calibTable
       .withColumn("qualified", col("scurve_80") >= minCatch)
       .orderBy(col("qualified").desc,
         when(col("qualified"), col("bucket_pairs"))
@@ -214,6 +239,87 @@ object PortableMinHash {
       .limit(1)
       .select(col("bands"), col("rows_per_band"), col("n_buckets"),
         col("bucket_pairs"), col("scurve_80"), col("qualified"))
+
+  /** Calibrate → commit → APPLY in ONE plan (the r15 verdict's
+    * missing composition, MinHash side): run the banded near-dup
+    * verify UNDER the (bands, rows) plan [[bandPlanSelect]] commits,
+    * with the 1-row commit JOINED in-engine — the band explode's
+    * sequence bound and the signature slice offsets read the
+    * committed values as COLUMNS from the broadcast commit row, so no
+    * driver value ever decides the banding. Signatures are computed
+    * ONCE and feed both the calibration table the commit is derived
+    * from and the banding + exact-Jaccard verify themselves.
+    *
+    * Output: [[nearDupPairs]]'s (id_a, id_b, jaccard_sim) plus the
+    * committed (bands, rows_per_band, qualified) on every row — the
+    * artifact records WHICH plan ran, so a hash check on this output
+    * is a check that the commit was actually applied.
+    *
+    * Scale shape: the calibration is the narrow (band, key) counting
+    * pass per plan ([[bandPlanCalibration]]'s shape); the apply is
+    * exactly [[nearDupPairs]]'s candidate shuffle at the committed
+    * plan. The commit broadcast adds no shuffle.
+    */
+  def nearDupPairsAtCommittedPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      shingleWords: Int = 2,
+      plans: Seq[Int] = Seq(32, 16, 8, 4),
+      minCatch: Long = 900000L,
+      threshold: Double = 0.5,
+      calib: Seq[(String, Double)] = Seq(
+        "scurve_50" -> 0.5, "scurve_70" -> 0.7,
+        "scurve_80" -> 0.8, "scurve_90" -> 0.9)): DataFrame = {
+    val sigs = signatures(df, idCol, textCol, numHashes, shingleWords)
+      .persist()
+    // 1 row, materialized once: the banding below and the output
+    // annotation read the same committed row
+    val commit = commitRule(planTable(sigs, numHashes, plans, calib),
+      minCatch)
+      .select(col("bands"), col("rows_per_band"), col("qualified"))
+      .localCheckpoint(true)
+
+    // banding at the COMMITTED plan: `_b`/`_r` are columns from the
+    // broadcast commit row — same slice/concat_ws algebra as
+    // nearDupPairs, with the plan data-driven instead of compiled in
+    val banded = sigs
+      .crossJoin(broadcast(commit.select(col("bands").as("_b"),
+        col("rows_per_band").as("_r"))))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("_b") - 1),
+          b => struct(b.as("band_idx"),
+            concat_ws("|", transform(
+              slice(col("sig"), b * col("_r") + lit(1), col("_r")),
+              x => x.cast("string"))).as("band_key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
+        col("bk.band_key").as("band_key"))
+
+    val candidates = banded.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("id_b")), Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val lookup = sigs.select(col("doc_id"), col("toks"))
+    val verified = candidates
+      .join(lookup.select(col("doc_id").as("id_a"), col("toks").as("t_a")),
+        Seq("id_a"))
+      .join(lookup.select(col("doc_id").as("id_b"), col("toks").as("t_b")),
+        Seq("id_b"))
+      .withColumn("jaccard_sim", TextFunctions.jaccard(col("t_a"), col("t_b")))
+      .filter(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard_sim"), 6).as("jaccard_sim"))
+      .crossJoin(broadcast(commit))
+
+    val out = verified.localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
 
   /** 1 − (1 − s^r)^b as the pinned left-fold double chain (s^r and
     * t^b each a strict left-to-right multiply — the exact op sequence

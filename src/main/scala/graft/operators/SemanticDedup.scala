@@ -282,11 +282,24 @@ object SemanticDedup {
       targetCellSize: Long = 65536L,
       secondLevelSplit: Boolean = true,
       nCorpus: Long = 0L): DataFrame = {
-    require(thresholds.nonEmpty && thresholds == thresholds.distinct.sorted,
-      s"thresholds must be distinct ascending: $thresholds")
     val cells = cellAssign(df, idCol, vecCol, nlist, salt,
       targetCellSize, secondLevelSplit, nCorpus)
-    val mx = lowerPairs(cells, idCol, vecCol)
+    calibOverPairs(cells, lowerPairs(cells, idCol, vecCol), idCol,
+      thresholds)
+  }
+
+  /** The calibration readout over a prepared (cells, pairs) stage —
+    * shared by [[thresholdCalibration]] and
+    * [[semanticDedupAtCommitted]] so the calibration a commit is made
+    * FROM and the calibration the apply path re-derives its commit
+    * from are one definition. Per-doc max lower-id cosine once, then
+    * each threshold as pure arithmetic over the profile.
+    */
+  private def calibOverPairs(cells: DataFrame, pairs: DataFrame,
+      idCol: String, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.distinct.sorted,
+      s"thresholds must be distinct ascending: $thresholds")
+    val mx = pairs
       .groupBy(col("_id_a"))
       .agg(max(col("_cos")).as("_mc"))
     val ids = cells.select(col(idCol))
@@ -326,8 +339,20 @@ object SemanticDedup {
       secondLevelSplit: Boolean = true,
       nCorpus: Long = 0L,
       maxRemovalMicro: Long = 100000L): DataFrame =
-    thresholdCalibration(df, idCol, vecCol, thresholds, nlist, salt,
-      targetCellSize, secondLevelSplit, nCorpus)
+    commitRule(
+      thresholdCalibration(df, idCol, vecCol, thresholds, nlist, salt,
+        targetCellSize, secondLevelSplit, nCorpus),
+      maxRemovalMicro)
+
+  /** The commit rule over a calibration table — one definition shared
+    * by [[thresholdSelect]] and [[semanticDedupAtCommitted]] so the
+    * standalone commit row and the one the apply path joins on can
+    * never diverge. Smallest qualifying threshold, exact-integer
+    * budget test, mildest-threshold fallback flagged.
+    */
+  private def commitRule(calib: DataFrame,
+      maxRemovalMicro: Long): DataFrame =
+    calib
       .withColumn("qualified",
         col("docs_removed") * lit(1000000L)
           <= lit(maxRemovalMicro) * col("n_docs"))
@@ -337,4 +362,65 @@ object SemanticDedup {
       .limit(1)
       .select(col("threshold"), col("n_docs"), col("docs_removed"),
         col("removed_share"), col("qualified"))
+
+  /** Calibrate → commit → APPLY in ONE plan (the r15 verdict's
+    * missing composition): run [[semanticDedup]] AT the threshold
+    * [[thresholdSelect]] commits, with the 1-row commit JOINED
+    * in-engine (broadcast — the q121 broadcast-delta shape), never a
+    * driver collect. The expensive stages — quantizer cells and the
+    * within-cell lower-id pairwise — are computed ONCE and feed both
+    * the calibration profile the commit is derived from and the
+    * dedup decision itself, so the decision row provably drives the
+    * pipeline it tunes (same cells, same pairs, same rule).
+    *
+    * Output: one row per input vector —
+    * `(idCol, cell, threshold, dup_of, max_dup_cos, keep, qualified)`
+    * — [[semanticDedup]]'s columns plus the committed threshold and
+    * its budget flag, so the artifact itself records WHICH setting
+    * ran (a hash check on this output is a check that the commit was
+    * actually applied).
+    *
+    * Scale shape: identical to running calibration + dedup
+    * separately minus one repetition of cells + pairwise; the commit
+    * side is |thresholds| rows reduced to 1 and broadcast, so the
+    * apply join adds no shuffle.
+    */
+  def semanticDedupAtCommitted(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      thresholds: Seq[Double] = Seq(0.25, 0.375, 0.5, 0.625, 0.75),
+      nlist: Int = 0,
+      salt: String = "semdedup_v1",
+      targetCellSize: Long = 65536L,
+      secondLevelSplit: Boolean = true,
+      nCorpus: Long = 0L,
+      maxRemovalMicro: Long = 100000L): DataFrame = {
+    val cells = cellAssign(df, idCol, vecCol, nlist, salt,
+      targetCellSize, secondLevelSplit, nCorpus).persist()
+    val pairs = lowerPairs(cells, idCol, vecCol).persist()
+    // 1 row, materialized once: both consumers below (the pair filter
+    // and the output annotation) read the same committed row instead
+    // of re-deriving the calibration plan twice
+    val commit = commitRule(
+      calibOverPairs(cells, pairs, idCol, thresholds), maxRemovalMicro)
+      .select(col("threshold"), col("qualified"))
+      .localCheckpoint(true)
+    val dups = pairs
+      .crossJoin(broadcast(commit.select(col("threshold").as("_t"))))
+      .filter(col("_cos") >= col("_t"))
+      .groupBy(col("_id_a"))
+      .agg(min(col("_id_b")).as("dup_of"),
+        round(max(col("_cos")), 6).as("max_dup_cos"))
+    val out = cells
+      .join(dups, cells(idCol) === dups("_id_a"), "left")
+      .crossJoin(broadcast(commit))
+      .select(col(idCol), col("cell"), col("threshold"), col("dup_of"),
+        col("max_dup_cos"), col("dup_of").isNull.as("keep"),
+        col("qualified"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    cells.unpersist()
+    out
+  }
 }

@@ -612,6 +612,20 @@ object ExtensionQueries {
       tbl(s, dir, "documents"), "doc_id", "text",
       numHashes = 128, shingleWords = 2)
 
+  /** Calibrate→commit→APPLY (q344): the banded near-dup verify run
+    * UNDER the (bands, rows) plan q338 commits — the committed values
+    * arrive as COLUMNS from the broadcast 1-row commit (the band
+    * explode's bound and the signature slice offsets are data-driven,
+    * never a driver value), signatures computed once for both the
+    * calibration table and the banding + exact-Jaccard verify. Every
+    * output pair carries the committed plan, so the hash check proves
+    * the commit actually drove the banding.
+    */
+  def qLshApplyCommittedPlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PortableMinHash.nearDupPairsAtCommittedPlan(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      numHashes = 128, shingleWords = 2, threshold = 0.5)
+
   /** Worst-window span CUT (q337): act on q333's bounds — docs whose
     * worst 16-bigram window scores ≥ 0.25 above their own mean drop
     * that token span; `kept_md5` hash-checks the post-cut content.
@@ -2216,6 +2230,64 @@ object ExtensionQueries {
       tbl(s, dir, "embeddings"), "vec_id", "embedding",
       nlist = 16, secondLevelSplit = false)
 
+  /** Calibrate→commit→APPLY (q343): [[qSemanticDedup]] run AT the
+    * threshold [[qSemDedupThresholdSelect]] commits, the 1-row commit
+    * broadcast-joined in-engine — cells and the within-cell pairwise
+    * computed ONCE for both the calibration profile and the dedup
+    * decision. q195's pinned quantizer config so the DuckDB mirror
+    * nests the q342 commit CTEs verbatim; every output row carries
+    * the committed threshold, so the hash check proves the commit
+    * actually drove the dedup.
+    */
+  def qSemDedupApplyCommitted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemanticDedup.semanticDedupAtCommitted(
+      tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      nlist = 16, secondLevelSplit = false)
+
+  /** SemDeDup threshold calibration under the SHIPPED scale config
+    * (q345): q341 calibrates the q195 legacy quantizer (nlist=16, no
+    * split) to share its mirror; the threshold a production run would
+    * commit must be calibrated under the config it ships with — the
+    * corpus-derived two-level quantizer on q328's planted-skew corpus
+    * (r15 verdict #2). Same calibrate-once contract; the mirror
+    * replays BOTH quantizer levels (the q328 CTEs) under the profile
+    * readout.
+    */
+  def qSemDedupThresholdCalibrationScale(s: SparkSession, dir: String): DataFrame = {
+    val planted = plantedSkewEmbeddings(s, dir)
+    graft.operators.SemanticDedup.thresholdCalibration(
+      planted, "vec_id", "vec", targetCellSize = 8L,
+      nCorpus = graft.core.CorpusStats.rowCount(
+        dir + ":embeddings:semdedup_planted", planted))
+  }
+
+  /** The scale-config threshold COMMIT (q346): the q342 rule on
+    * q345's table. Read against q342: a threshold committed under the
+    * 16-cell legacy quantizer can differ from the one the two-level
+    * scale config commits (cells bound which pairs are ever
+    * compared) — this row is the one a 100-TB run would use.
+    */
+  def qSemDedupThresholdSelectScale(s: SparkSession, dir: String): DataFrame = {
+    val planted = plantedSkewEmbeddings(s, dir)
+    graft.operators.SemanticDedup.thresholdSelect(
+      planted, "vec_id", "vec", targetCellSize = 8L,
+      nCorpus = graft.core.CorpusStats.rowCount(
+        dir + ":embeddings:semdedup_planted", planted))
+  }
+
+  /** The full production composition (q347): calibrate → commit →
+    * APPLY under the shipped scale config on q328's corpus — the
+    * dedup a 100-TB pipeline would actually run, at the threshold its
+    * own calibration commits, decision row joined in-engine.
+    */
+  def qSemDedupApplyCommittedScale(s: SparkSession, dir: String): DataFrame = {
+    val planted = plantedSkewEmbeddings(s, dir)
+    graft.operators.SemanticDedup.semanticDedupAtCommitted(
+      planted, "vec_id", "vec", targetCellSize = 8L,
+      nCorpus = graft.core.CorpusStats.rowCount(
+        dir + ":embeddings:semdedup_planted", planted))
+  }
+
   /** SemDeDup SCALE path (q328): the shipped default configuration —
     * corpus-DERIVED nlist (targetCellSize = 8) WITH the second-level
     * skew split engaged — hash-checked end to end (q195 pins the
@@ -2233,9 +2305,25 @@ object ExtensionQueries {
     * oracle.
     */
   def qSemanticDedupSplit(s: SparkSession, dir: String): DataFrame = {
+    val planted = plantedSkewEmbeddings(s, dir)
+    graft.operators.SemanticDedup.semanticDedup(
+      planted, "vec_id", "vec", threshold = 0.4, targetCellSize = 8L,
+      nCorpus = graft.core.CorpusStats.rowCount(
+        dir + ":embeddings:semdedup_planted", planted))
+  }
+
+  /** q328's planted-skew fixture, shared with its threshold-tuning
+    * twins (q345-q347) so the corpus the scale-config calibration
+    * runs on is BY CONSTRUCTION the corpus the scale-config dedup
+    * runs on — rows whose first-level md5 draw key is ≥ 'd' swap
+    * their embedding for a tight far-away 8-dim cluster (exact
+    * per-id lattice jitter), everyone else keeps their first 8 real
+    * dims; see [[qSemanticDedupSplit]].
+    */
+  private def plantedSkewEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val clump = md5(concat(col("vec_id").cast("string"),
       lit(":semdedup_v1"))) >= "d"
-    val planted = tbl(s, dir, "embeddings").select(col("vec_id"),
+    tbl(s, dir, "embeddings").select(col("vec_id"),
       when(clump,
         transform(sequence(lit(0), lit(7)), j =>
           lit(1000.0) + ((col("vec_id") * 7 + j * 13) % 97)
@@ -2244,11 +2332,9 @@ object ExtensionQueries {
           x => x.cast("double"))).as("vec"))
     // the planted fixture keys the stats memo under its OWN tag (it
     // happens to be a 1:1 projection of embeddings, but the memo
-    // contract is frame-honest keys, never the source table's)
-    graft.operators.SemanticDedup.semanticDedup(
-      planted, "vec_id", "vec", threshold = 0.4, targetCellSize = 8L,
-      nCorpus = graft.core.CorpusStats.rowCount(
-        dir + ":embeddings:semdedup_planted", planted))
+    // contract is frame-honest keys, never the source table's) —
+    // every caller passes nCorpus via the same
+    // ":embeddings:semdedup_planted" tag
   }
 
   /** Linear quality-classifier scoring: pinned-coefficient logit over

@@ -119,8 +119,17 @@ object MakeScale {
             .otherwise(concat(
               substring(col("text"), (rot + 1).cast("int"), len),
               substring(col("text"), lit(1), rot.cast("int"))))
+        // n_chars stays TRUE on every branch (r15 advice #2): the
+        // append-suffix class grows by the digits of i, so its
+        // n_chars grows with it — any query asserting n_chars =
+        // length(text) consistency holds on scaled data too
+        val nChars =
+          if (i == 0) col("n_chars")
+          else when(len < lit(k),
+            col("n_chars") + lit(i.toString.length))
+            .otherwise(col("n_chars")).cast("long")
         d.select(shift("doc_id", oDoc, i), text.as("text"), col("lang"),
-          col("source"), col("n_chars"))
+          col("source"), nChars.as("n_chars"))
       },
       "embeddings" -> replicate(tbl("embeddings")) { (d, i) =>
         val emb =

@@ -127,6 +127,32 @@ class PortableMinHashSpec extends AnyFunSuite {
     assert(fb.head.getAs[Long]("scurve_80") === cal.values.map(_._2).max)
   }
 
+  test("apply-at-committed-plan: pairs equal nearDupPairs at exactly " +
+      "the committed (bands, rows), with the commit carried on every row") {
+    val commit = PortableMinHash.bandPlanSelect(docs, "doc_id", "text",
+      numHashes = 128, shingleWords = 2).collect().head
+    val (cb, cr, cq) = (commit.getAs[Int]("bands"),
+      commit.getAs[Int]("rows_per_band"), commit.getAs[Boolean]("qualified"))
+    assert(cb * cr === 128)
+    val got = PortableMinHash.nearDupPairsAtCommittedPlan(docs, "doc_id",
+      "text", numHashes = 128, shingleWords = 2, threshold = 0.5).collect()
+    // every output row records the plan that ran = the committed plan
+    got.foreach { r =>
+      assert(r.getAs[Int]("bands") === cb)
+      assert(r.getAs[Int]("rows_per_band") === cr)
+      assert(r.getAs[Boolean]("qualified") === cq)
+    }
+    // the emitted pairs are EXACTLY nearDupPairs compiled at that plan
+    val viaStatic = PortableMinHash.nearDupPairs(docs, "doc_id", "text",
+        numHashes = 128, bands = cb, shingleWords = K, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaApply = got.map(r => (r.getAs[Long]("id_a"),
+      r.getAs[Long]("id_b"), r.getAs[Double]("jaccard_sim"))).toSet
+    assert(viaApply === viaStatic)
+    // fixture sanity: the exact-dup pair survives any plan
+    assert(viaApply.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
   test("emitted pairs = band-collision AND jaccard, exhaustively checked") {
     val texts = Map(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",

@@ -199,6 +199,74 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("apply-at-committed-threshold: output equals semanticDedup at " +
+      "exactly the committed threshold, commit carried on every row — " +
+      "both the qualified and the fallback regime") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val thresholds = Seq(0.25, 0.5, 0.75, 0.9375)
+    for (budget <- Seq(600000L, 0L)) { // generous (qualifies) / impossible
+      val commit = SemanticDedup.thresholdSelect(df, "vec_id", "embedding",
+        thresholds = thresholds, nlist = Nlist, salt = Salt,
+        maxRemovalMicro = budget).collect().head
+      val (ct, cq) = (commit.getDouble(0), commit.getBoolean(4))
+      val got = SemanticDedup.semanticDedupAtCommitted(df, "vec_id",
+        "embedding", thresholds = thresholds, nlist = Nlist, salt = Salt,
+        maxRemovalMicro = budget).collect()
+      assert(got.length === vecs.size)
+      got.foreach { r =>
+        assert(r.getDouble(2) === ct, s"budget $budget")
+        assert(r.getBoolean(6) === cq, s"budget $budget")
+      }
+      val viaStatic = SemanticDedup.semanticDedup(df, "vec_id", "embedding",
+          nlist = Nlist, threshold = ct, salt = Salt)
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4))).toSet
+      val viaApply = got.map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5))).toSet
+      assert(viaApply === viaStatic, s"budget $budget")
+    }
+    // the impossible budget must have fallen back to the mildest
+    // threshold, flagged — otherwise the loop above proved nothing
+    // about the fallback regime
+    val fb = SemanticDedup.semanticDedupAtCommitted(df, "vec_id",
+      "embedding", thresholds = thresholds, nlist = Nlist, salt = Salt,
+      maxRemovalMicro = 0L).collect()
+    assert(fb.forall(r => r.getDouble(2) == thresholds.last && !r.getBoolean(6)))
+  }
+
+  test("apply-at-committed-threshold under the two-level scale config " +
+      "agrees with semanticDedup at the committed threshold") {
+    // the oversized-cell fixture from the split test: the apply path
+    // must route through the SAME two-level cellAssign
+    val hot = (0 until 60).map(j =>
+      (100L + j, Seq(10f + 0.001f * j, 10f - 0.001f * j, 0f)))
+    val cold = Seq(
+      (1L, Seq(-5f, 0f, 0f)), (2L, Seq(0f, -5f, 0f)),
+      (3L, Seq(0f, 0f, -5f)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    val thresholds = Seq(0.5, 0.9999)
+    val commit = SemanticDedup.thresholdSelect(df, "vec_id", "embedding",
+      thresholds = thresholds, nlist = 2, salt = Salt,
+      targetCellSize = 8L, maxRemovalMicro = 1000000L).collect().head
+    val got = SemanticDedup.semanticDedupAtCommitted(df, "vec_id",
+        "embedding", thresholds = thresholds, nlist = 2, salt = Salt,
+        targetCellSize = 8L, maxRemovalMicro = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(5))).toSet
+    val ref = SemanticDedup.semanticDedup(df, "vec_id", "embedding",
+        nlist = 2, threshold = commit.getDouble(0), salt = Salt,
+        targetCellSize = 8L)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(4))).toSet
+    assert(got === ref)
+  }
+
   test("thresholdSelect: commits the most aggressive threshold within " +
       "the removal budget; an impossible budget falls back mildest, " +
       "flagged") {
