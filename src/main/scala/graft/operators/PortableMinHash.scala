@@ -150,12 +150,20 @@ object PortableMinHash {
       calib: Seq[(String, Double)] = Seq(
         "scurve_50" -> 0.5, "scurve_70" -> 0.7,
         "scurve_80" -> 0.8, "scurve_90" -> 0.9)): DataFrame = {
+    requirePlans(numHashes, plans) // fail fast, before signatures
     val sigs = signatures(df, idCol, textCol, numHashes, shingleWords)
       .persist()
     val out = planTable(sigs, numHashes, plans, calib)
     sigs.unpersist()
     out
   }
+
+  /** Plan-list contract shared by every banding entry point: each
+    * candidate must divide the signature width, validated BEFORE any
+    * signature frame is built or persist-registered. */
+  private def requirePlans(numHashes: Int, plans: Seq[Int]): Unit =
+    require(plans.nonEmpty && plans.forall(b => b > 0 && numHashes % b == 0),
+      s"every plan must divide numHashes=$numHashes: $plans")
 
   /** The per-plan calibration table over an already-computed (and
     * ideally persisted) signature frame — shared by
@@ -168,8 +176,7 @@ object PortableMinHash {
       numHashes: Int,
       plans: Seq[Int],
       calib: Seq[(String, Double)]): DataFrame = {
-    require(plans.nonEmpty && plans.forall(b => b > 0 && numHashes % b == 0),
-      s"every plan must divide numHashes=$numHashes: $plans")
+    requirePlans(numHashes, plans)
     val planRows = plans.map { b =>
       val r = numHashes / b
       val banded = sigs.select(
@@ -272,6 +279,7 @@ object PortableMinHash {
       calib: Seq[(String, Double)] = Seq(
         "scurve_50" -> 0.5, "scurve_70" -> 0.7,
         "scurve_80" -> 0.8, "scurve_90" -> 0.9)): DataFrame = {
+    requirePlans(numHashes, plans) // fail fast, before signatures
     val sigs = signatures(df, idCol, textCol, numHashes, shingleWords)
       .persist()
     // 1 row, materialized once: the banding below and the output

@@ -282,11 +282,18 @@ object SemanticDedup {
       targetCellSize: Long = 65536L,
       secondLevelSplit: Boolean = true,
       nCorpus: Long = 0L): DataFrame = {
+    requireThresholds(thresholds) // fail fast, before cellAssign's jobs
     val cells = cellAssign(df, idCol, vecCol, nlist, salt,
       targetCellSize, secondLevelSplit, nCorpus)
     calibOverPairs(cells, lowerPairs(cells, idCol, vecCol), idCol,
       thresholds)
   }
+
+  /** Candidate-list contract shared by every threshold entry point:
+    * distinct ascending, validated BEFORE any cluster work runs. */
+  private def requireThresholds(thresholds: Seq[Double]): Unit =
+    require(thresholds.nonEmpty && thresholds == thresholds.distinct.sorted,
+      s"thresholds must be distinct ascending: $thresholds")
 
   /** The calibration readout over a prepared (cells, pairs) stage —
     * shared by [[thresholdCalibration]] and
@@ -297,8 +304,7 @@ object SemanticDedup {
     */
   private def calibOverPairs(cells: DataFrame, pairs: DataFrame,
       idCol: String, thresholds: Seq[Double]): DataFrame = {
-    require(thresholds.nonEmpty && thresholds == thresholds.distinct.sorted,
-      s"thresholds must be distinct ascending: $thresholds")
+    requireThresholds(thresholds)
     val mx = pairs
       .groupBy(col("_id_a"))
       .agg(max(col("_cos")).as("_mc"))
@@ -396,9 +402,16 @@ object SemanticDedup {
       secondLevelSplit: Boolean = true,
       nCorpus: Long = 0L,
       maxRemovalMicro: Long = 100000L): DataFrame = {
+    requireThresholds(thresholds) // fail fast, before any persist/job
     val cells = cellAssign(df, idCol, vecCol, nlist, salt,
       targetCellSize, secondLevelSplit, nCorpus).persist()
-    val pairs = lowerPairs(cells, idCol, vecCol).persist()
+    // project the embedding vectors OUT before caching: both consumers
+    // (the calibration max and the dup filter) read only (ids, cos),
+    // and the pairwise relation is the quadratic object — caching two
+    // full vector copies per pair row is what would spill first on a
+    // skewed cell
+    val pairs = lowerPairs(cells, idCol, vecCol)
+      .select(col("_id_a"), col("_id_b"), col("_cos")).persist()
     // 1 row, materialized once: both consumers below (the pair filter
     // and the output annotation) read the same committed row instead
     // of re-deriving the calibration plan twice

@@ -107,9 +107,9 @@ object MakeScale {
         // k chars, k distinct rotations cannot exist by pigeonhole
         // (r14 advice: i % len == 0 replicas were byte-identical to
         // copy 0, a silent exact-dup class), so THAT class appends
-        // the replica index instead — distinct by construction, at
-        // the documented cost that n_chars understates those rows by
-        // the digits of i (only docs shorter than k chars).
+        // the replica index instead — distinct by construction, with
+        // n_chars grown by the digits of i to match (see the nChars
+        // branch below — r15 advice #2).
         val len = length(col("text"))
         val rot = when(len > lit(37 * (k - 1)), lit(37 * i))
           .otherwise(lit(i) % greatest(len, lit(1)))

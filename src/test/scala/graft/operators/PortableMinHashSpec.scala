@@ -130,12 +130,12 @@ class PortableMinHashSpec extends AnyFunSuite {
   test("apply-at-committed-plan: pairs equal nearDupPairs at exactly " +
       "the committed (bands, rows), with the commit carried on every row") {
     val commit = PortableMinHash.bandPlanSelect(docs, "doc_id", "text",
-      numHashes = 128, shingleWords = 2).collect().head
+      numHashes = 128, shingleWords = K).collect().head
     val (cb, cr, cq) = (commit.getAs[Int]("bands"),
       commit.getAs[Int]("rows_per_band"), commit.getAs[Boolean]("qualified"))
     assert(cb * cr === 128)
     val got = PortableMinHash.nearDupPairsAtCommittedPlan(docs, "doc_id",
-      "text", numHashes = 128, shingleWords = 2, threshold = 0.5).collect()
+      "text", numHashes = 128, shingleWords = K, threshold = 0.5).collect()
     // every output row records the plan that ran = the committed plan
     got.foreach { r =>
       assert(r.getAs[Int]("bands") === cb)

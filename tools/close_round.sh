@@ -137,5 +137,6 @@ echo "[close] round $ROUND gates complete: SELFCHECK_r${ROUND}.json, BENCH_DETAI
 # echoed every run so the habit can't silently regress)
 echo "[close] CHECKLIST (manual, before committing the round):"
 echo "[close]   [ ] SURVEY.md §8 bumped to the current query count"
+echo "[close]   [ ] BENCH_SUMMARY.json committed alongside BENCH_DETAIL.json"
 echo "[close]   [ ] BASELINE.md round section written (board, movers, decisions)"
 echo "[close]   [ ] memory project-state note updated for the next round"
