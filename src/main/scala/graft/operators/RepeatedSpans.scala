@@ -70,12 +70,18 @@ object RepeatedSpans {
       k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"a span repeated in < 2 docs is not repeated: $minDocs")
     val toks = TextFunctions.tokens(col(textCol))
+    // persist: consumed by BOTH the gram-df aggregate and the flag
+    // join — unpersisted lineage tokenizes + md5-hashes every gram
+    // TWICE (r16 measurement: the double explode was ~40% of q216's
+    // warm cost). Released before returning (the result is pinned
+    // first, the Dedup.materializeAndRelease discipline).
     val postings = df
       .select(col(idCol), toks.as("_tk"))
       .filter(size(col("_tk")) >= k)
       .select(col(idCol), posexplode(positionalKGrams(col("_tk"), k)))
       .select(col(idCol), col("pos"),
         substring(md5(col("col")), 1, 16).as("_h"))
+      .persist()
 
     // gram document frequency — the only corpus-wide aggregate
     val frequent = postings.groupBy(col("_h"))
@@ -91,7 +97,7 @@ object RepeatedSpans {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val newSpan = when(col("pos") - lag(col("pos"), 1).over(w) > k, 1)
       .otherwise(0) // first row: lag is null → comparison null → 0
-    flagged
+    val result = flagged
       .withColumn("_island", sum(newSpan).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("_island"))
@@ -101,6 +107,10 @@ object RepeatedSpans {
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_len"),
         col("n_grams"))
+    // pin the (small) span frame, then release the postings cache
+    val out = result.localCheckpoint(true)
+    postings.unpersist()
+    out
   }
 
   /** WITHIN-document self-repetition profile — the Gopher/MassiveText

@@ -3041,17 +3041,33 @@ object ExtensionQueries {
       .withColumn("_sha", sha2(col("text"), 256))
       .withColumn("_tok",
         TextFunctions.tokenCountArithmetic(col("text")).cast("long"))
-    val keepIds = pd.groupBy(col("_sha")).agg(min(col("doc_id")).as("doc_id"))
-    val keep = pd.join(keepIds, Seq("_sha", "doc_id"))
-    val total = pd.agg(count(lit(1)).as("n_docs_total"),
-      sum(col("_tok")).as("total_tokens"))
-    val kept = keep.agg(count(lit(1)).as("n_docs_kept"),
-      sum(col("_tok")).as("kept_tokens"))
+    // ONE map-side-combined pass over the planted corpus (r16
+    // optimization): per-sha group totals + the min-doc survivor ride
+    // a single groupBy — the previous shape ran a global agg, a
+    // keep-id groupBy AND a pd⋈keepIds join, recomputing the planted
+    // union + sha256 once per consumer (4+ corpus passes). doc_id is
+    // unique corpus-wide, so min_by is deterministic; the survivor
+    // row (keep = min doc_id per sha) is unchanged, every downstream
+    // statistic is the same arithmetic over the same rows.
+    val bySha = pd.groupBy(col("_sha")).agg(
+        count(lit(1)).as("_n"), sum(col("_tok")).as("_t"),
+        min_by(struct(col("doc_id"), col("text"), col("_tok")),
+          col("doc_id")).as("_k"))
+      // consumed by the totals agg AND the span pipeline's two passes
+      // — pin so the corpus groupBy runs once
+      .localCheckpoint()
+    val totals = bySha.agg(
+      sum(col("_n")).as("n_docs_total"),
+      sum(col("_t")).as("total_tokens"),
+      count(lit(1)).as("n_docs_kept"),
+      sum(col("_k._tok")).as("kept_tokens"))
     val spans = graft.operators.RepeatedSpans
-      .repeatedTokenBudget(keep.select(col("doc_id"), col("text")),
+      .repeatedTokenBudget(
+        bySha.select(col("_k.doc_id").as("doc_id"),
+          col("_k.text").as("text")),
         "doc_id", "text", k = 8, minDocs = 2)
       .agg(sum(col("repeated_tokens")).as("span_tokens"))
-    total.crossJoin(kept).crossJoin(spans)
+    totals.crossJoin(spans)
       .select(col("n_docs_total"), col("total_tokens"),
         (col("n_docs_total") - col("n_docs_kept")).as("n_dup_docs"),
         (col("total_tokens") - col("kept_tokens")).as("dup_tokens_removed"),

@@ -304,17 +304,27 @@ object RelationalQueries {
         count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("_au"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("_am"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("_ap"),
-        expr("percentile(value, 0.45)").as("_p45"),
-        expr("percentile(value, 0.55)").as("_p55"),
-        expr("percentile(value, 0.98)").as("_p98"),
-        expr("percentile(value, 0.999)").as("_p999"))
+        // ONE sketch / ONE sorted-counts buffer per group, queried at
+        // every requested rank (r16 optimization): the array forms of
+        // percentile_approx / percentile share a single aggregation
+        // buffer where the scalar forms each built their own copy of
+        // the group's values — 6 per-group value buffers collapse to
+        // 2. Each requested rank is interpolated from the identical
+        // buffer by the identical code path, so the results are
+        // bit-identical to the scalar calls (oracle hash unchanged).
+        percentile_approx(col("value"), array(lit(0.5), lit(0.99)),
+          lit(1000)).as("_apx"),
+        expr("percentile(value, array(0.45D, 0.55D, 0.98D, 0.999D))")
+          .as("_pex"))
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("_au") - col("exact_users"))
           <= lit(0.06) * col("exact_users")).as("hll_ok"),
-        col("_am").between(col("_p45"), col("_p55")).as("median_ok"),
-        col("_ap").between(col("_p98"), col("_p999")).as("p99_ok"))
+        element_at(col("_apx"), 1)
+          .between(element_at(col("_pex"), 1), element_at(col("_pex"), 2))
+          .as("median_ok"),
+        element_at(col("_apx"), 2)
+          .between(element_at(col("_pex"), 3), element_at(col("_pex"), 4))
+          .as("p99_ok"))
 
   /** Exact interpolated percentiles per group (sort-based `percentile`,
     * not the approximate sketch) — rounded for cross-engine float
@@ -324,10 +334,17 @@ object RelationalQueries {
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.25)"), 6).as("p25"),
-        round(expr("percentile(value, 0.5)"), 6).as("p50"),
-        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        // one shared sorted-counts buffer for all three ranks (array
+        // form) instead of three independent copies of every group's
+        // values — same interpolation per rank, bit-identical output
+        // (see q26Approx)
+        expr("percentile(value, array(0.25D, 0.5D, 0.9D))").as("_p"),
         count(lit(1)).as("n"))
+      .select(col("event_type"),
+        round(element_at(col("_p"), 1), 6).as("p25"),
+        round(element_at(col("_p"), 2), 6).as("p50"),
+        round(element_at(col("_p"), 3), 6).as("p90"),
+        col("n"))
 
   /** Ranking/navigation window suite: rank, dense_rank, lag, lead,
     * ntile over a deterministic total order per customer.
