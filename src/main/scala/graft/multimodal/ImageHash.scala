@@ -115,8 +115,14 @@ object ImageHash {
       maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 12,
       s"band recall only argued for small distances: $maxDist")
+    // persist: both self-join sides consume the hash frame, and the
+    // upstream is typically expensive (q278: per-pixel md5 BMP build +
+    // a real ImageIO decode per image) — unpersisted lineage runs it
+    // once per side. One narrow (id, 16-hex hash) row per image;
+    // released after the verified pairs pin (r16).
     val base = hashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("_id"), col(hashCol).as("_h"))
+      .persist()
     val bands = base
       .select(col("_id"), col("_h"),
         explode(sequence(lit(0), lit(3))).as("_b"))
@@ -131,9 +137,12 @@ object ImageHash {
       .select(col("a._id").as("id1"), col("b._id").as("id2"),
         col("a._h").as("h1"), col("b._h").as("h2"))
       .distinct()
-    cand
+    val result = cand
       .withColumn("hamming", hammingHex("h1", "h2").cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id1"), col("id2"), col("hamming"))
+    val out = result.localCheckpoint(true)
+    base.unpersist()
+    out
   }
 }

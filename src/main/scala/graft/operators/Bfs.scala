@@ -64,14 +64,21 @@ object Bfs {
       pins += next
       if (next.head(1).isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint(true)
-        pins += dist
+        // the union stays LAZY (r16): every per-hop frame underneath
+        // it is already an eager checkpoint, so re-materializing the
+        // accumulated union each hop only re-copied O(hops·nodes)
+        // rows into fresh blocks — one extra eager job per hop. The
+        // union's depth is bounded by maxHops; its consumers (the
+        // anti-join build and the next union) read the hop caches
+        // directly, and the RESULT pins once at the end so the hop
+        // caches can release.
+        dist = dist.union(next)
         frontier = next
         hop += 1
       }
     }
-    val result = dist
-    pins.filter(_ ne result).foreach(_.unpersist())
+    val result = dist.localCheckpoint(true)
+    pins.foreach(_.unpersist())
     e.unpersist()
     result
   }

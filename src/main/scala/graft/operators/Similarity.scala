@@ -292,26 +292,50 @@ object Similarity {
     */
   def labelCentroidMargin(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
-    // pinned: the exploded decimal frame feeds BOTH the centroid
-    // aggregate and the distance join — unpinned it would scan and
-    // re-explode the corpus twice (the q113 re-inlining lesson)
-    val e = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
-        posexplode(col(vecCol)).as(Seq("dim", "_x")))
-      .select(col("vec_id"), col("label"), col("dim"),
-        round(col("_x").cast("double"), 6).cast("decimal(20,6)").as("v"))
-      .localCheckpoint()
-    val cents = e.groupBy(col("label").as("clabel"), col("dim"))
+    // r16 shape: the corpus is scanned ONCE and never exploded. The
+    // previous form exploded every vector 64× (checkpointing the
+    // exploded frame), broadcast-joined centroids per DIM (multiplying
+    // rows by |labels|) and folded back through TWO groupBys; all of
+    // that is per-row array algebra once the centroids arrive as
+    // ordered arrays. Only the centroid aggregate still explodes — its
+    // output is |labels|×dim and map-side combines.
+    val rv = transform(col(vecCol),
+      x => round(x.cast("double"), 6).cast("decimal(20,6)"))
+    val base = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      rv.as("_rv"))
+    val cents = base
+      .select(col("label"), posexplode(col("_rv")).as(Seq("dim", "v")))
+      .groupBy(col("label").as("clabel"), col("dim"))
       .agg((sum(col("v")).cast("double") / count(lit(1)).cast("double"))
         .as("cc"))
-    val diff = col("v").cast("double") - col("cc")
-    e.join(broadcast(cents), Seq("dim"))
-      .select(col("vec_id"), col("label"), col("clabel"),
-        round(diff * diff, 6).cast("decimal(20,6)").as("contrib"))
-      .groupBy(col("vec_id"), col("label"), col("clabel"))
-      .agg(sum(col("contrib")).as("d2"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(max(when(col("clabel") === col("label"), col("d2"))).as("own"),
-        min(when(col("clabel") =!= col("label"), col("d2"))).as("other"))
+    // per-label centroid vectors, dim-ordered (dim is unique per label
+    // so the sort is total); all labels ride ONE broadcast row
+    val centArr = cents.groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cc")))),
+        s => s.getField("cc")).as("carr"))
+    val allCents = centArr
+      .agg(collect_list(struct(col("clabel"), col("carr"))).as("_cs"))
+    // d2(c) = Σ_dim round((v−c)², 6) as exact decimals — the same
+    // per-dim contrib lattice and the same exact decimal sum as the
+    // old groupBy (sum of decimal(20,6) → decimal(30,6); the running
+    // cast is lossless at 64 dims), so values are bit-identical
+    def d2(carr: Column): Column = aggregate(
+      zip_with(col("_rv"), carr,
+        (x, c) => {
+          val diff = x.cast("double") - c
+          round(diff * diff, 6).cast("decimal(20,6)")
+        }),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(30,6)"),
+      (acc, y) => (acc + y).cast("decimal(30,6)"))
+    val ownArr = element_at(
+      filter(col("_cs"), c => c.getField("clabel") === col("label")), 1)
+      .getField("carr")
+    val others = transform(
+      filter(col("_cs"), c => c.getField("clabel") =!= col("label")),
+      c => d2(c.getField("carr")))
+    base.crossJoin(broadcast(allCents))
+      .select(col("vec_id"), col("label"),
+        d2(ownArr).as("own"), array_min(others).as("other"))
       .select(col("vec_id"), col("label"),
         round((col("other") - col("own")).cast("double"), 6).as("margin"),
         (col("other") < col("own")).as("is_suspect"))

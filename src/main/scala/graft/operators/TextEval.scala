@@ -111,40 +111,58 @@ object TextEval {
   def bleuCorpus(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"unreasonable BLEU order: $maxN")
-    // all orders ride ONE tagged gram explode per side (not a scan
-    // per order per side): grams become (n, gram) structs, so one
-    // (doc, n, gram) count aggregate, one clip join and one ≤ maxN-row
-    // fold cover every order — 3 corpus scans total, independent of
-    // maxN
-    def gramStructs(c: String) = flatten(array((1 to maxN).map { n =>
-      val g = if (n == 1) col(c)
-        else RepeatedSpans.positionalKGrams(col(c), n)
-      when(size(col(c)) >= n,
-        transform(g, x => struct(lit(n).as("n"), x.as("g"))))
-        .otherwise(array().cast("array<struct<n:int,g:string>>"))
-    }: _*))
-    def counts(c: String, out: String) = df
-      .select(col(idCol).as("_id"), explode(gramStructs(c)).as("_s"))
+    // all orders AND both sides ride ONE tagged gram explode from one
+    // scan (r16: the chrfCorpus shape ported back here — this operator
+    // previously ran one explode scan per side plus an inner clip
+    // join): grams become (n, side, gram) structs, one (doc, n, gram)
+    // aggregate with side-conditional counts replaces the two count
+    // aggregates and the join — a cell present on one side only
+    // contributes least(c, 0) = 0, exactly the inner join's semantics.
+    // 2 corpus scans total (cells + the narrow lens agg), independent
+    // of maxN. The shuffle sits BEFORE the explode, clustered by doc
+    // id (a cell never spans docs, so HashPartitioning(_id) satisfies
+    // the cell groupBy and the fat tagged rows stay partition-local —
+    // the chrF lesson); the partition count is pinned so AQE cannot
+    // serialize the fat aggregate above the small pre-explode shuffle.
+    def gramStructs(c: String, side: Int) = flatten(array(
+      (1 to maxN).map { n =>
+        val g = if (n == 1) col(c)
+          else RepeatedSpans.positionalKGrams(col(c), n)
+        when(size(col(c)) >= n,
+          transform(g, x => struct(lit(n).as("n"), lit(side).as("side"),
+            x.as("g"))))
+          .otherwise(array().cast("array<struct<n:int,side:int,g:string>>"))
+      }: _*))
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // per-order clip and totals fall out of the SAME aggregate:
+    // Σ_cells cc at order n IS the order-n candidate gram total
+    // (every occurrence lands in exactly one (doc, gram) cell), which
+    // equals the Σ max(|C|−n+1, 0) the separate totals pass computed.
+    val clip = df
+      .select(col(idCol).as("_id"), col(candCol).as("_c0"),
+        col(refCol).as("_r0"))
+      .repartition(shufflePartitions, col("_id"))
+      .select(col("_id"),
+        explode(concat(gramStructs("_c0", 0), gramStructs("_r0", 1)))
+          .as("_s"))
       .groupBy(col("_id"), col("_s.n").as("n"), col("_s.g").as("_g"))
-      .agg(count(lit(1)).as(out))
-
-    val clip = counts(candCol, "_cc")
-      .join(counts(refCol, "_rc"), Seq("_id", "n", "_g"))
+      .agg(sum(when(col("_s.side") === 0, 1L).otherwise(0L)).as("_cc"),
+        sum(when(col("_s.side") === 1, 1L).otherwise(0L)).as("_rc"))
       .groupBy(col("n"))
-      .agg(sum(least(col("_cc"), col("_rc"))).as("clip_n"))
-    // lens and every order's total from ONE corpus pass
-    val totals = df.agg(
+      .agg(sum(least(col("_cc"), col("_rc"))).as("clip_n"),
+        sum(col("_cc")).cast("long").as("total_n"))
+    // lens from one more narrow pass (no explode, no join)
+    val lens = df.agg(
       sum(size(col(candCol))).cast("long").as("c_len"),
-      sum(size(col(refCol))).cast("long").as("r_len"),
-      array((1 to maxN).map(n => struct(lit(n).as("n"),
-        sum(greatest(size(col(candCol)) - (n - 1), lit(0)))
-          .cast("long").as("total_n"))): _*).as("_t"))
-      .select(col("c_len"), col("r_len"), explode(col("_t")).as("_e"))
-      .select(col("c_len"), col("r_len"), col("_e.n").as("n"),
-        col("_e.total_n").as("total_n"))
-    val perOrder = totals.join(clip, Seq("n"), "left")
+      sum(size(col(refCol))).cast("long").as("r_len"))
+    val perOrder = df.sparkSession.range(1, maxN + 1)
+      .select(col("id").cast("int").as("n"))
+      .join(clip, Seq("n"), "left")
+      .crossJoin(broadcast(lens))
       .select(col("n"), coalesce(col("clip_n"), lit(0L)).as("clip_n"),
-        col("total_n"), col("c_len"), col("r_len"))
+        coalesce(col("total_n"), lit(0L)).as("total_n"),
+        col("c_len"), col("r_len"))
 
     val withLn = perOrder.withColumn("p_n",
       when(col("total_n") > 0L,

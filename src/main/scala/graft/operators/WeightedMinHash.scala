@@ -56,10 +56,18 @@ object WeightedMinHash {
     * still exchange-free on top of tfFrame's doc clustering.
     */
   def signatures(df: DataFrame, idCol: String, textCol: String,
-      seeds: Int = 16, cap: Int = 4, salt: String = "wmh_v1"): DataFrame = {
+      seeds: Int = 16, cap: Int = 4, salt: String = "wmh_v1"): DataFrame =
+    signaturesFromTf(tfFrame(df, idCol, textCol, cap), seeds, cap, salt)
+
+  /** [[signatures]] over an already-built tf frame — split out (r16)
+    * so [[pairJaccard]] computes the tokenize+explode+tf aggregate
+    * ONCE for both its estimate and its exact branch.
+    */
+  private def signaturesFromTf(tf: DataFrame, seeds: Int, cap: Int,
+      salt: String): DataFrame = {
     require(seeds >= 1 && cap >= 1, s"bad parameters: seeds=$seeds cap=$cap")
     val P = 2147483647L
-    tfFrame(df, idCol, textCol, cap)
+    tf
       .select(col("_id"),
         explode(transform(sequence(lit(1), col("_c")),
           j => concat_ws(":", lit(salt), col("_t"), j.cast("string"))))
@@ -86,7 +94,13 @@ object WeightedMinHash {
     val ids = p.select(col("id_a").as("_id"))
       .union(p.select(col("id_b").as("_id"))).distinct()
     val sub = df.join(ids, df(idCol) === ids("_id")).drop("_id")
-    val sig = signatures(sub, idCol, textCol, seeds, cap, salt)
+    // ONE tf pass feeds both branches (r16): the estimate's signatures
+    // and the exact capped-Jaccard join both derive from the same
+    // (doc, token, capped-tf) aggregate — unpersisted, the upstream
+    // corpus prep + tokenize + tf shuffle ran once per branch. Released
+    // after the result pins.
+    val tf = tfFrame(sub, idCol, textCol, cap).persist()
+    val sig = signaturesFromTf(tf, seeds, cap, salt)
     val est = p
       .join(sig.select(col("_id").as("id_a"), col("_s"),
         col("_mh").as("_ma")), "id_a")
@@ -95,10 +109,9 @@ object WeightedMinHash {
       .groupBy(col("id_a"), col("id_b"))
       .agg(round(sum(when(col("_ma") === col("_mb"), 1L).otherwise(0L))
         .cast("double") / lit(seeds.toDouble), 6).as("est_jaccard"))
-    val t = tfFrame(sub, idCol, textCol, cap)
-    val ta = p.join(t.select(col("_id").as("id_a"), col("_t"),
+    val ta = p.join(tf.select(col("_id").as("id_a"), col("_t"),
       col("_c").as("_ca")), "id_a")
-    val tb = p.join(t.select(col("_id").as("id_b"), col("_t"),
+    val tb = p.join(tf.select(col("_id").as("id_b"), col("_t"),
       col("_c").as("_cb")), "id_b")
     val exact = ta.join(tb, Seq("id_a", "id_b", "_t"), "full_outer")
       .groupBy(col("id_a"), col("id_b"))
@@ -108,10 +121,13 @@ object WeightedMinHash {
         sum(greatest(coalesce(col("_ca"), lit(0)),
           coalesce(col("_cb"), lit(0))).cast("long")).as("_smax"),
         count(lit(1)).as("n_union_tokens"))
-    est.join(exact, Seq("id_a", "id_b"))
+    val result = est.join(exact, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
         round(col("_smin").cast("double") / col("_smax").cast("double"), 6)
           .as("exact_jaccard"),
         col("n_union_tokens"))
+    val out = result.localCheckpoint(true)
+    tf.unpersist()
+    out
   }
 }
