@@ -113,6 +113,20 @@ object ImageHash {
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       maxDist: Int): DataFrame = {
+    val (result, base) = hammingPairsPlan(hashes, idCol, hashCol, maxDist)
+    val out = result.localCheckpoint(true)
+    base.unpersist()
+    out
+  }
+
+  /** The pre-pin [[hammingPairs]] frame plus the persisted hash-frame
+    * handle — package-private so the plan spec pins the exact
+    * production join shape (the [[graft.operators.PageRank.contribStep]]
+    * pattern); the public operator pins the result and releases the
+    * cache.
+    */
+  private[graft] def hammingPairsPlan(hashes: DataFrame, idCol: String,
+      hashCol: String, maxDist: Int): (DataFrame, DataFrame) = {
     require(maxDist >= 0 && maxDist <= 12,
       s"band recall only argued for small distances: $maxDist")
     // persist: both self-join sides consume the hash frame, and the
@@ -141,8 +155,6 @@ object ImageHash {
       .withColumn("hamming", hammingHex("h1", "h2").cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id1"), col("id2"), col("hamming"))
-    val out = result.localCheckpoint(true)
-    base.unpersist()
-    out
+    (result, base)
   }
 }

@@ -90,6 +90,21 @@ object WeightedMinHash {
   def pairJaccard(df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, seeds: Int = 16, cap: Int = 4,
       salt: String = "wmh_v1"): DataFrame = {
+    val (result, tf) = pairJaccardPlan(df, idCol, textCol, pairs,
+      seeds, cap, salt)
+    val out = result.localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
+
+  /** The pre-pin [[pairJaccard]] frame plus the persisted tf-frame
+    * handle — package-private so the plan spec pins the production
+    * shape (map-side partial mins on the signature aggregate); the
+    * public operator pins the result and releases the cache.
+    */
+  private[graft] def pairJaccardPlan(df: DataFrame, idCol: String,
+      textCol: String, pairs: DataFrame, seeds: Int, cap: Int,
+      salt: String): (DataFrame, DataFrame) = {
     val p = pairs.select(col("id_a"), col("id_b"))
     val ids = p.select(col("id_a").as("_id"))
       .union(p.select(col("id_b").as("_id"))).distinct()
@@ -126,8 +141,6 @@ object WeightedMinHash {
         round(col("_smin").cast("double") / col("_smax").cast("double"), 6)
           .as("exact_jaccard"),
         col("n_union_tokens"))
-    val out = result.localCheckpoint(true)
-    tf.unpersist()
-    out
+    (result, tf)
   }
 }

@@ -236,12 +236,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
-  test("q249: the profiler is ONE pass — single scan, single Expand, no joins") {
+  test("q249: the profiler is per-column value histograms — no Expand, no joins") {
+    // r16 shape: one pruned single-column scan + map-side-combined
+    // groupBy(value) histogram per profiled column. The old
+    // one-aggregate form's multi-distinct rewrite Expanded every row
+    // (N+1)× and grouped the plain aggregates by the CROSS of all N
+    // distinct columns — near-unique keys, nothing combined map-side.
     val plan = planOf("q249_column_profile")
     val expands = "Expand".r.findAllIn(plan).size
     val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(expands == 1, s"expected exactly 1 Expand (multi-distinct):\n$plan")
-    assert(scans == 1, s"expected exactly 1 lineitem scan:\n$plan")
+    assert(expands == 0, s"histogram legs must not Expand:\n$plan")
+    assert(scans == 4, s"expected one pruned scan per profiled column:\n$plan")
+    assert(plan.contains("partial_count"),
+      "histogram aggregate must combine map-side:\n" + plan)
     assert(!plan.contains("Join"), "profiler must not join:\n" + plan)
     assert(!plan.contains("Window"), plan)
   }
@@ -333,10 +340,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("q268: the (doc, seed) signature shuffle carries map-side partial mins") {
-    val plan = planOf("q268_weighted_minhash")
-    assert(plan.contains("partial_min"),
-      "signature aggregate must combine map-side:\n" + plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    // the public operator pins its result (r16: one shared tf pass,
+    // released after the pin), so the production shape is asserted on
+    // the package-private pre-pin frame — the contribStep pattern
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val (result, tf) = graft.operators.WeightedMinHash
+      .pairJaccardPlan(docs, "doc_id", "text", pairs,
+        seeds = 16, cap = 4, salt = "wmh_v1")
+    try {
+      val plan = result.queryExecution.executedPlan.toString()
+      assert(plan.contains("partial_min"),
+        "signature aggregate must combine map-side:\n" + plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally tf.unpersist()
   }
 
   test("q271: the profile merge is one k-bounded aggregate, no sort/window") {
@@ -374,11 +393,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("q278: the dHash band join is shuffled-hash, never broadcast") {
-    val plan = planOf("q278_image_pairs")
-    assert(plan.contains("ShuffledHashJoin"), plan)
-    assert(!plan.contains("BroadcastHashJoin"),
-      "band table must never broadcast:\n" + plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    // the public operator pins its result (r16: the hash frame is
+    // persisted across both self-join sides, released after the pin),
+    // so the join shape is asserted on the pre-pin frame
+    import spark.implicits._
+    val hashes = Seq((1L, "00000000deadbeef"), (2L, "00000000deadbeee"),
+        (3L, "ffffffff00000000")).toDF("doc_id", "dhash")
+    val (result, base) = graft.multimodal.ImageHash
+      .hammingPairsPlan(hashes, "doc_id", "dhash", maxDist = 4)
+    try {
+      val plan = result.queryExecution.executedPlan.toString()
+      assert(plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("BroadcastHashJoin"),
+        "band table must never broadcast:\n" + plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally base.unpersist()
   }
 
   test("q289: the loss-mask fold is a zero-shuffle projection") {
