@@ -124,14 +124,18 @@ object TextEval {
     // the cell groupBy and the fat tagged rows stay partition-local —
     // the chrF lesson); the partition count is pinned so AQE cannot
     // serialize the fat aggregate above the small pre-explode shuffle.
+    // r17: the gram string determines its own order (tokens are
+    // whitespace-split and grams single-space-joined, so n = the gram's
+    // token count and a 1-gram can never equal a 2-gram) — the struct
+    // carries only (side, g) and the cell key shrinks to (doc, gram);
+    // n is recovered as size(split(g, ' ')) once per surviving cell.
     def gramStructs(c: String, side: Int) = flatten(array(
       (1 to maxN).map { n =>
         val g = if (n == 1) col(c)
           else RepeatedSpans.positionalKGrams(col(c), n)
         when(size(col(c)) >= n,
-          transform(g, x => struct(lit(n).as("n"), lit(side).as("side"),
-            x.as("g"))))
-          .otherwise(array().cast("array<struct<n:int,side:int,g:string>>"))
+          transform(g, x => struct(lit(side).as("side"), x.as("g"))))
+          .otherwise(array().cast("array<struct<side:int,g:string>>"))
       }: _*))
     val shufflePartitions =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -146,10 +150,11 @@ object TextEval {
       .select(col("_id"),
         explode(concat(gramStructs("_c0", 0), gramStructs("_r0", 1)))
           .as("_s"))
-      .groupBy(col("_id"), col("_s.n").as("n"), col("_s.g").as("_g"))
+      .groupBy(col("_id"), col("_s.g").as("_g"))
       .agg(sum(when(col("_s.side") === 0, 1L).otherwise(0L)).as("_cc"),
         sum(when(col("_s.side") === 1, 1L).otherwise(0L)).as("_rc"))
-      .groupBy(col("n"))
+      // n recovered per surviving cell: the gram's token count
+      .groupBy(size(split(col("_g"), " ")).as("n"))
       .agg(sum(least(col("_cc"), col("_rc"))).as("clip_n"),
         sum(col("_cc")).cast("long").as("total_n"))
     // lens from one more narrow pass (no explode, no join)
@@ -287,14 +292,21 @@ object TextEval {
     // (doc, n, gram) shuffle with two conditional counts replaces
     // two shuffles plus a clip join (the side with zero count
     // contributes least(·)=0, exactly the inner join's semantics)
+    // r17: the gram string determines its own order (n = length(g) —
+    // a 2-gram can never equal a 3-gram), so the per-occurrence struct
+    // carries only (side, g) and the cell group key shrinks from
+    // (doc, n, gram) to (doc, gram): one int less to allocate, hash
+    // and compare on every one of the ~12·len cells per row. n is
+    // recovered as length(_g) after the cell aggregate, where only
+    // one row per distinct gram is left.
     def gramStructs(c: String, side: Int) = flatten(array(
       (1 to maxN).map { n =>
         when(length(col(c)) >= n,
           transform(sequence(lit(1), length(col(c)) - (n - 1)),
-            i => struct(lit(n).as("n"), lit(side).as("side"),
+            i => struct(lit(side).as("side"),
               col(c).substr(i, lit(n)).as("g"))))
           .otherwise(array()
-            .cast("array<struct<n:int,side:int,g:string>>"))
+            .cast("array<struct<side:int,g:string>>"))
       }: _*))
     // totals fall out of the SAME aggregate: Σ_cells cc at order n IS
     // the order-n candidate gram total (every occurrence is counted
@@ -321,10 +333,12 @@ object TextEval {
       .select(col("_id"),
         explode(concat(gramStructs("_c0", 0), gramStructs("_r0", 1)))
           .as("_s"))
-      .groupBy(col("_id"), col("_s.n").as("n"), col("_s.g").as("_g"))
+      .groupBy(col("_id"), col("_s.g").as("_g"))
       .agg(sum(when(col("_s.side") === 0, 1L).otherwise(0L)).as("_cc"),
         sum(when(col("_s.side") === 1, 1L).otherwise(0L)).as("_rc"))
-      .groupBy(col("n"))
+      // n recovered from the surviving cell rows — length(g) IS the
+      // order for character grams
+      .groupBy(length(col("_g")).as("n"))
       .agg(sum(least(col("_cc"), col("_rc"))).as("clip_n"),
         sum(col("_cc")).as("cand_total"),
         sum(col("_rc")).as("ref_total"))
