@@ -505,6 +505,59 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** Exact int64 squared L2 distance between two long-array lattice
+    * vectors — the PQ/IVF family's distance kernel compiled (r17).
+    * Replaces the interpreted `aggregate(zip_with(a, b, (x,y) →
+    * (x−y)²), 0L, +)` column algebra at every PQ call site: the
+    * values are the identical exact integer sums (long arithmetic
+    * throughout, same non-ANSI wrap semantics), only the per-element
+    * lambda interpretation goes away. Both inputs must be equal-length
+    * long arrays (the lattice contract every caller already holds).
+    */
+  case class LongSqDistExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = a.getLong(i) - b.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Exact int64 dot product of two long-array vectors — the
+    * companion kernel to [[LongSqDistExpr]] for the integer-lattice
+    * cosine/containment gates (same exact long arithmetic as the
+    * interpreted aggregate(zip_with(x·y)) fold it replaces).
+    */
+  case class LongDotExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += a.getLong(i) * b.getLong(i)
+        i += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Index of the nearest centroid (squared-L2) for a numeric-array
     * vector against a fixed centroid table — the IVF cell-assignment
     * kernel. Centroids are plan constants (broadcast with the closure),
@@ -668,6 +721,10 @@ object TextExpressions {
     toCol(CosineSimExpr(expr(a), expr(b)))
   def nearest_centroid(v: Column, centroids: Seq[Seq[Double]]): Column =
     toCol(NearestCentroidExpr(expr(v), centroids))
+  def long_sq_dist(a: Column, b: Column): Column =
+    toCol(LongSqDistExpr(expr(a), expr(b)))
+  def long_dot(a: Column, b: Column): Column =
+    toCol(LongDotExpr(expr(a), expr(b)))
   def jaccard_sim(a: Column, b: Column): Column =
     toCol(JaccardSimExpr(expr(a), expr(b)))
   def lcs_length(cand: Column, ref: Column): Column =

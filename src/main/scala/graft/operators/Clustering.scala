@@ -73,9 +73,10 @@ object Clustering {
           .cast("int"))
       .select(col("cidx"), col("c"))
 
-    val dist = aggregate(
-      zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    // r17: compiled exact-int64 kernel — identical integer sums to
+    // the interpreted aggregate(zip_with((a−b)²)) fold it replaces
+    val dist = graft.functions.expressions.TextExpressions
+      .long_sq_dist(col("q"), col("c"))
 
     var out: DataFrame = null
     for (r <- 1 to rounds) {

@@ -86,16 +86,22 @@ object Decontamination {
       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > tauNum, s"tau in (0,1): $tauNum/$tauDen")
     val dec = "decimal(38,0)"
+    // r17: compiled exact-int64 dot kernel, and the per-SIDE norms
+    // hoisted OUT of the pair expansion — na depends only on the
+    // corpus row and nb only on the eval row, so each is computed
+    // once per row instead of once per (corpus × eval) pair. Same
+    // exact integers, |evalSet|× less norm work per corpus row.
     def dotOf(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+      graft.functions.expressions.TextExpressions.long_dot(a, b)
     val dot = dotOf(col(vecCol), col(evalVecCol))
-    val na = dotOf(col(vecCol), col(vecCol))
-    val nb = dotOf(col(evalVecCol), col(evalVecCol))
     val hit = dot >= 0L &&
       dot.cast(dec) * dot.cast(dec) *
         lit(tauDen.toLong * tauDen).cast(dec) >=
-      lit(tauNum.toLong * tauNum).cast(dec) * na.cast(dec) * nb.cast(dec)
-    corpus.crossJoin(broadcast(evalSet))
+      lit(tauNum.toLong * tauNum).cast(dec) *
+        col("_na").cast(dec) * col("_nb").cast(dec)
+    corpus.withColumn("_na", dotOf(col(vecCol), col(vecCol)))
+      .crossJoin(broadcast(
+        evalSet.withColumn("_nb", dotOf(col(evalVecCol), col(evalVecCol)))))
       .withColumn("_hit", hit)
       .groupBy(col(idCol))
       .agg(

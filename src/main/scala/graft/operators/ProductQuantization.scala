@@ -36,9 +36,13 @@ object ProductQuantization {
   def lat3(x: Column): Column =
     round(round(x.cast("double"), 3) * 1000.0, 0).cast("long")
 
+  // r17: compiled exact-int64 kernel (LongSqDistExpr) — identical
+  // integer sums to the previous interpreted
+  // aggregate(zip_with((x−y)²)) fold, minus the per-element lambda
+  // interpretation (guide §4: no non-codegen expression work in the
+  // hot path; the PQ family evaluates this per candidate row)
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.expressions.TextExpressions.long_sq_dist(a, b)
 
   /** (idCol, v3) lattice frame from a float-array column. */
   def latticeFrame(df: DataFrame, idCol: String,

@@ -382,8 +382,10 @@ object Similarity {
           aggregate(col(c), lit(0L), (acc, x) => acc + x * x).as(n))
     val d = codesAndNorm(corpus, corpusId, corpusVec, "vec_id", "_cd", "_nd")
     val q = codesAndNorm(queries, queryId, queryVec, "query_id", "_cq", "_nq")
-    val dot = aggregate(zip_with(col("_cd"), col("_cq"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // r17: compiled exact-int64 dot kernel (same integer sums as the
+    // interpreted aggregate(zip_with) fold)
+    val dot = graft.functions.expressions.TextExpressions
+      .long_dot(col("_cd"), col("_cq"))
     val score = when(col("_nd") * col("_nq") === 0L, lit(0.0))
       .otherwise(dot.cast("double")
         / (sqrt(col("_nd").cast("double")) * sqrt(col("_nq").cast("double"))))
