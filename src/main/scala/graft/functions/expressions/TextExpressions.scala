@@ -534,6 +534,61 @@ object TextExpressions {
       copy(left = l, right = r)
   }
 
+  /** The planted-BMP pixel grid of the image fixtures (q277/q278)
+    * compiled (r17): per pixel (x ∈ 0..8, y ∈ 7..0) the value is the
+    * first md5 byte of "<base>:img:<y·9+x>" plus a single-pixel
+    * perturbation (+9 at (px, py) when pert, mod 256), emitted as the
+    * row-padded 448-char hex string the SQL fixture spells with
+    * per-element transform/format_string/conv/substring — ~10
+    * interpreted expression evals per pixel replaced by one compiled
+    * loop with a reused digest. Byte-for-byte identical output (the
+    * oracle re-derives the same md5 bytes arithmetically).
+    */
+  case class PlantedBmpPixExpr(base: Expression, px: Expression,
+      py: Expression, pert: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(base, px, py, pert)
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def dataType: DataType = StringType
+    @transient private lazy val md5Local =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    private val hexDigits = "0123456789abcdef".toCharArray
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val bv = base.eval(input); val pxv = px.eval(input)
+      val pyv = py.eval(input); val pev = pert.eval(input)
+      if (bv == null || pxv == null || pyv == null || pev == null) return null
+      val b = bv.asInstanceOf[Long]
+      val pxi = pxv.asInstanceOf[Long]
+      val pyi = pyv.asInstanceOf[Long]
+      val pe = pev.asInstanceOf[Boolean]
+      val md = md5Local.get()
+      val sb = new java.lang.StringBuilder(448)
+      var y = 7
+      while (y >= 0) {
+        var x = 0
+        while (x <= 8) {
+          md.reset()
+          val d = md.digest((b.toString + ":img:" + (y * 9 + x).toString)
+            .getBytes("UTF-8"))
+          var v = d(0) & 0xff
+          if (pe && x == pxi && y == pyi) v = (v + 9) % 256
+          val h = hexDigits(v >>> 4); val l = hexDigits(v & 0xf)
+          var r = 0
+          while (r < 3) { sb.append(h); sb.append(l); r += 1 }
+          x += 1
+        }
+        sb.append("00")
+        y -= 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(base = newChildren(0), px = newChildren(1),
+        py = newChildren(2), pert = newChildren(3))
+  }
+
   /** Exact int64 dot product of two long-array vectors — the
     * companion kernel to [[LongSqDistExpr]] for the integer-lattice
     * cosine/containment gates (same exact long arithmetic as the
@@ -725,6 +780,9 @@ object TextExpressions {
     toCol(LongSqDistExpr(expr(a), expr(b)))
   def long_dot(a: Column, b: Column): Column =
     toCol(LongDotExpr(expr(a), expr(b)))
+  def planted_bmp_pix(base: Column, px: Column, py: Column,
+      pert: Column): Column =
+    toCol(PlantedBmpPixExpr(expr(base), expr(px), expr(py), expr(pert)))
   def jaccard_sim(a: Column, b: Column): Column =
     toCol(JaccardSimExpr(expr(a), expr(b)))
   def lcs_length(cand: Column, ref: Column): Column =

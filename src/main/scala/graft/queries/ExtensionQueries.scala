@@ -3716,18 +3716,15 @@ object ExtensionQueries {
       // multiplicative-additive mix mod 256 stays LINEAR in the pixel
       // index (every image the same phase-shifted gradient, flooding
       // the pair stage); the md5 byte gives genuinely independent
-      // pixels, portable to the oracle bit-for-bit
-      .withColumn("_pix", expr(
-        """concat_ws('', transform(sequence(7, 0, -1), y ->
-          |  concat(
-          |    concat_ws('', transform(sequence(0, 8), x ->
-          |      repeat(format_string('%02x',
-          |        pmod(cast(conv(substring(md5(concat(
-          |            cast(_base as string), ':img:',
-          |            cast(y * 9 + x as string))), 1, 2), 16, 10) as int)
-          |          + (case when _pert and x = _px and y = _py
-          |             then 9 else 0 end), 256)), 3))),
-          |    '00')))""".stripMargin))
+      // pixels, portable to the oracle bit-for-bit. r17: the grid is
+      // built by the compiled PlantedBmpPixExpr kernel — one loop with
+      // a reused digest instead of ~10 interpreted expression evals
+      // per pixel; byte-for-byte the same 448-char hex string the
+      // previous transform/format_string SQL spelled (the oracle
+      // mirror re-derives the identical md5 bytes arithmetically).
+      .withColumn("_pix", graft.functions.expressions.TextExpressions
+        .planted_bmp_pix(col("_base"), col("_px"), col("_py"),
+          col("_pert")))
       .select(col("doc_id"),
         unhex(concat(lit(Bmp9x8Header), col("_pix"))).as("payload"))
 

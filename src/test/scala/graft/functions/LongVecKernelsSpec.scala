@@ -42,6 +42,30 @@ class LongVecKernelsSpec extends AnyFunSuite {
     assert(rows(1).getLong(0) === -4L)
   }
 
+  test("planted_bmp_pix equals the SQL transform/format_string fixture grid") {
+    val rows = Seq((0L, 3L, 5L, false), (2L, 0L, 0L, true),
+      (2L, 8L, 7L, true), (14L, 4L, 2L, true))
+      .toDF("_base", "_px", "_py", "_pert")
+    val out = rows.select(
+      TextExpressions.planted_bmp_pix(col("_base"), col("_px"),
+        col("_py"), col("_pert")).as("k"),
+      expr(
+        """concat_ws('', transform(sequence(7, 0, -1), y ->
+          |  concat(
+          |    concat_ws('', transform(sequence(0, 8), x ->
+          |      repeat(format_string('%02x',
+          |        pmod(cast(conv(substring(md5(concat(
+          |            cast(_base as string), ':img:',
+          |            cast(y * 9 + x as string))), 1, 2), 16, 10) as int)
+          |          + (case when _pert and x = _px and y = _py
+          |             then 9 else 0 end), 256)), 3))),
+          |    '00')))""".stripMargin).as("f")).collect()
+    out.foreach { r =>
+      assert(r.getString(0).length === 448)
+      assert(r.getString(0) === r.getString(1))
+    }
+  }
+
   test("null vector propagates null (binary expression contract)") {
     val df = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]]))
       .toDF("a", "b")
