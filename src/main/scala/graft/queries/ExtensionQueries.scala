@@ -3521,11 +3521,19 @@ object ExtensionQueries {
       li.filter(pmod(col("l_orderkey"), lit(2)) === 1), cols, k)
     val merged = graft.operators.Profiling.mergeProfiles(
       even.unionByName(odd), k)
-    val exAggs = cols.map(c => countDistinct(col(c)).as(s"_d_$c"))
-    val exact = li.agg(exAggs.head, exAggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(lit(c).as("column_name"),
-        col(s"_d_$c").as("n_distinct_exact"))): _*)).as("r"))
-      .select(col("r.*"))
+    // r17 (the q249 lesson applied): four countDistincts in ONE
+    // aggregate trigger the multi-distinct rewrite — an Expand that
+    // multiplies every lineitem row by 5 into a near-unique-keyed
+    // partial aggregate. One thin distinct leg per column instead
+    // (pruned single-column scan, map-side partial distinct), unioned
+    // into the same (column_name, n_distinct_exact) rows —
+    // countDistinct ignores nulls, so the legs filter them the same
+    // way; counts identical.
+    val exact = cols.map { c =>
+      li.filter(col(c).isNotNull).select(col(c)).distinct()
+        .agg(count(lit(1)).as("n_distinct_exact"))
+        .select(lit(c).as("column_name"), col("n_distinct_exact"))
+    }.reduce(_ unionByName _)
     val est = when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
       .otherwise(round(lit((k - 1).toDouble)
         / element_at(col("kmv"), k), 6))
